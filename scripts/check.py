@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: load Verify's parquet
+dumps, run each oracle SQL in DuckDB over the same sf tables, compare
+(column-name-sorted, row-sorted, floats rounded). Usage:
+  python3 scripts/check.py <sfDir> <outDir>
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype.kind == 'f':
+            df[c] = df[c].round(4)
+        # normalize ints to int64 for cross-engine compare
+        if df[c].dtype.kind in 'iu':
+            df[c] = df[c].astype('int64')
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+fails = 0
+names = sorted(d for d in os.listdir(outdir)
+               if os.path.isdir(os.path.join(outdir, d)))
+for name in names:
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no parquet output"); fails += 1; continue
+    got = pd.concat([pd.read_parquet(f) for f in files])
+    if name not in oracle:
+        status = "rows-only" if len(got) > 0 else "FAIL rows=0"
+        if "FAIL" in status: fails += 1
+        print(f"{status:9s} {name} rows={len(got)}")
+        continue
+    try:
+        want = con.execute(oracle[name]).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+    g, w = norm(got.copy()), norm(want.copy())
+    if list(g.columns) != list(w.columns):
+        print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
+        fails += 1; continue
+    if len(g) != len(w):
+        print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); fails += 1; continue
+    try:
+        pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                      check_exact=False, rtol=1e-6, atol=1e-6)
+        print(f"OK        {name} rows={len(g)}")
+    except AssertionError as e:
+        print(f"FAIL {name}: {str(e)[:300]}"); fails += 1
+print(f"\n{'ALL OK' if fails == 0 else f'{fails} FAILURES'} "
+      f"({len(names)} queries, {len(oracle)} oracled)")
+sys.exit(1 if fails else 0)

@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every operator pack's catalog; each entry has a
+  * matching DuckDB oracle in `oracleSql` when the semantics are
+  * ANSI-SQL-expressible (the driver hash-compares at sf0.01).
+  */
 object SparkEntry {
+
+  private def packs: Seq[QueryPack] = Seq(
+    operators.Relational
+  )
+
+  private lazy val catalog: Map[String, Q] = {
+    val all = packs.flatMap(_.queries)
+    require(all.map(_._1).distinct.size == all.size, "duplicate query names")
+    all.toMap
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    catalog("q03_star_join").fn(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map { case (k, q) => k -> q.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted entries get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    catalog.collect { case (k, Q(_, Some(sql), _)) => k -> sql.trim }
 }

@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Core relational spine: scans, projections, IN-list filters, distinct,
+  * star-schema broadcast joins, semi/anti joins, top-k.
+  *
+  * Reference coverage (SURVEY.md §2): S6/S7 (table scan / DISTINCT scan),
+  * P1 (IN-list filter, `pyspark_dag2.py:120-126`), P3 (projection),
+  * A1 (DISTINCT, `project SSIS!...loan_type_dim.dtsx:565`), J1 (full-cache
+  * lookup == broadcast hash join, `project SSIS!...loan_fact.dtsx:60-1710`),
+  * the "fail on no-match" probe as a left_anti (`loan_fact.dtsx:92-96`),
+  * O1 (order by measure desc), O4 (top-k, exposed beyond reference parity).
+  */
+object Relational extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // ---- pricing summary: filter + groupBy + multi-agg (TPC-H Q1 shape) ----
+    "q01_pricing_summary" -> Q(
+      (s, d) => {
+        import s.implicits._
+        T.lineitem(s, d)
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity").as("sum_qty"),
+            sum($"l_extendedprice").as("sum_base_price"),
+            sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+            avg($"l_quantity").as("avg_qty"),
+            avg($"l_discount").as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_base_price,
+               sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+               avg(l_quantity) AS avg_qty,
+               avg(l_discount) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+      """.stripMargin),
+      doc = "filter + groupBy + sum/avg/count (SURVEY §2.2 P1, §2.6 A2-A5)"),
+
+    // ---- IN-list filter (the reference's 14-snapshot-date filter shape) ----
+    "q02_filter_in" -> Q(
+      (s, d) => {
+        import s.implicits._
+        T.orders(s, d)
+          .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice").as("total"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n_orders, sum(o_totalprice) AS total
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY o_orderpriority
+      """.stripMargin),
+      doc = "IN-list filter (SURVEY §2.2 P1: pyspark_dag2.py:120-126)"),
+
+    // ---- star-schema join chain: fact x 4 dims, small dims broadcast ----
+    "q03_star_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = T.lineitem(s, d)
+        val o = T.orders(s, d)
+        val c = T.customer(s, d)
+        val n = T.nation(s, d)
+        val r = T.region(s, d)
+        // orders is fact-sized: shuffle hash/sort-merge on the key.
+        // customer/nation/region are dimensions: broadcast (the Spark
+        // analogue of SSIS full-cache Lookup, SURVEY §2.4 J1).
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(
+            sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""
+        SELECT r_name, n_name,
+               sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+      """.stripMargin),
+      doc = "10-lookup fact-build chain as broadcast joins (SURVEY §2.4 J1)"),
+
+    // ---- DISTINCT source scan (loan_type dim source shape) ----
+    "q04_distinct" -> Q(
+      (s, d) => {
+        import s.implicits._
+        T.part(s, d).select($"p_brand", $"p_type").distinct()
+      },
+      Some("SELECT DISTINCT p_brand, p_type FROM part"),
+      doc = "SELECT DISTINCT scan (SURVEY §2.1 S7, §2.6 A1)"),
+
+    // ---- anti join: "fail on no-match" probe / orphan check ----
+    "q05_anti_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val c = T.customer(s, d)
+        val o = T.orders(s, d).filter($"o_totalprice" > 300000.0)
+        c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_customers_no_big_orders"))
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_customers_no_big_orders
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        GROUP BY c_mktsegment
+      """.stripMargin),
+      doc = "left_anti dangling-key probe (SURVEY §2.4: NoMatchBehavior=0)"),
+
+    // ---- semi join ----
+    "q06_semi_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val c = T.customer(s, d)
+        val o = T.orders(s, d).filter($"o_totalprice" > 100000.0)
+        c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n_big_customers"))
+          .withColumn("c_nationkey", $"c_nationkey".cast("int"))
+      },
+      Some("""
+        SELECT CAST(c_nationkey AS INT) AS c_nationkey, count(*) AS n_big_customers
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        GROUP BY c_nationkey
+      """.stripMargin),
+      doc = "left_semi EXISTS probe"),
+
+    // ---- top-k with deterministic tiebreak ----
+    "q07_topk" -> Q(
+      (s, d) => {
+        import s.implicits._
+        T.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+          .limit(25)
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 25
+      """.stripMargin),
+      doc = "order-by-measure-desc + top-k (SURVEY §2.8 O1/O4)"),
+
+    // ---- union of disjoint splits (page-accumulate shape) ----
+    "q08_union" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val o = T.orders(s, d)
+        val a = o.filter($"o_orderstatus" === "F")
+        val b = o.filter($"o_orderstatus" =!= "F")
+        a.unionByName(b)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("total"))
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+        FROM (
+          SELECT * FROM orders WHERE o_orderstatus = 'F'
+          UNION ALL
+          SELECT * FROM orders WHERE o_orderstatus <> 'F'
+        )
+        GROUP BY o_orderstatus
+      """.stripMargin),
+      doc = "unionByName page-accumulate (SURVEY §2.8 O2/O3)")
+  )
+}

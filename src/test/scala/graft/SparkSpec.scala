@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one JVM per sbt test fork). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  val sf: String = TestSpark.sf
+}
+
+class EntrySpec extends SparkSpec {
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+  test("every query runs at sf0.001 and catalog names are unique") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      withClue(name) { assert(n >= 0) }
+    }
+  }
+  test("every oracle key exists in queries") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+}
+
+class RelationalSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("q01 pricing summary groups match distinct flag/status pairs") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    assert(df.count() <= 6)
+    assert(df.columns.contains("sum_qty"))
+  }
+
+  test("q03 star join covers all regions present") {
+    val df = SparkEntry.queries("q03_star_join")(spark, sf)
+    val regions = df.select("r_name").distinct().count()
+    assert(regions == 5)
+  }
+
+  test("q03 star join plan broadcasts dimensions") {
+    val plan = SparkEntry.queries("q03_star_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q07 topk is deterministic under ties") {
+    val a = SparkEntry.queries("q07_topk")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("q07_topk")(spark, sf).collect().toSeq
+    assert(a == b)
+    assert(a.size == 25)
+  }
+
+  test("q08 union preserves total row count") {
+    val df = SparkEntry.queries("q08_union")(spark, sf)
+    val total = df.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == Tables.orders(spark, sf).count())
+  }
+}
