@@ -19,14 +19,23 @@ for t in ["region","nation","customer","supplier","part","orders",
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 def norm(df):
+    import datetime
     df = df[sorted(df.columns)]
     for c in df.columns:
+        if df[c].dtype == object:
+            nn = df[c].dropna()
+            if len(nn) and isinstance(nn.iloc[0],
+                                      (datetime.date, datetime.datetime)):
+                df[c] = pd.to_datetime(df[c])
+        if str(df[c].dtype).startswith('datetime64'):
+            df[c] = df[c].astype('datetime64[us]')
         if df[c].dtype.kind == 'f':
             df[c] = df[c].round(4)
         # normalize ints to int64 for cross-engine compare
-        if df[c].dtype.kind in 'iu':
+        if df[c].dtype.kind in 'iub':
             df[c] = df[c].astype('int64')
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df.sort_values(by=list(df.columns),
+                          na_position='last').reset_index(drop=True)
 
 fails = 0
 names = sorted(d for d in os.listdir(outdir)

@@ -11,7 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    operators.Relational
+    operators.Relational,
+    operators.Exprs,
+    operators.Warehouse,
+    operators.Windows
   )
 
   private lazy val catalog: Map[String, Q] = {

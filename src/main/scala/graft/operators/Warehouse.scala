@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.warehouse.{DimDate, FactBuilder, Scd, ScdSpec}
+import graft.{Q, QueryPack, Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Warehouse engine queries: SCD initial load + merge, role-playing date
+  * dimension, fact assembly through the lookup chain. SURVEY.md §2.4/§2.5.
+  *
+  * The customer table plays the staged source; the second SCD batch is
+  * synthesized deterministically from it (SCD2 change = mktsegment,
+  * SCD1 change = acctbal, absent keys, brand-new keys) so the DuckDB
+  * oracle can reproduce the exact merge output.
+  */
+object Warehouse extends QueryPack {
+
+  val custSpec: ScdSpec = ScdSpec(
+    bk = "c_custkey",
+    scd2 = Seq("c_mktsegment"),
+    scd1 = Seq("c_acctbal"),
+    fixed = Seq("c_name", "c_nationkey"))
+
+  /** Deterministic second batch: %11 keys absent, %7 SCD2-changed,
+    * %5 SCD1-changed, %13 spawn new BKs. */
+  def batch2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = T.customer(s, d)
+    val base = c.filter($"c_custkey" % 11 =!= 0).select(
+      $"c_custkey",
+      when($"c_custkey" % 7 === 0, "PROMO").otherwise($"c_mktsegment").as("c_mktsegment"),
+      when($"c_custkey" % 5 === 0, $"c_acctbal" + 100.0).otherwise($"c_acctbal").as("c_acctbal"),
+      $"c_name", $"c_nationkey")
+    val news = c.filter($"c_custkey" % 13 === 0).select(
+      ($"c_custkey" + 1000000L).as("c_custkey"),
+      lit("NEW").as("c_mktsegment"),
+      lit(0.0).as("c_acctbal"),
+      lit("new customer").as("c_name"),
+      lit(0).cast("int").as("c_nationkey"))
+    base.unionByName(news)
+  }
+
+  private val dim0Sql =
+    """dim0 AS (
+      |  SELECT row_number() OVER (ORDER BY c_custkey) AS sk, c_custkey,
+      |         c_mktsegment, c_acctbal, c_name, c_nationkey
+      |  FROM customer
+      |)""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    // ---- SCD initial load: dedup + deterministic surrogate keys ----
+    "q20_scd_init" -> Q(
+      (s, d) => Scd.initialLoad(T.customer(s, d), custSpec, "2024-01-01"),
+      Some(s"""
+        WITH $dim0Sql
+        SELECT sk, c_custkey, c_mktsegment, c_acctbal, c_name, c_nationkey,
+               CAST(1 AS INT) AS source_system_code,
+               DATE '2024-01-01' AS start_date,
+               CAST(NULL AS DATE) AS end_date,
+               TRUE AS is_current
+        FROM dim0
+      """.stripMargin),
+      doc = "SCD initial load w/ order-stable SKs (SURVEY §2.5)"),
+
+    // ---- SCD merge: new / unchanged / SCD1-patch / SCD2 expire+insert ----
+    "q21_scd_merge" -> Q(
+      (s, d) => {
+        val dim0 = Scd.initialLoad(T.customer(s, d), custSpec, "2024-01-01")
+        Scd.merge(dim0, batch2(s, d), custSpec, "2024-02-01")
+      },
+      Some(s"""
+        WITH $dim0Sql,
+        batch AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 7 = 0 THEN 'PROMO' ELSE c_mktsegment END AS c_mktsegment,
+                 CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+                 c_name, c_nationkey
+          FROM customer WHERE c_custkey % 11 <> 0
+          UNION ALL
+          SELECT c_custkey + 1000000, 'NEW', 0.0, 'new customer', CAST(0 AS INT)
+          FROM customer WHERE c_custkey % 13 = 0
+        ),
+        untouched AS (
+          SELECT sk, c_custkey, c_mktsegment, c_acctbal, c_name, c_nationkey,
+                 CAST(1 AS INT) AS source_system_code,
+                 DATE '2024-01-01' AS start_date,
+                 CAST(NULL AS DATE) AS end_date, TRUE AS is_current
+          FROM dim0 WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
+        ),
+        kept AS (
+          SELECT d.sk, d.c_custkey, d.c_mktsegment, b.c_acctbal, d.c_name,
+                 d.c_nationkey, CAST(1 AS INT), DATE '2024-01-01',
+                 CAST(NULL AS DATE), TRUE
+          FROM dim0 d JOIN batch b USING (c_custkey)
+          WHERE b.c_mktsegment = d.c_mktsegment
+        ),
+        expired AS (
+          SELECT d.sk, d.c_custkey, d.c_mktsegment, d.c_acctbal, d.c_name,
+                 d.c_nationkey, CAST(1 AS INT), DATE '2024-01-01',
+                 DATE '2024-02-01', FALSE
+          FROM dim0 d JOIN batch b USING (c_custkey)
+          WHERE b.c_mktsegment <> d.c_mktsegment
+        ),
+        ins AS (
+          SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal, b.c_name, b.c_nationkey
+          FROM batch b LEFT JOIN dim0 d USING (c_custkey)
+          WHERE d.c_custkey IS NULL OR d.c_mktsegment <> b.c_mktsegment
+        ),
+        inserted AS (
+          SELECT (SELECT count(*) FROM customer) + row_number() OVER (ORDER BY c_custkey) AS sk,
+                 c_custkey, c_mktsegment, c_acctbal, c_name, c_nationkey,
+                 CAST(1 AS INT), DATE '2024-02-01', CAST(NULL AS DATE), TRUE
+          FROM ins
+        )
+        SELECT * FROM untouched
+        UNION ALL SELECT * FROM kept
+        UNION ALL SELECT * FROM expired
+        UNION ALL SELECT * FROM inserted
+      """.stripMargin),
+      doc = "set-based SCD merge, full row routing (SURVEY §2.5)"),
+
+    // ---- fact assembly: lookup chain + role-playing date dim ----
+    "q22_fact_build" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = T.lineitem(s, d)
+        val o = T.orders(s, d)
+        val dimCust = Scd.initialLoad(T.customer(s, d), custSpec, "2024-01-01")
+          .filter($"is_current")
+          .withColumnRenamed("sk", "cust_sk")
+        val allDates = o.select($"o_orderdate".cast("date").as("dt"))
+          .unionByName(li.select($"l_shipdate".cast("date").as("dt")))
+        val dd = DimDate.fromRange(allDates, "dt").select("date_sk", "cal_date")
+        val fact = li.join(o, $"l_orderkey" === $"o_orderkey")
+        val out = FactBuilder.build(fact, Seq(
+          FactBuilder.Lookup(dimCust, col("o_custkey"), "c_custkey",
+            Seq("cust_sk" -> "cust_sk")),
+          FactBuilder.Lookup(dd.withColumnRenamed("date_sk", "order_date_sk"),
+            col("o_orderdate").cast("date"), "cal_date",
+            Seq("order_date_sk" -> "order_date_sk")),
+          FactBuilder.Lookup(dd.withColumnRenamed("date_sk", "ship_date_sk"),
+            col("l_shipdate").cast("date"), "cal_date",
+            Seq("ship_date_sk" -> "ship_date_sk"))))
+        out.select(
+          $"l_orderkey", $"l_linenumber", $"cust_sk",
+          $"order_date_sk", $"ship_date_sk",
+          $"l_quantity".as("quantity"),
+          $"l_extendedprice".cast("decimal(18,2)").cast("double").as("principal"))
+      },
+      Some(s"""
+        WITH $dim0Sql,
+        bounds AS (
+          SELECT LEAST((SELECT CAST(min(o_orderdate) AS DATE) FROM orders),
+                       (SELECT CAST(min(l_shipdate) AS DATE) FROM lineitem)) AS lo,
+                 GREATEST((SELECT CAST(max(o_orderdate) AS DATE) FROM orders),
+                          (SELECT CAST(max(l_shipdate) AS DATE) FROM lineitem)) AS hi
+        ),
+        dd AS (
+          SELECT CAST(year(d) * 10000 + month(d) * 100 + day(d) AS INT) AS date_sk, d
+          FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds)
+        )
+        SELECT l_orderkey, l_linenumber, dim0.sk AS cust_sk,
+               d1.date_sk AS order_date_sk, d2.date_sk AS ship_date_sk,
+               l_quantity AS quantity,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS principal
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN dim0 ON o_custkey = c_custkey
+        JOIN dd d1 ON CAST(o_orderdate AS DATE) = d1.d
+        JOIN dd d2 ON CAST(l_shipdate AS DATE) = d2.d
+      """.stripMargin),
+      doc = "fact build: lookup chain + 4-role date joins (SURVEY §2.4 J1/J2)")
+  )
+}

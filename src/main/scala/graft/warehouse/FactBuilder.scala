@@ -1,0 +1,57 @@
+package graft.warehouse
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Fact-table assembly: the Spark re-expression of the reference's
+  * 10-lookup chain (SURVEY.md §2.4 J1/J2; `project
+  * SSIS!...loan_fact.dtsx:60-1710`, topology `:2635-2693`).
+  *
+  * Each SSIS full-cache Lookup (build side fully in memory, 25 MB cap)
+  * becomes a broadcast hash join; Catalyst/AQE pipelines the whole chain
+  * inside one WholeStageCodegen span — no per-lookup materialization.
+  *
+  * Lookup semantics preserved:
+  *  - `TreatDuplicateKeysAsError=false` → first-match-wins: the dim side
+  *    is deduplicated on the key before joining;
+  *  - `NoMatchBehavior=0` (fail pipeline on dangling key) →
+  *    [[assertNoDangling]], a left_anti probe that raises instead of
+  *    silently dropping rows.
+  */
+object FactBuilder {
+
+  final case class Lookup(
+      dim: DataFrame,
+      factKey: Column,
+      dimKey: String,
+      retrieve: Seq[(String, String)], // (dim col, fact alias)
+      broadcastDim: Boolean = true)
+
+  /** Left-side fact stream joined through the lookup chain (inner joins,
+    * reference `NoMatchBehavior=0`). Call [[assertNoDangling]] first when
+    * the fail-on-no-match contract must hold. */
+  def build(fact: DataFrame, lookups: Seq[Lookup]): DataFrame =
+    lookups.foldLeft(fact) { (acc, lk) =>
+      val dimDeduped = lk.dim
+        .dropDuplicates(lk.dimKey)
+        .select((lk.dimKey +: lk.retrieve.map(_._1)).distinct.map(col): _*)
+      val dimSide = if (lk.broadcastDim) broadcast(dimDeduped) else dimDeduped
+      val joined = acc.join(dimSide, lk.factKey === dimSide(lk.dimKey), "inner")
+      val renamed = lk.retrieve.foldLeft(joined) { case (df, (c, alias)) =>
+        df.withColumnRenamed(c, alias)
+      }
+      renamed.drop(dimSide(lk.dimKey))
+    }
+
+  /** Referential-integrity probe: raises if any fact row has no match in a
+    * lookup (the moral equivalent of the reference's fail-on-no-match). */
+  def assertNoDangling(fact: DataFrame, lookups: Seq[Lookup]): Unit =
+    lookups.foreach { lk =>
+      val dangling = fact
+        .join(lk.dim.select(col(lk.dimKey)).dropDuplicates(lk.dimKey),
+          lk.factKey === col(lk.dimKey), "left_anti")
+        .limit(1).count()
+      require(dangling == 0,
+        s"dangling fact keys against dim key '${lk.dimKey}' (NoMatchBehavior=0)")
+    }
+}

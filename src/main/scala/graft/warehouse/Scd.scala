@@ -1,0 +1,130 @@
+package graft.warehouse
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Set-based slowly-changing-dimension engine — the Spark-native
+  * re-expression of the reference's seven SSIS SCD packages (SURVEY.md
+  * §2.5; canonical topology `project
+  * SSIS!graduation_project/graduation_project/country_dimension.dtsx:2886-2936`).
+  *
+  * Column dispositions follow SSIS `ColumnType`: business key, historical
+  * (SCD2: change ⇒ expire current row + insert new version), changing
+  * (SCD1: change ⇒ in-place overwrite), fixed (carried, never compared).
+  *
+  * Deliberate divergences from the reference, per SURVEY §2.5 quirks
+  * (declared, intended-semantics implementation):
+  *  - within-batch duplicate BKs are deduplicated deterministically
+  *    (SSIS row-at-a-time inserts duplicates);
+  *  - `is_current` is maintained on expiry for every dim (the reference
+  *    only does so for loan_type, `loan_type_dim.dtsx:445`);
+  *  - per-row UPDATE side-channels (`country_dimension.dtsx:1427,1539`)
+  *    become one shuffle-joined table rewrite.
+  *
+  * Scale: the merge is one full-outer shuffle join on the BK plus unions —
+  * no per-row driver round-trips; SK assignment is the range-partitioned
+  * [[SurrogateKeys.assign]]; history rows are carried through untouched
+  * (union, no join).
+  */
+final case class ScdSpec(
+    bk: String,
+    scd2: Seq[String],
+    scd1: Seq[String],
+    fixed: Seq[String] = Nil,
+    sk: String = "sk") {
+  def attrCols: Seq[String] = scd2 ++ scd1 ++ fixed
+  def allIn: Seq[String] = bk +: attrCols
+}
+
+object Scd {
+
+  /** Deterministic within-batch dedup: first row per BK under ORDER BY all
+    * attribute columns (stable regardless of input partitioning). */
+  def dedup(batch: DataFrame, spec: ScdSpec): DataFrame = {
+    val w = Window.partitionBy(col(spec.bk))
+      .orderBy(spec.attrCols.map(col): _*)
+    batch.select(spec.allIn.map(col): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Initial load: dedup + surrogate keys + SCD bookkeeping columns. */
+  def initialLoad(batch: DataFrame, spec: ScdSpec, asOf: String): DataFrame =
+    SurrogateKeys.assign(dedup(batch, spec), Seq(spec.bk), spec.sk)
+      .withColumn("source_system_code", lit(1))
+      .withColumn("start_date", lit(asOf).cast("date"))
+      .withColumn("end_date", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+      .select(((spec.sk +: spec.allIn) ++ Seq(
+        "source_system_code", "start_date", "end_date", "is_current")).map(col): _*)
+
+  private def anyDiffers(cols: Seq[String]): Column =
+    cols.map(c => !(col(s"s.$c") <=> col(s"c.$c")))
+      .foldLeft(lit(false))(_ || _)
+
+  /** One SCD merge of `batch` into dimension `dim` as of `asOf`.
+    *
+    * Row routing (same outputs as the SSIS SCD component,
+    * `country_dimension.dtsx:1646-1755`):
+    *  - history rows (end_date set): carried unchanged;
+    *  - current, BK absent from batch: carried unchanged;
+    *  - current, present, no attr change: carried unchanged;
+    *  - SCD1-only change: in-place patch of changing cols;
+    *  - SCD2 change: current row expired (end_date=asOf, is_current=false)
+    *    and a new version inserted;
+    *  - new BK: inserted. New rows get SKs above the current max.
+    */
+  def merge(dim: DataFrame, batch: DataFrame, spec: ScdSpec, asOf: String): DataFrame = {
+    val staged = dedup(batch, spec).as("s")
+    val cur = dim.filter(col("end_date").isNull).as("c")
+    val hist = dim.filter(col("end_date").isNotNull)
+
+    val j = staged.join(cur, col(s"s.${spec.bk}") === col(s"c.${spec.bk}"), "full_outer")
+    val isNew = col(s"c.${spec.bk}").isNull
+    val isAbsent = col(s"s.${spec.bk}").isNull
+    val scd2Chg = anyDiffers(spec.scd2)
+    val scd1Chg = anyDiffers(spec.scd1)
+
+    val bookkeeping = Seq("source_system_code", "start_date", "end_date", "is_current")
+    val outCols = (spec.sk +: spec.allIn) ++ bookkeeping
+
+    // current rows kept as-is or SCD1-patched (matched, no SCD2 change)
+    val kept = j.filter(!isNew && !isAbsent && !scd2Chg)
+      .select((Seq(col(s"c.${spec.sk}"), col(s"c.${spec.bk}")) ++
+        spec.scd2.map(c => col(s"c.$c")) ++
+        spec.scd1.map(c => when(scd1Chg, col(s"s.$c")).otherwise(col(s"c.$c")).as(c)) ++
+        spec.fixed.map(c => col(s"c.$c")) ++
+        bookkeeping.map(c => col(s"c.$c"))): _*)
+      .toDF(outCols: _*)
+
+    // current rows untouched because BK absent from this batch
+    val untouched = j.filter(isAbsent)
+      .select(outCols.map(c => col(s"c.$c")): _*).toDF(outCols: _*)
+
+    // SCD2: expire the old current row
+    val expired = j.filter(!isNew && !isAbsent && scd2Chg)
+      .select((outCols.dropRight(2).map(c => col(s"c.$c")) ++
+        Seq(lit(asOf).cast("date").as("end_date"),
+          lit(false).as("is_current"))): _*)
+      .toDF(outCols: _*)
+
+    // inserts: brand-new BKs + new versions of SCD2-changed BKs
+    val inserts = j.filter(isNew || (!isAbsent && scd2Chg))
+      .select(spec.allIn.map(c => col(s"s.$c")): _*)
+    val maxSk = dim.agg(max(col(spec.sk))).head.get(0) match {
+      case null => 0L
+      case n: Number => n.longValue()
+    }
+    val inserted = SurrogateKeys.assign(inserts, Seq(spec.bk), spec.sk, offset = maxSk)
+      .withColumn("source_system_code", lit(1))
+      .withColumn("start_date", lit(asOf).cast("date"))
+      .withColumn("end_date", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+      .select(outCols.map(col): _*)
+
+    hist.select(outCols.map(col): _*)
+      .unionByName(untouched).unionByName(kept)
+      .unionByName(expired).unionByName(inserted)
+  }
+}

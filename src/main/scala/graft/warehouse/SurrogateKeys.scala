@@ -1,0 +1,49 @@
+package graft.warehouse
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic, order-stable surrogate-key assignment — the set-based
+  * replacement for the reference's database IDENTITY columns (SURVEY.md
+  * §2.5: SSIS fast-load destinations generate SKs at the DB, e.g.
+  * `project SSIS!...country_dimension.dtsx:483-504`).
+  *
+  * Semantics: `sk = offset + rank of row under ORDER BY keyCols` (dense,
+  * 1-based) — identical to SQL `row_number() OVER (ORDER BY keys)`, which
+  * keeps it oracle-checkable.
+  *
+  * Scale: a naive `row_number` over an un-partitioned window collapses to a
+  * single task (the reference's own known hazard, SURVEY §2.7 W1). Instead
+  * we range-repartition by the key (global order across partitions), take
+  * `row_number` *within* each partition, and add per-partition offsets
+  * computed from a tiny count aggregate — every stage is fully parallel and
+  * the only driver-sized data is one row per partition.
+  */
+object SurrogateKeys {
+
+  def assign(df: DataFrame, keyCols: Seq[String], skName: String,
+             offset: Long = 0L, numPartitions: Option[Int] = None): DataFrame = {
+    val keys: Seq[Column] = keyCols.map(col)
+    val ranged = numPartitions match {
+      case Some(n) => df.repartitionByRange(n, keys: _*)
+      case None => df.repartitionByRange(keys: _*)
+    }
+    val pid = "__sk_pid"
+    val rn = "__sk_rn"
+    val withRn = ranged
+      .withColumn(pid, spark_partition_id())
+      .withColumn(rn, row_number().over(
+        Window.partitionBy(col(pid)).orderBy(keys: _*)))
+    // partition sizes → cumulative offsets (one row per partition; tiny)
+    val offsets = withRn.groupBy(col(pid)).agg(count(lit(1)).as("__sk_cnt"))
+      .withColumn("__sk_off",
+        coalesce(sum(col("__sk_cnt")).over(
+          Window.orderBy(col(pid))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(pid), col("__sk_off"))
+    withRn.join(broadcast(offsets), pid)
+      .withColumn(skName, (col("__sk_off") + col(rn) + lit(offset)).cast("long"))
+      .drop(pid, rn, "__sk_off")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Warehouse
+import graft.warehouse.{Scd, ScdSpec, SurrogateKeys}
+import org.apache.spark.sql.functions._
+
+/** SCD invariants per SURVEY.md §5 (property checks): single current row
+  * per BK, expiry bookkeeping, merge idempotence, SK determinism. */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = Warehouse.custSpec
+  private lazy val dim0 = Scd.initialLoad(Tables.customer(spark, sf), spec, "2024-01-01")
+  private lazy val merged = Scd.merge(dim0, Warehouse.batch2(spark, sf), spec, "2024-02-01")
+
+  test("initial load: one row per BK, SKs are dense 1..n") {
+    val n = dim0.count()
+    assert(dim0.select("c_custkey").distinct().count() == n)
+    val skStats = dim0.agg(min("sk"), max("sk"), countDistinct("sk")).head
+    assert(skStats.getLong(0) == 1L)
+    assert(skStats.getLong(1) == n)
+    assert(skStats.getLong(2) == n)
+  }
+
+  test("SK assignment is deterministic across runs and matches global order") {
+    val a = SurrogateKeys.assign(Tables.customer(spark, sf), Seq("c_custkey"), "sk")
+      .select("c_custkey", "sk").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = SurrogateKeys.assign(
+      Tables.customer(spark, sf).repartition(7), Seq("c_custkey"), "sk")
+      .select("c_custkey", "sk").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.sameElements(b))
+    // global-order property: after sorting by key, sks are exactly 1..n
+    assert(a.sortBy(_._1).map(_._2).toSeq == (1L to a.length.toLong))
+  }
+
+  test("merge: at most one current row per BK; expired rows have end_date") {
+    val curPerBk = merged.filter($"is_current")
+      .groupBy("c_custkey").count().agg(max("count")).head.getLong(0)
+    assert(curPerBk == 1L)
+    assert(merged.filter(!$"is_current" && $"end_date".isNull).count() == 0)
+    assert(merged.filter($"is_current" && $"end_date".isNotNull).count() == 0)
+  }
+
+  test("merge routing counts: scd2 keys got expired + reinserted, new keys inserted") {
+    val c = Tables.customer(spark, sf)
+    val scd2Keys = c.filter($"c_custkey" % 7 === 0 && $"c_custkey" % 11 =!= 0).count()
+    val newKeys = c.filter($"c_custkey" % 13 === 0).count()
+    assert(merged.filter(!$"is_current").count() == scd2Keys)
+    assert(merged.count() == c.count() + scd2Keys + newKeys)
+  }
+
+  test("merge idempotence: re-merging the same batch is a no-op") {
+    val again = Scd.merge(merged, Warehouse.batch2(spark, sf), spec, "2024-03-01")
+    assert(again.count() == merged.count())
+    assert(again.filter($"start_date" === "2024-03-01").count() == 0)
+    val a = merged.orderBy("sk").collect()
+    val b = again.orderBy("sk").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("within-batch duplicate BKs are deduplicated deterministically") {
+    val dup = Tables.customer(spark, sf).limit(10)
+    val doubled = dup.unionByName(dup.withColumn("c_acctbal", $"c_acctbal" + 1))
+    val loaded = Scd.initialLoad(doubled, spec, "2024-01-01")
+    assert(loaded.count() == 10)
+    // deterministic pick: smallest attr tuple wins (ORDER BY attrs)
+    val bals = loaded.join(dup.select($"c_custkey", $"c_acctbal".as("orig")), "c_custkey")
+    assert(bals.filter($"c_acctbal" =!= least($"orig", $"orig" + 1)).count() == 0)
+  }
+}
