@@ -14,7 +14,9 @@ object SparkEntry {
     operators.Relational,
     operators.Exprs,
     operators.Warehouse,
-    operators.Windows
+    operators.Windows,
+    operators.Dashboard,
+    operators.Streaming
   )
 
   private lazy val catalog: Map[String, Q] = {

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.sources.PagedSource
+import graft.streaming.Sessionize
+import graft.{Q, QueryPack, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Streaming / incremental surface as batch-checkable queries (SURVEY.md
+  * §2.9): windowed aggregation (the Structured Streaming groupBy-window
+  * shape run on the same data as a batch), gap sessionization's batch twin,
+  * and the paged-cursor micro-batch ingest. The true streaming runs
+  * (readStream, watermark, flatMapGroupsWithState) are exercised in
+  * StreamingSpec against these same semantics.
+  *
+  * `ts` is read as raw nanosecond LongType (nanosAsLong); bucket math is
+  * integer division — exact on both engines.
+  */
+object Streaming extends QueryPack {
+
+  val HourNs: Long = 3600L * 1000 * 1000 * 1000
+  val GapNs: Long = 30L * 60 * 1000 * 1000 * 1000 // 30-minute session gap
+
+  def queries: Map[String, Q] = Map(
+    // ---- tumbling-window aggregation (streaming groupBy(window(...)) twin) ----
+    "q40_tumbling_window" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // exact integer bucket math: ts - (ts mod hour) — no double division
+        // (ts ~1.7e18 exceeds double's 53-bit mantissa)
+        T.events(s, d)
+          .withColumn("hour_bucket", ($"ts" - pmod($"ts", lit(HourNs))).cast("long"))
+          .groupBy($"hour_bucket", $"event_type")
+          .agg(count(lit(1)).as("n"), sum($"value").as("total_value"))
+      },
+      Some(s"""
+        SELECT (epoch_ns(ts) // ${HourNs}) * ${HourNs} AS hour_bucket,
+               event_type, count(*) AS n, sum("value") AS total_value
+        FROM events
+        GROUP BY hour_bucket, event_type
+      """.stripMargin),
+      doc = "tumbling 1h window agg, streaming twin (SURVEY §2.9)"),
+
+    // ---- gap-based sessionization (batch twin of the stateful stream) ----
+    "q41_sessionize" -> Q(
+      (s, d) => Sessionize.batch(T.events(s, d), GapNs),
+      Some(s"""
+        WITH flagged AS (
+          SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, "value",
+                 CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                        OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > ${GapNs}
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        ), numbered AS (
+          SELECT user_id, ts_ns, "value",
+                 CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id, session_seq, count(*) AS n_events,
+               min(ts_ns) AS session_start_ns, max(ts_ns) AS session_end_ns,
+               sum("value") AS session_value,
+               max(ts_ns) - min(ts_ns) AS duration_ns
+        FROM numbered
+        GROUP BY user_id, session_seq
+      """.stripMargin),
+      doc = "gap sessionization batch twin (streaming surface)"),
+
+    // ---- paged-cursor micro-batch ingest (50k-page REST shape) ----
+    "q42_paged_ingest" -> Q(
+      (s, d) => {
+        import s.implicits._
+        PagedSource.ingestPages(T.events(s, d), "event_id",
+          pageSize = 100L, nPages = 3)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), min($"event_id").as("min_id"),
+            max($"event_id").as("max_id"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n, min(event_id) AS min_id,
+               max(event_id) AS max_id
+        FROM events
+        WHERE event_id >= 0 AND event_id < 300
+        GROUP BY event_type
+      """.stripMargin),
+      doc = "cursor-paged micro-batch union (SURVEY §2.1 S1, §2.9 R1)")
+  )
+}

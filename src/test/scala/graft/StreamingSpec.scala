@@ -1,0 +1,96 @@
+package graft
+
+import graft.sources.{PagedCursor, PagedSource}
+import graft.streaming.Sessionize
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming runs (SURVEY.md §2.9): the stateful sessionizer
+  * must emit exactly the batch twin's closed sessions; windowed agg with
+  * watermark must run end-to-end; the paged cursor must persist. */
+class StreamingSpec extends SparkSpec {
+  import Sessionize._
+  import spark.implicits._
+
+  private val gap = operators.Streaming.GapNs
+
+  test("stateful streaming sessionizer matches the batch twin's closed sessions") {
+    implicit val s = spark
+    val events = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"value").as[Ev]
+      .collect().sortBy(e => (e.ts, e.event_id))
+
+    val input = MemoryStream[Ev](spark)
+    val out = streaming(input.toDS(), gap)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // feed in two micro-batches split mid-stream (state must carry across)
+    val (b1, b2) = events.splitAt(events.length / 2)
+    input.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(b2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessions")
+      .select("user_id", "session_seq", "n_events", "session_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6))).toSet
+
+    val batchAll = Sessionize.batch(Tables.events(spark, sf), gap)
+    // streaming emits only CLOSED sessions; the batch twin's final session
+    // per user is still open — drop it for the comparison
+    val lastSeq = batchAll.groupBy("user_id")
+      .agg(max("session_seq").as("last_seq"))
+    val closed = batchAll.join(lastSeq, "user_id")
+      .filter($"session_seq" < $"last_seq")
+      .select("user_id", "session_seq", "n_events", "session_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6))).toSet
+
+    assert(streamed == closed)
+    assert(streamed.nonEmpty)
+  }
+
+  test("watermarked tumbling-window aggregation runs end-to-end on a file stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // stage events with a proper µs timestamp column for event-time semantics
+    Tables.events(spark, sf)
+      .withColumn("ets", timestamp_micros(($"ts" / 1000).cast("long")))
+      .select("ets", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      .withWatermark("ets", "1 hour")
+      .groupBy(window($"ets", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+    val q = stream.writeStream.format("memory").queryName("winagg")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("winagg")
+    val want = SparkEntry.queries("q40_tumbling_window")(spark, sf)
+    assert(got.count() == want.count())
+    assert(got.agg(sum("n")).head.getLong(0) == Tables.events(spark, sf).count())
+  }
+
+  test("paged cursor persists and clamps like the reference's api_offset") {
+    val ck = java.nio.file.Files.createTempDirectory("graft_cursor")
+      .resolve("state/offset.txt")
+    val cursor = new PagedCursor(ck, initial = 0L)
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    val p1 = PagedSource.nextPage(ev, "event_id", cursor, 400, total)
+    assert(p1.count() == 400)
+    assert(cursor.read() == 400)
+    val p2 = PagedSource.nextPage(ev, "event_id", cursor, 400, total)
+    assert(p2.count() == 400)
+    val p3 = PagedSource.nextPage(ev, "event_id", cursor, 400, total)
+    assert(p3.count() == total - 800)
+    assert(cursor.read() == total) // clamped
+    val p4 = PagedSource.nextPage(ev, "event_id", cursor, 400, total)
+    assert(p4.count() == 0)
+    // pages are disjoint and complete
+    assert(p1.unionByName(p2).unionByName(p3).count() == total)
+  }
+}
