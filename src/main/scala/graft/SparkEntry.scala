@@ -16,7 +16,11 @@ object SparkEntry {
     operators.Warehouse,
     operators.Windows,
     operators.Dashboard,
-    operators.Streaming
+    operators.Streaming,
+    operators.TextAnalysis,
+    operators.Dedup,
+    operators.Similarity,
+    operators.Multimodal
   )
 
   private lazy val catalog: Map[String, Q] = {

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the training-data pipeline operators (dedup,
+  * quality, language-ID, fingerprinting). All built from codegen'd
+  * built-ins — `split`/`transform`/`filter`/`regexp_count` — so a 100 TB
+  * documents scan stays inside WholeStageCodegen with no UDF boundary.
+  */
+object TextOps {
+
+  /** Whitespace tokens (the reference corpus is single-space normalized). */
+  def words(text: Column): Column = split(text, " ")
+
+  def distinctWords(text: Column): Column = array_distinct(words(text))
+
+  /** Word n-gram shingles: ["a","b","c"] with n=2 → ["a b","b c"]. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    val m = size(w)
+    when(m < n, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0), m - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
+  }
+
+  /** Count of tokens under a BPE-ish regex (letter runs / digit runs /
+    * single other symbol) — the "token counting" analogue when no real
+    * tokenizer is available. */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
+
+  /** How many of the doc's words appear in `vocab`. */
+  def vocabHits(text: Column, vocab: Seq[String]): Column =
+    size(filter(words(text), w => w.isInCollection(vocab)))
+
+  /** Canonical bag-of-words form: sorted distinct words re-joined — the
+    * normalization step under content-defined fingerprinting. */
+  def canonicalForm(text: Column): Column =
+    array_join(array_sort(distinctWords(text)), " ")
+
+  /** MinHash signature (length k) over the doc's `n`-gram shingles, using
+    * seeded xxhash64 as the hash family. Pure expression tree: one pass,
+    * no UDF, no shuffle. */
+  def minhashSignature(text: Column, n: Int, k: Int): Column = {
+    val sh = array_distinct(shingles(text, n))
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => xxhash64(i, s))))
+  }
+
+  /** LSH band keys: the signature split into `bands` groups of `rowsPer`
+    * hashes; docs sharing any band key are candidate duplicates. */
+  def lshBands(sig: Column, bands: Int, rowsPer: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        xxhash64(concat_ws("_",
+          slice(sig, b * rowsPer + 1, lit(rowsPer)).cast("array<string>"))).as("key")))
+
+  /** 64-bit SimHash over words: sign-aggregate each hash bit, weighted by
+    * term frequency. Expression-only rendition: for each bit position,
+    * sum ±1 over words and take the sign. */
+  def simhash(text: Column, bits: Int = 16): Column = {
+    val w = words(text)
+    (0 until bits).map { b =>
+      val vote = aggregate(w, lit(0),
+        (acc, word) => acc + when(shiftright(xxhash64(word), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

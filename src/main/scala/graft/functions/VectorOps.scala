@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from
+  * codegen'd higher-order functions (`transform`/`zip_with`/`aggregate`)
+  * — no UDFs, so the expressions stay inside WholeStageCodegen and
+  * columns prune/push down normally (builder-prompt similarity-search
+  * requirement; the reference itself has no vector surface).
+  *
+  * All arithmetic is promoted to double BEFORE multiply/accumulate so
+  * results are reproducible against engines that compute in float64
+  * (the DuckDB oracle casts element-wise the same way).
+  */
+object VectorOps {
+
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), _ * _), lit(0.0), _ + _)
+
+  def norm(v: Column): Column =
+    sqrt(aggregate(toDouble(v), lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** 1-bit sign quantization of the first `bits` dimensions — an
+    * axis-aligned random-hyperplane LSH; used as the coarse bucket for
+    * ANN search (IVF-style: probe only the query's bucket). */
+  def signBucket(v: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(v, i + 1) >= 0f, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,67 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+
+/** Multimodal column plumbing (builder-prompt surface): media as opaque
+  * `binary` columns with a typed metadata struct, plus batch
+  * decode/feature-extract operators.
+  *
+  * The real decode (image/audio codecs) is STUBBED — this container has no
+  * media libraries — behind [[FakeCodec]], a deterministic stand-in keyed
+  * on the payload bytes. Everything Spark-side is real and tested: the
+  * schema contract, the `mapPartitions` batch shape (one codec init per
+  * partition, the same shape a Pandas-UDF/`mapInPandas` pipeline uses),
+  * partitioning, and the feature-extraction projection.
+  */
+object Binary {
+
+  /** Media asset schema: payload + typed metadata, the contract every
+    * downstream operator sees. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("byte_len", IntegerType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true))), nullable = false)))
+
+  /** Deterministic fake codec: "decodes" metadata from payload bytes.
+    * STUB — replace with a real codec binding (e.g. JNI/FFI) in prod. */
+  object FakeCodec {
+    def probe(payload: Array[Byte]): (Int, Int, Int) = {
+      val n = if (payload == null) 0 else payload.length
+      (320 + n % 640, 240 + (n * 7) % 480, 1 + n % 30)
+    }
+  }
+
+  /** Wrap documents as media assets (payload = utf-8 bytes) — the offline
+    * stand-in for a real binary-media table. Pure column ops. */
+  def assetsFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      concat(lit("image/"), col("lang")).as("media_type"),
+      col("text").cast("binary").as("payload"))
+
+  /** Batch "decode": mapPartitions so a real codec would be initialized
+    * once per partition, not per row (the mapInPandas batch shape). */
+  def probeMetadata(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(assetSchema.fields.toSeq)
+    val rdd = assets.select("asset_id", "media_type", "payload").rdd
+      .mapPartitions { rows =>
+        // codec init would happen here, once per partition
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (w, h, f) = FakeCodec.probe(payload)
+          Row(r.getLong(0), r.getString(1), payload,
+            Row(if (payload == null) 0 else payload.length, "fake", w, h, f))
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

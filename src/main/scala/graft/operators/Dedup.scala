@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.functions.TextOps
+import graft.{Q, QueryPack, Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deduplication over `documents` (training-data pipeline surface):
+  * exact (hash-groupBy), n-gram Jaccard within blocking keys (exact,
+  * oracled), MinHash+LSH candidate generation with exact verification,
+  * SimHash near-dup.
+  *
+  * Scale design: every variant is blocked — exact dedup shuffles on the
+  * fingerprint hash; Jaccard/LSH pair generation only joins within a
+  * blocking key (lang, source) or an LSH band bucket, never a global
+  * cross product. At 100 TB, block/bucket sizes bound the quadratic term;
+  * AQE's skew-join handles hot buckets.
+  */
+object Dedup extends QueryPack {
+
+  /** documents ∪ re-crawl copy (ids offset) — deterministic duplicate
+    * corpus used to give exact-dedup real work. */
+  def withRecrawl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = T.documents(s, d)
+    docs.unionByName(docs.withColumn("doc_id", $"doc_id" + 1000000L)
+      .withColumn("source", lit("recrawl")))
+  }
+
+  /** Exact pairwise word-set Jaccard for pairs sharing a blocking key.
+    * One explode-join on (block, word) + per-pair intersection count. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val base = docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      TextOps.distinctWords(col("text")).as("wset"))
+      .withColumn("wsize", size(col("wset")))
+    val exploded = base.select(
+      col("doc_id"), col("lang"), col("source"), col("wsize"),
+      explode(col("wset")).as("word"))
+    val a = exploded.toDF("a_id", "lang", "source", "a_size", "word")
+    val b = exploded.toDF("b_id", "lang", "source", "b_size", "word")
+    a.join(b, Seq("lang", "source", "word"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_size"), col("b_size"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("a_size") + col("b_size") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard_r"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    // ---- exact dedup: hash-groupBy keep-first over a duplicated corpus ----
+    "q54_dedup_exact" -> Q(
+      (s, d) => {
+        import s.implicits._
+        withRecrawl(s, d)
+          .groupBy(md5($"text").as("fp"))
+          .agg(min($"doc_id").as("kept_doc_id"),
+            count(lit(1)).as("n_copies"))
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents
+        )
+        SELECT md5(text) AS fp, min(doc_id) AS kept_doc_id,
+               count(*) AS n_copies
+        FROM corpus
+        GROUP BY fp
+      """.stripMargin),
+      doc = "exact dedup: fingerprint groupBy, keep min id"),
+
+    // ---- n-gram (word-set) Jaccard near-dup within blocking keys ----
+    "q55_jaccard_pairs" -> Q(
+      (s, d) => jaccardPairs(T.documents(s, d), threshold = 0.5),
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, source,
+                 list_distinct(string_split(text, ' ')) AS wset
+          FROM documents
+        ), exploded AS (
+          SELECT doc_id, lang, source, len(wset) AS wsize,
+                 unnest(wset) AS word
+          FROM base
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(CAST(count(*) AS DOUBLE)
+                 / (any_value(a.wsize) + any_value(b.wsize) - count(*)), 6) AS jaccard_r
+        FROM exploded a
+        JOIN exploded b
+          ON a.lang = b.lang AND a.source = b.source AND a.word = b.word
+         AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(count(*) AS DOUBLE)
+                 / (any_value(a.wsize) + any_value(b.wsize) - count(*)) >= 0.5
+      """.stripMargin),
+      doc = "blocked exact Jaccard near-dup pairs"),
+
+    // ---- MinHash + LSH banded candidates, exact-verified ----
+    // No SQL oracle (hash family is xxhash64-seeded, not reproducible in
+    // ANSI SQL) — rows-only check here; DedupSpec property-tests recall
+    // against q55's exact pairs.
+    "q56_minhash_lsh" -> Q(
+      (s, d) => minhashCandidates(T.documents(s, d), verifyThreshold = 0.5),
+      None,
+      doc = "MinHash(16)+LSH(8 bands) candidates, exact-verified"),
+
+    // ---- SimHash near-dup buckets ----
+    "q57_simhash" -> Q(
+      (s, d) => {
+        import s.implicits._
+        T.documents(s, d)
+          .select($"doc_id", TextOps.simhash($"text").as("simhash"))
+          .groupBy($"simhash")
+          .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("kept_doc_id"))
+          .filter($"n_docs" >= 1)
+      },
+      None,
+      doc = "SimHash signature buckets (rows-only; hash not SQL-expressible)")
+  )
+
+  /** MinHash signatures → banded LSH buckets → candidate pairs → exact
+    * Jaccard verification. Only bucket-mates are ever paired. */
+  def minhashCandidates(docs: DataFrame, verifyThreshold: Double): DataFrame = {
+    // signature over word 1-grams: the signature must estimate the SAME
+    // set-similarity that the verify step computes (word-set Jaccard) —
+    // a shingle-based signature under-recalls word-level near-dups
+    val sigs = docs.select(
+      col("doc_id"),
+      TextOps.distinctWords(col("text")).as("wset"),
+      TextOps.minhashSignature(col("text"), n = 1, k = 16).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"), col("wset"),
+      explode(TextOps.lshBands(col("sig"), bands = 8, rowsPer = 2)).as("band"))
+    val a = banded.select(col("doc_id").as("a_id"), col("wset").as("a_set"), col("band"))
+    val b = banded.select(col("doc_id").as("b_id"), col("wset").as("b_set"), col("band"))
+    val cands = a.join(b, a("band") === b("band") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_set", "b_set")
+      .dropDuplicates("a_id", "b_id")
+    cands
+      .withColumn("inter", size(array_intersect(col("a_set"), col("b_set"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("a_set")) + size(col("b_set")) - col("inter")))
+      .filter(col("jaccard") >= verifyThreshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard_r"))
+  }
+}

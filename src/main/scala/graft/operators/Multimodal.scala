@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.multimodal.Binary
+import graft.{Q, QueryPack, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries: binary payload plumbing with metadata
+  * extraction. The oracled query sticks to pure column ops (byte length /
+  * deterministic derived metadata) so DuckDB can reproduce it; the
+  * mapPartitions decode path is exercised in MultimodalSpec.
+  */
+object Multimodal extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    "q60_binary_meta" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Binary.assetsFromDocuments(T.documents(s, d))
+          .select(
+            $"asset_id", $"media_type",
+            length($"payload").as("byte_len"),
+            (lit(320) + pmod(length($"payload"), lit(640))).as("fake_width"),
+            (lit(240) + pmod(length($"payload") * 7, lit(480))).as("fake_height"))
+          .groupBy($"media_type")
+          .agg(count(lit(1)).as("n_assets"),
+            sum($"byte_len").as("total_bytes"),
+            avg($"fake_width").as("avg_width"),
+            avg($"fake_height").as("avg_height"))
+      },
+      Some("""
+        WITH assets AS (
+          SELECT doc_id AS asset_id, 'image/' || lang AS media_type,
+                 octet_length(encode(text)) AS byte_len
+          FROM documents
+        )
+        SELECT media_type, count(*) AS n_assets,
+               CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+               avg(320 + byte_len % 640) AS avg_width,
+               avg(240 + (byte_len * 7) % 480) AS avg_height
+        FROM assets
+        GROUP BY media_type
+      """.stripMargin),
+      doc = "binary payload metadata plumbing (multimodal surface)")
+  )
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.functions.TextOps
+import graft.{Q, QueryPack, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the `documents` table (builder-prompt training-data
+  * pipeline surface): token counting, quality scoring, heuristic
+  * language-ID, content fingerprinting. Every operator is a single
+  * projection pass over the scan — embarrassingly parallel at 100 TB,
+  * no shuffle at all (the scan partitioning is the plan).
+  */
+object TextAnalysis extends QueryPack {
+
+  private val stopwords = Seq("the", "a", "of", "and", "or")
+  // marker words per language for the n-gram-heuristic language ID
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und"),
+    "en" -> Seq("the", "is"),
+    "es" -> Seq("el", "y"),
+    "fr" -> Seq("le", "et"))
+
+  def queries: Map[String, Q] = Map(
+    // ---- token counting: whitespace + BPE-ish regex ----
+    "q50_token_count" -> Q(
+      (s, d) => {
+        import s.implicits._
+        T.documents(s, d).select(
+          $"doc_id",
+          size(TextOps.words($"text")).as("ws_tokens"),
+          TextOps.regexTokenCount($"text").cast("long").as("re_tokens"),
+          size(TextOps.distinctWords($"text")).as("distinct_words"))
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS distinct_words
+        FROM documents
+      """.stripMargin),
+      doc = "whitespace + regex token counting (training-data surface)"),
+
+    // ---- quality scoring ----
+    "q51_quality_score" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val nWords = size(TextOps.words($"text"))
+        val stopHits = TextOps.vocabHits($"text", stopwords)
+        T.documents(s, d).select(
+          $"doc_id",
+          length($"text").as("char_len"),
+          nWords.as("n_words"),
+          (length($"text").cast("double") / nWords).as("avg_token_span"),
+          (stopHits.cast("double") / nWords).as("stopword_ratio"),
+          (size(TextOps.distinctWords($"text")).cast("double") / nWords)
+            .as("lexical_diversity"))
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS char_len,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+               CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_span,
+               CAST(len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','of','and','or'], w))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stopword_ratio,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS lexical_diversity
+        FROM documents
+      """.stripMargin),
+      doc = "length/stopword/diversity quality metrics"),
+
+    // ---- heuristic language ID: marker-vocabulary argmax ----
+    "q52_lang_id" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val scores = markers.map { case (lang, vocab) =>
+          lang -> TextOps.vocabHits($"text", vocab)
+        }
+        // deterministic argmax: highest score wins, ties by language code asc
+        val best = scores.reverse.tail.foldLeft(
+          struct(scores.reverse.head._2.as("score"), lit(scores.reverse.head._1).as("lang"))) {
+          case (acc, (lang, score)) =>
+            when(score >= acc.getField("score"),
+              struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
+        }
+        T.documents(s, d).select(
+          $"doc_id", $"lang".as("labeled_lang"),
+          best.getField("lang").as("predicted_lang"),
+          best.getField("score").cast("int").as("marker_hits"))
+      },
+      Some({
+        def hits(vocab: Seq[String]) =
+          s"len(list_filter(string_split(text, ' '), w -> list_contains([${vocab.map("'" + _ + "'").mkString(",")}], w)))"
+        val cols = markers.map { case (lang, v) => s"${hits(v)} AS s_$lang" }.mkString(", ")
+        // same fold: start from last lang, earlier langs win on >=
+        val fold = markers.reverse.tail.foldLeft(
+          s"struct_pack(sc := s_${markers.reverse.head._1}, lg := '${markers.reverse.head._1}')") {
+          case (acc, (lang, _)) =>
+            s"CASE WHEN s_$lang >= ($acc).sc THEN struct_pack(sc := s_$lang, lg := '$lang') ELSE $acc END"
+        }
+        s"""
+        WITH scored AS (SELECT doc_id, lang, $cols FROM documents)
+        SELECT doc_id, lang AS labeled_lang,
+               ($fold).lg AS predicted_lang,
+               CAST(($fold).sc AS INT) AS marker_hits
+        FROM scored
+        """.stripMargin
+      }),
+      doc = "marker-vocab language ID with deterministic argmax"),
+
+    // ---- content fingerprinting ----
+    "q53_fingerprint" -> Q(
+      (s, d) => {
+        import s.implicits._
+        T.documents(s, d).select(
+          $"doc_id",
+          md5($"text").as("exact_fp"),
+          md5(TextOps.canonicalForm($"text")).as("bow_fp"))
+      },
+      Some("""
+        SELECT doc_id, md5(text) AS exact_fp,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
+        FROM documents
+      """.stripMargin),
+      doc = "exact + canonical bag-of-words fingerprints")
+  )
+}

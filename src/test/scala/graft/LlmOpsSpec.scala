@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.{TextOps, VectorOps}
+import graft.multimodal.Binary
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Properties of the training-data-pipeline operators: LSH recall against
+  * exact Jaccard, ANN recall against brute force, fingerprint invariance,
+  * multimodal schema contract. */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: n=2 over k words yields k-1 shingles; short docs empty") {
+    val df = Seq("a b c d", "single", "x y").toDF("text")
+      .select(TextOps.shingles($"text", 2).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(List("a b", "b c", "c d"), Nil, List("x y")))
+  }
+
+  test("bag-of-words fingerprint is invariant under word order") {
+    val a = Seq("alpha beta gamma").toDF("text")
+      .select(md5(TextOps.canonicalForm($"text"))).head.getString(0)
+    val b = Seq("gamma alpha beta alpha").toDF("text")
+      .select(md5(TextOps.canonicalForm($"text"))).head.getString(0)
+    assert(a == b)
+  }
+
+  test("minhash LSH: high recall of exact Jaccard pairs, perfect precision") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairs(docs, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashCandidates(docs, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is 1.0 by construction (candidates exact-verified);
+    // recall over the blocked exact pairs should be high
+    val recall = (exact & lsh).size.toDouble / math.max(exact.size, 1)
+    withClue(s"recall=$recall exact=${exact.size} lsh=${lsh.size}") {
+      assert(recall >= 0.8)
+    }
+  }
+
+  test("simhash: duplicate texts collide; hamming to unrelated text is larger") {
+    val df = Tables.documents(spark, sf).limit(50)
+      .select($"doc_id", TextOps.simhash($"text").as("h"), $"text")
+    val dup = df.unionByName(df.withColumn("doc_id", $"doc_id" + 5000))
+    val groups = dup.groupBy("text").agg(countDistinct("h").as("nh"))
+    assert(groups.filter($"nh" =!= 1).count() == 0)
+  }
+
+  test("ANN sign-bucket: structural sanity + nonzero recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val bf = Similarity.bruteForceTopK(emb.filter($"vec_id" < 10), emb, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb.filter($"vec_id" < 10), emb, 5, 4)
+    val annRows = ann.collect()
+    // ranks contiguous from 1 per query
+    val byQ = annRows.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to rows.length))
+    }
+    val annSet = annRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & annSet).size.toDouble / bf.size
+    withClue(s"ann recall=$recall") { assert(recall > 0.1) }
+  }
+
+  test("multimodal probe: schema contract + deterministic fake codec") {
+    val assets = Binary.assetsFromDocuments(Tables.documents(spark, sf).limit(20))
+    val probed = Binary.probeMetadata(assets)
+    assert(probed.schema == Binary.assetSchema)
+    val r = probed.filter($"asset_id" === 0).select(
+      $"meta.byte_len", length($"payload"), $"meta.width", $"meta.codec").head
+    assert(r.getInt(0) == r.getInt(1))
+    assert(r.getInt(2) == 320 + r.getInt(0) % 640)
+    assert(r.getString(3) == "fake")
+  }
+
+  test("vector ops: cosine of a vector with itself is 1") {
+    val emb = Tables.embeddings(spark, sf).limit(10)
+    val sims = emb.select(
+      round(VectorOps.cosine($"embedding", $"embedding"), 9).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(sims.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+}
