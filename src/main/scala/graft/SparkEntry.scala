@@ -20,7 +20,8 @@ object SparkEntry {
     operators.TextAnalysis,
     operators.Dedup,
     operators.Similarity,
-    operators.Multimodal
+    operators.Multimodal,
+    operators.Ibrd
   )
 
   private lazy val catalog: Map[String, Q] = {

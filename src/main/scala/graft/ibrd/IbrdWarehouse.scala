@@ -1,0 +1,117 @@
+package graft.ibrd
+
+import graft.warehouse.{DimDate, FactBuilder, Scd, ScdSpec, SurrogateKeys}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The Kimball star build over staged LoanData (SURVEY.md §1.3/§2.4/§2.5):
+  * seven SCD dims (dispositions from the SSIS `ColumnType` table in SURVEY
+  * §2.5), a snowflaked country→region dimension (J3), the reference-shaped
+  * DimDate keyed by lower-cased `dd-MMM-yyyy` strings (J2: the reference
+  * joins date *strings* end-to-end), and Fact_Loan assembled through the
+  * ten-lookup broadcast chain (J1) with fail-on-no-match probes.
+  */
+object IbrdWarehouse {
+
+  val regionSpec = ScdSpec("region_BK", scd2 = Seq("region"), scd1 = Nil, sk = "PK_region_SK")
+  val countrySpec = ScdSpec("country_BK", scd2 = Seq("country"),
+    scd1 = Seq("country_code"), sk = "PK_country_SK")
+  val borrowerSpec = ScdSpec("borrower_BK", scd2 = Nil,
+    scd1 = Seq("borrower"), sk = "PK_borrower_SK")
+  val guarantorSpec = ScdSpec("guarantor_BK", scd2 = Seq("guarantor"),
+    scd1 = Seq("guarantor_country_code"), sk = "PK_guarantor_SK")
+  val statusSpec = ScdSpec("loan_status_BK", scd2 = Seq("loan_status"), scd1 = Nil,
+    sk = "PK_loan_status_SK")
+  val typeSpec = ScdSpec("loan_type_BK", scd2 = Seq("loan_type"), scd1 = Nil,
+    sk = "PK_loan_type_SK")
+  val projectSpec = ScdSpec("project_id", scd2 = Seq("project_name_"), scd1 = Nil,
+    sk = "PK_project_SK")
+
+  final case class Star(
+      dimRegion: DataFrame, dimCountry: DataFrame, dimBorrower: DataFrame,
+      dimGuarantor: DataFrame, dimStatus: DataFrame, dimType: DataFrame,
+      dimProject: DataFrame, dimDate: DataFrame, fact: DataFrame)
+
+  /** Reference-shaped calendar keyed by the lower-cased date string the
+    * staging layer carries (FIXTURES.md §4). */
+  def ibrdDimDate(spark: SparkSession, loYear: Int, hiYear: Int): DataFrame = {
+    import spark.implicits._
+    val bounds = Seq((s"$loYear-01-01", s"$hiYear-12-31")).toDF("lo", "hi")
+      .select($"lo".cast("date").as("lo"), $"hi".cast("date").as("hi"))
+    DimDate.fromRange(bounds.select(explode(array($"lo", $"hi")).as("d")), "d")
+      .withColumn("Date", lower(date_format(col("cal_date"), "dd-MMM-yyyy")))
+      .withColumnRenamed("date_sk", "DateSK")
+  }
+
+  private def dimOf(staged: DataFrame, spec: ScdSpec, asOf: String): DataFrame =
+    Scd.initialLoad(staged.filter(col(spec.bk).isNotNull), spec, asOf)
+
+  /** Initial warehouse load from one staged batch. */
+  def build(spark: SparkSession, staged: DataFrame, asOf: String = "2024-07-01"): Star = {
+    val dimRegion = dimOf(staged, regionSpec, asOf)
+    // snowflake: country carries the region SK resolved from the current
+    // region rows (J3, `country_dimension.dtsx:1264-1287`)
+    val regionCurrent = dimRegion.filter(col("is_current"))
+      .select(col("region_BK"), col("PK_region_SK"))
+    val dimCountry = dimOf(
+      staged.join(broadcast(regionCurrent), Seq("region_BK"), "left"),
+      countrySpec.copy(fixed = Seq("PK_region_SK")), asOf)
+    val dimBorrower = dimOf(staged, borrowerSpec, asOf)
+    val dimGuarantor = dimOf(staged, guarantorSpec, asOf)
+    val dimStatus = dimOf(staged, statusSpec, asOf)
+    val dimType = dimOf(staged, typeSpec, asOf)
+    val dimProject = dimOf(staged, projectSpec, asOf)
+    val dd = ibrdDimDate(spark, 1990, 2024)
+
+    val factIn = staged.filter(
+      col("country_BK").isNotNull && col("borrower_BK").isNotNull &&
+        col("guarantor_BK").isNotNull && col("loan_status_BK").isNotNull &&
+        col("loan_type_BK").isNotNull && col("region_BK").isNotNull)
+
+    def cur(dim: DataFrame): DataFrame = dim.filter(col("is_current"))
+    val dateDim = dd.select(col("DateSK"), col("Date"))
+    val lookups = Seq(
+      FactBuilder.Lookup(cur(dimBorrower), col("borrower_BK"), "borrower_BK",
+        Seq("PK_borrower_SK" -> "FK_borrower")),
+      FactBuilder.Lookup(cur(dimGuarantor), col("guarantor_BK"), "guarantor_BK",
+        Seq("PK_guarantor_SK" -> "FK_guarantor")),
+      FactBuilder.Lookup(cur(dimCountry), col("country_BK"), "country_BK",
+        Seq("PK_country_SK" -> "FK_country")),
+      FactBuilder.Lookup(dateDim.withColumnRenamed("DateSK", "board_approval_sk"),
+        col("board_approval_date"), "Date", Seq("board_approval_sk" -> "board_approval_sk")),
+      FactBuilder.Lookup(cur(dimType), col("loan_type_BK"), "loan_type_BK",
+        Seq("PK_loan_type_SK" -> "FK_loan_type")),
+      FactBuilder.Lookup(cur(dimStatus), col("loan_status_BK"), "loan_status_BK",
+        Seq("PK_loan_status_SK" -> "FK_loan_status")),
+      FactBuilder.Lookup(dateDim.withColumnRenamed("DateSK", "End_period"),
+        col("end_of_period"), "Date", Seq("End_period" -> "End_period")),
+      FactBuilder.Lookup(dateDim.withColumnRenamed("DateSK", "first_repayment_sk"),
+        col("first_repayment_date"), "Date", Seq("first_repayment_sk" -> "first_repayment_sk")),
+      FactBuilder.Lookup(dateDim.withColumnRenamed("DateSK", "last_repayment_sk"),
+        col("last_repayment_date"), "Date", Seq("last_repayment_sk" -> "last_repayment_sk")),
+      FactBuilder.Lookup(cur(dimProject), col("project_id"), "project_id",
+        Seq("PK_project_SK" -> "FK_project")))
+
+    FactBuilder.assertNoDangling(factIn, lookups)
+    val joined = FactBuilder.build(factIn, lookups)
+    val fact = SurrogateKeys.assign(joined, Seq("loan_number", "end_of_period"),
+      "PK_loan_number_SK")
+      .select(
+        col("PK_loan_number_SK"),
+        col("FK_borrower"), col("FK_guarantor"), col("FK_country"),
+        col("FK_project"), col("FK_loan_type"), col("FK_loan_status"),
+        col("first_repayment_sk").as("first_repayment_date"),
+        col("last_repayment_sk").as("last_repayment_date"),
+        col("board_approval_sk").as("board_approval_date"),
+        col("End_period"),
+        col("original_principal_amount").cast("decimal(18,2)").as("original_principal_amount"),
+        col("cancelled_amount"), col("undisbursed_amount"),
+        col("disbursed_amount"), col("borrowers_obligation"),
+        col("interest_rate"), col("Repaid").as("repaid"), col("Due").as("due"),
+        // natural key retained for idempotence (SURVEY §7 risk 5; the
+        // reference fact has no durable BK — declared divergence)
+        col("loan_number"))
+    Star(dimRegion, dimCountry, dimBorrower, dimGuarantor, dimStatus,
+      dimType, dimProject, dd, fact)
+  }
+}

@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.ibrd.{Clean, Fixture, IbrdMeasures, IbrdWarehouse}
+import graft.{Q, QueryPack}
+
+/** End-to-end IBRD pipeline entries: fixture page → clean → star build →
+  * dashboard visuals, all inside one Spark application (the reference's
+  * three layers, SURVEY.md §0). No DuckDB oracle — the inputs are the
+  * in-code fixture, not the sf tables; IbrdSpec pins golden counts
+  * instead (rows-only check here).
+  */
+object Ibrd extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    "q70_ibrd_e2e_loans_by_status" -> Q(
+      (s, _) => {
+        val staged = Clean.stage(Fixture.raw(s))
+        val star = IbrdWarehouse.build(s, staged)
+        IbrdMeasures.loansByStatus(star)
+      },
+      None,
+      doc = "IBRD fixture → clean → 7 SCD dims + DimDate + fact → visual"),
+
+    "q71_ibrd_measures_card" -> Q(
+      (s, _) => {
+        val staged = Clean.stage(Fixture.raw(s))
+        val star = IbrdWarehouse.build(s, staged)
+        IbrdMeasures.card(star)
+      },
+      None,
+      doc = "all ten dashboard measures over the IBRD star")
+  )
+}

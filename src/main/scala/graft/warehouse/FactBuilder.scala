@@ -29,27 +29,30 @@ object FactBuilder {
 
   /** Left-side fact stream joined through the lookup chain (inner joins,
     * reference `NoMatchBehavior=0`). Call [[assertNoDangling]] first when
-    * the fail-on-no-match contract must hold. */
+    * the fail-on-no-match contract must hold.
+    *
+    * The dim key is aliased to a unique temp name before the join so the
+    * fact may carry an identically-named column (the common case: joining
+    * a dim on the very BK column the fact holds). */
   def build(fact: DataFrame, lookups: Seq[Lookup]): DataFrame =
-    lookups.foldLeft(fact) { (acc, lk) =>
-      val dimDeduped = lk.dim
+    lookups.zipWithIndex.foldLeft(fact) { case (acc, (lk, i)) =>
+      val keyAlias = s"__lk${i}_${lk.dimKey}"
+      val dimPrepped = lk.dim
         .dropDuplicates(lk.dimKey)
-        .select((lk.dimKey +: lk.retrieve.map(_._1)).distinct.map(col): _*)
-      val dimSide = if (lk.broadcastDim) broadcast(dimDeduped) else dimDeduped
-      val joined = acc.join(dimSide, lk.factKey === dimSide(lk.dimKey), "inner")
-      val renamed = lk.retrieve.foldLeft(joined) { case (df, (c, alias)) =>
-        df.withColumnRenamed(c, alias)
-      }
-      renamed.drop(dimSide(lk.dimKey))
+        .select(col(lk.dimKey).as(keyAlias) +:
+          lk.retrieve.map { case (c, alias) => col(c).as(alias) }: _*)
+      val dimSide = if (lk.broadcastDim) broadcast(dimPrepped) else dimPrepped
+      acc.join(dimSide, lk.factKey === col(keyAlias), "inner").drop(keyAlias)
     }
 
   /** Referential-integrity probe: raises if any fact row has no match in a
     * lookup (the moral equivalent of the reference's fail-on-no-match). */
   def assertNoDangling(fact: DataFrame, lookups: Seq[Lookup]): Unit =
     lookups.foreach { lk =>
+      val keyAlias = s"__probe_${lk.dimKey}"
       val dangling = fact
-        .join(lk.dim.select(col(lk.dimKey)).dropDuplicates(lk.dimKey),
-          lk.factKey === col(lk.dimKey), "left_anti")
+        .join(lk.dim.select(col(lk.dimKey).as(keyAlias)).dropDuplicates(keyAlias),
+          lk.factKey === col(keyAlias), "left_anti")
         .limit(1).count()
       require(dangling == 0,
         s"dangling fact keys against dim key '${lk.dimKey}' (NoMatchBehavior=0)")

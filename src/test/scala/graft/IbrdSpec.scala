@@ -1,0 +1,104 @@
+package graft
+
+import graft.ibrd.{Clean, Fixture, IbrdMeasures, IbrdWarehouse, Model}
+import graft.warehouse.Ffill
+import org.apache.spark.sql.functions._
+
+/** Golden-count end-to-end checks of the IBRD pipeline on the
+  * deterministic fixture (FIXTURES.md §1-§6, SURVEY.md §5 t1). */
+class IbrdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val raw = Fixture.raw(spark)
+  private lazy val staged = Clean.stage(raw).cache()
+  private lazy val star = IbrdWarehouse.build(spark, staged)
+
+  test("raw fixture shape: 220 rows x 33 cols") {
+    assert(raw.count() == 220)
+    assert(raw.schema == Model.rawSchema)
+  }
+
+  test("snapshot filter keeps exactly the 2 kept snapshots (147 rows)") {
+    assert(staged.count() == 147)
+    assert(staged.select("end_of_period").distinct().collect()
+      .map(_.getString(0)).toSet == Set("30-jun-2024", "30-jun-2023"))
+  }
+
+  test("staged schema: 29 columns, BKs present, drops applied") {
+    assert(staged.columns.length == 29)
+    assert(Model.earlyDrops.forall(c => !staged.columns.contains(c)))
+    assert(Model.lateDrops.forall(c => !staged.columns.contains(c)))
+    assert(Seq("region_BK", "country_BK", "guarantor_BK", "borrower_BK",
+      "loan_status_BK", "loan_type_BK", "Repaid", "Due")
+      .forall(staged.columns.contains))
+  }
+
+  test("unmatched dictionary key yields null BK (atlantis row), others resolve") {
+    val atl = staged.filter($"country" === "atlantis")
+    assert(atl.count() == 1)
+    assert(atl.head.getAs[Any]("country_BK") == null)
+    assert(staged.filter($"country_BK".isNull).count() == 1)
+  }
+
+  test("null borrower/guarantor became not_specified with BK -1") {
+    assert(staged.filter($"borrower".isNull || $"guarantor".isNull).count() == 0)
+    val ns = staged.filter($"guarantor" === "not_specified")
+    assert(ns.count() > 0)
+    assert(ns.filter($"guarantor_BK" =!= -1).count() == 0)
+  }
+
+  test("forward fill: project_name_ fully dense after fill") {
+    // fixture guarantees a non-null before any null in loan_number order
+    val firstKey = staged.orderBy("loan_number", "board_approval_date")
+      .select("project_name_").head.getString(0)
+    assert(firstKey != null)
+    assert(staged.filter($"project_name_".isNull).count() == 0)
+  }
+
+  test("forward fill matches single-partition reference semantics") {
+    val base = Clean.snapshotFilter(raw).drop(Model.earlyDrops: _*)
+      .select(lower($"loan_number").as("k1"),
+        lower($"board_approval_date").as("k2"),
+        lower($"project_name_").as("pn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("k1", "k2")
+      .rowsBetween(Long.MinValue, 0)
+    val ref = base.withColumn("filled", last($"pn", ignoreNulls = true).over(w))
+      .orderBy("k1", "k2").select("filled").collect().map(_.getString(0))
+    val scalable = Ffill.forwardFill(base.repartition(8), Seq("k1", "k2"), "pn")
+      .orderBy("k1", "k2").select("pn").collect().map(_.getString(0))
+    assert(ref.sameElements(scalable))
+  }
+
+  test("seven dims: one current row per BK, snowflake region FK resolved") {
+    val dims = Seq(star.dimRegion, star.dimCountry, star.dimBorrower,
+      star.dimGuarantor, star.dimStatus, star.dimType, star.dimProject)
+    dims.foreach { d =>
+      val bk = d.columns(1) // sk, bk, ...
+      assert(d.filter(col("is_current")).groupBy(col(bk)).count()
+        .filter($"count" > 1).count() == 0)
+    }
+    assert(star.dimCountry.filter($"PK_region_SK".isNull).count() == 0)
+    assert(star.dimStatus.count() ==
+      staged.select("loan_status_BK").na.drop().distinct().count())
+  }
+
+  test("fact: one row per staged non-dangling row, all FKs resolved") {
+    assert(star.fact.count() == 146) // 147 staged - 1 null-BK row
+    val fks = Seq("FK_borrower", "FK_guarantor", "FK_country", "FK_project",
+      "FK_loan_type", "FK_loan_status", "first_repayment_date",
+      "last_repayment_date", "board_approval_date", "End_period")
+    fks.foreach(fk => assert(star.fact.filter(col(fk).isNull).count() == 0, fk))
+    assert(star.fact.select("PK_loan_number_SK").distinct().count() == 146)
+  }
+
+  test("dashboard visuals: loans by status sums to fact count; card computes") {
+    val byStatus = IbrdMeasures.loansByStatus(star)
+    assert(byStatus.agg(sum("Loans")).head.getLong(0) == 146)
+    val card = IbrdMeasures.card(star).head
+    assert(card.getLong(0) == 146) // Loans
+    assert(card.getAs[Double]("Loan Amount") > 0)
+    assert(card.getAs[Long]("Guarantors") > 0)
+    val byYear = IbrdMeasures.amountByYear(star, Seq(2023, 2024))
+    assert(byYear.count() == 2)
+  }
+}
