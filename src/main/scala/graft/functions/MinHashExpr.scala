@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst expression computing a k-long MinHash signature of an
+  * `array<string>` in ONE pass: one xxHash64 per element, then k affine
+  * transforms (h·Aᵢ+Bᵢ, a standard universal-hash family) with running
+  * minima.
+  *
+  * Why not higher-order functions: the `transform(seq(k), i →
+  * array_min(transform(set, s → xxhash64(i,s))))` formulation evaluates
+  * k×|set| interpreted lambdas per row (HOFs never enter codegen) — it
+  * measured ~23 ms/doc at k=96; this expression does the same math in a
+  * tight generated loop (O(|set|·k) long ops, zero allocation beyond the
+  * signature array). Spark-first preference order (b): a custom
+  * `Expression` with `doGenCode`, not a UDF.
+  *
+  * The affine constants derive from a fixed SplitMix64 stream, so
+  * signatures are deterministic across runs/partitions.
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val a = MinHashSig.consts(k)._1
+    val b = MinHashSig.consts(k)._2
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < k) {
+        val hj = h * a(j) + b(j)
+        if (hj < mins(j)) mins(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", MinHashSig.consts(k)._1, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", MinHashSig.consts(k)._2, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val hj = ctx.freshName("hj")
+      s"""
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XxHash64Function$$.MODULE$$
+         |    .hash($arr.getUTF8String($i),
+         |      org.apache.spark.sql.types.StringType$$.MODULE$$, 42L);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $hj = $h * $aRef[$j] + $bRef[$j];
+         |    if ($hj < $mins[$j]) $mins[$j] = $hj;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+
+  /** Deterministic affine constants (SplitMix64 stream; A forced odd). */
+  private[functions] def consts(k: Int): (Array[Long], Array[Long]) =
+    cache.getOrElseUpdate(k, {
+      var x = 0x9E3779B97F4A7C15L
+      def next(): Long = {
+        x += 0x9E3779B97F4A7C15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      val a = Array.fill(k)(next() | 1L)
+      val b = Array.fill(k)(next())
+      (a, b)
+    })
+  private val cache = scala.collection.mutable.Map.empty[Int, (Array[Long], Array[Long])]
+
+  def minhashSig(words: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      MinHashSig(org.apache.spark.sql.graft.Bridge.expression(words), k))
+}

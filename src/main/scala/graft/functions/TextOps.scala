@@ -40,14 +40,13 @@ object TextOps {
   def canonicalForm(text: Column): Column =
     array_join(array_sort(distinctWords(text)), " ")
 
-  /** MinHash signature (length k) over the doc's `n`-gram shingles, using
-    * seeded xxhash64 as the hash family. Pure expression tree: one pass,
-    * no UDF, no shuffle. */
+  /** MinHash signature (length k) over the doc's `n`-gram shingles.
+    * Delegates to the native [[MinHashSig]] Catalyst expression — the
+    * higher-order-function formulation (k nested interpreted lambdas per
+    * element) measured ~60× slower at k=96. */
   def minhashSignature(text: Column, n: Int, k: Int): Column = {
-    val sh = array_distinct(shingles(text, n))
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
+    val units = if (n == 1) distinctWords(text) else array_distinct(shingles(text, n))
+    MinHashSig.minhashSig(units, k)
   }
 
   /** LSH band keys: the signature split into `bands` groups of `rowsPer`

@@ -43,8 +43,11 @@ object IbrdWarehouse {
       .withColumnRenamed("date_sk", "DateSK")
   }
 
+  // dims are cached on build: every one is read multiple times (fact
+  // lookups + the dangling probe + visuals), and dimension tables are by
+  // definition small relative to the fact — the standard warehouse trade
   private def dimOf(staged: DataFrame, spec: ScdSpec, asOf: String): DataFrame =
-    Scd.initialLoad(staged.filter(col(spec.bk).isNotNull), spec, asOf)
+    Scd.initialLoad(staged.filter(col(spec.bk).isNotNull), spec, asOf).cache()
 
   /** Initial warehouse load from one staged batch. */
   def build(spark: SparkSession, staged: DataFrame, asOf: String = "2024-07-01"): Star = {

@@ -101,12 +101,12 @@ object Dedup extends QueryPack {
 
     // ---- MinHash + LSH banded candidates, exact-verified ----
     // No SQL oracle (hash family is xxhash64-seeded, not reproducible in
-    // ANSI SQL) — rows-only check here; DedupSpec property-tests recall
-    // against q55's exact pairs.
+    // ANSI SQL) — rows-only check here; LlmOpsSpec property-tests recall
+    // against the exact-Jaccard baseline.
     "q56_minhash_lsh" -> Q(
-      (s, d) => minhashCandidates(T.documents(s, d), verifyThreshold = 0.5),
+      (s, d) => minhashCandidates(T.documents(s, d), verifyThreshold = 0.8),
       None,
-      doc = "MinHash(16)+LSH(8 bands) candidates, exact-verified"),
+      doc = "MinHash(96)+LSH(12x8 bands) near-dup candidates, exact-verified"),
 
     // ---- SimHash near-dup buckets ----
     "q57_simhash" -> Q(
@@ -123,24 +123,37 @@ object Dedup extends QueryPack {
   )
 
   /** MinHash signatures → banded LSH buckets → candidate pairs → exact
-    * Jaccard verification. Only bucket-mates are ever paired. */
+    * Jaccard verification. Only bucket-mates are ever paired.
+    *
+    * Band shape targets TRUE near-dups (j ≥ ~0.8): 12 bands × 8 rows over
+    * a 96-hash signature gives P(candidate) ≈ 0.89 at j=0.8 and ≈ 0.05 at
+    * j=0.5 — soft bands (e.g. 8×2) make nearly every pair of a
+    * small-vocabulary corpus a candidate and the verify stage quadratic.
+    * Buckets are additionally blocked by `lang` (the natural dedup shard);
+    * at 100 TB bucket size bounds the quadratic term and AQE skew-join
+    * splits hot buckets. */
   def minhashCandidates(docs: DataFrame, verifyThreshold: Double): DataFrame = {
     // signature over word 1-grams: the signature must estimate the SAME
     // set-similarity that the verify step computes (word-set Jaccard) —
     // a shingle-based signature under-recalls word-level near-dups
-    val sigs = docs.select(
-      col("doc_id"),
-      TextOps.distinctWords(col("text")).as("wset"),
-      TextOps.minhashSignature(col("text"), n = 1, k = 16).as("sig"))
-    val banded = sigs.select(
-      col("doc_id"), col("wset"),
-      explode(TextOps.lshBands(col("sig"), bands = 8, rowsPer = 2)).as("band"))
-    val a = banded.select(col("doc_id").as("a_id"), col("wset").as("a_set"), col("band"))
-    val b = banded.select(col("doc_id").as("b_id"), col("wset").as("b_set"), col("band"))
-    val cands = a.join(b, a("band") === b("band") && col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_set", "b_set")
+    val sets = docs.select(
+      col("doc_id"), TextOps.distinctWords(col("text")).as("wset"))
+    val banded = docs.select(
+      col("doc_id"), col("lang"),
+      explode(TextOps.lshBands(
+        TextOps.minhashSignature(col("text"), n = 1, k = 96),
+        bands = 12, rowsPer = 8)).as("band"))
+    // pair generation carries ONLY ids through the band shuffle — the word
+    // sets (wide arrays) are joined back per unique pair afterwards
+    val a = banded.select(col("doc_id").as("a_id"), col("lang"), col("band"))
+    val b = banded.select(col("doc_id").as("b_id"), col("lang"), col("band"))
+    val candIds = a.join(b, Seq("lang", "band"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
-    cands
+    candIds
+      .join(sets.toDF("a_id", "a_set"), "a_id")
+      .join(sets.toDF("b_id", "b_set"), "b_id")
       .withColumn("inter", size(array_intersect(col("a_set"), col("b_set"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("a_set")) + size(col("b_set")) - col("inter")))

@@ -13,21 +13,19 @@ object Ibrd extends QueryPack {
 
   def queries: Map[String, Q] = Map(
     "q70_ibrd_e2e_loans_by_status" -> Q(
-      (s, _) => {
-        val staged = Clean.stage(Fixture.raw(s))
-        val star = IbrdWarehouse.build(s, staged)
-        IbrdMeasures.loansByStatus(star)
-      },
+      (s, _) => IbrdMeasures.loansByStatus(star(s)),
       None,
       doc = "IBRD fixture → clean → 7 SCD dims + DimDate + fact → visual"),
 
     "q71_ibrd_measures_card" -> Q(
-      (s, _) => {
-        val staged = Clean.stage(Fixture.raw(s))
-        val star = IbrdWarehouse.build(s, staged)
-        IbrdMeasures.card(star)
-      },
+      (s, _) => IbrdMeasures.card(star(s)),
       None,
       doc = "all ten dashboard measures over the IBRD star")
   )
+
+  // staged batch is read 8× by the star build (7 dims + fact): cache it
+  private def star(s: org.apache.spark.sql.SparkSession): IbrdWarehouse.Star = {
+    val staged = Clean.stage(Fixture.raw(s)).cache()
+    IbrdWarehouse.build(s, staged)
+  }
 }

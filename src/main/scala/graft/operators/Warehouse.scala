@@ -65,7 +65,9 @@ object Warehouse extends QueryPack {
     // ---- SCD merge: new / unchanged / SCD1-patch / SCD2 expire+insert ----
     "q21_scd_merge" -> Q(
       (s, d) => {
-        val dim0 = Scd.initialLoad(T.customer(s, d), custSpec, "2024-01-01")
+        // merge reads the dim 4x (current/history splits, max(sk), join):
+        // cache it once, as a warehouse table would be
+        val dim0 = Scd.initialLoad(T.customer(s, d), custSpec, "2024-01-01").cache()
         Scd.merge(dim0, batch2(s, d), custSpec, "2024-02-01")
       },
       Some(s"""

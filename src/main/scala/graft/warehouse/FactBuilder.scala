@@ -46,15 +46,20 @@ object FactBuilder {
     }
 
   /** Referential-integrity probe: raises if any fact row has no match in a
-    * lookup (the moral equivalent of the reference's fail-on-no-match). */
-  def assertNoDangling(fact: DataFrame, lookups: Seq[Lookup]): Unit =
-    lookups.foreach { lk =>
-      val keyAlias = s"__probe_${lk.dimKey}"
-      val dangling = fact
+    * lookup (the moral equivalent of the reference's fail-on-no-match).
+    * All lookups are checked in ONE Spark job (a union of per-lookup
+    * left_anti counts), not one job per lookup. */
+  def assertNoDangling(fact: DataFrame, lookups: Seq[Lookup]): Unit = {
+    val probes = lookups.zipWithIndex.map { case (lk, i) =>
+      val keyAlias = s"__probe${i}_${lk.dimKey}"
+      fact
         .join(lk.dim.select(col(lk.dimKey).as(keyAlias)).dropDuplicates(keyAlias),
           lk.factKey === col(keyAlias), "left_anti")
-        .limit(1).count()
-      require(dangling == 0,
-        s"dangling fact keys against dim key '${lk.dimKey}' (NoMatchBehavior=0)")
+        .select(lit(lk.dimKey).as("dim_key"))
+        .limit(1)
     }
+    val dangling = probes.reduce(_ unionAll _).collect().map(_.getString(0))
+    require(dangling.isEmpty,
+      s"dangling fact keys against dim key(s) ${dangling.mkString(", ")} (NoMatchBehavior=0)")
+  }
 }

@@ -26,10 +26,9 @@ object Ffill {
   def forwardFill(df: DataFrame, orderCols: Seq[String], target: String,
                   numPartitions: Option[Int] = None): DataFrame = {
     val keys = orderCols.map(col)
-    val ranged = numPartitions match {
-      case Some(n) => df.repartitionByRange(n, keys: _*)
-      case None => df.repartitionByRange(keys: _*)
-    }
+    // partition count tracks the input size (see SurrogateKeys.assign)
+    val n = numPartitions.getOrElse(math.max(df.rdd.getNumPartitions, 1))
+    val ranged = df.repartitionByRange(n, keys: _*)
     val pid = "__ff_pid"
     val local = "__ff_local"
     val withLocal = ranged

@@ -25,10 +25,11 @@ object SurrogateKeys {
   def assign(df: DataFrame, keyCols: Seq[String], skName: String,
              offset: Long = 0L, numPartitions: Option[Int] = None): DataFrame = {
     val keys: Seq[Column] = keyCols.map(col)
-    val ranged = numPartitions match {
-      case Some(n) => df.repartitionByRange(n, keys: _*)
-      case None => df.repartitionByRange(keys: _*)
-    }
+    // scale the range-partition count with the input (a fixed 32-way range
+    // shuffle dominates wall-clock on small dims; at scale the input split
+    // count grows with the data and so does this)
+    val n = numPartitions.getOrElse(math.max(df.rdd.getNumPartitions, 1))
+    val ranged = df.repartitionByRange(n, keys: _*)
     val pid = "__sk_pid"
     val rn = "__sk_rn"
     val withRn = ranged
