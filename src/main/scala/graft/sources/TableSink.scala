@@ -1,0 +1,23 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Warehouse table sink (SURVEY.md §2.1 S4/S5/S8): the reference lands
+  * staging via JDBC `append`/`overwrite` and dims/fact via OLE DB
+  * fast-load. Offline the table store is a parquet directory per table;
+  * the same API shape would target JDBC/Delta in prod — at scale parquet
+  * dirs ARE the right sink (columnar, splittable, predicate-pushdown on
+  * re-read), where the reference's row-wise JDBC insert was the
+  * bottleneck.
+  */
+final class TableSink(root: String) {
+
+  def append(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(s"$root/$table")
+
+  def overwrite(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$table")
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(s"$root/$table")
+}
