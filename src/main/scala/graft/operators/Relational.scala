@@ -161,6 +161,21 @@ object Relational extends QueryPack {
       """.stripMargin),
       doc = "order-by-measure-desc + top-k (SURVEY §2.8 O1/O4)"),
 
+    // ---- approx distinct count (A7 scale path; HLL sketch) ----
+    // rows-only: DuckDB's approx_count_distinct uses a different sketch;
+    // RelationalSpec bounds the relative error against the exact count
+    "q09_approx_distinct" -> Q(
+      (s, d) => {
+        import s.implicits._
+        T.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            approx_count_distinct($"l_partkey").as("approx_parts"),
+            count(lit(1)).as("n_lines"))
+      },
+      None,
+      doc = "approx_count_distinct — the at-scale variant of A7 (SURVEY §2.6)"),
+
     // ---- union of disjoint splits (page-accumulate shape) ----
     "q08_union" -> Q(
       (s, d) => {

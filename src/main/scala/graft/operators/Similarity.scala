@@ -105,6 +105,41 @@ object Similarity extends QueryPack {
         annTopK(emb.filter(col("vec_id") < NQueries), emb, K, SignBits)
       },
       Some(sqlTopK(bucketJoin = true)),
-      doc = "sign-quantized LSH-bucketed ANN top-k (scale path)")
+      doc = "sign-quantized LSH-bucketed ANN top-k (scale path)"),
+
+    // ---- embedding-cosine near-dup pairs (dedup family, vector flavor) ----
+    "q61_embedding_neardup" -> Q(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val side = emb.select(col("vec_id"), col("embedding"),
+          VectorOps.signBucket(col("embedding"), SignBits).as("bucket"))
+        val a = side.toDF("a_id", "a_emb", "bucket")
+        val b = side.toDF("b_id", "b_emb", "bucket")
+        a.join(b, Seq("bucket"))
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("sim_r", round(VectorOps.cosine(col("a_emb"), col("b_emb")), 6))
+          .filter(col("sim_r") >= 0.4)
+          .select("a_id", "b_id", "sim_r")
+      },
+      Some {
+        val bucketExpr = (1 to SignBits).map { i =>
+          s"CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END"
+        }.mkString(" + ")
+        s"""
+          WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   $bucketExpr AS bucket
+            FROM embeddings
+          )
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim_r
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+        """.stripMargin
+      },
+      doc = "embedding-cosine near-dup pairs within LSH buckets")
   )
 }

@@ -91,6 +91,23 @@ class IbrdSpec extends SparkSpec {
     assert(star.fact.select("PK_loan_number_SK").distinct().count() == 146)
   }
 
+  test("incremental batch: SCD2 rename through a warehouse dim versions correctly") {
+    import graft.warehouse.Scd
+    val spec = IbrdWarehouse.statusSpec
+    // next snapshot renames status BK 5 ('fully repaid' -> 'repaid in full')
+    val batch2 = staged.withColumn("loan_status",
+      when($"loan_status_BK" === 5, "repaid in full").otherwise($"loan_status"))
+    val merged = Scd.merge(star.dimStatus, batch2, spec, "2024-08-01")
+    val versions = merged.filter($"loan_status_BK" === 5)
+    assert(versions.count() == 2)
+    assert(versions.filter(!$"is_current" && $"end_date" === "2024-08-01" &&
+      $"loan_status" === "fully repaid").count() == 1)
+    assert(versions.filter($"is_current" && $"loan_status" === "repaid in full" &&
+      $"start_date" === "2024-08-01").count() == 1)
+    // all other BKs untouched
+    assert(merged.count() == star.dimStatus.count() + 1)
+  }
+
   test("dashboard visuals: loans by status sums to fact count; card computes") {
     val byStatus = IbrdMeasures.loansByStatus(star)
     assert(byStatus.agg(sum("Loans")).head.getLong(0) == 146)
