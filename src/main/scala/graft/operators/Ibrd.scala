@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.ibrd.{Clean, Fixture, IbrdMeasures, IbrdWarehouse}
+import graft.ibrd.{Clean, Fixture, FixtureFiles, IbrdMeasures, IbrdWarehouse, Model}
 import graft.{Q, QueryPack}
 
 /** End-to-end IBRD pipeline entries: fixture page → clean → star build →
@@ -20,8 +20,99 @@ object Ibrd extends QueryPack {
     "q71_ibrd_measures_card" -> Q(
       (s, _) => IbrdMeasures.card(star(s)),
       None,
-      doc = "all ten dashboard measures over the IBRD star")
+      doc = "all ten dashboard measures over the IBRD star"),
+
+    // ---- the full clean stage, hash-verified against DuckDB over the
+    // SAME committed fixture bytes (fixtures/ibrd_raw.jsonl + dict CSVs) ----
+    "q72_ibrd_staged" -> Q(
+      (s, _) => Clean.stage(FixtureFiles.readRaw(s, "/root/repo")),
+      Some(stagedOracleSql),
+      doc = "IBRD clean stage (P1,P2,E1-E6,W1) vs DuckDB on shared fixture files")
   )
+
+  private def stagedOracleSql: String = {
+    val jsonCols = Model.rawSchema.fields.map { f =>
+      val t = if (f.dataType == org.apache.spark.sql.types.DoubleType) "DOUBLE" else "VARCHAR"
+      s"'${f.name}': '$t'"
+    }.mkString(", ")
+    val kept = Model.keptSnapshots.map("'" + _ + "'").mkString(", ")
+    def dict(name: String) = s"read_csv('/root/repo/fixtures/dicts/$name.csv', header=true)"
+    val loweredStrings = Model.rawSchema.fields
+      .filterNot(f => Model.earlyDrops.contains(f.name))
+      .map { f =>
+        if (f.dataType == org.apache.spark.sql.types.StringType)
+          s"lower(${f.name}) AS ${f.name}"
+        else f.name
+      }.mkString(",\n                 ")
+    s"""
+      WITH raw AS (
+        SELECT * FROM read_json('/root/repo/fixtures/ibrd_raw.jsonl',
+          format='newline_delimited', columns={$jsonCols})
+      ),
+      filtered AS (
+        SELECT * FROM raw WHERE end_of_period IN ($kept)
+      ),
+      lowered AS (
+        SELECT $loweredStrings
+        FROM filtered
+      ),
+      recoded AS (
+        SELECT l.* REPLACE (
+                 coalesce(sc.value, l.loan_status) AS loan_status,
+                 coalesce(tc.value, l.loan_type) AS loan_type,
+                 coalesce(cc.value, l.country) AS country,
+                 coalesce(gc.value, l.guarantor) AS guarantor,
+                 coalesce(rc.value, l.region) AS region)
+        FROM lowered l
+        LEFT JOIN ${dict("Status_Cleaning")} sc ON l.loan_status = sc.key
+        LEFT JOIN ${dict("Type_Cleaning")} tc ON l.loan_type = tc.key
+        LEFT JOIN ${dict("Countries_Cleaning")} cc ON l.country = cc.key
+        LEFT JOIN ${dict("Countries_Cleaning")} gc ON l.guarantor = gc.key
+        LEFT JOIN ${dict("Regions_Cleaning")} rc ON l.region = rc.key
+      ),
+      overwritten AS (
+        SELECT r.* REPLACE (
+                 coalesce(coalesce(bc.value, r.borrower), 'not_specified') AS borrower,
+                 coalesce(r.guarantor, 'not_specified') AS guarantor)
+        FROM recoded r
+        LEFT JOIN ${dict("Borrower_cleaning")} bc ON r.country = bc.key
+      ),
+      encoded AS (
+        SELECT o.*,
+               CAST(rbk.value AS INT) AS region_BK,
+               CAST(cbk.value AS INT) AS country_BK,
+               CAST(gbk.value AS INT) AS guarantor_BK,
+               CAST(bbk.value AS INT) AS borrower_BK,
+               CAST(sbk.value AS INT) AS loan_status_BK,
+               CAST(tbk.value AS INT) AS loan_type_BK
+        FROM overwritten o
+        LEFT JOIN ${dict("regions_BK")} rbk ON o.region = rbk.key
+        LEFT JOIN ${dict("country_BK")} cbk ON o.country = cbk.key
+        LEFT JOIN ${dict("country_BK")} gbk ON o.guarantor = gbk.key
+        LEFT JOIN ${dict("borrower_BK_updated")} bbk ON o.borrower = bbk.key
+        LEFT JOIN ${dict("loan_status_BK")} sbk ON o.loan_status = sbk.key
+        LEFT JOIN ${dict("loan_type_BK")} tbk ON o.loan_type = tbk.key
+      ),
+      filled AS (
+        SELECT * REPLACE (
+          last_value(project_name_ IGNORE NULLS) OVER (
+            ORDER BY loan_number, board_approval_date
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS project_name_)
+        FROM encoded
+      )
+      SELECT end_of_period, loan_number, region, country_code, country,
+             borrower, guarantor_country_code, guarantor, loan_type,
+             loan_status, project_id, project_name_, first_repayment_date,
+             last_repayment_date, board_approval_date, interest_rate,
+             original_principal_amount, cancelled_amount, undisbursed_amount,
+             disbursed_amount, borrowers_obligation,
+             region_BK, country_BK, guarantor_BK, borrower_BK,
+             loan_status_BK, loan_type_BK,
+             repaid_to_ibrd + repaid_3rd_party AS Repaid,
+             due_to_ibrd + due_3rd_party AS Due
+      FROM filled
+    """.stripMargin
+  }
 
   // staged batch is read 8× by the star build (7 dims + fact): cache it
   private def star(s: org.apache.spark.sql.SparkSession): IbrdWarehouse.Star = {

@@ -18,6 +18,19 @@ class IbrdSpec extends SparkSpec {
     assert(raw.schema == Model.rawSchema)
   }
 
+  test("committed fixture files match the in-code fixture (no drift)") {
+    val fromFile = graft.ibrd.FixtureFiles.readRaw(spark, "/root/repo")
+      .orderBy("loan_number", "end_of_period").collect()
+    val inMem = raw.orderBy("loan_number", "end_of_period").collect()
+    assert(fromFile.sameElements(inMem))
+    graft.ibrd.Fixture.allDicts.foreach { case (name, dict) =>
+      val loaded = graft.sources.DictLoader.load(spark,
+        s"/root/repo/fixtures/dicts/$name.csv")
+      assert(loaded == dict.map { case (k, v) => k.toLowerCase -> v.toLowerCase },
+        s"dict $name drifted")
+    }
+  }
+
   test("snapshot filter keeps exactly the 2 kept snapshots (147 rows)") {
     assert(staged.count() == 147)
     assert(staged.select("end_of_period").distinct().collect()
