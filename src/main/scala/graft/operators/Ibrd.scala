@@ -11,15 +11,48 @@ import graft.{Q, QueryPack}
   */
 object Ibrd extends QueryPack {
 
+  // The e2e visuals ARE oracle-checkable: every dim attribute equals its
+  // staged source column 1:1 (SK ↔ BK bijection on the initial load), so
+  // the DuckDB oracle runs the visual directly over the staged CTE with
+  // the fact's non-null-BK filter applied.
+  private def factInSql =
+    s"""staged AS (${stagedOracleSql}),
+       |fact_in AS (
+       |  SELECT * FROM staged
+       |  WHERE country_BK IS NOT NULL AND borrower_BK IS NOT NULL
+       |    AND guarantor_BK IS NOT NULL AND loan_status_BK IS NOT NULL
+       |    AND loan_type_BK IS NOT NULL AND region_BK IS NOT NULL
+       |)""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q70_ibrd_e2e_loans_by_status" -> Q(
       (s, _) => IbrdMeasures.loansByStatus(star(s)),
-      None,
+      Some(s"""
+        WITH $factInSql
+        SELECT loan_status, count(*) AS Loans,
+               sum(CAST(CAST(original_principal_amount AS DECIMAL(18,2)) AS DOUBLE)) AS "Loan Amount"
+        FROM fact_in
+        GROUP BY loan_status
+        ORDER BY Loans DESC, loan_status ASC
+      """.stripMargin),
       doc = "IBRD fixture → clean → 7 SCD dims + DimDate + fact → visual"),
 
     "q71_ibrd_measures_card" -> Q(
       (s, _) => IbrdMeasures.card(star(s)),
-      None,
+      Some(s"""
+        WITH $factInSql
+        SELECT count(*) AS Loans,
+               sum(CAST(CAST(original_principal_amount AS DECIMAL(18,2)) AS DOUBLE)) AS "Loan Amount",
+               sum(Repaid) AS Repaid,
+               sum(Due) AS Due1,
+               sum(disbursed_amount) AS "Disbursed Amount",
+               sum(undisbursed_amount) AS "Undisbursed Amount",
+               avg(interest_rate) AS "Average Inerest Rate",
+               sum(disbursed_amount * interest_rate / 100.0) AS "Interest Income",
+               count(DISTINCT guarantor_BK) AS Guarantors,
+               count(DISTINCT borrower_BK) AS Borrowers
+        FROM fact_in
+      """.stripMargin),
       doc = "all ten dashboard measures over the IBRD star"),
 
     // ---- the full clean stage, hash-verified against DuckDB over the
