@@ -21,3 +21,19 @@ final class TableSink(root: String) {
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(s"$root/$table")
 }
+
+object TableSink {
+  /** Bucketed + sorted catalog table: co-locates subsequent joins and
+    * aggregations on the bucket key (no Exchange in the plan) — the
+    * deployment-time answer to the fact-side shuffle called out in
+    * SCALE.md. Requires a catalog (`saveAsTable`), hence separate from
+    * the plain parquet-dir sink. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    cols: Seq[String]): Unit =
+    df.write
+      .bucketBy(buckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .saveAsTable(table)
+}

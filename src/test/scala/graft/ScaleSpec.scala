@@ -1,0 +1,45 @@
+package graft
+
+import graft.sources.TableSink
+import graft.warehouse.Skew
+import org.apache.spark.sql.functions._
+
+/** The scale toolkit's observable guarantees: salting preserves join
+  * semantics while spreading hot keys; bucketed tables join with no
+  * Exchange (SCALE.md). */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows on skewed data") {
+    // synthetic skew: 90% of orders hit one customer key
+    val skewed = Tables.orders(spark, sf)
+      .withColumn("hot_key",
+        when($"o_orderkey" % 10 =!= 0, lit(7L)).otherwise($"o_custkey"))
+    val dim = Tables.customer(spark, sf)
+      .select($"c_custkey".as("hot_key"), $"c_mktsegment")
+    val plain = skewed.join(dim, "hot_key")
+      .agg(count(lit(1)), sum($"o_totalprice")).head
+    val salted = Skew.saltedJoin(skewed, dim, "hot_key", salt = 8)
+      .agg(count(lit(1)), sum($"o_totalprice")).head
+    assert(plain.getLong(0) == salted.getLong(0))
+    assert(math.abs(plain.getDouble(1) - salted.getDouble(1)) < 1e-6)
+  }
+
+  test("bucketed tables join with no shuffle exchange") {
+    TableSink.writeBucketed(Tables.orders(spark, sf), "b_orders", 8, Seq("o_custkey"))
+    TableSink.writeBucketed(
+      Tables.customer(spark, sf).withColumnRenamed("c_custkey", "o_custkey"),
+      "b_customer", 8, Seq("o_custkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(1500))
+      assert(joined.count() == Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf),
+          $"o_custkey" === $"c_custkey").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
