@@ -37,10 +37,13 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
           s"$prettyName requires array<string>, got $other")
     }
 
+  // computed once per (deserialized) instance; lazy val init is
+  // synchronized, so concurrent executor task threads are safe
+  @transient private lazy val ab: (Array[Long], Array[Long]) = MinHashSig.consts(k)
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val a = MinHashSig.consts(k)._1
-    val b = MinHashSig.consts(k)._2
+    val (a, b) = ab
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     val n = arr.numElements()
@@ -58,8 +61,8 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aRef = ctx.addReferenceObj("mhA", MinHashSig.consts(k)._1, "long[]")
-    val bRef = ctx.addReferenceObj("mhB", MinHashSig.consts(k)._2, "long[]")
+    val aRef = ctx.addReferenceObj("mhA", ab._1, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", ab._2, "long[]")
     nullSafeCodeGen(ctx, ev, arr => {
       val mins = ctx.freshName("mins")
       val i = ctx.freshName("i")
@@ -89,22 +92,21 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
 object MinHashSig {
 
-  /** Deterministic affine constants (SplitMix64 stream; A forced odd). */
-  private[functions] def consts(k: Int): (Array[Long], Array[Long]) =
-    cache.getOrElseUpdate(k, {
-      var x = 0x9E3779B97F4A7C15L
-      def next(): Long = {
-        x += 0x9E3779B97F4A7C15L
-        var z = x
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z ^ (z >>> 31)
-      }
-      val a = Array.fill(k)(next() | 1L)
-      val b = Array.fill(k)(next())
-      (a, b)
-    })
-  private val cache = scala.collection.mutable.Map.empty[Int, (Array[Long], Array[Long])]
+  /** Deterministic affine constants (SplitMix64 stream; A forced odd).
+    * Pure function — each expression instance caches its own copy. */
+  private[functions] def consts(k: Int): (Array[Long], Array[Long]) = {
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val a = Array.fill(k)(next() | 1L)
+    val b = Array.fill(k)(next())
+    (a, b)
+  }
 
   def minhashSig(words: Column, k: Int): Column =
     org.apache.spark.sql.graft.Bridge.column(
