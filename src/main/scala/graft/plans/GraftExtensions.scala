@@ -1,0 +1,44 @@
+package graft.plans
+
+import graft.functions.MinHashSig
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session extensions for the engine — the standard deployment hook
+  * (`--conf spark.sql.extensions=graft.plans.GraftExtensions`):
+  *
+  *  - [[WhenChainToMap]] optimizer rule (CASE-ladder → map lookup);
+  *  - SQL registration of the native `minhash_sig(arr, k)` expression so
+  *    `spark.sql` users get the codegen'd signature too.
+  *
+  * For an already-running session the rule can also be attached via
+  * `spark.experimental.extraOptimizations` (what the specs use).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => WhenChainToMap)
+    ext.injectFunction(GraftExtensions.minhashSigDescriptor)
+  }
+}
+
+object GraftExtensions {
+
+  val minhashSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (args: Seq[Expression]) => args match {
+      case Seq(arr, Literal(k: Int, _)) => MinHashSig(arr, k)
+      case Seq(arr) => MinHashSig(arr, 16)
+      case _ => throw new IllegalArgumentException(
+        "minhash_sig(array<string>[, k: int literal])")
+    })
+
+  /** Register into an existing session's function registry. */
+  def registerFunctions(registry: FunctionRegistry): Unit = {
+    val (id, info, builder) = minhashSigDescriptor
+    registry.registerFunction(id, info, builder)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.plans.{GraftExtensions, WhenChainToMap}
+import org.apache.spark.sql.functions._
+
+/** The custom Catalyst surface: CASE-ladder→map-lookup optimizer rule and
+  * SQL registration of the native minhash expression. */
+class PlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pairs: Seq[(String, String)] =
+    (0 until 52).map(i => s"country_$i" -> s"borrower_$i")
+
+  private def ladder = pairs.foldLeft(lit(null).cast("string")) {
+    case (acc, (k, v)) => when($"c_name" === k, v).otherwise(acc)
+  }
+
+  test("WhenChainToMap rewrites a 52-branch ladder to one map lookup") {
+    spark.experimental.extraOptimizations = Seq(WhenChainToMap)
+    try {
+      val df = Tables.customer(spark, sf).select($"c_custkey",
+        coalesce(ladder, $"c_name").as("resolved"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("map_from") || optimized.contains("element_at")
+        || optimized.contains("keys:"), optimized.take(800))
+      assert(!optimized.contains("CASE WHEN"), optimized.take(800))
+      // semantics: no fixture key matches, so every row falls through
+      val n = df.filter($"resolved" === $"c_name").count()
+      assert(n == Tables.customer(spark, sf).count())
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("rewrite preserves first-match and hit semantics") {
+    spark.experimental.extraOptimizations = Seq(WhenChainToMap)
+    try {
+      // 10 branches incl. a duplicate key with a different value: the
+      // FIRST must win, exactly like the CASE ladder
+      val branches = (0 until 9).map(i => (s"k$i", s"v$i")) :+ ("k0" -> "SHADOWED")
+      val expr = branches.reverse.foldLeft(lit("MISS")) {
+        case (acc, (k, v)) => when($"key" === k, v).otherwise(acc)
+      }
+      // parquet-backed input: a LocalRelation would be evaluated whole by
+      // ConvertToLocalRelation and bypass the rule
+      val dir = java.nio.file.Files.createTempDirectory("graft_keys").toString
+      Seq("k0", "k3", "zzz", null.asInstanceOf[String]).toDF("key")
+        .write.mode("overwrite").parquet(dir)
+      val df = spark.read.parquet(dir).select($"key", expr.as("out"))
+      val got = df.collect().map(r => Option(r.getString(0)).orNull -> r.getString(1)).toMap
+      assert(got("k0") == "v0")
+      assert(got("k3") == "v3")
+      assert(got("zzz") == "MISS")
+      assert(got(null) == "MISS")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("CASE WHEN"))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("minhash_sig is callable from SQL after registration") {
+    GraftExtensions.registerFunctions(spark.sessionState.functionRegistry)
+    val r = spark.sql(
+      "SELECT size(minhash_sig(array('a','b','c'), 8)) AS k, " +
+        "minhash_sig(array('a','b'), 4) = minhash_sig(array('b','a'), 4) AS order_invariant")
+      .head
+    assert(r.getInt(0) == 8)
+    assert(r.getBoolean(1))
+  }
+}
