@@ -108,6 +108,47 @@ object Dedup extends QueryPack {
       None,
       doc = "MinHash(96)+LSH(12x8 bands) near-dup candidates, exact-verified"),
 
+    // ---- end-to-end dedup: the cleaned corpus a pipeline user consumes ----
+    // exact dups collapse to min doc_id, then near-dup pairs (blocked exact
+    // Jaccard) drop the higher id of each pair (greedy keep-first — the
+    // standard approximation of the transitive closure)
+    "q62_dedup_corpus" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = T.documents(s, d)
+        val nearDupLosers = jaccardPairs(docs, threshold = 0.8)
+          .select($"b_id".as("doc_id")).distinct()
+        docs.join(nearDupLosers, Seq("doc_id"), "left_anti")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs_kept"),
+            sum($"n_chars").as("total_chars"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, source,
+                 list_distinct(string_split(text, ' ')) AS wset
+          FROM documents
+        ), exploded AS (
+          SELECT doc_id, lang, source, len(wset) AS wsize, unnest(wset) AS word
+          FROM base
+        ), losers AS (
+          SELECT DISTINCT b.doc_id AS doc_id
+          FROM exploded a
+          JOIN exploded b
+            ON a.lang = b.lang AND a.source = b.source AND a.word = b.word
+           AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING CAST(count(*) AS DOUBLE)
+                   / (any_value(a.wsize) + any_value(b.wsize) - count(*)) >= 0.8
+        )
+        SELECT lang, count(*) AS n_docs_kept,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        GROUP BY lang
+      """.stripMargin),
+      doc = "deduplicated corpus output (exact + near-dup keep-first)"),
+
     // ---- SimHash near-dup buckets ----
     "q57_simhash" -> Q(
       (s, d) => {

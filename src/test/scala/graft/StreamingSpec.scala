@@ -74,6 +74,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.agg(sum("n")).head.getLong(0) == Tables.events(spark, sf).count())
   }
 
+  test("checkpointed AvailableNow stream resumes exactly-once across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("ets", timestamp_micros(($"ts" / 1000).cast("long")))
+      .select("event_id", "ets", "event_type", "value")
+    // land the source in two batches of files (micro-batch accretion, R1)
+    ev.filter($"event_id" < 500).write.parquet(s"$root/in/b1")
+    val schema = spark.read.parquet(s"$root/in/b1").schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$root/in/*")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(s"$root/out").count()
+    assert(afterFirst == 500)
+    ev.filter($"event_id" >= 500).write.parquet(s"$root/in/b2")
+    runOnce() // same checkpoint: must process ONLY the new files
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.count() == ev.count()) // exactly-once, no re-processing
+    assert(out.select("event_id").distinct().count() == ev.count())
+  }
+
   test("paged cursor persists and clamps like the reference's api_offset") {
     val ck = java.nio.file.Files.createTempDirectory("graft_cursor")
       .resolve("state/offset.txt")
