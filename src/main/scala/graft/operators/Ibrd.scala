@@ -55,6 +55,22 @@ object Ibrd extends QueryPack {
       """.stripMargin),
       doc = "all ten dashboard measures over the IBRD star"),
 
+    // ---- line-chart visual: role-played DimDate year + IN filter ----
+    "q73_ibrd_trend_by_year" -> Q(
+      (s, _) => IbrdMeasures.amountByYear(star(s), Seq(2023, 2024)),
+      Some(s"""
+        WITH $factInSql
+        SELECT CAST(substring(end_of_period, 8, 4) AS INT) AS period_year,
+               sum(CAST(CAST(original_principal_amount AS DECIMAL(18,2)) AS DOUBLE)) AS "Loan Amount",
+               count(*) AS Loans,
+               count(DISTINCT borrower_BK) AS Borrowers
+        FROM fact_in
+        WHERE CAST(substring(end_of_period, 8, 4) AS INT) IN (2023, 2024)
+        GROUP BY period_year
+        ORDER BY period_year ASC
+      """.stripMargin),
+      doc = "year trend via End_period DimDate role + IN filter (P6/J2/A8)"),
+
     // ---- the full clean stage, hash-verified against DuckDB over the
     // SAME committed fixture bytes (fixtures/ibrd_raw.jsonl + dict CSVs) ----
     "q72_ibrd_staged" -> Q(
