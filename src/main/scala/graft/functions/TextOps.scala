@@ -59,17 +59,10 @@ object TextOps {
         xxhash64(concat_ws("_",
           slice(sig, b * rowsPer + 1, lit(rowsPer)).cast("array<string>"))).as("key")))
 
-  /** 64-bit SimHash over words: sign-aggregate each hash bit, weighted by
-    * term frequency. Expression-only rendition: for each bit position,
-    * sum ±1 over words and take the sign. */
-  def simhash(text: Column, bits: Int = 16): Column = {
-    val w = words(text)
-    (0 until bits).map { b =>
-      val vote = aggregate(w, lit(0),
-        (acc, word) => acc + when(shiftright(xxhash64(word), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** 64-bit SimHash over words (term-frequency weighted ±1 bit votes).
+    * Delegates to the native [[SimHash64]] expression — the HOF fold
+    * rendition capped practical width at 16 bits. */
+  def simhash(text: Column): Column = SimHash64.simhash64(words(text))
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

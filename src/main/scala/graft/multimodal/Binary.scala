@@ -47,6 +47,35 @@ object Binary {
       concat(lit("image/"), col("lang")).as("media_type"),
       col("text").cast("binary").as("payload"))
 
+  /** Deterministic "feature extraction" stub: payload → fixed-dim float
+    * vector derived from byte length (a real embedding model would slot in
+    * behind the same projection). The output feeds VectorOps/ANN directly;
+    * the per-dim formula `((byte_len*(i+1)) mod 97)/97` is chosen to be
+    * reproducible in the DuckDB oracle. */
+  def extractFeatures(assets: DataFrame, dim: Int): DataFrame =
+    assets.select(
+      col("asset_id"), col("media_type"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(length(col("payload")) * (i + 1), lit(97)).cast("double") / 97.0)
+          .cast("float")).as("features"))
+
+  /** Metadata-level resize: records the target geometry, payload untouched
+    * (pixel work is the codec's job — STUB boundary). */
+  def resizeMeta(probed: DataFrame, w: Int, h: Int): DataFrame =
+    probed.withColumn("meta", struct(
+      col("meta.byte_len"), col("meta.codec"),
+      lit(w).as("width"), lit(h).as("height"),
+      col("meta.n_frames")))
+
+  /** Frame sampling: one row per every-k-th frame of each asset (the
+    * video→frames fan-out shape; frame payload slicing is codec work). */
+  def frameSample(assets: DataFrame, every: Int): DataFrame = {
+    val nFrames = lit(1) + pmod(length(col("payload")), lit(30)) // FakeCodec formula
+    assets.select(
+      col("asset_id"),
+      explode(sequence(lit(0), nFrames - 1, lit(every))).as("frame_idx"))
+  }
+
   /** Batch "decode": mapPartitions so a real codec would be initialized
     * once per partition, not per row (the mapInPandas batch shape). */
   def probeMetadata(assets: DataFrame): DataFrame = {

@@ -149,19 +149,46 @@ object Dedup extends QueryPack {
       """.stripMargin),
       doc = "deduplicated corpus output (exact + near-dup keep-first)"),
 
-    // ---- SimHash near-dup buckets ----
+    // ---- SimHash signature buckets over the duplicated corpus ----
     "q57_simhash" -> Q(
       (s, d) => {
         import s.implicits._
-        T.documents(s, d)
+        withRecrawl(s, d)
           .select($"doc_id", TextOps.simhash($"text").as("simhash"))
           .groupBy($"simhash")
           .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("kept_doc_id"))
-          .filter($"n_docs" >= 1)
       },
       None,
-      doc = "SimHash signature buckets (rows-only; hash not SQL-expressible)")
+      doc = "64-bit SimHash buckets (rows-only; hash not SQL-expressible)"),
+
+    // ---- SimHash banded near-dup pairs (hamming-bounded) ----
+    // classic simhash dedup: 4×16-bit bands block the candidates (any
+    // shared band ⇒ hamming ≤ 48 guaranteed candidate class), then exact
+    // hamming ≤ 6 verifies. Rows-only; properties in LlmOpsSpec.
+    "q65_simhash_neardup" -> Q(
+      (s, d) => simhashNearDups(withRecrawl(s, d), maxHamming = 6),
+      None,
+      doc = "SimHash 4x16 banded near-dup pairs, hamming-verified")
   )
+
+  def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      TextOps.simhash(col("text")).as("sh"))
+    val banded = sigs.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sh"), 16 * b).bitwiseAND(0xFFFFL).as("key"))
+      }: _*)).as("band"))
+    val a = banded.toDF("a_id", "a_sh", "band")
+    val b = banded.toDF("b_id", "b_sh", "band")
+    a.join(b, Seq("band"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh")
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", TextOps.hamming(col("a_sh"), col("b_sh")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+  }
 
   /** MinHash signatures → banded LSH buckets → candidate pairs → exact
     * Jaccard verification. Only bucket-mates are ever paired.

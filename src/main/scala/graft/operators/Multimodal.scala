@@ -40,6 +40,44 @@ object Multimodal extends QueryPack {
         FROM assets
         GROUP BY media_type
       """.stripMargin),
-      doc = "binary payload metadata plumbing (multimodal surface)")
+      doc = "binary payload metadata plumbing (multimodal surface)"),
+
+    // ---- feature extraction: payload → vector → norm (ANN-ready) ----
+    "q63_media_features" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.VectorOps
+        Binary.extractFeatures(Binary.assetsFromDocuments(T.documents(s, d)), dim = 8)
+          .select($"asset_id", $"media_type",
+            round(VectorOps.norm($"features"), 6).as("feature_norm"))
+      },
+      Some("""
+        WITH assets AS (
+          SELECT doc_id AS asset_id, 'image/' || lang AS media_type,
+                 octet_length(encode(text)) AS byte_len
+          FROM documents
+        )
+        SELECT asset_id, media_type,
+               round(sqrt(list_sum(list_transform(range(0, 8),
+                 i -> pow(CAST((byte_len * (i + 1)) % 97 AS DOUBLE) / 97.0, 2)))), 6)
+                 AS feature_norm
+        FROM assets
+      """.stripMargin),
+      doc = "media feature-extraction plumbing feeding VectorOps"),
+
+    // ---- frame sampling fan-out ----
+    "q64_frame_sample" -> Q(
+      (s, d) => Binary.frameSample(
+        Binary.assetsFromDocuments(T.documents(s, d)), every = 5),
+      Some("""
+        WITH assets AS (
+          SELECT doc_id AS asset_id,
+                 1 + octet_length(encode(text)) % 30 AS n_frames
+          FROM documents
+        )
+        SELECT asset_id, CAST(unnest(range(0, n_frames, 5)) AS INT) AS frame_idx
+        FROM assets
+      """.stripMargin),
+      doc = "every-kth frame fan-out per media asset")
   )
 }

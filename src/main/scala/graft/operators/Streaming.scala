@@ -66,6 +66,26 @@ object Streaming extends QueryPack {
       """.stripMargin),
       doc = "gap sessionization batch twin (streaming surface)"),
 
+    // ---- semi-structured payload extraction (JSON props column) ----
+    "q43_json_props" -> Q(
+      (s, d) => {
+        import s.implicits._
+        T.events(s, d)
+          .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"k").cast("long").as("sum_k"),
+            max($"k").as("max_k"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+        FROM events
+        GROUP BY event_type
+      """.stripMargin),
+      doc = "JSON column extraction + agg (semi-structured ingest shape)"),
+
     // ---- paged-cursor micro-batch ingest (50k-page REST shape) ----
     "q42_paged_ingest" -> Q(
       (s, d) => {

@@ -51,6 +51,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(groups.filter($"nh" =!= 1).count() == 0)
   }
 
+  test("simhash banded near-dups find every exact duplicate at hamming 0") {
+    import graft.operators.Dedup
+    val pairs = Dedup.simhashNearDups(Dedup.withRecrawl(spark, sf), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val nDocs = Tables.documents(spark, sf).count()
+    // every (doc, recrawl-copy) pair is hamming 0 and must be found
+    val exactPairs = pairs.filter(p => p._2 == p._1 + 1000000L)
+    assert(exactPairs.length == nDocs)
+    assert(exactPairs.forall(_._3 == 0))
+  }
+
   test("ANN sign-bucket: structural sanity + nonzero recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val bf = Similarity.bruteForceTopK(emb.filter($"vec_id" < 10), emb, 5)
