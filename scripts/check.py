@@ -61,8 +61,16 @@ for name in names:
     if len(g) != len(w):
         print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); fails += 1; continue
     try:
-        pd.testing.assert_frame_equal(g, w, check_dtype=False,
-                                      check_exact=False, rtol=1e-6, atol=1e-6)
+        # floats: tolerant compare; everything else (incl. big ints, where
+        # rtol would mask µs/ns truncation bugs): exact
+        for c in g.columns:
+            if g[c].dtype.kind == 'f' or w[c].dtype.kind == 'f':
+                pd.testing.assert_series_equal(
+                    g[c].astype('float64'), w[c].astype('float64'),
+                    check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6)
+            else:
+                pd.testing.assert_series_equal(g[c], w[c], check_dtype=False,
+                                               check_exact=True)
         print(f"OK        {name} rows={len(g)}")
     except AssertionError as e:
         print(f"FAIL {name}: {str(e)[:300]}"); fails += 1

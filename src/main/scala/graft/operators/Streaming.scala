@@ -41,30 +41,41 @@ object Streaming extends QueryPack {
       doc = "tumbling 1h window agg, streaming twin (SURVEY §2.9)"),
 
     // ---- gap-based sessionization (batch twin of the stateful stream) ----
+    // The oracle runs in the MICROSECOND domain: DuckDB truncates
+    // TIMESTAMP_NS parquet to µs on read, so ns-exact outputs can never
+    // hash-match (caught by a sub-ms session at sf0.1). Both engines
+    // sessionize the identical µs integers → exact parity.
     "q41_sessionize" -> Q(
-      (s, d) => Sessionize.batch(T.events(s, d), GapNs),
+      (s, d) => {
+        val evUs = T.events(s, d)
+          .withColumn("ts", expr("ts div 1000")) // exact integer ns→µs
+        Sessionize.batch(evUs, GapNs / 1000)
+          .withColumnRenamed("session_start_ns", "session_start_us")
+          .withColumnRenamed("session_end_ns", "session_end_us")
+          .withColumnRenamed("duration_ns", "duration_us")
+      },
       Some(s"""
         WITH flagged AS (
-          SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, "value",
-                 CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
-                        OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > ${GapNs}
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id, "value",
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${GapNs / 1000}
                       THEN 1 ELSE 0 END AS is_new
           FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         ), numbered AS (
-          SELECT user_id, ts_ns, "value",
-                 CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+          SELECT user_id, ts_us, "value",
+                 CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
           FROM flagged
         )
         SELECT user_id, session_seq, count(*) AS n_events,
-               min(ts_ns) AS session_start_ns, max(ts_ns) AS session_end_ns,
+               min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
                sum("value") AS session_value,
-               max(ts_ns) - min(ts_ns) AS duration_ns
+               max(ts_us) - min(ts_us) AS duration_us
         FROM numbered
         GROUP BY user_id, session_seq
       """.stripMargin),
-      doc = "gap sessionization batch twin (streaming surface)"),
+      doc = "gap sessionization batch twin, µs domain (streaming surface)"),
 
     // ---- semi-structured payload extraction (JSON props column) ----
     "q43_json_props" -> Q(

@@ -109,14 +109,16 @@ object Scd {
           lit(false).as("is_current"))): _*)
       .toDF(outCols: _*)
 
-    // inserts: brand-new BKs + new versions of SCD2-changed BKs
+    // inserts: brand-new BKs + new versions of SCD2-changed BKs. The SK
+    // offset (current max) joins in as a broadcast scalar — no driver
+    // action inside the merge plan.
     val inserts = j.filter(isNew || (!isAbsent && scd2Chg))
       .select(spec.allIn.map(c => col(s"s.$c")): _*)
-    val maxSk = dim.agg(max(col(spec.sk))).head.get(0) match {
-      case null => 0L
-      case n: Number => n.longValue()
-    }
-    val inserted = SurrogateKeys.assign(inserts, Seq(spec.bk), spec.sk, offset = maxSk)
+    val maxSkDf = dim.agg(coalesce(max(col(spec.sk)), lit(0L)).as("__max_sk"))
+    val inserted = SurrogateKeys.assign(inserts, Seq(spec.bk), spec.sk)
+      .crossJoin(broadcast(maxSkDf))
+      .withColumn(spec.sk, col(spec.sk) + col("__max_sk"))
+      .drop("__max_sk")
       .withColumn("source_system_code", lit(1))
       .withColumn("start_date", lit(asOf).cast("date"))
       .withColumn("end_date", lit(null).cast("date"))
