@@ -190,6 +190,52 @@ object Exprs extends QueryPack {
       """.stripMargin),
       doc = "rollup over region→nation hierarchy (SURVEY §2.6 A9)"),
 
+    // ---- pivot: measure spread over a categorical (the Power BI
+    // field-parameter "switch measure/dimension" shape, SURVEY §1.3) ----
+    "q18_pivot" -> Q(
+      (s, d) => {
+        import s.implicits._
+        T.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum($"l_quantity"))
+          .withColumnRenamed("F", "qty_f")
+          .withColumnRenamed("O", "qty_o")
+      },
+      Some("""
+        SELECT l_returnflag,
+               sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+               sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+        FROM lineitem
+        GROUP BY l_returnflag
+      """.stripMargin),
+      doc = "pivot measure over categorical (field-parameter shape)"),
+
+    // ---- unpivot/melt: wide measures → (metric, value) rows ----
+    "q19_unpivot" -> Q(
+      (s, d) => {
+        import s.implicits._
+        T.orders(s, d)
+          .select($"o_orderkey", $"o_totalprice",
+            $"o_custkey".cast("double").as("custkey_d"))
+          .unpivot(
+            Array($"o_orderkey"),
+            Array($"o_totalprice", $"custkey_d"),
+            "metric", "value")
+          .groupBy($"metric")
+          .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+      },
+      Some("""
+        SELECT metric, count(*) AS n, sum("value") AS total
+        FROM (
+          SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS "value" FROM orders
+          UNION ALL
+          SELECT o_orderkey, 'custkey_d', CAST(o_custkey AS DOUBLE) FROM orders
+        )
+        GROUP BY metric
+      """.stripMargin),
+      doc = "unpivot wide measures to long form"),
+
     // ---- A9: cube ----
     "q17_cube" -> Q(
       (s, d) => {
