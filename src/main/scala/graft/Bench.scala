@@ -13,13 +13,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: session init, codegen compiler, parquet reader —
-    // so the first timed query measures its plan, not JVM start-up
-    spark.range(100000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // so the first timed query measures its plan, not JVM start-up.
+    // Failure-tolerant: a bad sfDir must still produce the JSON line
+    // (with negative per-query timings), not a silent crash.
+    try {
+      spark.range(100000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
+    }
+    // failed queries report a NEGATIVE elapsed time so breakage is visible
+    // in BENCH output instead of masquerading as a fast run
     val results = SparkEntry.benchQueries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+      }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) elapsed else -elapsed)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

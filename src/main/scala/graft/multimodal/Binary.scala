@@ -2,7 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 
 /** Multimodal column plumbing (builder-prompt surface): media as opaque
   * `binary` columns with a typed metadata struct, plus batch
@@ -31,12 +31,22 @@ object Binary {
       StructField("n_frames", IntegerType, nullable = true))), nullable = false)))
 
   /** Deterministic fake codec: "decodes" metadata from payload bytes.
-    * STUB — replace with a real codec binding (e.g. JNI/FFI) in prod. */
+    * STUB — replace with a real codec binding (e.g. JNI/FFI) in prod.
+    * The column-level helpers below are the SAME formulas as expressions,
+    * so row-level (mapPartitions) and column-level (projection) paths
+    * cannot drift. */
   object FakeCodec {
+    def width(n: Int): Int = 320 + n % 640
+    def height(n: Int): Int = 240 + (n * 7) % 480
+    def nFrames(n: Int): Int = 1 + n % 30
     def probe(payload: Array[Byte]): (Int, Int, Int) = {
       val n = if (payload == null) 0 else payload.length
-      (320 + n % 640, 240 + (n * 7) % 480, 1 + n % 30)
+      (width(n), height(n), nFrames(n))
     }
+    // column-expression renditions of the same formulas
+    def widthCol(len: Column): Column = lit(320) + pmod(len, lit(640))
+    def heightCol(len: Column): Column = lit(240) + pmod(len * 7, lit(480))
+    def nFramesCol(len: Column): Column = lit(1) + pmod(len, lit(30))
   }
 
   /** Wrap documents as media assets (payload = utf-8 bytes) — the offline
@@ -70,7 +80,7 @@ object Binary {
   /** Frame sampling: one row per every-k-th frame of each asset (the
     * video→frames fan-out shape; frame payload slicing is codec work). */
   def frameSample(assets: DataFrame, every: Int): DataFrame = {
-    val nFrames = lit(1) + pmod(length(col("payload")), lit(30)) // FakeCodec formula
+    val nFrames = FakeCodec.nFramesCol(length(col("payload")))
     assets.select(
       col("asset_id"),
       explode(sequence(lit(0), nFrames - 1, lit(every))).as("frame_idx"))

@@ -19,8 +19,8 @@ object Multimodal extends QueryPack {
           .select(
             $"asset_id", $"media_type",
             length($"payload").as("byte_len"),
-            (lit(320) + pmod(length($"payload"), lit(640))).as("fake_width"),
-            (lit(240) + pmod(length($"payload") * 7, lit(480))).as("fake_height"))
+            Binary.FakeCodec.widthCol(length($"payload")).as("fake_width"),
+            Binary.FakeCodec.heightCol(length($"payload")).as("fake_height"))
           .groupBy($"media_type")
           .agg(count(lit(1)).as("n_assets"),
             sum($"byte_len").as("total_bytes"),

@@ -27,14 +27,20 @@ final class PagedCursor(checkpoint: Path, initial: Long = 0L) {
 
 object PagedSource {
 
-  /** One micro-batch: rows with `keyCol` in [cursor, cursor+pageSize),
-    * cursor advanced and clamped like the reference's `api_offset`. */
+  /** One micro-batch page: the DataFrame plus a `commit` that advances the
+    * cursor. Commit AFTER the page's action succeeds — advancing eagerly
+    * would skip the page forever if the batch fails (the reference's
+    * Airflow Variable likewise only moves after a successful load). */
+  final case class Page(df: DataFrame, lo: Long, hi: Long, commit: () => Unit)
+
+  /** Rows with `keyCol` in [cursor, cursor+pageSize), clamped like the
+    * reference's `api_offset`. */
   def nextPage(table: DataFrame, keyCol: String, cursor: PagedCursor,
-               pageSize: Long, total: Long): DataFrame = {
+               pageSize: Long, total: Long): Page = {
     val lo = math.min(cursor.read(), total)
     val hi = math.min(lo + pageSize, total)
-    cursor.write(hi)
-    table.filter(col(keyCol) >= lo && col(keyCol) < hi)
+    Page(table.filter(col(keyCol) >= lo && col(keyCol) < hi),
+      lo, hi, () => cursor.write(hi))
   }
 
   /** Accumulate `nPages` micro-batches (the notebook's union-in-a-loop,

@@ -76,13 +76,17 @@ object Scd {
     *  - new BK: inserted. New rows get SKs above the current max.
     */
   def merge(dim: DataFrame, batch: DataFrame, spec: ScdSpec, asOf: String): DataFrame = {
-    val staged = dedup(batch, spec).as("s")
-    val cur = dim.filter(col("end_date").isNull).as("c")
+    // side-presence markers: deriving presence from BK nullness would
+    // mis-route null-BK rows (they fail the equality join, so a single
+    // input row would satisfy BOTH isNew and isAbsent and emit twice)
+    val staged = dedup(batch, spec).withColumn("__s_present", lit(true)).as("s")
+    val cur = dim.filter(col("end_date").isNull)
+      .withColumn("__c_present", lit(true)).as("c")
     val hist = dim.filter(col("end_date").isNotNull)
 
     val j = staged.join(cur, col(s"s.${spec.bk}") === col(s"c.${spec.bk}"), "full_outer")
-    val isNew = col(s"c.${spec.bk}").isNull
-    val isAbsent = col(s"s.${spec.bk}").isNull
+    val isNew = col("__c_present").isNull
+    val isAbsent = col("__s_present").isNull
     val scd2Chg = anyDiffers(spec.scd2)
     val scd1Chg = anyDiffers(spec.scd1)
 

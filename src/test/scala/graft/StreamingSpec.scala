@@ -111,16 +111,21 @@ class StreamingSpec extends SparkSpec {
     val ev = Tables.events(spark, sf)
     val total = ev.count()
     val p1 = PagedSource.nextPage(ev, "event_id", cursor, 400, total)
-    assert(p1.count() == 400)
+    assert(p1.df.count() == 400)
+    // cursor does NOT move until the batch commits (failed batch = retry)
+    assert(cursor.read() == 0)
+    val retry = PagedSource.nextPage(ev, "event_id", cursor, 400, total)
+    assert(retry.lo == 0 && retry.hi == 400)
+    retry.commit()
     assert(cursor.read() == 400)
     val p2 = PagedSource.nextPage(ev, "event_id", cursor, 400, total)
-    assert(p2.count() == 400)
+    assert(p2.df.count() == 400); p2.commit()
     val p3 = PagedSource.nextPage(ev, "event_id", cursor, 400, total)
-    assert(p3.count() == total - 800)
+    assert(p3.df.count() == total - 800); p3.commit()
     assert(cursor.read() == total) // clamped
     val p4 = PagedSource.nextPage(ev, "event_id", cursor, 400, total)
-    assert(p4.count() == 0)
+    assert(p4.df.count() == 0)
     // pages are disjoint and complete
-    assert(p1.unionByName(p2).unionByName(p3).count() == total)
+    assert(p1.df.unionByName(p2.df).unionByName(p3.df).count() == total)
   }
 }

@@ -58,6 +58,21 @@ class WarehouseSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("merge with a null-BK batch row emits it once as an insert, no ghost rows") {
+    // null BKs fail the equality join: presence must come from side
+    // markers, or one input row lands in BOTH 'untouched' and 'inserts'
+    val nullRow = Tables.customer(spark, sf).limit(1)
+      .withColumn("c_custkey", lit(null).cast("long"))
+    val batch = Warehouse.batch2(spark, sf).unionByName(nullRow)
+    val merged = Scd.merge(dim0, batch, spec, "2024-02-01")
+    val baseline = Scd.merge(dim0, Warehouse.batch2(spark, sf), spec, "2024-02-01")
+    assert(merged.count() == baseline.count() + 1)
+    // the null-BK row arrives as a single current insert, not an all-null ghost
+    val nullRows = merged.filter($"c_custkey".isNull)
+    assert(nullRows.count() == 1)
+    assert(nullRows.filter($"sk".isNull || $"c_name".isNull).count() == 0)
+  }
+
   test("within-batch duplicate BKs are deduplicated deterministically") {
     val dup = Tables.customer(spark, sf).limit(10)
     val doubled = dup.unionByName(dup.withColumn("c_acctbal", $"c_acctbal" + 1))
