@@ -43,7 +43,8 @@ object SparkEntry {
     * excluded so BENCH measures data-scaled throughput. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries.removedAll(Seq("q70_ibrd_e2e_loans_by_status",
-      "q71_ibrd_measures_card", "q72_ibrd_staged", "q73_ibrd_trend_by_year"))
+      "q71_ibrd_measures_card", "q72_ibrd_staged", "q73_ibrd_trend_by_year",
+      "q74_ibrd_dim_country"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted entries get a rows-only check. */

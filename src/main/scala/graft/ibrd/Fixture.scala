@@ -120,7 +120,10 @@ object Fixture {
     Row(
       snapshots(i % 3), // end_of_period
       f"L${i % 200}%04d", // loan_number (dup pair: i and i+200 share number)
-      regionsRaw(j % regionsRaw.size),
+      // region is a FUNCTION of the country (real-world snowflake shape;
+      // a non-functional mapping made every country's region FK collapse
+      // to min(SK) under dedup)
+      regionsRaw((i % countriesRaw.size) % regionsRaw.size),
       s"C${i % countriesRaw.size}", // country_code
       country,
       if (i % 7 == 0) null else borrowersRaw(j % borrowersRaw.size),

@@ -32,15 +32,33 @@ object IbrdWarehouse {
       dimGuarantor: DataFrame, dimStatus: DataFrame, dimType: DataFrame,
       dimProject: DataFrame, dimDate: DataFrame, fact: DataFrame)
 
-  /** Reference-shaped calendar keyed by the lower-cased date string the
-    * staging layer carries (FIXTURES.md §4). */
+  /** Reference-shaped 16-column calendar (SURVEY.md §1.3 DimDate, metadata
+    * `project SSIS!...loan_fact.dtsx:112`), keyed by the lower-cased
+    * `dd-MMM-yyyy` date string the staging layer carries (FIXTURES.md §4).
+    * `HolidayText` is null — the reference's out-of-repo populate script
+    * is the only source for it. */
   def ibrdDimDate(spark: SparkSession, loYear: Int, hiYear: Int): DataFrame = {
     import spark.implicits._
     val bounds = Seq((s"$loYear-01-01", s"$hiYear-12-31")).toDF("lo", "hi")
       .select($"lo".cast("date").as("lo"), $"hi".cast("date").as("hi"))
-    DimDate.fromRange(bounds.select(explode(array($"lo", $"hi")).as("d")), "d")
-      .withColumn("Date", lower(date_format(col("cal_date"), "dd-MMM-yyyy")))
+    val d = col("cal_date")
+    DimDate.fromRange(bounds.select(explode(array($"lo", $"hi")).as("dd")), "dd")
       .withColumnRenamed("date_sk", "DateSK")
+      .withColumn("Date", lower(date_format(d, "dd-MMM-yyyy")))
+      .withColumn("DaySuffix",
+        concat(col("day").cast("string"),
+          when(col("day") % 100 / 10 === 1, "th")
+            .when(col("day") % 10 === 1, "st")
+            .when(col("day") % 10 === 2, "nd")
+            .when(col("day") % 10 === 3, "rd")
+            .otherwise("th")))
+      .withColumn("DayOfWeekName", date_format(d, "EEEE"))
+      .withColumn("DOWInMonth", ((col("day") - 1) / 7 + 1).cast("int"))
+      .withColumn("WeekOfYear", weekofyear(d).cast("int"))
+      .withColumn("WeekOfMonth", // calendar-row of the month grid (year-boundary safe)
+        (floor((col("day") + dayofweek(trunc(d, "month")) - 2) / 7) + 1).cast("int"))
+      .withColumn("StandardDate", date_format(d, "yyyy-MM-dd"))
+      .withColumn("HolidayText", lit(null).cast("string"))
   }
 
   // dims are cached on build: every one is read multiple times (fact

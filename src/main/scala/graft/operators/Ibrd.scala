@@ -71,6 +71,39 @@ object Ibrd extends QueryPack {
       """.stripMargin),
       doc = "year trend via End_period DimDate role + IN filter (P6/J2/A8)"),
 
+    // ---- snowflaked country dimension: SCD initial load + region SK ----
+    // dedup keeps the min (country, country_code, PK_region_SK) tuple per
+    // BK; country/code are functionally determined by the BK, so the
+    // oracle reduces to min(region SK) per country
+    "q74_ibrd_dim_country" -> Q(
+      (s, _) => star(s).dimCountry,
+      Some(s"""
+        WITH staged AS (${stagedOracleSql}),
+        region_rows AS (
+          SELECT DISTINCT region_BK, region FROM staged WHERE region_BK IS NOT NULL
+        ),
+        dim_region AS (
+          SELECT row_number() OVER (ORDER BY region_BK) AS PK_region_SK, region_BK
+          FROM region_rows
+        ),
+        country_rows AS (
+          SELECT s.country_BK, min(s.country) AS country,
+                 min(s.country_code) AS country_code,
+                 min(dr.PK_region_SK) AS PK_region_SK
+          FROM staged s JOIN dim_region dr USING (region_BK)
+          WHERE s.country_BK IS NOT NULL
+          GROUP BY s.country_BK
+        )
+        SELECT row_number() OVER (ORDER BY country_BK) AS PK_country_SK,
+               country_BK, country, country_code, PK_region_SK,
+               CAST(1 AS INT) AS source_system_code,
+               DATE '2024-07-01' AS start_date,
+               CAST(NULL AS DATE) AS end_date,
+               TRUE AS is_current
+        FROM country_rows
+      """.stripMargin),
+      doc = "Dimension_Country: SCD load + snowflake region SK (J3/§2.5)"),
+
     // ---- the full clean stage, hash-verified against DuckDB over the
     // SAME committed fixture bytes (fixtures/ibrd_raw.jsonl + dict CSVs) ----
     "q72_ibrd_staged" -> Q(

@@ -82,6 +82,21 @@ class IbrdSpec extends SparkSpec {
     assert(ref.sameElements(scalable))
   }
 
+  test("DimDate carries the full reference column set (SURVEY §1.3)") {
+    val cols = star.dimDate.columns.toSet
+    val required = Set("DateSK", "Date", "day", "DaySuffix", "DayOfWeekName",
+      "DOWInMonth", "day_of_year", "WeekOfYear", "WeekOfMonth", "month",
+      "month_name", "quarter", "quarter_name", "year", "StandardDate",
+      "HolidayText")
+    assert(required.subsetOf(cols), (required -- cols).toString)
+    // spot check: 2024-07-01 is a Monday, 1st of month
+    val r = star.dimDate.filter(col("Date") === "01-jul-2024").head
+    assert(r.getAs[String]("DaySuffix") == "1st")
+    assert(r.getAs[String]("DayOfWeekName") == "Monday")
+    assert(r.getAs[Int]("DOWInMonth") == 1)
+    assert(r.getAs[String]("StandardDate") == "2024-07-01")
+  }
+
   test("seven dims: one current row per BK, snowflake region FK resolved") {
     val dims = Seq(star.dimRegion, star.dimCountry, star.dimBorrower,
       star.dimGuarantor, star.dimStatus, star.dimType, star.dimProject)
