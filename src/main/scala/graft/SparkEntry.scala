@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Windows,
     operators.Dashboard,
     operators.Streaming,
+    operators.AsOf,
     operators.TextAnalysis,
     operators.Dedup,
     operators.Similarity,
