@@ -219,9 +219,11 @@ object Dedup extends QueryPack {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+    // the sets side is |docs| rows (small relative to the pair set):
+    // broadcast both lookups so candidate ids never shuffle again
     candIds
-      .join(sets.toDF("a_id", "a_set"), "a_id")
-      .join(sets.toDF("b_id", "b_set"), "b_id")
+      .join(broadcast(sets.toDF("a_id", "a_set")), "a_id")
+      .join(broadcast(sets.toDF("b_id", "b_set")), "b_id")
       .withColumn("inter", size(array_intersect(col("a_set"), col("b_set"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("a_set")) + size(col("b_set")) - col("inter")))

@@ -136,6 +136,49 @@ class IbrdSpec extends SparkSpec {
     assert(merged.count() == star.dimStatus.count() + 1)
   }
 
+  test("incremental warehouse load: dims merge, fact appends idempotently") {
+    import graft.ibrd.IbrdWarehouse
+    // batch 2 = the NEXT snapshot only (one logical batch per merge —
+    // within-batch dedup would otherwise pick one version arbitrarily):
+    // same loans at a new end_of_period, one country renamed (SCD2)
+    val nextSnapshot = staged
+      .withColumn("end_of_period", lit("30-jun-2025"))
+      .withColumn("country",
+        when($"country_BK" === 7, "turkiye republic").otherwise($"country"))
+    // warehouse contract: tables are materialized between batches (a
+    // chain of unmaterialized merges compounds the plan unboundedly)
+    val sink = new graft.sources.TableSink(
+      java.nio.file.Files.createTempDirectory("graft_ibrd_wh").toString)
+    IbrdWarehouse.persist(star, sink)
+    val stored1 = IbrdWarehouse.load(spark, sink)
+    val star2 = IbrdWarehouse.incremental(stored1, nextSnapshot, "2025-07-01")
+    assert(star2.dimCountry.filter($"country_BK" === 7).count() == 2)
+    assert(star2.dimCountry.filter($"is_current" && $"country_BK" === 7)
+      .head.getAs[String]("country") == "turkiye republic")
+    // the new snapshot's non-dangling rows appended exactly once per
+    // natural key (7 loans occur in both source snapshots and collapse)
+    val batch1Rows = star.fact.count()
+    val expectedNew = nextSnapshot.filter($"country_BK".isNotNull)
+      .select("loan_number", "end_of_period").distinct().count()
+    assert(star2.fact.count() == batch1Rows + expectedNew)
+    assert(star2.fact.groupBy("loan_number", "end_of_period").count()
+      .filter($"count" > 1).count() == 0)
+    // SKs stay unique across the append
+    assert(star2.fact.select("PK_loan_number_SK").distinct().count() ==
+      star2.fact.count())
+    // re-running the SAME increment over the materialized warehouse is a
+    // no-op (R2 idempotence). Each batch persists to a NEW version dir —
+    // overwriting tables a live plan still reads from would clobber its
+    // own input
+    val sink2 = new graft.sources.TableSink(
+      java.nio.file.Files.createTempDirectory("graft_ibrd_wh2").toString)
+    IbrdWarehouse.persist(star2, sink2)
+    val stored2 = IbrdWarehouse.load(spark, sink2)
+    val star3 = IbrdWarehouse.incremental(stored2, nextSnapshot, "2025-08-01")
+    assert(star3.fact.count() == stored2.fact.count())
+    assert(star3.dimCountry.count() == stored2.dimCountry.count())
+  }
+
   test("dashboard visuals: loans by status sums to fact count; card computes") {
     val byStatus = IbrdMeasures.loansByStatus(star)
     assert(byStatus.agg(sum("Loans")).head.getLong(0) == 146)
