@@ -88,8 +88,7 @@ object IbrdWarehouse {
 
     val dims = Star(dimRegion, dimCountry, dimBorrower, dimGuarantor,
       dimStatus, dimType, dimProject, dd, null)
-    dims.copy(fact =
-      factRows(nonDangling(staged), factLookups(dims), skOffset = lit(0L)))
+    dims.copy(fact = factRows(nonDangling(staged), factLookups(dims)))
   }
 
   /** Incremental load: merge a new staged batch into every dimension
@@ -127,7 +126,7 @@ object IbrdWarehouse {
         Seq("loan_number", "end_of_period"), "left_anti")
     val maxSk = star.fact
       .agg(coalesce(max(col("PK_loan_number_SK")), lit(0L)).as("__max"))
-    val appended = factRows(factIn, factLookups(merged), skOffset = lit(0L))
+    val appended = factRows(factIn, factLookups(merged))
       .crossJoin(broadcast(maxSk))
       .withColumn("PK_loan_number_SK", col("PK_loan_number_SK") + col("__max"))
       .drop("__max")
@@ -187,8 +186,8 @@ object IbrdWarehouse {
         Seq("PK_project_SK" -> "FK_project")))
   }
 
-  private def factRows(factIn: DataFrame, lookups: Seq[FactBuilder.Lookup],
-                       skOffset: org.apache.spark.sql.Column): DataFrame = {
+  private def factRows(factIn: DataFrame,
+                       lookups: Seq[FactBuilder.Lookup]): DataFrame = {
     // the fact is keyed on (loan_number, end_of_period) by declaration
     // (SURVEY §7 risk 5): deterministic within-batch dedup, same policy
     // as the SCD dims
@@ -201,7 +200,6 @@ object IbrdWarehouse {
     val joined = FactBuilder.build(unique, lookups)
     SurrogateKeys.assign(joined, Seq("loan_number", "end_of_period"),
       "PK_loan_number_SK")
-      .withColumn("PK_loan_number_SK", col("PK_loan_number_SK") + skOffset)
       .select(
         col("PK_loan_number_SK"),
         col("FK_borrower"), col("FK_guarantor"), col("FK_country"),
