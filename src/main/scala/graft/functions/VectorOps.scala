@@ -4,10 +4,13 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>` embedding columns, built from
-  * codegen'd higher-order functions (`transform`/`zip_with`/`aggregate`)
-  * — no UDFs, so the expressions stay inside WholeStageCodegen and
-  * columns prune/push down normally (builder-prompt similarity-search
-  * requirement; the reference itself has no vector surface).
+  * higher-order functions (`transform`/`zip_with`/`aggregate`) — no UDFs,
+  * so columns prune/push down normally. NOTE: HOF lambdas do NOT enter
+  * WholeStageCodegen (they evaluate interpreted; see the measurements in
+  * `MinHashSig`'s scaladoc) — adequate for the scored-candidate volumes
+  * the blocked ANN paths produce, but a hot full-scan loop should use a
+  * native `Expression` with `doGenCode` like `MinHashSig`. Callers must
+  * precompute norms once per row (see `Similarity`), never per pair.
   *
   * All arithmetic is promoted to double BEFORE multiply/accumulate so
   * results are reproducible against engines that compute in float64

@@ -57,17 +57,20 @@ object Binary {
       concat(lit("image/"), col("lang")).as("media_type"),
       col("text").cast("binary").as("payload"))
 
-  /** Deterministic "feature extraction" stub: payload → fixed-dim float
-    * vector derived from byte length (a real embedding model would slot in
-    * behind the same projection). The output feeds VectorOps/ANN directly;
-    * the per-dim formula `((byte_len*(i+1)) mod 97)/97` is chosen to be
-    * reproducible in the DuckDB oracle. */
+  /** Deterministic "feature extraction" stub: payload → fixed-dim vector
+    * derived from byte length (a real embedding model would slot in behind
+    * the same projection). The output feeds VectorOps/ANN directly; the
+    * per-dim formula `((byte_len*(i+1)) mod 97)/97` is chosen to be
+    * reproducible in the DuckDB oracle. Kept in float64 end-to-end: a
+    * float32 quantization here is invisible to downstream math but flips
+    * 1e-8-scale deltas at correctness-hash rounding boundaries unless the
+    * oracle quantizes identically. */
   def extractFeatures(assets: DataFrame, dim: Int): DataFrame =
     assets.select(
       col("asset_id"), col("media_type"),
       transform(sequence(lit(0), lit(dim - 1)),
-        i => (pmod(length(col("payload")) * (i + 1), lit(97)).cast("double") / 97.0)
-          .cast("float")).as("features"))
+        i => pmod(length(col("payload")) * (i + 1), lit(97)).cast("double") / 97.0)
+        .as("features"))
 
   /** Metadata-level resize: records the target geometry, payload untouched
     * (pixel work is the codec's job — STUB boundary). */

@@ -3,7 +3,8 @@ package graft.operators
 import graft.semantic.{Relationship, SemanticModel, Visual}
 import graft.{Q, QueryPack, Tables => T}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** The dashboard query catalog: every measure family from the reference's
   * `_Measures` table (SURVEY.md §2.6 A2–A8, §2.8 O1, §2.2 P6) compiled
@@ -18,6 +19,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Dashboard extends QueryPack {
 
+  /** Order-independent double sum: quantize each row to a DECIMAL, sum
+    * exactly, cast back to DOUBLE at the end. Spark's parallel accumulation
+    * order differs from any serial engine's at ~1 ulp per add; over 10⁵+
+    * rows of ~1e4 values the drift reaches the 4th decimal — right at a
+    * hash-comparison rounding boundary. One decimal quantization per row
+    * (identical in any IEEE-754 engine) followed by exact integer
+    * accumulation makes the result bit-stable under any partitioning, so
+    * the plan stays re-orderable (AQE, speculative retries) at 100 TB.
+    */
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(28, scale))).cast("double")
+
   def model(s: SparkSession, d: String): SemanticModel = {
     import s.implicits._
     val fact = T.lineitem(s, d)
@@ -31,11 +44,13 @@ object Dashboard extends QueryPack {
         Relationship(T.supplier(s, d), "l_suppkey", "s_suppkey")),
       Map(
         "loans" -> count(lit(1)),
-        "loan_amount" -> sum(col("l_extendedprice")),
-        "repaid" -> sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
-        "due" -> sum(col("l_extendedprice") * col("l_discount")),
-        "avg_interest_rate" -> avg(col("l_discount")),
-        "interest_income" -> sum(col("l_extendedprice") * col("l_discount") * lit(0.01)),
+        "loan_amount" -> dsum(col("l_extendedprice"), 2),
+        "repaid" -> dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10),
+        "due" -> dsum(col("l_extendedprice") * col("l_discount"), 10),
+        "avg_interest_rate" ->
+          (sum(col("l_discount").cast(DecimalType(18, 6))).cast("double") / count(lit(1))),
+        "interest_income" ->
+          dsum(col("l_extendedprice") * col("l_discount") * lit(0.01), 10),
         "borrowers" -> countDistinct(col("o_custkey")),
         "guarantors" -> countDistinct(col("l_suppkey"))))
   }
@@ -58,11 +73,11 @@ object Dashboard extends QueryPack {
         groupBy = Nil)),
       Some(s"""
         SELECT count(*) AS loans,
-               sum(l_extendedprice) AS loan_amount,
-               sum(l_extendedprice * (1.0 - l_discount)) AS repaid,
-               sum(l_extendedprice * l_discount) AS due,
-               avg(l_discount) AS avg_interest_rate,
-               sum(l_extendedprice * l_discount * 0.01) AS interest_income,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS loan_amount,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS repaid,
+               CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS DOUBLE) AS due,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_interest_rate,
+               CAST(sum(CAST(l_extendedprice * l_discount * 0.01 AS DECIMAL(28,10))) AS DOUBLE) AS interest_income,
                count(DISTINCT o_custkey) AS borrowers,
                count(DISTINCT l_suppkey) AS guarantors
         $starSql
@@ -76,7 +91,8 @@ object Dashboard extends QueryPack {
         groupBy = Seq("o_orderstatus"),
         orderBy = Seq(col("loans").desc, col("o_orderstatus").asc))),
       Some(s"""
-        SELECT o_orderstatus, count(*) AS loans, sum(l_extendedprice) AS loan_amount
+        SELECT o_orderstatus, count(*) AS loans,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS loan_amount
         $starSql
         GROUP BY o_orderstatus
         ORDER BY loans DESC, o_orderstatus ASC
@@ -94,7 +110,8 @@ object Dashboard extends QueryPack {
           filters = Seq(year($"o_orderdate").isin(1996, 1997, 1998))))
       },
       Some(s"""
-        SELECT sum(l_extendedprice) AS loan_amount, count(*) AS loans
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS loan_amount,
+               count(*) AS loans
         $starSql
         WHERE year(o_orderdate) IN (1996, 1997, 1998)
       """.stripMargin),
@@ -109,14 +126,14 @@ object Dashboard extends QueryPack {
           year($"o_orderdate").cast("int"))
         withYear.groupBy($"order_year")
           .agg(count(lit(1)).as("loans"),
-            sum($"l_extendedprice").as("loan_amount"),
+            dsum($"l_extendedprice", 2).as("loan_amount"),
             countDistinct($"o_custkey").as("borrowers"))
           .orderBy($"order_year".asc)
       },
       Some(s"""
         SELECT CAST(year(o_orderdate) AS INT) AS order_year,
                count(*) AS loans,
-               sum(l_extendedprice) AS loan_amount,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS loan_amount,
                count(DISTINCT o_custkey) AS borrowers
         $starSql
         GROUP BY order_year
@@ -132,8 +149,8 @@ object Dashboard extends QueryPack {
         orderBy = Seq(col("c_mktsegment").asc, col("r_name").asc))),
       Some(s"""
         SELECT c_mktsegment, r_name, count(*) AS loans,
-               sum(l_extendedprice * (1.0 - l_discount)) AS repaid,
-               sum(l_extendedprice * l_discount) AS due,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS repaid,
+               CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS DOUBLE) AS due,
                count(DISTINCT l_suppkey) AS guarantors
         $starSql
         GROUP BY c_mktsegment, r_name

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextOps
 import graft.{Q, QueryPack, Tables => T}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -11,10 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SimHash near-dup.
   *
   * Scale design: every variant is blocked — exact dedup shuffles on the
-  * fingerprint hash; Jaccard/LSH pair generation only joins within a
-  * blocking key (lang, source) or an LSH band bucket, never a global
-  * cross product. At 100 TB, block/bucket sizes bound the quadratic term;
-  * AQE's skew-join handles hot buckets.
+  * fingerprint hash; Jaccard pair generation prefix-filters (only each
+  * doc's rarest words block, so no hot-word bucket is ever quadratic);
+  * LSH pairs only within a band bucket with a hard bucket-size cap. The
+  * exact-verify joins are id-keyed shuffle joins — never a corpus-sized
+  * broadcast. At 100 TB block/bucket sizes bound the quadratic term and
+  * AQE's skew-join splits what remains.
   */
 object Dedup extends QueryPack {
 
@@ -27,25 +30,50 @@ object Dedup extends QueryPack {
       .withColumn("source", lit("recrawl")))
   }
 
-  /** Exact pairwise word-set Jaccard for pairs sharing a blocking key.
-    * One explode-join on (block, word) + per-pair intersection count. */
+  /** Exact pairwise word-set Jaccard for pairs sharing a blocking key,
+    * via prefix filtering (the All-Pairs/SSJoin candidate bound, public
+    * similarity-join literature): under a per-block document-frequency
+    * ordering of the vocabulary, any pair with J ≥ t must share at least
+    * one of each side's `|w| − ⌈t·|w|⌉ + 1` rarest words. Candidates are
+    * generated only from those prefix words and then exact-verified on
+    * the full sets — results identical to the naive all-words
+    * explode-join, but a hot stopword ("the") never detonates its block:
+    * high-df words fall outside every prefix, so no single word's bucket
+    * grows quadratically with corpus size. Every stage is a bounded
+    * shuffle (df count, per-doc window, id-only pair join, sort-merge
+    * verify join) — no corpus-sized broadcast anywhere. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val base = docs.select(
       col("doc_id"), col("lang"), col("source"),
       TextOps.distinctWords(col("text")).as("wset"))
       .withColumn("wsize", size(col("wset")))
-    val exploded = base.select(
+    val tokens = base.select(
       col("doc_id"), col("lang"), col("source"), col("wsize"),
       explode(col("wset")).as("word"))
-    val a = exploded.toDF("a_id", "lang", "source", "a_size", "word")
-    val b = exploded.toDF("b_id", "lang", "source", "b_size", "word")
-    a.join(b, Seq("lang", "source", "word"))
+    val dfreq = tokens.groupBy(col("lang"), col("source"), col("word"))
+      .agg(count(lit(1)).as("df"))
+    // rarest-first ranking per doc; ties broken on the word itself so the
+    // prefix is deterministic under any partitioning / task retry
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("word").asc)
+    val prefix = tokens.join(dfreq, Seq("lang", "source", "word"))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("wsize") - ceil(lit(threshold) * col("wsize")) + 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("word"))
+    val a = prefix.toDF("a_id", "lang", "source", "word")
+    val b = prefix.toDF("b_id", "lang", "source", "word")
+    val candIds = a.join(b, Seq("lang", "source", "word"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("a_size"), col("b_size"))
-      .agg(count(lit(1)).as("inter"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    val sets = base.select(col("doc_id"), col("wset"))
+    candIds
+      .join(sets.toDF("a_id", "a_set"), "a_id")
+      .join(sets.toDF("b_id", "b_set"), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_set"), col("b_set"))))
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (col("a_size") + col("b_size") - col("inter")))
+          (size(col("a_set")) + size(col("b_set")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard_r"))
   }
@@ -200,7 +228,8 @@ object Dedup extends QueryPack {
     * Buckets are additionally blocked by `lang` (the natural dedup shard);
     * at 100 TB bucket size bounds the quadratic term and AQE skew-join
     * splits hot buckets. */
-  def minhashCandidates(docs: DataFrame, verifyThreshold: Double): DataFrame = {
+  def minhashCandidates(docs: DataFrame, verifyThreshold: Double,
+                        maxBucket: Int = 100000): DataFrame = {
     // signature over word 1-grams: the signature must estimate the SAME
     // set-similarity that the verify step computes (word-set Jaccard) —
     // a shingle-based signature under-recalls word-level near-dups
@@ -211,19 +240,30 @@ object Dedup extends QueryPack {
       explode(TextOps.lshBands(
         TextOps.minhashSignature(col("text"), n = 1, k = 96),
         bands = 12, rowsPer = 8)).as("band"))
+    // a bucket of b docs yields b²/2 pairs — cap pathological buckets
+    // (boilerplate-heavy corpora, template collisions) instead of letting
+    // one bucket go quadratic; the dropped mass is the least
+    // discriminative band region, standard LSH practice at scale
+    val keptBuckets = banded.groupBy(col("lang"), col("band"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("lang"), col("band"))
+    val pruned = banded.join(keptBuckets, Seq("lang", "band"))
     // pair generation carries ONLY ids through the band shuffle — the word
     // sets (wide arrays) are joined back per unique pair afterwards
-    val a = banded.select(col("doc_id").as("a_id"), col("lang"), col("band"))
-    val b = banded.select(col("doc_id").as("b_id"), col("lang"), col("band"))
+    val a = pruned.select(col("doc_id").as("a_id"), col("lang"), col("band"))
+    val b = pruned.select(col("doc_id").as("b_id"), col("lang"), col("band"))
     val candIds = a.join(b, Seq("lang", "band"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
-    // the sets side is |docs| rows (small relative to the pair set):
-    // broadcast both lookups so candidate ids never shuffle again
+    // exact verify: shuffle-join the candidate ids back to the word sets.
+    // The sets relation is corpus-sized, so it must NEVER be broadcast —
+    // a sort-merge/shuffle-hash join on the id keeps both sides
+    // partition-bounded at 100 TB (a broadcast here is an executor OOM)
     candIds
-      .join(broadcast(sets.toDF("a_id", "a_set")), "a_id")
-      .join(broadcast(sets.toDF("b_id", "b_set")), "b_id")
+      .join(sets.toDF("a_id", "a_set"), "a_id")
+      .join(sets.toDF("b_id", "b_set"), "b_id")
       .withColumn("inter", size(array_intersect(col("a_set"), col("b_set"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("a_set")) + size(col("b_set")) - col("inter")))

@@ -4,7 +4,7 @@ import graft.functions.VectorOps
 import graft.{Q, QueryPack, Tables => T}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Similarity search over the `embeddings` table (`array<float>` 64-dim):
   * brute-force cosine top-k as the exact baseline, and a sign-quantized
@@ -13,9 +13,15 @@ import org.apache.spark.sql.DataFrame
   * Scale design: brute-force is a broadcast of the (small) query set
   * against a full scan — at 100 TB the corpus never shuffles, each
   * partition scores its rows and the per-query top-k reduces via the
-  * window. The ANN variant joins only within coarse buckets (2^bits
-  * cells), cutting scored pairs by ~bits orders of magnitude; recall is
-  * property-tested against brute force in SimilaritySpec.
+  * window. The ANN variant joins only within coarse buckets; the bucket
+  * count is a PARAMETER that must grow with corpus size (`signBitsFor`) —
+  * a fixed cell count degenerates to all-pairs as n grows. Recall lost to
+  * finer cells is bought back with multi-probe: each query also probes
+  * every bucket at hamming distance 1 (bits+1 probes), the standard
+  * multi-probe LSH trade (probe count grows linearly while cells grow
+  * exponentially). Norms are computed once per row BEFORE the join, never
+  * per candidate pair. Recall is property-tested against brute force in
+  * LlmOpsSpec.
   *
   * Ranking ties are broken on rounded similarity then neighbor id, so
   * ordering is reproducible across engines (float associativity).
@@ -24,15 +30,32 @@ object Similarity extends QueryPack {
 
   val K = 5
   val NQueries = 10
-  val SignBits = 4
+
+  /** 2^8 = 256 cells for the catalog queries (sf0.1 ≈ 5k vectors → ~20 per
+    * cell); the axis-aligned hyperplanes cap bits at the embedding dim. */
+  val SignBits = 8
+
+  /** Bucket count must track corpus size: ~`perBucket` vectors per cell
+    * keeps within-cell pairing constant-bounded as n grows 100×. */
+  def signBitsFor(n: Long, perBucket: Long = 4096, dim: Int = 64): Int = {
+    val cells = math.max(1L, n / perBucket)
+    math.min(dim, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(cells)))
+  }
+
+  /** The query's probe set: its own cell plus every 1-bit flip. */
+  private def probeBuckets(bucket: Column, bits: Int): Column =
+    array(bucket +: (0 until bits).map(j => bucket.bitwiseXOR(lit(1 << j))): _*)
 
   /** Exact cosine top-k of `corpus` for each vector in `queries`. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      VectorOps.norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      VectorOps.norm(col("embedding")).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim_r", round(VectorOps.cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim_r",
+        round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim_r").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -40,15 +63,22 @@ object Similarity extends QueryPack {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim_r"))
   }
 
-  /** ANN: both sides sign-bucketed; each query probes only its bucket. */
+  /** ANN: corpus sign-bucketed once; each query probes its own cell and
+    * all hamming-1 cells. A corpus row lives in exactly one cell and the
+    * probe cells are distinct, so no (query, neighbor) pair is scored
+    * twice. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      VectorOps.signBucket(col("embedding"), bits).as("bucket"))
+      VectorOps.norm(col("embedding")).as("qn"),
+      explode(probeBuckets(
+        VectorOps.signBucket(col("embedding"), bits), bits)).as("bucket"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      VectorOps.norm(col("embedding")).as("cn"),
       VectorOps.signBucket(col("embedding"), bits).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim_r", round(VectorOps.cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim_r",
+        round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim_r").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -56,23 +86,46 @@ object Similarity extends QueryPack {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim_r"))
   }
 
-  private def sqlTopK(bucketJoin: Boolean): String = {
-    val bucketExpr = (1 to SignBits).map { i =>
+  /** Embedding near-dup pairs: cells at hamming ≤ 1 are paired (the a-side
+    * explodes its probe set; the b-side keeps its single cell), then exact
+    * cosine filters. Within-cell work is n²/2^bits per cell — bounded as
+    * long as bits tracks corpus size. */
+  def embeddingNearDups(emb: DataFrame, bits: Int, minSim: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      VectorOps.norm(col("embedding")).as("a_n"),
+      explode(probeBuckets(
+        VectorOps.signBucket(col("embedding"), bits), bits)).as("bucket"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      VectorOps.norm(col("embedding")).as("b_n"),
+      VectorOps.signBucket(col("embedding"), bits).as("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim_r",
+        round(VectorOps.dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")), 6))
+      .filter(col("sim_r") >= minSim)
+      .select("a_id", "b_id", "sim_r")
+  }
+
+  private def bucketExprSql: String =
+    (1 to SignBits).map { i =>
       s"CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END"
     }.mkString(" + ")
+
+  private def sqlTopK(bucketJoin: Boolean): String = {
     val joinCond =
-      if (bucketJoin) "q.bucket = c.bucket AND q.query_id <> c.neighbor_id"
+      if (bucketJoin)
+        "bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.query_id <> c.neighbor_id"
       else "q.query_id <> c.neighbor_id"
     s"""
       WITH q AS (
         SELECT vec_id AS query_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
-               $bucketExpr AS bucket
+               $bucketExprSql AS bucket
         FROM embeddings WHERE vec_id < $NQueries
       ), c AS (
         SELECT vec_id AS neighbor_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
-               $bucketExpr AS bucket
+               $bucketExprSql AS bucket
         FROM embeddings
       ), scored AS (
         SELECT query_id, neighbor_id,
@@ -105,41 +158,26 @@ object Similarity extends QueryPack {
         annTopK(emb.filter(col("vec_id") < NQueries), emb, K, SignBits)
       },
       Some(sqlTopK(bucketJoin = true)),
-      doc = "sign-quantized LSH-bucketed ANN top-k (scale path)"),
+      doc = "sign-LSH ANN top-k, 256 cells + hamming-1 multi-probe"),
 
     // ---- embedding-cosine near-dup pairs (dedup family, vector flavor) ----
     "q61_embedding_neardup" -> Q(
-      (s, d) => {
-        val emb = T.embeddings(s, d)
-        val side = emb.select(col("vec_id"), col("embedding"),
-          VectorOps.signBucket(col("embedding"), SignBits).as("bucket"))
-        val a = side.toDF("a_id", "a_emb", "bucket")
-        val b = side.toDF("b_id", "b_emb", "bucket")
-        a.join(b, Seq("bucket"))
-          .filter(col("a_id") < col("b_id"))
-          .withColumn("sim_r", round(VectorOps.cosine(col("a_emb"), col("b_emb")), 6))
-          .filter(col("sim_r") >= 0.4)
-          .select("a_id", "b_id", "sim_r")
-      },
-      Some {
-        val bucketExpr = (1 to SignBits).map { i =>
-          s"CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END"
-        }.mkString(" + ")
-        s"""
-          WITH e AS (
-            SELECT vec_id,
-                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-                   $bucketExpr AS bucket
-            FROM embeddings
-          )
-          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                 round(list_dot_product(a.v, b.v) /
-                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim_r
-          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-          WHERE round(list_dot_product(a.v, b.v) /
-                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
-        """.stripMargin
-      },
-      doc = "embedding-cosine near-dup pairs within LSH buckets")
+      (s, d) => embeddingNearDups(T.embeddings(s, d), SignBits, minSim = 0.4),
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 $bucketExprSql AS bucket
+          FROM embeddings
+        )
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim_r
+        FROM e a JOIN e b
+          ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+      """.stripMargin),
+      doc = "embedding-cosine near-dup pairs, hamming-1 multi-probe cells")
   )
 }

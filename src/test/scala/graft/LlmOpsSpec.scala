@@ -67,7 +67,7 @@ class LlmOpsSpec extends SparkSpec {
     val bf = Similarity.bruteForceTopK(emb.filter($"vec_id" < 10), emb, 5)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = Similarity.annTopK(emb.filter($"vec_id" < 10), emb, 5, 4)
+    val ann = Similarity.annTopK(emb.filter($"vec_id" < 10), emb, 5, Similarity.SignBits)
     val annRows = ann.collect()
     // ranks contiguous from 1 per query
     val byQ = annRows.groupBy(_.getLong(0))
