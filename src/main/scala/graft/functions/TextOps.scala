@@ -50,14 +50,17 @@ object TextOps {
   }
 
   /** LSH band keys: the signature split into `bands` groups of `rowsPer`
-    * hashes; docs sharing any band key are candidate duplicates. */
+    * hashes; docs sharing any band key are candidate duplicates. Unrolled
+    * as a literal array (not a `transform` lambda — HOFs evaluate
+    * interpreted) and hashed NUMERICALLY: xxhash64 hashes the band index
+    * and the long-array slice together into ONE long — a flat 8-byte join
+    * key instead of a nested struct, so the candidate shuffle hashes and
+    * compares a primitive. (A cross-band hash collision just adds a false
+    * candidate; the exact-verify stage filters it.) */
   def lshBands(sig: Column, bands: Int, rowsPer: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => struct(
-        b.as("band"),
-        xxhash64(concat_ws("_",
-          slice(sig, b * rowsPer + 1, lit(rowsPer)).cast("array<string>"))).as("key")))
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), slice(sig, b * rowsPer + 1, rowsPer))
+    }: _*)
 
   /** 64-bit SimHash over words (term-frequency weighted ±1 bit votes).
     * Delegates to the native [[SimHash64]] expression — the HOF fold

@@ -40,10 +40,19 @@ object AsOf extends QueryPack {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // carry a non-null STRUCT per right row (not the raw value): with the
+    // raw value, last(ignoreNulls) would skip a matched right row whose
+    // value is NULL and resurrect an older non-null one — diverging from
+    // ASOF semantics whenever valueCol is nullable. The struct is non-null
+    // exactly when a right row exists, so the true as-of match wins even
+    // when its value is null.
+    val marker = when(col("__side") === 0, struct(col("__v").as("v")))
     unioned
-      .withColumn(s"asof_$valueCol", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("__m", marker)
+      .withColumn(s"asof_$valueCol",
+        last(col("__m"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("__side") === 1)
-      .drop("__side", "__v")
+      .drop("__side", "__v", "__m")
   }
 
   def queries: Map[String, Q] = Map(

@@ -190,22 +190,36 @@ object Dedup extends QueryPack {
       doc = "64-bit SimHash buckets (rows-only; hash not SQL-expressible)"),
 
     // ---- SimHash banded near-dup pairs (hamming-bounded) ----
-    // classic simhash dedup: 4×16-bit bands block the candidates (any
-    // shared band ⇒ hamming ≤ 48 guaranteed candidate class), then exact
-    // hamming ≤ 6 verifies. Rows-only; properties in LlmOpsSpec.
+    // classic 64-bit simhash near-dup detection at its published operating
+    // point: hamming ≤ 3 via 4×16-bit bands — the banding is exact for
+    // that radius (pigeonhole: ≤3 differing bits cannot touch all 4
+    // bands). Rows-only; properties in LlmOpsSpec.
     "q65_simhash_neardup" -> Q(
-      (s, d) => simhashNearDups(withRecrawl(s, d), maxHamming = 6),
+      (s, d) => simhashNearDups(withRecrawl(s, d), maxHamming = 3),
       None,
-      doc = "SimHash 4x16 banded near-dup pairs, hamming-verified")
+      doc = "SimHash banded near-dup pairs, hamming<=3 exact recall")
   )
 
+  /** SimHash near-dup pairs with EXACT recall at the requested radius:
+    * `maxHamming + 1` bands over the 64-bit signature guarantee (by
+    * pigeonhole) that any pair within the radius shares at least one
+    * whole band — fewer bands would silently miss pairs whose differing
+    * bits spread across every band. Wider radii trade band width (64 /
+    * (h+1) bits) for bucket selectivity: at h=3 bands are 16-bit (64k
+    * keys — collisions are real signal); large h degrades toward
+    * all-pairs and is the caller's scale decision. */
   def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
+    val nBands = maxHamming + 1
+    val bounds = (0 to nBands).map(b => 64 * b / nBands)
     val sigs = docs.select(col("doc_id"),
       TextOps.simhash(col("text")).as("sh"))
     val banded = sigs.select(col("doc_id"), col("sh"),
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until nBands).map { b =>
+        val width = bounds(b + 1) - bounds(b)
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("sh"), 16 * b).bitwiseAND(0xFFFFL).as("key"))
+          shiftrightunsigned(col("sh"), bounds(b)).bitwiseAND(mask).as("key"))
       }: _*)).as("band"))
     val a = banded.toDF("a_id", "a_sh", "band")
     val b = banded.toDF("b_id", "b_sh", "band")
@@ -232,9 +246,17 @@ object Dedup extends QueryPack {
                         maxBucket: Int = 100000): DataFrame = {
     // signature over word 1-grams: the signature must estimate the SAME
     // set-similarity that the verify step computes (word-set Jaccard) —
-    // a shingle-based signature under-recalls word-level near-dups
+    // a shingle-based signature under-recalls word-level near-dups.
+    // Word sets are carried as SORTED 64-BIT HASHES, not strings: the
+    // verify stage shuffles one set per candidate-pair side, and a long
+    // array is both ~40% of the string payload and far cheaper to
+    // intersect (no UTF8 comparisons). A 64-bit collision inflating one
+    // intersection is ~|set|²/2⁶⁴ per pair — negligible against the
+    // minhash estimate's own variance.
     val sets = docs.select(
-      col("doc_id"), TextOps.distinctWords(col("text")).as("wset"))
+      col("doc_id"),
+      array_sort(transform(TextOps.distinctWords(col("text")), w => xxhash64(w)))
+        .as("wset"))
     val banded = docs.select(
       col("doc_id"), col("lang"),
       explode(TextOps.lshBands(
@@ -259,11 +281,13 @@ object Dedup extends QueryPack {
       .dropDuplicates("a_id", "b_id")
     // exact verify: shuffle-join the candidate ids back to the word sets.
     // The sets relation is corpus-sized, so it must NEVER be broadcast —
-    // a sort-merge/shuffle-hash join on the id keeps both sides
-    // partition-bounded at 100 TB (a broadcast here is an executor OOM)
+    // an id-keyed shuffle join keeps both sides partition-bounded at
+    // 100 TB (a broadcast here is an executor OOM). SHUFFLE_HASH skips
+    // sorting millions of wide array rows twice (sort-merge's cost is in
+    // the sort, and a hash table over the per-partition sets side fits).
     candIds
-      .join(sets.toDF("a_id", "a_set"), "a_id")
-      .join(sets.toDF("b_id", "b_set"), "b_id")
+      .join(sets.toDF("a_id", "a_set").hint("SHUFFLE_HASH"), "a_id")
+      .join(sets.toDF("b_id", "b_set").hint("SHUFFLE_HASH"), "b_id")
       .withColumn("inter", size(array_intersect(col("a_set"), col("b_set"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("a_set")) + size(col("b_set")) - col("inter")))

@@ -87,10 +87,13 @@ object Ibrd extends QueryPack {
           FROM region_rows
         ),
         country_rows AS (
+          -- LEFT join: the Spark build left-joins regionCurrent, so a
+          -- country with a null region_BK must survive (null region SK)
+          -- in both engines
           SELECT s.country_BK, min(s.country) AS country,
                  min(s.country_code) AS country_code,
                  min(dr.PK_region_SK) AS PK_region_SK
-          FROM staged s JOIN dim_region dr USING (region_BK)
+          FROM staged s LEFT JOIN dim_region dr USING (region_BK)
           WHERE s.country_BK IS NOT NULL
           GROUP BY s.country_BK
         )

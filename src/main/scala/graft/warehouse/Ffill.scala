@@ -31,17 +31,25 @@ object Ffill {
     val ranged = df.repartitionByRange(n, keys: _*)
     val pid = "__ff_pid"
     val local = "__ff_local"
+    // MATERIALIZED before use: read by both the carries aggregate and the
+    // final join; range-bound sampling + spark_partition_id() are
+    // execution-dependent, so independent evaluations could disagree on
+    // pid assignment (see SurrogateKeys.assign)
     val withLocal = ranged
       .withColumn(pid, spark_partition_id())
       .withColumn(local, last(col(target), ignoreNulls = true).over(
         Window.partitionBy(col(pid)).orderBy(keys: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist()
     // per-partition last filled value (max_by is order-insensitive under
-    // the shuffle, unlike last()) → running carry from earlier partitions
+    // the shuffle, unlike last()) → running carry from earlier partitions.
+    // Single-partition window on a one-row-per-partition frame is
+    // intentional; constant partition key silences the WindowExec warning.
     val carries = withLocal.groupBy(col(pid))
       .agg(max_by(col(local), struct(keys: _*)).as("__ff_part_last"))
       .withColumn("__ff_carry", last(col("__ff_part_last"), ignoreNulls = true)
-        .over(Window.orderBy(col(pid)).rowsBetween(Window.unboundedPreceding, -1)))
+        .over(Window.partitionBy(lit(0)).orderBy(col(pid))
+          .rowsBetween(Window.unboundedPreceding, -1)))
       .select(col(pid), col("__ff_carry"))
     withLocal.join(broadcast(carries), pid)
       .withColumn(target, coalesce(col(local), col("__ff_carry")))

@@ -40,11 +40,17 @@ final case class ScdSpec(
 object Scd {
 
   /** Deterministic within-batch dedup: first row per BK under ORDER BY all
-    * attribute columns (stable regardless of input partitioning). */
+    * attribute columns (stable regardless of input partitioning). Null-BK
+    * rows are dropped here — a null key can never match the equality join
+    * in [[merge]], so a surviving null-BK row would be re-inserted as
+    * "new" on EVERY batch, breaking the ≤1-current-row-per-BK invariant.
+    * Enforcing it inside the engine (not at each caller) makes the
+    * invariant unconditional. */
   def dedup(batch: DataFrame, spec: ScdSpec): DataFrame = {
     val w = Window.partitionBy(col(spec.bk))
       .orderBy(spec.attrCols.map(col): _*)
-    batch.select(spec.allIn.map(col): _*)
+    batch.filter(col(spec.bk).isNotNull)
+      .select(spec.allIn.map(col): _*)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -79,12 +85,21 @@ object Scd {
     // side-presence markers: deriving presence from BK nullness would
     // mis-route null-BK rows (they fail the equality join, so a single
     // input row would satisfy BOTH isNew and isAbsent and emit twice)
+    // dim feeds three readers (current-row filter, history filter, max-SK
+    // aggregate): one cached evaluation instead of three runs of whatever
+    // plan produced it (dimension-sized, so bounded at warehouse scale)
+    val dimP = dim.persist()
     val staged = dedup(batch, spec).withColumn("__s_present", lit(true)).as("s")
-    val cur = dim.filter(col("end_date").isNull)
+    val cur = dimP.filter(col("end_date").isNull)
       .withColumn("__c_present", lit(true)).as("c")
-    val hist = dim.filter(col("end_date").isNotNull)
+    val hist = dimP.filter(col("end_date").isNotNull)
 
+    // MATERIALIZED: the join result feeds two readers (the fused
+    // carry projection and the insert branch); one cached evaluation
+    // instead of re-running the full-outer shuffle per branch. Dims are
+    // dimension-sized, so the cache is bounded even at warehouse scale.
     val j = staged.join(cur, col(s"s.${spec.bk}") === col(s"c.${spec.bk}"), "full_outer")
+      .persist()
     val isNew = col("__c_present").isNull
     val isAbsent = col("__s_present").isNull
     val scd2Chg = anyDiffers(spec.scd2)
@@ -93,24 +108,21 @@ object Scd {
     val bookkeeping = Seq("source_system_code", "start_date", "end_date", "is_current")
     val outCols = (spec.sk +: spec.allIn) ++ bookkeeping
 
-    // current rows kept as-is or SCD1-patched (matched, no SCD2 change)
-    val kept = j.filter(!isNew && !isAbsent && !scd2Chg)
+    // ONE pass routes every current-dim row: untouched (BK absent from
+    // batch) and kept rows carry through, SCD1-only changes patch the
+    // changing cols in place, SCD2 changes expire the row. The three
+    // outcomes are mutually exclusive per row, so they fuse into a single
+    // conditional projection — no per-branch re-traversal of the join.
+    val scd2Expiring = !isAbsent && scd2Chg
+    val scd1Patching = !isAbsent && !scd2Chg && scd1Chg
+    val carried = j.filter(!isNew)
       .select((Seq(col(s"c.${spec.sk}"), col(s"c.${spec.bk}")) ++
         spec.scd2.map(c => col(s"c.$c")) ++
-        spec.scd1.map(c => when(scd1Chg, col(s"s.$c")).otherwise(col(s"c.$c")).as(c)) ++
+        spec.scd1.map(c => when(scd1Patching, col(s"s.$c")).otherwise(col(s"c.$c")).as(c)) ++
         spec.fixed.map(c => col(s"c.$c")) ++
-        bookkeeping.map(c => col(s"c.$c"))): _*)
-      .toDF(outCols: _*)
-
-    // current rows untouched because BK absent from this batch
-    val untouched = j.filter(isAbsent)
-      .select(outCols.map(c => col(s"c.$c")): _*).toDF(outCols: _*)
-
-    // SCD2: expire the old current row
-    val expired = j.filter(!isNew && !isAbsent && scd2Chg)
-      .select((outCols.dropRight(2).map(c => col(s"c.$c")) ++
-        Seq(lit(asOf).cast("date").as("end_date"),
-          lit(false).as("is_current"))): _*)
+        Seq(col("c.source_system_code"), col("c.start_date"),
+          when(scd2Expiring, lit(asOf).cast("date")).otherwise(col("c.end_date")).as("end_date"),
+          when(scd2Expiring, lit(false)).otherwise(col("c.is_current")).as("is_current"))): _*)
       .toDF(outCols: _*)
 
     // inserts: brand-new BKs + new versions of SCD2-changed BKs. The SK
@@ -118,7 +130,7 @@ object Scd {
     // action inside the merge plan.
     val inserts = j.filter(isNew || (!isAbsent && scd2Chg))
       .select(spec.allIn.map(c => col(s"s.$c")): _*)
-    val maxSkDf = dim.agg(coalesce(max(col(spec.sk)), lit(0L)).as("__max_sk"))
+    val maxSkDf = dimP.agg(coalesce(max(col(spec.sk)), lit(0L)).as("__max_sk"))
     val inserted = SurrogateKeys.assign(inserts, Seq(spec.bk), spec.sk)
       .crossJoin(broadcast(maxSkDf))
       .withColumn(spec.sk, col(spec.sk) + col("__max_sk"))
@@ -130,7 +142,6 @@ object Scd {
       .select(outCols.map(col): _*)
 
     hist.select(outCols.map(col): _*)
-      .unionByName(untouched).unionByName(kept)
-      .unionByName(expired).unionByName(inserted)
+      .unionByName(carried).unionByName(inserted)
   }
 }

@@ -32,15 +32,25 @@ object SurrogateKeys {
     val ranged = df.repartitionByRange(n, keys: _*)
     val pid = "__sk_pid"
     val rn = "__sk_rn"
+    // MATERIALIZED before use: the frame below is read twice (offsets
+    // aggregate + final join). `repartitionByRange` samples its bounds
+    // and `spark_partition_id()` is execution-dependent, so two
+    // independent evaluations (or a task retry at scale) could disagree
+    // on pid assignment and collide/skip SKs. One cached evaluation makes
+    // both readers see the same pids — and skips recomputing the shuffle.
     val withRn = ranged
       .withColumn(pid, spark_partition_id())
       .withColumn(rn, row_number().over(
         Window.partitionBy(col(pid)).orderBy(keys: _*)))
-    // partition sizes → cumulative offsets (one row per partition; tiny)
+      .persist()
+    // partition sizes → cumulative offsets (one row per partition; tiny).
+    // The single-partition window is INTENTIONAL on this driver-sized
+    // frame; the constant partition key silences Spark's "No Partition
+    // Defined" warning so real single-partition regressions stay visible.
     val offsets = withRn.groupBy(col(pid)).agg(count(lit(1)).as("__sk_cnt"))
       .withColumn("__sk_off",
         coalesce(sum(col("__sk_cnt")).over(
-          Window.orderBy(col(pid))
+          Window.partitionBy(lit(0)).orderBy(col(pid))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(pid), col("__sk_off"))
     withRn.join(broadcast(offsets), pid)

@@ -53,7 +53,7 @@ class LlmOpsSpec extends SparkSpec {
 
   test("simhash banded near-dups find every exact duplicate at hamming 0") {
     import graft.operators.Dedup
-    val pairs = Dedup.simhashNearDups(Dedup.withRecrawl(spark, sf), maxHamming = 6)
+    val pairs = Dedup.simhashNearDups(Dedup.withRecrawl(spark, sf), maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     val nDocs = Tables.documents(spark, sf).count()
     // every (doc, recrawl-copy) pair is hamming 0 and must be found

@@ -2,6 +2,30 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+  test("as-of join: matched-but-null value wins over an older non-null") {
+    val left = Seq((1L, "k", 100L), (2L, "k", 300L)).toDF("id", "key", "ts")
+    val right = Seq(("k", 50L, Some(7.0)), ("k", 200L, None))
+      .toDF("key", "ts", "value")
+    val got = graft.operators.AsOf.asOfJoin(left, right, "key", "ts", "value")
+      .select($"id", $"asof_value").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // ts=100 → right@50 (7.0); ts=300 → right@200, whose value is NULL:
+    // true ASOF semantics must surface the null, not resurrect 7.0
+    assert(got(1L) == Some(7.0))
+    assert(got(2L) == None)
+  }
+
+  test("as-of join: left row earlier than any right row gets null") {
+    val left = Seq((1L, "k", 10L)).toDF("id", "key", "ts")
+    val right = Seq(("k", 50L, Some(7.0))).toDF("key", "ts", "value")
+    val got = graft.operators.AsOf.asOfJoin(left, right, "key", "ts", "value")
+    assert(got.filter($"asof_value".isNull).count() == 1)
+  }
+}
+
 class ApproxSpec extends SparkSpec {
   import spark.implicits._
   test("approx_count_distinct within 5% of exact per group") {

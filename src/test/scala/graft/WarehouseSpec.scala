@@ -58,19 +58,20 @@ class WarehouseSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
-  test("merge with a null-BK batch row emits it once as an insert, no ghost rows") {
-    // null BKs fail the equality join: presence must come from side
-    // markers, or one input row lands in BOTH 'untouched' and 'inserts'
+  test("merge drops null-BK batch rows: ≤1-current-per-BK invariant holds") {
+    // a null BK can never match the equality join, so keeping such a row
+    // would re-insert it as 'new' on EVERY batch — the engine drops it at
+    // the dedup gate instead of relying on every caller to pre-filter
     val nullRow = Tables.customer(spark, sf).limit(1)
       .withColumn("c_custkey", lit(null).cast("long"))
     val batch = Warehouse.batch2(spark, sf).unionByName(nullRow)
     val merged = Scd.merge(dim0, batch, spec, "2024-02-01")
     val baseline = Scd.merge(dim0, Warehouse.batch2(spark, sf), spec, "2024-02-01")
-    assert(merged.count() == baseline.count() + 1)
-    // the null-BK row arrives as a single current insert, not an all-null ghost
-    val nullRows = merged.filter($"c_custkey".isNull)
-    assert(nullRows.count() == 1)
-    assert(nullRows.filter($"sk".isNull || $"c_name".isNull).count() == 0)
+    assert(merged.count() == baseline.count())
+    assert(merged.filter($"c_custkey".isNull).count() == 0)
+    // and re-merging the same batch stays stable (idempotent wrt null BKs)
+    val again = Scd.merge(merged, batch, spec, "2024-03-01")
+    assert(again.filter($"c_custkey".isNull).count() == 0)
   }
 
   test("within-batch duplicate BKs are deduplicated deterministically") {
