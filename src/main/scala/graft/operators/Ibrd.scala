@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.ibrd.{Clean, Fixture, FixtureFiles, IbrdMeasures, IbrdWarehouse, Model}
 import graft.{Q, QueryPack}
+import org.apache.spark.sql.functions.col
 
 /** End-to-end IBRD pipeline entries: fixture page → clean → star build →
   * dashboard visuals, all inside one Spark application (the reference's
@@ -112,8 +113,141 @@ object Ibrd extends QueryPack {
     "q72_ibrd_staged" -> Q(
       (s, _) => Clean.stage(FixtureFiles.readRaw(s, "/root/repo")),
       Some(stagedOracleSql),
-      doc = "IBRD clean stage (P1,P2,E1-E6,W1) vs DuckDB on shared fixture files")
+      doc = "IBRD clean stage (P1,P2,E1-E6,W1) vs DuckDB on shared fixture files"),
+
+    // ---- incremental load (R2): per-batch SCD merge + idempotent fact
+    // append, the reference's actual production mode (8 SSIS packages
+    // re-run per batch; `pyspark_dag2.py:440` append). dim_project is the
+    // one fixture dim whose SCD2 attribute (ffilled project_name_) can
+    // genuinely change between snapshots — every other BK is
+    // dictionary-derived from its own attribute, so a changed attribute
+    // implies a new BK there. The oracle replays the same SCD routing in
+    // SQL over the same committed fixture files. ----
+    "q75_ibrd_incremental_dim" -> Q(
+      (s, _) => incrementalStar(s).dimProject,
+      Some(s"""
+        WITH staged AS (${stagedOracleSql}),
+        b1 AS (SELECT * FROM staged WHERE end_of_period = '30-jun-2023'),
+        b2 AS (SELECT * FROM staged WHERE end_of_period = '30-jun-2024'),
+        s1 AS (
+          SELECT project_id, project_name_ FROM (
+            SELECT project_id, project_name_,
+                   row_number() OVER (PARTITION BY project_id
+                     ORDER BY project_name_ NULLS FIRST) AS rn
+            FROM b1 WHERE project_id IS NOT NULL)
+          WHERE rn = 1
+        ),
+        d0 AS (
+          SELECT row_number() OVER (ORDER BY project_id) AS PK_project_SK,
+                 project_id, project_name_,
+                 CAST(1 AS INT) AS source_system_code,
+                 DATE '2023-07-01' AS start_date,
+                 CAST(NULL AS DATE) AS end_date, TRUE AS is_current
+          FROM s1
+        ),
+        s2 AS (
+          SELECT project_id, project_name_ FROM (
+            SELECT project_id, project_name_,
+                   row_number() OVER (PARTITION BY project_id
+                     ORDER BY project_name_ NULLS FIRST) AS rn
+            FROM b2 WHERE project_id IS NOT NULL)
+          WHERE rn = 1
+        ),
+        matched AS (
+          SELECT d.*, s.project_name_ AS s_name,
+                 s.project_id IS NOT NULL AS present
+          FROM d0 d LEFT JOIN s2 s USING (project_id)
+        ),
+        carried AS (
+          SELECT PK_project_SK, project_id, project_name_,
+                 source_system_code, start_date,
+                 CASE WHEN present AND project_name_ IS DISTINCT FROM s_name
+                      THEN DATE '2024-07-01' ELSE end_date END AS end_date,
+                 CASE WHEN present AND project_name_ IS DISTINCT FROM s_name
+                      THEN FALSE ELSE is_current END AS is_current
+          FROM matched
+        ),
+        ins AS (
+          SELECT s.project_id, s.project_name_
+          FROM s2 s LEFT JOIN d0 d USING (project_id)
+          WHERE d.project_id IS NULL
+             OR d.project_name_ IS DISTINCT FROM s.project_name_
+        ),
+        inserted AS (
+          SELECT (SELECT coalesce(max(PK_project_SK), 0) FROM d0)
+                   + row_number() OVER (ORDER BY project_id) AS PK_project_SK,
+                 project_id, project_name_,
+                 CAST(1 AS INT) AS source_system_code,
+                 DATE '2024-07-01' AS start_date,
+                 CAST(NULL AS DATE) AS end_date, TRUE AS is_current
+          FROM ins
+        )
+        SELECT * FROM carried UNION ALL SELECT * FROM inserted
+      """.stripMargin),
+      doc = "incremental SCD merge of dim_project over two fixture batches (R2)"),
+
+    "q76_ibrd_incremental_fact" -> Q(
+      (s, _) => incrementalStar(s).fact
+        .select(
+          col("PK_loan_number_SK"), col("loan_number"), col("end_of_period"),
+          col("original_principal_amount").cast("double")
+            .as("original_principal_amount"),
+          col("repaid"), col("due"), col("interest_rate")),
+      Some(s"""
+        WITH $factInSql,
+        f1 AS (
+          SELECT row_number() OVER (ORDER BY loan_number, end_of_period)
+                   AS PK_loan_number_SK,
+                 loan_number, end_of_period,
+                 CAST(CAST(original_principal_amount AS DECIMAL(18,2)) AS DOUBLE)
+                   AS original_principal_amount,
+                 Repaid AS repaid, Due AS due, interest_rate
+          FROM fact_in WHERE end_of_period = '30-jun-2023'
+        ),
+        f2 AS (
+          SELECT (SELECT coalesce(max(PK_loan_number_SK), 0) FROM f1)
+                   + row_number() OVER (ORDER BY loan_number, end_of_period)
+                   AS PK_loan_number_SK,
+                 loan_number, end_of_period,
+                 CAST(CAST(original_principal_amount AS DECIMAL(18,2)) AS DOUBLE)
+                   AS original_principal_amount,
+                 Repaid AS repaid, Due AS due, interest_rate
+          FROM fact_in
+          WHERE end_of_period = '30-jun-2024'
+            AND (loan_number, end_of_period) NOT IN
+                (SELECT (loan_number, end_of_period) FROM f1)
+        )
+        SELECT * FROM f1 UNION ALL SELECT * FROM f2
+      """.stripMargin),
+      doc = "idempotent incremental fact append: natural-key anti-join + SK continuation (R2)")
   )
+
+  // Two-batch incremental warehouse run shared by q75/q76: initial build
+  // from the 30-jun-2023 snapshot, PERSIST/LOAD materialization between
+  // steps (the stored-table contract a real warehouse has between batch
+  // runs — chaining raw lineage compounds the plan), incremental merge of
+  // the 30-jun-2024 snapshot, then an idempotent RE-merge of the same
+  // batch, which must change nothing (the oracle describes only the first
+  // two steps).
+  private val incrCache =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, IbrdWarehouse.Star]()
+
+  private def incrementalStar(s: org.apache.spark.sql.SparkSession): IbrdWarehouse.Star =
+    incrCache.computeIfAbsent(s, { session =>
+      val staged = Clean.stage(Fixture.raw(session)).cache()
+      val b1 = staged.filter(col("end_of_period") === "30-jun-2023")
+      val b2 = staged.filter(col("end_of_period") === "30-jun-2024")
+      val root = java.nio.file.Files.createTempDirectory("graft_incr").toString
+      val sink1 = new graft.sources.TableSink(s"$root/step1")
+      val sink2 = new graft.sources.TableSink(s"$root/step2")
+      val star1 = IbrdWarehouse.build(session, b1, "2023-07-01")
+      IbrdWarehouse.persist(star1, sink1)
+      val star2 = IbrdWarehouse.incremental(
+        IbrdWarehouse.load(session, sink1), b2, "2024-07-01")
+      IbrdWarehouse.persist(star2, sink2)
+      IbrdWarehouse.incremental(
+        IbrdWarehouse.load(session, sink2), b2, "2025-07-01")
+    })
 
   private def stagedOracleSql: String = {
     val jsonCols = Model.rawSchema.fields.map { f =>
