@@ -11,6 +11,46 @@ import org.apache.spark.sql.types.{DoubleType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Executor-side page transport — the REST-call seam of the paged source.
+  * The reference's contract (`pyspark_dag2.py:52-77`): GET with
+  * `top`/`skip`; a non-200 status RAISES (`:61-64,75-77` — the batch
+  * fails and the cursor does not advance); a 200 may carry fewer rows
+  * than requested (the clamped last page). Implementations must be
+  * Serializable: the instance is resolved on the driver at scan
+  * planning and shipped inside each task, so the same seam works on a
+  * real cluster. An HTTP implementation would issue the GET here;
+  * offline tests inject failing/partial transports through the
+  * registry — no network needed to exercise the error paths.
+  */
+trait PageTransport extends Serializable {
+  def fetch(offset: Int, count: Int): PageTransport.Response
+}
+
+object PageTransport {
+  /** `status` mirrors the HTTP status; `rows` may be shorter than the
+    * requested count (partial/clamped page). */
+  final case class Response(status: Int, rows: Seq[org.apache.spark.sql.Row])
+
+  /** Offline default: a deterministic fixture slice, always 200. */
+  object FixtureTransport extends PageTransport {
+    override def fetch(offset: Int, count: Int): Response =
+      Response(200, Fixture.rawRows.slice(offset, offset + count))
+  }
+
+  // DSv2 sources are instantiated reflectively from string options, so
+  // transports are injected by registered name (driver-side lookup).
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, PageTransport]()
+  registry.put("fixture", FixtureTransport)
+
+  def register(name: String, t: PageTransport): Unit = registry.put(name, t)
+  def resolve(name: String): PageTransport = {
+    val t = registry.get(name)
+    require(t != null, s"unknown page transport '$name'")
+    t
+  }
+}
+
 /** DataSourceV2 paged source (SURVEY.md §2.1 S1): the reference pages the
   * World Bank catalog API with `top`/`skip` (50k rows/page,
   * `pyspark_dag2.py:37-42,52-77`). This is the Spark-native shape SURVEY
@@ -19,8 +59,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * 1000-executor cluster pulls 1000 pages at once.
   *
   * Offline the "API" is the deterministic in-repo fixture
-  * ([[graft.ibrd.Fixture]]); a real HTTP reader swaps only
-  * [[PagedPartitionReader.fetchPage]].
+  * ([[graft.ibrd.Fixture]]); a real HTTP reader swaps only the
+  * [[PageTransport]] (option `transport`).
   *
   * Usage: `spark.read.format("graft.sources.PagedDataSourceV2")
   *   .option("pageSize", "50").load()`
@@ -40,10 +80,12 @@ final class PagedTable(schema: StructType) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new PagedScan(schema,
       options.getInt("pageSize", 50),
-      options.getInt("totalRows", Fixture.nRows))
+      options.getInt("totalRows", Fixture.nRows),
+      PageTransport.resolve(options.getOrDefault("transport", "fixture")))
 }
 
-final class PagedScan(schema: StructType, pageSize: Int, totalRows: Int)
+final class PagedScan(schema: StructType, pageSize: Int, totalRows: Int,
+                      transport: PageTransport)
     extends Scan with Batch {
   require(pageSize > 0, s"option 'pageSize' must be positive, got $pageSize")
   override def readSchema(): StructType = schema
@@ -56,21 +98,37 @@ final class PagedScan(schema: StructType, pageSize: Int, totalRows: Int)
       .map(off => PagedInputPartition(off, math.min(pageSize, totalRows - off))
         .asInstanceOf[InputPartition]).toArray
 
+  // a dedicated Serializable factory: a lambda here would capture `this`
+  // (the non-serializable Scan) and fail task serialization
   override def createReaderFactory(): PartitionReaderFactory =
-    (partition: InputPartition) => {
-      val p = partition.asInstanceOf[PagedInputPartition]
-      new PagedPartitionReader(p.offset, p.count)
-    }
+    new PagedReaderFactory(transport)
+}
+
+final class PagedReaderFactory(transport: PageTransport)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagedInputPartition]
+    new PagedPartitionReader(p.offset, p.count, transport)
+  }
 }
 
 final case class PagedInputPartition(offset: Int, count: Int) extends InputPartition
 
-/** Reads one page. `fetchPage` is the REST-call seam (executor-side). */
-final class PagedPartitionReader(offset: Int, count: Int)
+/** Reads one page through the injected [[PageTransport]] (executor-side).
+  * Non-200 → IOException, failing the task like the reference's raise
+  * (`pyspark_dag2.py:75-77`) fails the Airflow task — Spark's retry then
+  * re-fetches the SAME page (the partition pins offset/count), which is
+  * the at-least-once contract the cursor design expects. */
+final class PagedPartitionReader(offset: Int, count: Int, transport: PageTransport)
     extends PartitionReader[InternalRow] {
 
-  private def fetchPage(): Iterator[org.apache.spark.sql.Row] =
-    Fixture.rawRows.slice(offset, offset + count).iterator
+  private def fetchPage(): Iterator[org.apache.spark.sql.Row] = {
+    val resp = transport.fetch(offset, count)
+    if (resp.status != 200)
+      throw new java.io.IOException(
+        s"Failed to fetch page at offset=$offset: HTTP ${resp.status}")
+    resp.rows.iterator
+  }
 
   private val proj = UnsafeProjection.create(Model.rawSchema)
   private val it = fetchPage()

@@ -1,8 +1,24 @@
 package graft
 
 import graft.ibrd.Fixture
-import graft.sources.{DictLoader, TableSink}
+import graft.sources.{DictLoader, PageTransport, PagedCursor, PagedSource, TableSink}
 import org.apache.spark.sql.functions._
+
+/** Test transports live at top level so they capture no outer spec
+  * reference (they are serialized into tasks). */
+object SourcesSpecTransports {
+  object Flaky503 extends PageTransport {
+    override def fetch(offset: Int, count: Int): PageTransport.Response =
+      if (offset >= 100) PageTransport.Response(503, Nil)
+      else PageTransport.FixtureTransport.fetch(offset, count)
+  }
+  /** Server clamps every page to at most 30 rows regardless of `top`. */
+  object Clamp30 extends PageTransport {
+    override def fetch(offset: Int, count: Int): PageTransport.Response =
+      PageTransport.Response(200,
+        Fixture.rawRows.slice(offset, offset + math.min(count, 30)))
+  }
+}
 
 /** Source/sink operators (SURVEY.md §2.1): DSv2 paged reader, CSV dict
   * loader, parquet table sink. */
@@ -26,6 +42,46 @@ class SourcesSpec extends SparkSpec {
       .option("pageSize", "219").load()
     assert(df.rdd.getNumPartitions == 2)
     assert(df.count() == 220)
+  }
+
+  test("paged source: non-200 transport fails the read like the reference raise") {
+    PageTransport.register("flaky503", SourcesSpecTransports.Flaky503)
+    val df = spark.read.format("graft.sources.PagedDataSourceV2")
+      .option("pageSize", "50").option("transport", "flaky503").load()
+    val e = intercept[Exception] { df.count() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("HTTP 503"), s"got: $msgs")
+  }
+
+  test("paged source: partial pages surface exactly the rows the API returned") {
+    PageTransport.register("clamp30", SourcesSpecTransports.Clamp30)
+    val df = spark.read.format("graft.sources.PagedDataSourceV2")
+      .option("pageSize", "50").option("transport", "clamp30").load()
+    // 4 full pages clamped to 30 + the planner's own 20-row last page
+    // (220 % 50) = 140 — exactly what the API returned, no invented rows
+    assert(df.count() == 140)
+  }
+
+  test("paged cursor clamps at the dataset size (reference api_offset contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cursor")
+    val cursor = new PagedCursor(dir.resolve("offset"), initial = 0L)
+    val table = Tables.orders(spark, sf).withColumn("seq",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("o_orderkey")).cast("long") - 1)
+    val total = 10L
+    // cursor beyond total: page is empty and commit holds at total
+    cursor.write(total + 25)
+    val page = PagedSource.nextPage(table, "seq", cursor, pageSize = 4, total = total)
+    assert(page.lo == total && page.hi == total)
+    assert(page.df.count() == 0)
+    page.commit()
+    assert(cursor.read() == total)
+    // normal advance still clamps the final partial page
+    cursor.write(8)
+    val last = PagedSource.nextPage(table, "seq", cursor, pageSize = 4, total = total)
+    assert(last.lo == 8 && last.hi == total)
+    assert(last.df.count() == 2)
   }
 
   test("CSV dictionary round-trip preserves entries incl. commas and case-folding") {
