@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.semantic.{Relationship, SemanticModel, Visual}
+import graft.semantic.{FieldParameter, Relationship, SemanticModel, Visual}
 import graft.{Q, QueryPack, Tables => T}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -52,7 +52,19 @@ object Dashboard extends QueryPack {
         "interest_income" ->
           dsum(col("l_extendedprice") * col("l_discount") * lit(0.01), 10),
         "borrowers" -> countDistinct(col("o_custkey")),
-        "guarantors" -> countDistinct(col("l_suppkey"))))
+        "guarantors" -> countDistinct(col("l_suppkey"))),
+      // the reference's 3 field-parameter tables (SURVEY §1.3/§3.3):
+      // PrmStatus&Type switches the grouping dimension,
+      // PrmAmount&Repiad&Due and PrmDorrower&Guarantor switch the measure
+      parameters = Map(
+        "statusType" -> FieldParameter(Seq("o_orderstatus", "l_linestatus")),
+        "amountRepaidDue" -> FieldParameter(Seq("loan_amount", "repaid", "due")),
+        "borrowerGuarantor" -> FieldParameter(Seq("borrowers", "guarantors"))),
+      // the BI model's date hierarchy (Year → Quarter → Month drill)
+      hierarchy = Seq(
+        "order_year" -> year(col("o_orderdate")),
+        "order_quarter" -> quarter(col("o_orderdate")),
+        "order_month" -> month(col("o_orderdate"))))
   }
 
   // Shared SQL fragment: the expanded star (inner joins, as in the model).
@@ -140,6 +152,95 @@ object Dashboard extends QueryPack {
         ORDER BY order_year ASC
       """.stripMargin),
       doc = "date-hierarchy trend visual (A8, O1 asc)"),
+
+    // ---- field parameter: slicer switches the grouping DIMENSION ----
+    "q35_param_group_switch" -> Q(
+      (s, d) => model(s, d).visual(
+        Visual(
+          measures = Seq("loans", "loan_amount"),
+          groupBy = Seq("@statusType"),
+          orderBy = Seq(col("loans").desc, col("l_linestatus").asc)),
+        selections = Map("statusType" -> "l_linestatus")),
+      Some(s"""
+        SELECT l_linestatus, count(*) AS loans,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS loan_amount
+        $starSql
+        GROUP BY l_linestatus
+        ORDER BY loans DESC, l_linestatus ASC
+      """.stripMargin),
+      doc = "PrmStatus&Type analogue: slicer rewrites the group-by column (§3.3)"),
+
+    // ---- field parameter: slicer switches the MEASURE ----
+    "q36_param_measure_switch" -> Q(
+      (s, d) => model(s, d).visual(
+        Visual(
+          measures = Seq("@amountRepaidDue"),
+          groupBy = Seq("o_orderstatus"),
+          orderBy = Seq(col("o_orderstatus").asc)),
+        selections = Map("amountRepaidDue" -> "repaid")),
+      Some(s"""
+        SELECT o_orderstatus,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS repaid
+        $starSql
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus ASC
+      """.stripMargin),
+      doc = "PrmAmount&Repiad&Due analogue: slicer rewrites the measure (§3.3)"),
+
+    // ---- field parameter: slicer switches the distinct-count entity ----
+    "q37_param_entity_switch" -> Q(
+      (s, d) => model(s, d).visual(
+        Visual(
+          measures = Seq("loans", "@borrowerGuarantor"),
+          groupBy = Seq("r_name"),
+          orderBy = Seq(col("r_name").asc)),
+        selections = Map("borrowerGuarantor" -> "guarantors")),
+      Some(s"""
+        SELECT r_name, count(*) AS loans,
+               count(DISTINCT l_suppkey) AS guarantors
+        $starSql
+        GROUP BY r_name
+        ORDER BY r_name ASC
+      """.stripMargin),
+      doc = "PrmDorrower&Guarantor analogue: slicer picks the entity count (§3.3)"),
+
+    // ---- date-hierarchy drill: Year → Quarter ----
+    "q38_drill_quarter" -> Q(
+      (s, d) => model(s, d).drill(
+        Visual(measures = Seq("loan_amount", "loans"), groupBy = Nil),
+        depth = 2),
+      Some(s"""
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS loan_amount,
+               count(*) AS loans
+        $starSql
+        GROUP BY order_year, order_quarter
+        ORDER BY order_year ASC, order_quarter ASC
+      """.stripMargin),
+      doc = "date hierarchy drilled to quarter (the BI model's drill path)"),
+
+    // ---- date-hierarchy drill: Year → Quarter → Month, year-filtered ----
+    "q39_drill_month" -> Q(
+      (s, d) => {
+        import s.implicits._
+        model(s, d).drill(
+          Visual(measures = Seq("loan_amount", "loans"), groupBy = Nil,
+            filters = Seq(year($"o_orderdate").isin(1997))),
+          depth = 3)
+      },
+      Some(s"""
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+               CAST(month(o_orderdate) AS INT) AS order_month,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS loan_amount,
+               count(*) AS loans
+        $starSql
+        WHERE year(o_orderdate) IN (1997)
+        GROUP BY order_year, order_quarter, order_month
+        ORDER BY order_year ASC, order_quarter ASC, order_month ASC
+      """.stripMargin),
+      doc = "month-level drill with the visual's year IN filter (P6 within drill)"),
 
     // ---- segment × region matrix with distinct counts ----
     "q34_matrix_segment_region" -> Q(

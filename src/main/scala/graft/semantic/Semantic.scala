@@ -13,6 +13,18 @@ import org.apache.spark.sql.{Column, DataFrame}
   * Select[Loans, loan_status] OrderBy[Loans desc]` — and the `_Measures`
   * table's 10 DAX measures (SURVEY §2.6 A2–A7).
   *
+  * Field parameters (the BI model's `PrmStatus&Type`,
+  * `PrmAmount&Repiad&Due`, `PrmDorrower&Guarantor` tables, SURVEY
+  * §1.3/§3.3): a visual references a parameter as `"@name"` in its
+  * `measures` or `groupBy`; the user's slicer selection substitutes one of
+  * the parameter's options BEFORE compilation, so Catalyst only ever sees
+  * the resolved plan — parameter switching costs nothing at runtime.
+  *
+  * The date hierarchy (BI model `DimDate` drill) compiles the same way:
+  * [[SemanticModel.drill]] expands the first `depth` hierarchy levels into
+  * group-by columns, so Year → Quarter → Month drill paths are ordinary
+  * grouped aggregations over the expanded star.
+  *
   * Catalyst sees one declarative plan per visual: filters push through the
   * joins into the scans, dims broadcast, aggregation is partial+final. At
   * 100 TB a visual query shuffles once (the final group-by), never the fact.
@@ -26,8 +38,18 @@ final case class Visual(
     filters: Seq[Column] = Nil,
     orderBy: Seq[Column] = Nil)
 
+/** A field-parameter slicer: the selected option (a measure name or a
+  * column name, depending on where the parameter is referenced) replaces
+  * the `"@name"` reference in the visual. Unselected → first option. */
+final case class FieldParameter(options: Seq[String]) {
+  require(options.nonEmpty, "field parameter needs at least one option")
+  def default: String = options.head
+}
+
 final class SemanticModel(fact: DataFrame, rels: Seq[Relationship],
-                          measures: Map[String, Column]) {
+                          measures: Map[String, Column],
+                          parameters: Map[String, FieldParameter] = Map.empty,
+                          hierarchy: Seq[(String, Column)] = Nil) {
 
   /** fact joined through its relationships (the Vertipaq "expanded table"). */
   lazy val expanded: DataFrame = rels.foldLeft(fact) { (acc, r) =>
@@ -38,13 +60,51 @@ final class SemanticModel(fact: DataFrame, rels: Seq[Relationship],
   def measure(name: String): Column =
     measures.getOrElse(name, sys.error(s"unknown measure '$name'"))
 
-  /** Compile one dashboard visual to a DataFrame (SURVEY §3.3). */
-  def visual(v: Visual): DataFrame = {
+  /** `"@name"` → the selected (or default) option; anything else passes
+    * through. Selections outside the parameter's options are rejected —
+    * a slicer can only choose what the parameter table declares. */
+  private def resolve(name: String, selections: Map[String, String]): String =
+    if (!name.startsWith("@")) name
+    else {
+      val pname = name.drop(1)
+      val p = parameters.getOrElse(pname,
+        sys.error(s"unknown field parameter '$pname'"))
+      val chosen = selections.getOrElse(pname, p.default)
+      require(p.options.contains(chosen),
+        s"'$chosen' is not an option of field parameter '$pname' (${p.options.mkString(", ")})")
+      chosen
+    }
+
+  /** Compile one dashboard visual to a DataFrame (SURVEY §3.3), with
+    * field-parameter selections applied first. */
+  def visual(v: Visual, selections: Map[String, String] = Map.empty): DataFrame = {
     val filtered = v.filters.foldLeft(expanded)(_.filter(_))
-    val aggs = v.measures.map(m => measure(m).as(m))
+    val aggs = v.measures.map(resolve(_, selections))
+      .map(m => measure(m).as(m))
+    val gb = v.groupBy.map(resolve(_, selections))
     val grouped =
-      if (v.groupBy.isEmpty) filtered.agg(aggs.head, aggs.tail: _*)
-      else filtered.groupBy(v.groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      if (gb.isEmpty) filtered.agg(aggs.head, aggs.tail: _*)
+      else filtered.groupBy(gb.map(col): _*).agg(aggs.head, aggs.tail: _*)
     if (v.orderBy.isEmpty) grouped else grouped.orderBy(v.orderBy: _*)
+  }
+
+  /** Drill the date hierarchy to `depth` levels: the visual's measures
+    * grouped by hierarchy levels 1..depth (plus any explicit groupBy),
+    * ordered by the levels — the Year/Quarter/Month drill of a trend
+    * visual. */
+  def drill(v: Visual, depth: Int,
+            selections: Map[String, String] = Map.empty): DataFrame = {
+    require(depth >= 1 && depth <= hierarchy.size,
+      s"drill depth $depth outside hierarchy (${hierarchy.size} levels)")
+    val levels = hierarchy.take(depth)
+    val withLevels = levels.foldLeft(
+      v.filters.foldLeft(expanded)(_.filter(_))) {
+      case (df, (name, c)) => df.withColumn(name, c)
+    }
+    val aggs = v.measures.map(resolve(_, selections)).map(m => measure(m).as(m))
+    val gb = levels.map(_._1) ++ v.groupBy.map(resolve(_, selections))
+    withLevels.groupBy(gb.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(gb.map(col(_).asc): _*)
   }
 }

@@ -26,6 +26,41 @@ class AsOfSpec extends SparkSpec {
   }
 }
 
+class SemanticParamSpec extends SparkSpec {
+  import graft.operators.Dashboard
+  import graft.semantic.Visual
+
+  test("field parameter: default option applies when nothing is selected") {
+    val m = Dashboard.model(spark, sf)
+    val df = m.visual(Visual(measures = Seq("loans"), groupBy = Seq("@statusType")))
+    // default option is o_orderstatus
+    assert(df.columns.toSeq == Seq("o_orderstatus", "loans"))
+  }
+
+  test("field parameter: selection outside the declared options is rejected") {
+    val m = Dashboard.model(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      m.visual(Visual(measures = Seq("loans"), groupBy = Seq("@statusType")),
+        selections = Map("statusType" -> "c_mktsegment"))
+    }
+    assert(e.getMessage.contains("not an option"))
+  }
+
+  test("drill: depth outside the hierarchy is rejected; levels nest correctly") {
+    val m = Dashboard.model(spark, sf)
+    intercept[IllegalArgumentException] {
+      m.drill(Visual(measures = Seq("loans"), groupBy = Nil), depth = 4)
+    }
+    val y = m.drill(Visual(measures = Seq("loans"), groupBy = Nil), depth = 1)
+    val q = m.drill(Visual(measures = Seq("loans"), groupBy = Nil), depth = 2)
+    // quarter level refines year: per-year loan counts must agree
+    val yearTotals = y.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rolledUp = q.collect().groupBy(_.getInt(0))
+      .map { case (yr, rows) => yr -> rows.map(_.getLong(2)).sum }
+    assert(rolledUp == yearTotals)
+  }
+}
+
 class ApproxSpec extends SparkSpec {
   import spark.implicits._
   test("approx_count_distinct within 5% of exact per group") {
