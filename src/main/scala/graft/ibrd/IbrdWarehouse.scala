@@ -35,9 +35,12 @@ object IbrdWarehouse {
   /** Reference-shaped 16-column calendar (SURVEY.md §1.3 DimDate, metadata
     * `project SSIS!...loan_fact.dtsx:112`), keyed by the lower-cased
     * `dd-MMM-yyyy` date string the staging layer carries (FIXTURES.md §4).
-    * `HolidayText` is null — the reference's out-of-repo populate script
-    * is the only source for it. */
-  def ibrdDimDate(spark: SparkSession, loYear: Int, hiYear: Int): DataFrame = {
+    * `HolidayText` defaults to null — faithful to the reference, whose
+    * out-of-repo populate script is the only source for it — but a real
+    * calendar load passes its holiday table as `holidays`
+    * (`yyyy-MM-dd` → text; constant-time codegen'd map lookup, no join). */
+  def ibrdDimDate(spark: SparkSession, loYear: Int, hiYear: Int,
+                  holidays: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     val bounds = Seq((s"$loYear-01-01", s"$hiYear-12-31")).toDF("lo", "hi")
       .select($"lo".cast("date").as("lo"), $"hi".cast("date").as("hi"))
@@ -58,7 +61,9 @@ object IbrdWarehouse {
       .withColumn("WeekOfMonth", // calendar-row of the month grid (year-boundary safe)
         (floor((col("day") + dayofweek(trunc(d, "month")) - 2) / 7) + 1).cast("int"))
       .withColumn("StandardDate", date_format(d, "yyyy-MM-dd"))
-      .withColumn("HolidayText", lit(null).cast("string"))
+      .withColumn("HolidayText",
+        if (holidays.isEmpty) lit(null).cast("string")
+        else element_at(typedLit(holidays), col("StandardDate")))
   }
 
   // dims are cached on build: every one is read multiple times (fact

@@ -116,10 +116,14 @@ object Dashboard extends QueryPack {
       (s, d) => {
         import s.implicits._
         val m = model(s, d)
+        // the visual's `Year IN (1996,1997,1998)` filter, authored as the
+        // equivalent date range so it pushes down to the parquet scan —
+        // `year(col) IN (...)` wraps the column in a function and never
+        // reaches PushedFilters
         m.visual(Visual(
           measures = Seq("loan_amount", "loans"),
           groupBy = Nil,
-          filters = Seq(year($"o_orderdate").isin(1996, 1997, 1998))))
+          filters = Seq($"o_orderdate".between("1996-01-01", "1998-12-31"))))
       },
       Some(s"""
         SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS loan_amount,
@@ -224,9 +228,10 @@ object Dashboard extends QueryPack {
     "q39_drill_month" -> Q(
       (s, d) => {
         import s.implicits._
+        // year filter as a pushable date range (see q32)
         model(s, d).drill(
           Visual(measures = Seq("loan_amount", "loans"), groupBy = Nil,
-            filters = Seq(year($"o_orderdate").isin(1997))),
+            filters = Seq($"o_orderdate".between("1997-01-01", "1997-12-31"))),
           depth = 3)
       },
       Some(s"""

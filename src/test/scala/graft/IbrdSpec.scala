@@ -97,6 +97,16 @@ class IbrdSpec extends SparkSpec {
     assert(r.getAs[String]("StandardDate") == "2024-07-01")
   }
 
+  test("DimDate HolidayText: null by default, populated from a holiday map") {
+    val dd = graft.ibrd.IbrdWarehouse.ibrdDimDate(spark, 2024, 2024,
+      holidays = Map("2024-07-04" -> "independence day"))
+    assert(dd.filter($"HolidayText".isNotNull).count() == 1)
+    assert(dd.filter($"Date" === "04-jul-2024")
+      .head.getAs[String]("HolidayText") == "independence day")
+    // default stays faithful to the reference (constant null)
+    assert(star.dimDate.filter($"HolidayText".isNotNull).count() == 0)
+  }
+
   test("seven dims: one current row per BK, snowflake region FK resolved") {
     val dims = Seq(star.dimRegion, star.dimCountry, star.dimBorrower,
       star.dimGuarantor, star.dimStatus, star.dimType, star.dimProject)
