@@ -106,6 +106,54 @@ object Similarity extends QueryPack {
       .select("a_id", "b_id", "sim_r")
   }
 
+  val IvfCentroids = 16
+  val IvfProbes = 4
+
+  /** IVF-style ANN: coarse centroid cells instead of hash cells. The
+    * centroid set here is the first `nCentroids` corpus vectors — a real
+    * deployment trains k-means offline and ships the codebook; the
+    * deterministic seed choice keeps the identical plumbing
+    * oracle-checkable. Corpus assignment is a broadcast of the (tiny)
+    * centroid table + per-row argmax with MAP-SIDE partial aggregation
+    * (`max_by` under groupBy: the ×C scored rows reduce to one row per
+    * vector before any shuffle — the corpus never amplifies through an
+    * exchange). Queries probe their `nProbe` nearest cells, the IVF
+    * recall/latency dial. Ties break on rounded similarity then centroid
+    * id, reproducible across engines. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int, nProbe: Int): DataFrame = {
+    val cents = corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"),
+        VectorOps.norm(col("embedding")).as("cent_n"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), VectorOps.norm(col("embedding")).as("cn"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("sim_c",
+        round(VectorOps.dot(col("cv"), col("centv")) / (col("cn") * col("cent_n")), 6))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("cent_id"), struct(col("sim_c"), -col("cent_id"))).as("cell"),
+        first(col("cv")).as("cv"), first(col("cn")).as("cn"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), VectorOps.norm(col("embedding")).as("qn"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_c").desc, col("cent_id").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("sim_c",
+        round(VectorOps.dot(col("qv"), col("centv")) / (col("qn") * col("cent_n")), 6))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_r",
+        round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_r").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim_r"))
+  }
+
   private def bucketExprSql: String =
     (1 to SignBits).map { i =>
       s"CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END"
@@ -159,6 +207,63 @@ object Similarity extends QueryPack {
       },
       Some(sqlTopK(bucketJoin = true)),
       doc = "sign-LSH ANN top-k, 256 cells + hamming-1 multi-probe"),
+
+    "q66_ann_ivf" -> Q(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        ivfTopK(emb.filter(col("vec_id") < NQueries), emb, K,
+          IvfCentroids, IvfProbes)
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        cents AS (
+          SELECT vec_id AS cent_id, v AS centv FROM e WHERE vec_id < $IvfCentroids
+        ),
+        corpus_scored AS (
+          SELECT e.vec_id AS neighbor_id, e.v AS cv, c.cent_id,
+                 round(list_dot_product(e.v, c.centv) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))), 6) AS sim_c
+          FROM e CROSS JOIN cents c
+        ),
+        assigned AS (
+          SELECT neighbor_id, cv, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY neighbor_id
+              ORDER BY sim_c DESC, cent_id ASC) AS rn
+            FROM corpus_scored) WHERE rn = 1
+        ),
+        q_scored AS (
+          SELECT e.vec_id AS query_id, e.v AS qv, c.cent_id,
+                 round(list_dot_product(e.v, c.centv) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))), 6) AS sim_c
+          FROM e CROSS JOIN cents c
+          WHERE e.vec_id < $NQueries
+        ),
+        probes AS (
+          SELECT query_id, qv, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim_c DESC, cent_id ASC) AS rn
+            FROM q_scored) WHERE rn <= $IvfProbes
+        ),
+        scored AS (
+          SELECT p.query_id, a.neighbor_id,
+                 round(list_dot_product(p.qv, a.cv) /
+                   (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.cv, a.cv))), 6) AS sim_r
+          FROM probes p JOIN assigned a ON p.cell = a.cell
+          WHERE p.query_id <> a.neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, sim_r,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim_r DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, sim_r
+        FROM ranked WHERE rank <= $K
+      """.stripMargin),
+      doc = "IVF ANN: 16 deterministic centroid cells, 4-probe (scale dial)"),
 
     // ---- embedding-cosine near-dup pairs (dedup family, vector flavor) ----
     "q61_embedding_neardup" -> Q(

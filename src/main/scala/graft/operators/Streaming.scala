@@ -97,6 +97,42 @@ object Streaming extends QueryPack {
       """.stripMargin),
       doc = "JSON column extraction + agg (semi-structured ingest shape)"),
 
+    // ---- streaming dedup (batch twin) ----
+    // the dedup family's streaming leg: first occurrence per content key
+    // in event-time order. The true streaming run (watermark +
+    // dropDuplicatesWithinWatermark over a MemoryStream) is asserted
+    // equivalent in StreamingSpec; here the batch twin is hash-verified.
+    // µs domain for oracle parity (DuckDB truncates ns parquet).
+    "q44_stream_dedup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id", $"event_type", $"value")
+          .orderBy($"ts_us", $"event_id")
+        T.events(s, d)
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("__rn", row_number().over(w))
+          .filter($"__rn" === 1)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_unique"),
+            min($"event_id").as("min_id"),
+            sum($"value").as("total_value"))
+      },
+      Some("""
+        WITH firsts AS (
+          SELECT event_id, user_id, event_type, "value" FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY user_id, event_type, "value"
+              ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events) WHERE rn = 1
+        )
+        SELECT event_type, count(*) AS n_unique,
+               min(event_id) AS min_id, sum("value") AS total_value
+        FROM firsts
+        GROUP BY event_type
+      """.stripMargin),
+      doc = "streaming dedup batch twin: first occurrence per content key"),
+
     // ---- paged-cursor micro-batch ingest (50k-page REST shape) ----
     "q42_paged_ingest" -> Q(
       (s, d) => {

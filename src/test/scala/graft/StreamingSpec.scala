@@ -74,6 +74,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.agg(sum("n")).head.getLong(0) == Tables.events(spark, sf).count())
   }
 
+  test("streaming dedup (dropDuplicatesWithinWatermark) matches the batch twin") {
+    implicit val s = spark
+    // duplicate-heavy stream: every event arrives twice (distinct ids),
+    // duplicates land in a later micro-batch but inside the watermark
+    val base = Tables.events(spark, sf).limit(300)
+      .withColumn("ets", timestamp_micros(($"ts" / 1000).cast("long")))
+      .select($"event_id", $"user_id", $"event_type", $"value", $"ets")
+      .as[(Long, Long, String, Double, java.sql.Timestamp)]
+      .collect()
+    val dups = base.map { case (id, u, t, v, ts) => (id + 1000000L, u, t, v, ts) }
+
+    val input = MemoryStream[(Long, Long, String, Double, java.sql.Timestamp)](spark)
+    val deduped = input.toDS()
+      .toDF("event_id", "user_id", "event_type", "value", "ets")
+      .withWatermark("ets", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+    val q = deduped.writeStream.format("memory").queryName("streamdedup")
+      .outputMode("append").start()
+    input.addData(base.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(dups.toIndexedSeq) // all duplicates: must be dropped
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("streamdedup")
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), math.round(r.getDouble(2) * 1e6)))
+    val batchKeys = base.map(e => (e._2, e._3, math.round(e._4 * 1e6))).distinct
+    // one surviving row per content key, exactly the batch-distinct key set
+    assert(streamed.length == streamed.distinct.length)
+    assert(streamed.toSet == batchKeys.toSet)
+  }
+
   test("checkpointed AvailableNow stream resumes exactly-once across restarts") {
     import org.apache.spark.sql.streaming.Trigger
     val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
