@@ -3,28 +3,30 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, built from
-  * higher-order functions (`transform`/`zip_with`/`aggregate`) — no UDFs,
-  * so columns prune/push down normally. NOTE: HOF lambdas do NOT enter
-  * WholeStageCodegen (they evaluate interpreted; see the measurements in
-  * `MinHashSig`'s scaladoc) — adequate for the scored-candidate volumes
-  * the blocked ANN paths produce, but a hot full-scan loop should use a
-  * native `Expression` with `doGenCode` like `MinHashSig`. Callers must
+/** Vector math over `array<float>` embedding columns. The multiply-
+  * accumulate core is the native [[VectorDot]] Catalyst expression
+  * (`doGenCode`, zero allocation) — the HOF formulation
+  * (`aggregate(zip_with(...))`) evaluates 2·dim interpreted lambdas per
+  * pair and is kept only as [[hofDot]] for the parity spec. Callers must
   * precompute norms once per row (see `Similarity`), never per pair.
   *
   * All arithmetic is promoted to double BEFORE multiply/accumulate so
   * results are reproducible against engines that compute in float64
-  * (the DuckDB oracle casts element-wise the same way).
+  * (the DuckDB oracle casts element-wise the same way); the native
+  * expression accumulates in the same element order, so scores are
+  * bit-identical to the HOF version.
   */
 object VectorOps {
 
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), _ * _), lit(0.0), _ + _)
+  def dot(a: Column, b: Column): Column = VectorDot.dot(a, b)
 
-  def norm(v: Column): Column =
-    sqrt(aggregate(toDouble(v), lit(0.0), (acc, x) => acc + x * x))
+  def norm(v: Column): Column = sqrt(VectorDot.dot(v, v))
+
+  /** Reference HOF rendition — interpreted; parity-tested vs [[dot]]. */
+  private[graft] def hofDot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), _ * _), lit(0.0), _ + _)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))

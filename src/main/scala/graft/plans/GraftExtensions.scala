@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.MinHashSig
+import graft.functions.{MinHashSig, VectorDot}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -10,8 +10,9 @@ import org.apache.spark.sql.SparkSessionExtensions
   * (`--conf spark.sql.extensions=graft.plans.GraftExtensions`):
   *
   *  - [[WhenChainToMap]] optimizer rule (CASE-ladder → map lookup);
-  *  - SQL registration of the native `minhash_sig(arr, k)` expression so
-  *    `spark.sql` users get the codegen'd signature too.
+  *  - SQL registration of the native `minhash_sig(arr, k)` and
+  *    `vector_dot(a, b)` expressions so `spark.sql` users get the
+  *    codegen'd versions too.
   *
   * For an already-running session the rule can also be attached via
   * `spark.experimental.extraOptimizations` (what the specs use).
@@ -21,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => WhenChainToMap)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
+    ext.injectFunction(GraftExtensions.vectorDotDescriptor)
   }
 }
 
@@ -36,9 +38,18 @@ object GraftExtensions {
         "minhash_sig(array<string>[, k: int literal])")
     })
 
+  val vectorDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vector_dot"),
+    new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+    (args: Seq[Expression]) => args match {
+      case Seq(a, b) => VectorDot(a, b)
+      case _ => throw new IllegalArgumentException(
+        "vector_dot(a: array<float|double>, b: array<float|double>)")
+    })
+
   /** Register into an existing session's function registry. */
-  def registerFunctions(registry: FunctionRegistry): Unit = {
-    val (id, info, builder) = minhashSigDescriptor
-    registry.registerFunction(id, info, builder)
-  }
+  def registerFunctions(registry: FunctionRegistry): Unit =
+    Seq(minhashSigDescriptor, vectorDotDescriptor).foreach {
+      case (id, info, builder) => registry.registerFunction(id, info, builder)
+    }
 }

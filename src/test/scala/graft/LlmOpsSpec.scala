@@ -90,6 +90,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.getString(3) == "fake")
   }
 
+  test("native vector_dot is bit-identical to the HOF formulation") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val pairs = emb.select($"vec_id".as("a_id"), $"embedding".as("a"))
+      .crossJoin(emb.select($"vec_id".as("b_id"), $"embedding".as("b")))
+      .filter($"a_id" < $"b_id").limit(2000)
+    val diffs = pairs.select(
+      (VectorOps.dot($"a", $"b") - VectorOps.hofDot($"a", $"b")).as("d"))
+      .filter($"d" =!= 0.0).count()
+    assert(diffs == 0)
+  }
+
   test("vector ops: cosine of a vector with itself is 1") {
     val emb = Tables.embeddings(spark, sf).limit(10)
     val sims = emb.select(
