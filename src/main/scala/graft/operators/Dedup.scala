@@ -285,10 +285,14 @@ object Dedup extends QueryPack {
     // 100 TB (a broadcast here is an executor OOM). SHUFFLE_HASH skips
     // sorting millions of wide array rows twice (sort-merge's cost is in
     // the sort, and a hash table over the per-partition sets side fits).
+    // The per-pair intersection is a native merge-walk over the sorted
+    // hash arrays (SortedIntersectCount) — no per-pair hash set or
+    // intersection-array allocation.
     candIds
       .join(sets.toDF("a_id", "a_set").hint("SHUFFLE_HASH"), "a_id")
       .join(sets.toDF("b_id", "b_set").hint("SHUFFLE_HASH"), "b_id")
-      .withColumn("inter", size(array_intersect(col("a_set"), col("b_set"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.count(col("a_set"), col("b_set")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("a_set")) + size(col("b_set")) - col("inter")))
       .filter(col("jaccard") >= verifyThreshold)

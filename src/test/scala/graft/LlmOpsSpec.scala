@@ -90,6 +90,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.getString(3) == "fake")
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on hashed word sets") {
+    import graft.functions.SortedIntersectCount
+    val sets = Tables.documents(spark, sf).limit(300)
+      .select($"doc_id",
+        array_sort(transform(TextOps.distinctWords($"text"), w => xxhash64(w)))
+          .as("hset"))
+    val pairs = sets.toDF("a_id", "a").crossJoin(sets.toDF("b_id", "b"))
+      .filter($"a_id" < $"b_id").limit(5000)
+    val mismatches = pairs.select(
+      SortedIntersectCount.count($"a", $"b").as("native"),
+      size(array_intersect($"a", $"b")).as("generic"))
+      .filter($"native" =!= $"generic").count()
+    assert(mismatches == 0)
+  }
+
   test("native vector_dot is bit-identical to the HOF formulation") {
     val emb = Tables.embeddings(spark, sf).limit(200)
     val pairs = emb.select($"vec_id".as("a_id"), $"embedding".as("a"))
