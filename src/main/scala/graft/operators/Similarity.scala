@@ -154,10 +154,17 @@ object Similarity extends QueryPack {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim_r"))
   }
 
-  private def bucketExprSql: String =
-    (1 to SignBits).map { i =>
-      s"CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END"
+  /** The Rademacher-hyperplane bucket as SQL over a double-list expr —
+    * the SAME hyperplane constants as `VectorOps.signBucket`, inlined as
+    * list literals so both engines project identically. */
+  private def bucketExprSql(vExpr: String): String =
+    (0 until SignBits).map { i =>
+      val h = VectorOps.hyperplane(i, 64)
+        .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product($vExpr, $h) >= 0 THEN ${1 << i} ELSE 0 END"
     }.mkString(" + ")
+
+  private val rawVSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
   private def sqlTopK(bucketJoin: Boolean): String = {
     val joinCond =
@@ -168,12 +175,12 @@ object Similarity extends QueryPack {
       WITH q AS (
         SELECT vec_id AS query_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
-               $bucketExprSql AS bucket
+               ${bucketExprSql(rawVSql)} AS bucket
         FROM embeddings WHERE vec_id < $NQueries
       ), c AS (
         SELECT vec_id AS neighbor_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
-               $bucketExprSql AS bucket
+               ${bucketExprSql(rawVSql)} AS bucket
         FROM embeddings
       ), scored AS (
         SELECT query_id, neighbor_id,
@@ -272,7 +279,7 @@ object Similarity extends QueryPack {
         WITH e AS (
           SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-                 $bucketExprSql AS bucket
+                 ${bucketExprSql(rawVSql)} AS bucket
           FROM embeddings
         )
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
