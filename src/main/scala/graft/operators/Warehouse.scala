@@ -171,6 +171,33 @@ object Warehouse extends QueryPack {
         JOIN dd d1 ON CAST(o_orderdate AS DATE) = d1.d
         JOIN dd d2 ON CAST(l_shipdate AS DATE) = d2.d
       """.stripMargin),
-      doc = "fact build: lookup chain + 4-role date joins (SURVEY §2.4 J1/J2)")
+      doc = "fact build: lookup chain + 4-role date joins (SURVEY §2.4 J1/J2)"),
+
+    // ---- salted join: result-identity under skew mitigation ----
+    // Skew.saltedJoin spreads each hot key over `salt` reducers; the
+    // result set must be IDENTICAL to the plain join — which is exactly
+    // what the plain-SQL oracle asserts through the hash gate.
+    "q45_salted_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ev = T.events(s, d)
+        val cohorts = ev.select($"user_id").distinct()
+          .withColumn("cohort", pmod($"user_id", lit(10)).cast("int"))
+        graft.warehouse.Skew.saltedJoin(ev, cohorts, "user_id", salt = 8)
+          .groupBy($"cohort")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast("decimal(28,10)")).cast("double").as("total_value"))
+      },
+      Some("""
+        WITH cohorts AS (
+          SELECT DISTINCT user_id, CAST(user_id % 10 AS INT) AS cohort
+          FROM events
+        )
+        SELECT cohort, count(*) AS n,
+               CAST(sum(CAST("value" AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        FROM events e JOIN cohorts c USING (user_id)
+        GROUP BY cohort
+      """.stripMargin),
+      doc = "salted-join result identity: hot keys spread over 8 reducers (SCALE)")
   )
 }
