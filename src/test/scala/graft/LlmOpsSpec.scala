@@ -26,6 +26,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("prefix-filtered jaccardPairs equals the naive all-words join at every threshold") {
+    val docs = Tables.documents(spark, sf)
+    // naive reference: explode-join EVERY word within the block, count
+    // shared words per pair (the round-1 formulation the prefix filter
+    // replaced — same semantics, quadratic in hot words)
+    def naive(threshold: Double): Set[(Long, Long, Double)] = {
+      val exploded = docs.select($"doc_id", $"lang", $"source",
+        TextOps.distinctWords($"text").as("wset"))
+        .withColumn("wsize", size($"wset"))
+        .select($"doc_id", $"lang", $"source", $"wsize",
+          explode($"wset").as("word"))
+      val a = exploded.toDF("a_id", "lang", "source", "a_size", "word")
+      val b = exploded.toDF("b_id", "lang", "source", "b_size", "word")
+      a.join(b, Seq("lang", "source", "word"))
+        .filter($"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id", $"a_size", $"b_size")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("j", $"inter".cast("double") /
+          ($"a_size" + $"b_size" - $"inter"))
+        .filter($"j" >= threshold)
+        .select($"a_id", $"b_id", round($"j", 6).as("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    Seq(0.3, 0.5, 0.8).foreach { t =>
+      val fast = Dedup.jaccardPairs(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      withClue(s"threshold $t: fast=${fast.size} naive=${naive(t).size}") {
+        assert(fast == naive(t))
+      }
+    }
+  }
+
   test("minhash LSH: high recall of exact near-dup pairs, perfect precision") {
     val docs = Tables.documents(spark, sf)
     // exact baseline blocked on (lang, source); LSH blocks on lang only,
