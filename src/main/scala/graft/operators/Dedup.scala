@@ -42,10 +42,12 @@ object Dedup extends QueryPack {
     * grows quadratically with corpus size. Every stage is a bounded
     * shuffle (df count, per-doc window, id-only pair join, sort-merge
     * verify join) — no corpus-sized broadcast anywhere. */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 1): DataFrame = {
+    val units =
+      if (n == 1) TextOps.distinctWords(col("text"))
+      else array_distinct(TextOps.shingles(col("text"), n))
     val base = docs.select(
-      col("doc_id"), col("lang"), col("source"),
-      TextOps.distinctWords(col("text")).as("wset"))
+      col("doc_id"), col("lang"), col("source"), units.as("wset"))
       .withColumn("wsize", size(col("wset")))
     val tokens = base.select(
       col("doc_id"), col("lang"), col("source"), col("wsize"),
@@ -126,6 +128,38 @@ object Dedup extends QueryPack {
                  / (any_value(a.wsize) + any_value(b.wsize) - count(*)) >= 0.5
       """.stripMargin),
       doc = "blocked exact Jaccard near-dup pairs"),
+
+    // ---- n-gram (2-shingle) Jaccard: order-sensitive near-dup ----
+    // word-set Jaccard is order-blind; 2-gram shingles distinguish
+    // reordered texts (the n-gram dedup the pipeline brief names). Same
+    // prefix-filtered engine, shingle units.
+    "q46_shingle_jaccard" -> Q(
+      (s, d) => jaccardPairs(T.documents(s, d), threshold = 0.5, n = 2),
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, source,
+                 list_distinct(list_transform(
+                   range(1, len(string_split(text, ' '))),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1])) AS wset
+          FROM documents
+        ), exploded AS (
+          SELECT doc_id, lang, source, len(wset) AS wsize,
+                 unnest(wset) AS word
+          FROM base
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(CAST(count(*) AS DOUBLE)
+                 / (any_value(a.wsize) + any_value(b.wsize) - count(*)), 6) AS jaccard_r
+        FROM exploded a
+        JOIN exploded b
+          ON a.lang = b.lang AND a.source = b.source AND a.word = b.word
+         AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(count(*) AS DOUBLE)
+                 / (any_value(a.wsize) + any_value(b.wsize) - count(*)) >= 0.5
+      """.stripMargin),
+      doc = "2-gram shingle Jaccard near-dup pairs (order-sensitive)"),
 
     // ---- MinHash + LSH banded candidates, exact-verified ----
     // No SQL oracle (hash family is xxhash64-seeded, not reproducible in
