@@ -31,7 +31,7 @@ object AsOf extends QueryPack {
       .agg(max(col(valueCol)).as("__v"))
       .withColumn("__side", lit(0))
     val unioned = leftTagged.select(
-      (left.columns.map(col) ++ Seq(col("__side"), col("__v"))): _*)
+      (left.columns.toIndexedSeq.map(col) ++ Seq(col("__side"), col("__v"))): _*)
       .unionByName(rightTagged
         .select(col(keyCol), col(tsCol), col("__side"), col("__v")),
         allowMissingColumns = true)
