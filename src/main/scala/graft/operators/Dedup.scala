@@ -49,12 +49,19 @@ object Dedup extends QueryPack {
     val base = docs.select(
       col("doc_id"), col("lang"), col("source"), units.as("wset"))
       .withColumn("wsize", size(col("wset")))
+    // the BLOCKING machinery (df count, rarity window, candidate join)
+    // runs on 64-bit token hashes, not the strings: 8-byte shuffle keys
+    // instead of shingle text. A hash collision merges two tokens' df and
+    // order position — both docs see the SAME merged order, so the prefix
+    // bound still holds and a collision can only ADD candidates; the
+    // exact verify below works on the true string sets, so results are
+    // unchanged.
     val tokens = base.select(
       col("doc_id"), col("lang"), col("source"), col("wsize"),
-      explode(col("wset")).as("word"))
+      explode(transform(col("wset"), w => xxhash64(w))).as("word"))
     val dfreq = tokens.groupBy(col("lang"), col("source"), col("word"))
       .agg(count(lit(1)).as("df"))
-    // rarest-first ranking per doc; ties broken on the word itself so the
+    // rarest-first ranking per doc; ties broken on the token hash so the
     // prefix is deterministic under any partitioning / task retry
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df").asc, col("word").asc)
