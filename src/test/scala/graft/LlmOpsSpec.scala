@@ -75,6 +75,23 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("minhash verify joins the corpus sets by shuffle, never broadcast") {
+    val plan = Dedup.minhashCandidates(Tables.documents(spark, sf), 0.8)
+      .queryExecution.executedPlan.toString
+    // the two id-keyed set joins must honor SHUFFLE_HASH — a broadcast of
+    // the corpus-sized sets relation is an executor OOM at scale (the
+    // round-1 design); the only allowed broadcast is the tiny bucket-cap
+    // stats join
+    val shuffled = "ShuffledHashJoin".r.findAllIn(plan).size
+    withClue(plan.linesIterator.filter(_.contains("Join")).mkString("\n")) {
+      assert(shuffled >= 2)
+      // no broadcast join KEYED on the pair ids (the sets-relation joins);
+      // the small band/bucket-stat joins may broadcast freely
+      assert(!plan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin [a_id") || l.contains("BroadcastHashJoin [b_id")))
+    }
+  }
+
   test("simhash: duplicate texts collide; hamming to unrelated text is larger") {
     val df = Tables.documents(spark, sf).limit(50)
       .select($"doc_id", TextOps.simhash($"text").as("h"), $"text")
