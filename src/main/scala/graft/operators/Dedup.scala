@@ -46,19 +46,22 @@ object Dedup extends QueryPack {
     val units =
       if (n == 1) TextOps.distinctWords(col("text"))
       else array_distinct(TextOps.shingles(col("text"), n))
+    // the ENTIRE pipeline (blocking and verify) runs on sorted 64-bit
+    // token hashes, never the token strings: 8-byte shuffle keys instead
+    // of shingle text, and the verify intersection is a native merge-walk
+    // over two sorted long arrays (SortedIntersectCount) instead of
+    // array_intersect over UTF8 strings. A hash collision merges two
+    // tokens — both docs see the SAME merged vocabulary, so the prefix
+    // bound still holds, and a collision altering any set size or
+    // intersection is ~|set|²/2⁶⁴ per doc/pair: vanishing against the
+    // corpus sizes this runs at (and the DuckDB oracle stays green).
     val base = docs.select(
-      col("doc_id"), col("lang"), col("source"), units.as("wset"))
+      col("doc_id"), col("lang"), col("source"),
+      array_sort(array_distinct(transform(units, w => xxhash64(w)))).as("wset"))
       .withColumn("wsize", size(col("wset")))
-    // the BLOCKING machinery (df count, rarity window, candidate join)
-    // runs on 64-bit token hashes, not the strings: 8-byte shuffle keys
-    // instead of shingle text. A hash collision merges two tokens' df and
-    // order position — both docs see the SAME merged order, so the prefix
-    // bound still holds and a collision can only ADD candidates; the
-    // exact verify below works on the true string sets, so results are
-    // unchanged.
     val tokens = base.select(
       col("doc_id"), col("lang"), col("source"), col("wsize"),
-      explode(transform(col("wset"), w => xxhash64(w))).as("word"))
+      explode(col("wset")).as("word"))
     val dfreq = tokens.groupBy(col("lang"), col("source"), col("word"))
       .agg(count(lit(1)).as("df"))
     // rarest-first ranking per doc; ties broken on the token hash so the
@@ -75,11 +78,14 @@ object Dedup extends QueryPack {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+    // exact verify on the sorted hash sets: id-keyed SHUFFLE_HASH joins
+    // (never a corpus broadcast; hash beats sort-merge on wide array rows)
     val sets = base.select(col("doc_id"), col("wset"))
     candIds
-      .join(sets.toDF("a_id", "a_set"), "a_id")
-      .join(sets.toDF("b_id", "b_set"), "b_id")
-      .withColumn("inter", size(array_intersect(col("a_set"), col("b_set"))))
+      .join(sets.toDF("a_id", "a_set").hint("SHUFFLE_HASH"), "a_id")
+      .join(sets.toDF("b_id", "b_set").hint("SHUFFLE_HASH"), "b_id")
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.count(col("a_set"), col("b_set")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("a_set")) + size(col("b_set")) - col("inter")))
