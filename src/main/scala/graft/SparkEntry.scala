@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Warehouse,
     operators.Windows,
     operators.Dashboard,
+    operators.Stats,
     operators.Streaming,
     operators.AsOf,
     operators.TextAnalysis,

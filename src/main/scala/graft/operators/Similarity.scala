@@ -290,6 +290,76 @@ object Similarity extends QueryPack {
         WHERE round(list_dot_product(a.v, b.v) /
                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
       """.stripMargin),
-      doc = "embedding-cosine near-dup pairs, hamming-1 multi-probe cells")
+      doc = "embedding-cosine near-dup pairs, hamming-1 multi-probe cells"),
+
+    // ---- per-label centroids (the IVF codebook-training primitive) ----
+    // posexplode → one hash aggregate on (label, pos): the 100 TB shape is
+    // a map-side partial sum per dimension, one shuffle of |labels|·dim
+    // partial rows — the corpus never concentrates. Sums run through
+    // DECIMAL on round(6) doubles so accumulation order (Spark partitions
+    // vs DuckDB sequential) cannot drift the hash (see Dashboard.dsum).
+    "q68_label_centroid" -> Q(
+      (s, d) => {
+        import s.implicits._
+        T.embeddings(s, d)
+          .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+          .groupBy($"label", $"pos")
+          .agg(round(
+            sum(round($"v".cast("double"), 6).cast("decimal(28,6)"))
+              .cast("double") / count(lit(1)), 6).as("centroid"))
+      },
+      Some("""
+        SELECT label, CAST(i - 1 AS INT) AS pos,
+               round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                                   AS DECIMAL(28,6))) AS DOUBLE)
+                     / count(*), 6) AS centroid
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY label, i
+      """.stripMargin),
+      doc = "per-label embedding centroids (decimal-stable dimension sums)"),
+
+    // ---- int8 scalar quantization (the vector-index compression step) ----
+    // pure projection — embarrassingly parallel; fixed scale 400 with a
+    // [-127, 127] clamp (corpus values are ~[-0.6, 0.6], so real
+    // saturation occurs and is counted). Reconstruction error folds
+    // per-element left-to-right through DECIMAL so the per-row sum is
+    // engine-order-independent; reported as ppm to survive the driver's
+    // round(4) float normalization.
+    "q69_quantize_int8" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val scale = 400
+        def qz(v: Column) =
+          greatest(lit(-127), least(lit(127),
+            round(v.cast("double") * scale, 0).cast("int")))
+        val err = (v: Column) =>
+          pow(v.cast("double") - qz(v).cast("double") / scale, 2)
+        T.embeddings(s, d).select(
+          $"vec_id",
+          aggregate(transform($"embedding", v => abs(qz(v)).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("l1_q"),
+          size(filter($"embedding",
+            v => abs(round(v.cast("double") * scale, 0)) > 127)).as("n_sat"),
+          round(aggregate(
+            transform($"embedding", v => round(err(v), 12).cast("decimal(28,12)")),
+            lit(0).cast("decimal(28,12)"),
+            (acc, x) => (acc + x).cast("decimal(28,12)"))
+            .cast("double") / 64 * 1e6, 4).as("mse_ppm"))
+      },
+      Some("""
+        SELECT vec_id,
+               CAST(list_sum(list_transform(embedding, v ->
+                 abs(greatest(-127, least(127,
+                   CAST(round(CAST(v AS DOUBLE) * 400, 0) AS INT)))))) AS BIGINT) AS l1_q,
+               len(list_filter(embedding, v ->
+                 abs(round(CAST(v AS DOUBLE) * 400, 0)) > 127)) AS n_sat,
+               round(CAST(list_sum(list_transform(embedding, v ->
+                 CAST(round(pow(CAST(v AS DOUBLE)
+                   - greatest(-127, least(127,
+                       CAST(round(CAST(v AS DOUBLE) * 400, 0) AS INT))) / 400.0, 2), 12)
+                      AS DECIMAL(28,12)))) AS DOUBLE) / 64 * 1e6, 4) AS mse_ppm
+        FROM embeddings
+      """.stripMargin),
+      doc = "int8 scalar quantization: L1 mass, saturation count, MSE ppm")
   )
 }

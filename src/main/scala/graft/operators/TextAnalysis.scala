@@ -108,6 +108,96 @@ object TextAnalysis extends QueryPack {
       }),
       doc = "marker-vocab language ID with deterministic argmax"),
 
+    // ---- repetition signals (Gopher-style quality filters) ----
+    // duplicate-word ratio is a pure projection; the top-bigram fraction
+    // needs a per-(doc, gram) count — two hash aggregates keyed by doc_id,
+    // so at 100 TB this shuffles once on doc_id and never concentrates
+    // (every doc's grams land in one partition's hash table).
+    "q49_repetition" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = T.documents(s, d)
+        val grams = docs.select($"doc_id",
+          explode(TextOps.shingles($"text", 2)).as("g"))
+        val top = grams.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(round(max($"c").cast("double") / sum($"c"), 6)
+            .as("top_bigram_frac"))
+        docs.select($"doc_id",
+          round(lit(1.0) - size(TextOps.distinctWords($"text")).cast("double")
+            / size(TextOps.words($"text")), 6).as("dup_word_ratio"))
+          .join(top, Seq("doc_id"))
+      },
+      Some("""
+        WITH grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, len(string_split(text, ' '))),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1])) AS g
+          FROM documents
+        ), gc AS (
+          SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+        ), top AS (
+          SELECT doc_id,
+                 round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+          FROM gc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS dup_word_ratio,
+               t.top_bigram_frac
+        FROM documents d JOIN top t USING (doc_id)
+      """.stripMargin),
+      doc = "duplicate-word ratio + top-bigram fraction (repetition filters)"),
+
+    // ---- per-doc top-k rare terms (tf-idf-shaped rarity ranking) ----
+    // score = tf/df — the same monotone rarity ordering as tf·log(N/df)
+    // for a fixed doc, chosen over the log form because a single IEEE
+    // division is bit-identical across engines (libm log is not, and a
+    // 1-ulp log delta at a rank boundary would flip the oracle hash).
+    // Scale: tf is a (doc, term) hash aggregate; df aggregates tf's
+    // output by term (vocabulary-sized — shuffle-joined back, NEVER
+    // broadcast: a 100 TB corpus vocabulary is not a dim table); top-k
+    // is a per-doc window over ≤|doc| rows.
+    "q67_tfidf_topk" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val tf = T.documents(s, d)
+          .select($"doc_id", explode(TextOps.words($"text")).as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy($"doc_id")
+          .orderBy($"score".desc, $"term".asc)
+        tf.join(df, Seq("term"))
+          .withColumn("score", round($"tf".cast("double") / $"df", 6))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select($"doc_id", $"term", $"score".as("rarity_score"),
+            $"rk".cast("int").as("rk"))
+      },
+      Some("""
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+        ), df AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+          SELECT doc_id, term, round(CAST(tf AS DOUBLE) / df, 6) AS score
+          FROM tf JOIN df USING (term)
+        ), ranked AS (
+          SELECT doc_id, term, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term ASC) AS rk
+          FROM scored
+        )
+        SELECT doc_id, term, score AS rarity_score, CAST(rk AS INT) AS rk
+        FROM ranked WHERE rk <= 3
+      """.stripMargin),
+      doc = "per-doc top-3 rarity-weighted terms (tf/df ranking)"),
+
     // ---- content fingerprinting ----
     "q53_fingerprint" -> Q(
       (s, d) => {

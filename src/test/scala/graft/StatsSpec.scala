@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the distribution-stats and corpus-stats operators
+  * (q47-q49, q67-q69) beyond the DuckDB hash gate. */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q47: percentiles are monotone and inside the group's range") {
+    val rows = operators.Stats.queries("q47_group_percentiles")
+      .fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(p25, p50, p75, p90) =
+        Seq("p25", "p50", "p75", "p90").map(c => r.getAs[Double](c))
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p90)
+    }
+    val (mn, mx) = Tables.lineitem(spark, sf)
+      .agg(min($"l_extendedprice"), max($"l_extendedprice"))
+      .as[(Double, Double)].head()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p25") >= mn && r.getAs[Double]("p90") <= mx)
+    }
+  }
+
+  test("q48: histogram bin counts sum to the table row count") {
+    val h = operators.Stats.queries("q48_price_histogram").fn(spark, sf)
+    val binned = h.agg(sum($"n_orders")).as[Long].head()
+    assert(binned == Tables.orders(spark, sf).count())
+  }
+
+  test("q49: repetition ratios live in [0, 1]") {
+    val rows = operators.TextAnalysis.queries("q49_repetition")
+      .fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dup = r.getAs[Double]("dup_word_ratio")
+      val top = r.getAs[Double]("top_bigram_frac")
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(top > 0.0 && top <= 1.0)
+    }
+  }
+
+  test("q67: exactly <=3 terms per doc, ranks contiguous, scores non-increasing") {
+    val rows = operators.TextAnalysis.queries("q67_tfidf_topk")
+      .fn(spark, sf)
+      .select($"doc_id", $"rk", $"rarity_score")
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1)
+    rows.foreach { case (doc, ts) =>
+      val byRank = ts.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to byRank.length), s"doc $doc")
+      assert(byRank.length <= 3)
+      byRank.sliding(2).foreach {
+        case Array((_, _, s1), (_, _, s2)) => assert(s1 >= s2, s"doc $doc")
+        case _ =>
+      }
+    }
+  }
+
+  test("q68: one centroid per (label, dim), inside the value envelope") {
+    val c = operators.Similarity.queries("q68_label_centroid").fn(spark, sf)
+    val labels = Tables.embeddings(spark, sf).select($"label").distinct().count()
+    assert(c.count() == labels * 64)
+    assert(c.filter(abs($"centroid") > 1.0).count() == 0)
+  }
+
+  test("q69: quantization error bounded by half a step when unsaturated") {
+    val rows = operators.Similarity.queries("q69_quantize_int8")
+      .fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // half-step = 1/800 per dim -> per-dim squared error <= 1.5625e-6
+    // -> mse_ppm <= 1.5625 for rows with zero saturated dims
+    rows.filter(_.getAs[Int]("n_sat") == 0).foreach { r =>
+      assert(r.getAs[Double]("mse_ppm") <= 1.5625 + 1e-9)
+      assert(r.getAs[Long]("l1_q") > 0)
+    }
+  }
+}

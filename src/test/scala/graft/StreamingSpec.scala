@@ -107,6 +107,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSet == batchKeys.toSet)
   }
 
+  test("stream-static enrichment join matches the batch twin") {
+    implicit val s = spark
+    // static side: a dimension table joined into each micro-batch — the
+    // streaming analogue of the warehouse's broadcast dim lookups. The
+    // static side is re-resolved per micro-batch by the engine; no state.
+    val dim = Seq(
+      ("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("signup", "growth"), ("error", "ops"))
+      .toDF("event_type", "category")
+    val events = Tables.events(spark, sf).limit(400)
+      .select($"event_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect()
+
+    val input = MemoryStream[(Long, String, Double)](spark)
+    val joined = input.toDS().toDF("event_id", "event_type", "value")
+      .join(dim, Seq("event_type"))                    // stream ⋈ static
+      .groupBy($"category")
+      .agg(count(lit(1)).as("n"))
+    val q = joined.writeStream.format("memory").queryName("streamenrich")
+      .outputMode("complete").start()
+    val (b1, b2) = events.splitAt(events.length / 2)
+    input.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(b2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("streamenrich").as[(String, Long)].collect().toSet
+    val batch = Tables.events(spark, sf).limit(400)
+      .join(dim, Seq("event_type"))
+      .groupBy($"category").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("checkpointed AvailableNow stream resumes exactly-once across restarts") {
     import org.apache.spark.sql.streaming.Trigger
     val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
