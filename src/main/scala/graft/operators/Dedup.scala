@@ -43,21 +43,22 @@ object Dedup extends QueryPack {
     * shuffle (df count, per-doc window, id-only pair join, sort-merge
     * verify join) — no corpus-sized broadcast anywhere. */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 1): DataFrame = {
-    val units =
-      if (n == 1) TextOps.distinctWords(col("text"))
-      else array_distinct(TextOps.shingles(col("text"), n))
     // the ENTIRE pipeline (blocking and verify) runs on sorted 64-bit
     // token hashes, never the token strings: 8-byte shuffle keys instead
     // of shingle text, and the verify intersection is a native merge-walk
     // over two sorted long arrays (SortedIntersectCount) instead of
-    // array_intersect over UTF8 strings. A hash collision merges two
-    // tokens — both docs see the SAME merged vocabulary, so the prefix
-    // bound still holds, and a collision altering any set size or
-    // intersection is ~|set|²/2⁶⁴ per doc/pair: vanishing against the
-    // corpus sizes this runs at (and the DuckDB oracle stays green).
+    // array_intersect over UTF8 strings. The hash sets come from the
+    // native NGramHash64 expression — the HOF formulation (string
+    // shingles via element_at, then per-shingle xxhash64) ran interpreted
+    // and dominated q46's runtime. A hash collision merges two tokens —
+    // both docs see the SAME merged vocabulary, so the prefix bound still
+    // holds, and a collision altering any set size or intersection is
+    // ~|set|²/2⁶⁴ per doc/pair: vanishing against the corpus sizes this
+    // runs at (and the DuckDB oracle stays green).
     val base = docs.select(
       col("doc_id"), col("lang"), col("source"),
-      array_sort(array_distinct(transform(units, w => xxhash64(w)))).as("wset"))
+      graft.functions.NGramHash64.ngramHashes(TextOps.words(col("text")), n)
+        .as("wset"))
       .withColumn("wsize", size(col("wset")))
     val tokens = base.select(
       col("doc_id"), col("lang"), col("source"), col("wsize"),
@@ -302,7 +303,7 @@ object Dedup extends QueryPack {
     // minhash estimate's own variance.
     val sets = docs.select(
       col("doc_id"),
-      array_sort(transform(TextOps.distinctWords(col("text")), w => xxhash64(w)))
+      graft.functions.NGramHash64.ngramHashes(TextOps.words(col("text")), 1)
         .as("wset"))
     val banded = docs.select(
       col("doc_id"), col("lang"),

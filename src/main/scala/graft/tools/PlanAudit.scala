@@ -1,0 +1,52 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Scratch plan linter over the whole catalog — flags the two 100 TB
+  * anti-patterns that hide in green queries: un-partitioned windows
+  * (single-partition collapse) and broadcasts of non-dimension inputs.
+  * Not part of the product surface; run with
+  * `runMain graft.tools.PlanAudit /root/testdata/sf0.001`. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case _ => p +: (p.children ++ p.subqueries).flatMap(walk)
+    }
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, d)
+        df.count() // let AQE finalize so we audit the real plan
+        val nodes = walk(df.queryExecution.executedPlan)
+        nodes.foreach {
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            println(s"[audit] $name: UNPARTITIONED WINDOW ${w.windowExpression.mkString(",").take(80)}")
+          case b: BroadcastExchangeExec =>
+            val bytes = b.metrics.get("dataSize").map(_.value).getOrElse(-1L)
+            if (bytes > 64L * 1024 * 1024)
+              println(s"[audit] $name: LARGE BROADCAST ~${bytes / 1024 / 1024} MiB")
+          case _ =>
+        }
+      } catch {
+        case e: Throwable => println(s"[audit] $name: ERROR ${e.getMessage.take(120)}")
+      }
+    }
+    println("[audit] done")
+    spark.stop()
+  }
+}

@@ -44,11 +44,13 @@ object Ffill {
     // per-partition last filled value (max_by is order-insensitive under
     // the shuffle, unlike last()) → running carry from earlier partitions.
     // Single-partition window on a one-row-per-partition frame is
-    // intentional; constant partition key silences the WindowExec warning.
+    // intentional; the constant-VALUED but non-foldable partition key
+    // (pmod of the pid) silences the WindowExec warning — a literal gets
+    // constant-folded out of the partition spec and the warning returns.
     val carries = withLocal.groupBy(col(pid))
       .agg(max_by(col(local), struct(keys: _*)).as("__ff_part_last"))
       .withColumn("__ff_carry", last(col("__ff_part_last"), ignoreNulls = true)
-        .over(Window.partitionBy(lit(0)).orderBy(col(pid))
+        .over(Window.partitionBy(pmod(col(pid), lit(1))).orderBy(col(pid))
           .rowsBetween(Window.unboundedPreceding, -1)))
       .select(col(pid), col("__ff_carry"))
     withLocal.join(broadcast(carries), pid)

@@ -45,12 +45,14 @@ object SurrogateKeys {
       .persist()
     // partition sizes → cumulative offsets (one row per partition; tiny).
     // The single-partition window is INTENTIONAL on this driver-sized
-    // frame; the constant partition key silences Spark's "No Partition
-    // Defined" warning so real single-partition regressions stay visible.
+    // frame; the constant-VALUED but non-foldable partition key (pmod of
+    // the pid — a literal gets constant-folded out of the spec) silences
+    // Spark's "No Partition Defined" warning so real single-partition
+    // regressions stay visible.
     val offsets = withRn.groupBy(col(pid)).agg(count(lit(1)).as("__sk_cnt"))
       .withColumn("__sk_off",
         coalesce(sum(col("__sk_cnt")).over(
-          Window.partitionBy(lit(0)).orderBy(col(pid))
+          Window.partitionBy(pmod(col(pid), lit(1))).orderBy(col(pid))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(pid), col("__sk_off"))
     withRn.join(broadcast(offsets), pid)

@@ -170,6 +170,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("ngram_hash64 n=1 equals sorted-distinct xxhash64 of the words") {
+    import graft.functions.NGramHash64
+    val mismatches = Tables.documents(spark, sf)
+      .select(
+        NGramHash64.ngramHashes(TextOps.words($"text"), 1).as("native"),
+        array_sort(array_distinct(
+          transform(TextOps.words($"text"), w => xxhash64(w)))).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(mismatches == 0)
+  }
+
+  test("ngram_hash64 n=2: cardinality matches distinct string shingles; short docs empty") {
+    import graft.functions.NGramHash64
+    val mismatches = Tables.documents(spark, sf)
+      .select(
+        size(NGramHash64.ngramHashes(TextOps.words($"text"), 2)).as("native"),
+        size(array_distinct(TextOps.shingles($"text", 2))).as("strings"))
+      .filter($"native" =!= $"strings").count()
+    assert(mismatches == 0)
+    val short = Seq("single").toDF("text")
+      .select(NGramHash64.ngramHashes(TextOps.words($"text"), 2).as("h"))
+      .head.getSeq[Long](0)
+    assert(short.isEmpty)
+    // order sensitivity: reversed bigram hashes differ
+    val Seq(ab, ba) = Seq("a b", "b a").toDF("text")
+      .select(NGramHash64.ngramHashes(TextOps.words($"text"), 2).as("h"))
+      .collect().map(_.getSeq[Long](0).head).toSeq
+    assert(ab != ba)
+  }
+
   test("native vector_dot is bit-identical to the HOF formulation") {
     val emb = Tables.embeddings(spark, sf).limit(200)
     val pairs = emb.select($"vec_id".as("a_id"), $"embedding".as("a"))
