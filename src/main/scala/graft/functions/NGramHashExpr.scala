@@ -21,7 +21,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * Spark-first preference order (b): custom `Expression` with codegen,
   * not a UDF.
   */
-case class NGramHash64(child: Expression, n: Int) extends UnaryExpression {
+case class NGramHash64(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
   require(n >= 1, s"n-gram width must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -38,11 +39,11 @@ case class NGramHash64(child: Expression, n: Int) extends UnaryExpression {
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    NGramHash64.compute(input.asInstanceOf[ArrayData], n)
+    NGramHash64.compute(input.asInstanceOf[ArrayData], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr =>
-      s"${ev.value} = graft.functions.NGramHash64$$.MODULE$$.compute($arr, $n);")
+      s"${ev.value} = graft.functions.NGramHash64$$.MODULE$$.compute($arr, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): NGramHash64 =
     copy(child = newChild)
@@ -52,8 +53,10 @@ object NGramHash64 {
 
   /** Shared by interpreted eval and generated code. Word hashes use the
     * same xxHash64/seed-42 as Spark's `xxhash64`; windows mix word hashes
-    * with a SplitMix64-style avalanche so "a b"/"b a" differ. */
-  def compute(arr: ArrayData, n: Int): GenericArrayData = {
+    * with a SplitMix64-style avalanche so "a b"/"b a" differ. With
+    * `distinct = false` every window's hash is kept (sorted, duplicates
+    * preserved) — the counting form for repetition metrics. */
+  def compute(arr: ArrayData, n: Int, distinct: Boolean = true): GenericArrayData = {
     val m = arr.numElements()
     val cnt = m - n + 1
     if (cnt <= 0) return new GenericArrayData(Array.emptyLongArray)
@@ -82,6 +85,7 @@ object NGramHash64 {
       s += 1
     }
     java.util.Arrays.sort(out)
+    if (!distinct) return new GenericArrayData(out)
     var w = 1
     var r = 1
     while (r < cnt) {
@@ -91,7 +95,7 @@ object NGramHash64 {
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
-  def ngramHashes(words: Column, n: Int): Column =
+  def ngramHashes(words: Column, n: Int, distinct: Boolean = true): Column =
     org.apache.spark.sql.graft.Bridge.column(
-      NGramHash64(org.apache.spark.sql.graft.Bridge.expression(words), n))
+      NGramHash64(org.apache.spark.sql.graft.Bridge.expression(words), n, distinct))
 }

@@ -117,8 +117,13 @@ object TextAnalysis extends QueryPack {
       (s, d) => {
         import s.implicits._
         val docs = T.documents(s, d)
+        // grams are counted as 64-bit hashes (NGramHash64 counting form):
+        // the (doc, gram) aggregate shuffles 8-byte keys, not bigram
+        // strings; a collision merging two grams' counts inside ONE doc
+        // is ~|doc|²/2⁶⁴ — the oracle (true strings) stays green.
         val grams = docs.select($"doc_id",
-          explode(TextOps.shingles($"text", 2)).as("g"))
+          explode(graft.functions.NGramHash64
+            .ngramHashes(TextOps.words($"text"), 2, distinct = false)).as("g"))
         val top = grams.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
           .groupBy($"doc_id")
           .agg(round(max($"c").cast("double") / sum($"c"), 6)
@@ -197,6 +202,46 @@ object TextAnalysis extends QueryPack {
         FROM ranked WHERE rk <= 3
       """.stripMargin),
       doc = "per-doc top-3 rarity-weighted terms (tf/df ranking)"),
+
+    // ---- sliding-window chunking (RAG / context-window prep) ----
+    // width 20 tokens, stride 10: chunk k covers words [k·10, k·10+20);
+    // the last chunk may be partial. Pure projection + explode — the
+    // 100 TB shape is a flat-map over the scan, no shuffle; output rows
+    // carry (doc_id, chunk_id) so downstream embedding/indexing stages
+    // key on the pair.
+    "q77_chunking" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val (w, st) = (20, 10)
+        val ws = TextOps.words($"text")
+        val maxIdx = greatest(lit(0L),
+          ceil((size(ws) - w).cast("double") / st).cast("long"))
+        T.documents(s, d)
+          .select($"doc_id", ws.as("ws"),
+            explode(sequence(lit(0L), maxIdx)).as("i"))
+          .select($"doc_id", $"i".cast("int").as("chunk_id"),
+            array_join(slice($"ws", ($"i" * st + 1).cast("int"), lit(w)), " ")
+              .as("chunk"),
+            size(slice($"ws", ($"i" * st + 1).cast("int"), lit(w)))
+              .as("n_tokens"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+        ), idx AS (
+          SELECT doc_id, ws,
+                 unnest(range(0, 1 + greatest(0,
+                   CAST(ceil((n - 20) / 10.0) AS BIGINT)))) AS i
+          FROM base
+        )
+        SELECT doc_id, CAST(i AS INT) AS chunk_id,
+               array_to_string(ws[i*10+1 : i*10+20], ' ') AS chunk,
+               CAST(len(ws[i*10+1 : i*10+20]) AS INT) AS n_tokens
+        FROM idx
+      """.stripMargin),
+      doc = "sliding-window chunking, width 20 stride 10 (RAG prep)"),
 
     // ---- content fingerprinting ----
     "q53_fingerprint" -> Q(

@@ -142,6 +142,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("watermarked stream-stream join matches the batch twin") {
+    implicit val s = spark
+    // two event streams joined on user within a ±1h event-time bound —
+    // state on BOTH sides, pruned by watermark. Feed clicks and purchases
+    // in interleaved micro-batches; late rows stay inside the watermark.
+    val ev = Tables.events(spark, sf).limit(600)
+      .withColumn("ets", timestamp_micros(($"ts" / 1000).cast("long")))
+      .select($"event_id", $"user_id", $"event_type", $"ets")
+      .as[(Long, Long, String, java.sql.Timestamp)].collect()
+    val clicks = ev.filter(_._3 == "click")
+    val buys = ev.filter(_._3 == "purchase")
+
+    val inC = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val inB = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val c = inC.toDS().toDF("click_id", "user_id", "cts")
+      .withWatermark("cts", "2 hours")
+    val b = inB.toDS().toDF("buy_id", "buy_user", "bts")
+      .withWatermark("bts", "2 hours")
+    val joined = c.join(b,
+      $"user_id" === $"buy_user" &&
+        $"bts" >= $"cts" - expr("INTERVAL 1 HOUR") &&
+        $"bts" <= $"cts" + expr("INTERVAL 1 HOUR"))
+      .select($"click_id", $"buy_id")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    val (c1, c2) = clicks.splitAt(clicks.length / 2)
+    val (b1, b2) = buys.splitAt(buys.length / 2)
+    inC.addData(c1.map(e => (e._1, e._2, e._4)).toIndexedSeq)
+    inB.addData(b1.map(e => (e._1, e._2, e._4)).toIndexedSeq)
+    q.processAllAvailable()
+    inC.addData(c2.map(e => (e._1, e._2, e._4)).toIndexedSeq)
+    inB.addData(b2.map(e => (e._1, e._2, e._4)).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ssjoin").as[(Long, Long)].collect().toSet
+    val batch = clicks.flatMap { cl =>
+      buys.filter(bu => bu._2 == cl._2 &&
+        math.abs(bu._4.getTime - cl._4.getTime) <= 3600L * 1000).map(bu => (cl._1, bu._1))
+    }.toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("checkpointed AvailableNow stream resumes exactly-once across restarts") {
     import org.apache.spark.sql.streaming.Trigger
     val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
