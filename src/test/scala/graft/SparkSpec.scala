@@ -37,6 +37,28 @@ class EntrySpec extends SparkSpec {
       withClue(name) { assert(n >= 0) }
     }
   }
+  test("no catalog query's executed plan contains an unpartitioned window") {
+    // a window with an empty partition spec collapses the stage to one
+    // task — the classic 100 TB killer (see SCALE.md). Walk every
+    // query's FINAL (post-AQE) physical plan, not the logical one.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case _ => p +: (p.children ++ p.subqueries).flatMap(walk)
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      df.count() // finalize AQE
+      val offenders = walk(df.queryExecution.executedPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      withClue(s"$name has unpartitioned window(s): $offenders") {
+        assert(offenders.isEmpty)
+      }
+    }
+  }
   test("every oracle key exists in queries") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
