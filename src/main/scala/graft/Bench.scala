@@ -30,6 +30,12 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
         }
+        // operators persist() internally (Scd, Dedup, SurrogateKeys, …)
+        // and callers can't unpersist a lazy plan's internals: without
+        // clearing, ~60 warm-ups + ~60 timed runs accumulate storage
+        // blocks in the single bench JVM and the GC pressure taxes the
+        // tail of the run
+        spark.catalog.clearCache()
       }
       System.err.println(f"[bench] warm-up pass ($warmDir): ${(System.nanoTime() - w0) / 1e9}%.1fs")
     } else {
@@ -50,6 +56,9 @@ object Bench {
           false
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      // outside the timed section: drop this query's internal persists so
+      // the next query isn't taxed by a growing storage pool
+      spark.catalog.clearCache()
       name -> (if (ok) elapsed else -elapsed)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

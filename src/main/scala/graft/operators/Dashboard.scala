@@ -38,10 +38,16 @@ object Dashboard extends QueryPack {
     new SemanticModel(
       fact,
       Seq(
-        Relationship(T.customer(s, d), "o_custkey", "c_custkey"),
+        // customer/supplier GROW with scale factor — broadcastDim=false
+        // leaves the join strategy to AQE (auto-broadcast while small,
+        // shuffle join at scale). nation/region are fixed-cardinality
+        // dims: always broadcast.
+        Relationship(T.customer(s, d), "o_custkey", "c_custkey",
+          broadcastDim = false),
         Relationship(T.nation(s, d), "c_nationkey", "n_nationkey"),
         Relationship(T.region(s, d), "n_regionkey", "r_regionkey"),
-        Relationship(T.supplier(s, d), "l_suppkey", "s_suppkey")),
+        Relationship(T.supplier(s, d), "l_suppkey", "s_suppkey",
+          broadcastDim = false)),
       Map(
         "loans" -> count(lit(1)),
         "loan_amount" -> dsum(col("l_extendedprice"), 2),

@@ -24,9 +24,16 @@ object Relational extends QueryPack {
           .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
+            // money sums run through DECIMAL on both sides: a raw double
+            // sum's accumulation-order drift (~1e-7 relative at 600k rows)
+            // sits exactly at the driver's round(4) hash boundary — the
+            // q33 failure class from round 1 (integer-valued doubles like
+            // l_quantity are exact under double sum and stay raw)
             sum($"l_quantity").as("sum_qty"),
-            sum($"l_extendedprice").as("sum_base_price"),
-            sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+            sum($"l_extendedprice".cast("decimal(28,2)")).cast("double")
+              .as("sum_base_price"),
+            sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+              .cast("decimal(28,6)")).cast("double").as("sum_disc_price"),
             avg($"l_quantity").as("avg_qty"),
             avg($"l_discount").as("avg_disc"),
             count(lit(1)).as("count_order"))
@@ -34,8 +41,8 @@ object Relational extends QueryPack {
       Some("""
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
-               sum(l_extendedprice) AS sum_base_price,
-               sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
                avg(l_quantity) AS avg_qty,
                avg(l_discount) AS avg_disc,
                count(*) AS count_order
@@ -72,20 +79,25 @@ object Relational extends QueryPack {
         val n = T.nation(s, d)
         val r = T.region(s, d)
         // orders is fact-sized: shuffle hash/sort-merge on the key.
-        // customer/nation/region are dimensions: broadcast (the Spark
-        // analogue of SSIS full-cache Lookup, SURVEY §2.4 J1).
+        // nation/region are TRUE dimensions (fixed cardinality):
+        // broadcast (the Spark analogue of SSIS full-cache Lookup, SURVEY
+        // §2.4 J1). customer GROWS with scale factor — no explicit hint:
+        // AQE auto-broadcasts it while it fits the threshold and falls
+        // back to a shuffle join when it doesn't (an unconditional
+        // broadcast(c) is an executor OOM at 100 TB).
         li.join(o, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(c, $"o_custkey" === $"c_custkey")
           .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
           .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
           .groupBy($"r_name", $"n_name")
           .agg(
-            sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+              .cast("decimal(28,6)")).cast("double").as("revenue"),
             count(lit(1)).as("n_lines"))
       },
       Some("""
         SELECT r_name, n_name,
-               sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
                count(*) AS n_lines
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
