@@ -23,7 +23,8 @@ object Bench {
     // Failure-tolerant: a bad warm-up must not mask the timed run.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val bench = SparkEntry.benchQueries.toSeq.sortBy(_._1)
-    if (new java.io.File(warmDir).isDirectory) {
+    val warmedUp = new java.io.File(warmDir).isDirectory
+    if (warmedUp) {
       val w0 = System.nanoTime()
       bench.foreach { case (name, fn) =>
         try fn(spark, warmDir).count()
@@ -64,7 +65,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "value" is printed AFTER "queries" so a tail-truncated capture of
+    // this (long) line still contains the headline total; the protocol
+    // fields record the warm-up methodology (present since round 3) so
+    // cross-round comparisons can detect the cold→warm switch.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"warmup_pass":$warmedUp,"warm_dir":"$warmDir","queries":$qs,"value":$total}""")
     spark.stop()
   }
 }

@@ -51,6 +51,11 @@ case class NGramHash64(child: Expression, n: Int, distinct: Boolean = true)
 
 object NGramHash64 {
 
+  /** Deterministic stand-in hash for a null array element (arbitrary
+    * odd 64-bit constant, distinct from any real xxhash64 output with
+    * probability 1 − 2⁻⁶⁴). */
+  final val NullElementHash = 0x9E3779B97F4A7C15L
+
   /** Shared by interpreted eval and generated code. Word hashes use the
     * same xxHash64/seed-42 as Spark's `xxhash64`; windows mix word hashes
     * with a SplitMix64-style avalanche so "a b"/"b a" differ. With
@@ -63,7 +68,13 @@ object NGramHash64 {
     val wh = new Array[Long](m)
     var i = 0
     while (i < m) {
-      wh(i) = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      val u = arr.getUTF8String(i)
+      // null elements hash to a fixed sentinel: the declared input type
+      // admits containsNull=true, and XxHash64Function.hash NPEs on null —
+      // a caller feeding a nullable array must get a deterministic hash,
+      // not a crash inside generated code
+      wh(i) = if (u == null) NullElementHash
+              else XxHash64Function.hash(u, StringType, 42L)
       i += 1
     }
     val out = new Array[Long](cnt)

@@ -289,7 +289,22 @@ object Dedup extends QueryPack {
     * small-vocabulary corpus a candidate and the verify stage quadratic.
     * Buckets are additionally blocked by `lang` (the natural dedup shard);
     * at 100 TB bucket size bounds the quadratic term and AQE skew-join
-    * splits hot buckets. */
+    * splits hot buckets.
+    *
+    * Pair generation is bucket-local and exactly-once: each surviving
+    * band bucket aggregates its members ONCE (`collect_list` of
+    * (doc_id, band-vector) structs — ≤ maxBucket × ~104 B ≈ 10 MiB per
+    * bucket row at the default cap), generates its member combinations
+    * map-side via a posexplode × slice-explode chain, and emits a pair
+    * only when its own band key is the pair's FIRST shared band
+    * ([[graft.functions.FirstSharedBand]]). A near-identical cluster
+    * collides in most of its 12 bands, so the former band self-join +
+    * `dropDuplicates` shape shuffled every pair ~8× (measured 11 M rows
+    * into the dedup exchange for 1.41 M unique pairs at sf0.1) — here the
+    * duplicates are filtered in the generating stage and NO pair-dedup
+    * exchange exists at all: the only shuffles left are the bucket
+    * aggregation (one row per (lang, band) bucket) and the id-keyed
+    * verify joins. */
   def minhashCandidates(docs: DataFrame, verifyThreshold: Double,
                         maxBucket: Int = 100000): DataFrame = {
     // signature over word 1-grams: the signature must estimate the SAME
@@ -305,28 +320,54 @@ object Dedup extends QueryPack {
       col("doc_id"),
       graft.functions.NGramHash64.ngramHashes(TextOps.words(col("text")), 1)
         .as("wset"))
-    val banded = docs.select(
+    // persisted BEFORE the explode: three consumers (bucket-size agg, the
+    // size join, the bucket member agg) would each recompute the 96-hash
+    // signature scan, and persisting the exploded relation instead lets
+    // CollapseProject fold the signature into the generator's per-output
+    // projection (12 sig evaluations per doc — measured 8s vs 1.3s for
+    // the whole operator at sf0.1). The cached relation is one narrow row
+    // per doc (id, lang, 12-band vector ≈ 110 B) — ~2% of corpus text
+    // bytes, default MEMORY_AND_DISK so it spills at 100 TB.
+    val bandsRel = docs.select(
       col("doc_id"), col("lang"),
-      explode(TextOps.lshBands(
+      TextOps.lshBands(
         TextOps.minhashSignature(col("text"), n = 1, k = 96),
-        bands = 12, rowsPer = 8)).as("band"))
+        bands = 12, rowsPer = 8).as("bands"))
+      .persist()
+    val banded = bandsRel.select(col("doc_id"), col("lang"), col("bands"),
+      explode(col("bands")).as("band"))
     // a bucket of b docs yields b²/2 pairs — cap pathological buckets
     // (boilerplate-heavy corpora, template collisions) instead of letting
     // one bucket go quadratic; the dropped mass is the least
-    // discriminative band region, standard LSH practice at scale
+    // discriminative band region, standard LSH practice at scale. Sizes
+    // are computed BEFORE any member list materializes, so an over-cap
+    // mega-bucket is dropped as a count, never aggregated. (A pair whose
+    // first shared band was capped is recovered by its next surviving
+    // shared band only if that bucket re-generates it — the capped-band
+    // recall loss is the same best-effort trade the count-then-join shape
+    // always made.)
     val keptBuckets = banded.groupBy(col("lang"), col("band"))
       .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket)
+      .filter(col("bsz").between(2, maxBucket))
       .select(col("lang"), col("band"))
-    val pruned = banded.join(keptBuckets, Seq("lang", "band"))
-    // pair generation carries ONLY ids through the band shuffle — the word
-    // sets (wide arrays) are joined back per unique pair afterwards
-    val a = pruned.select(col("doc_id").as("a_id"), col("lang"), col("band"))
-    val b = pruned.select(col("doc_id").as("b_id"), col("lang"), col("band"))
-    val candIds = a.join(b, Seq("lang", "band"))
+    val buckets = banded.join(keptBuckets, Seq("lang", "band"))
+      .groupBy(col("lang"), col("band"))
+      .agg(collect_list(struct(col("doc_id"), col("bands"))).as("ms"))
+    // bucket-local combination generation, streamed through codegen: the
+    // (i, member) posexplode keeps the member list alongside, the inner
+    // explode pairs member i with members i+1.. — no join, no shuffle
+    val withA = buckets.select(col("band"), col("ms"),
+      posexplode(col("ms")).as(Seq("i", "a")))
+    val rawPairs = withA.select(col("band"), col("a"),
+      explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("b"))
+    val candIds = rawPairs
+      .filter(graft.functions.FirstSharedBand.first(
+        col("a.bands"), col("b.bands")) === col("band"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+      // a doc can sit twice in one bucket only if two of its OWN band
+      // keys collide (p ≈ C(12,2)·2⁻⁶⁴): drop the degenerate self-pair
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-      .dropDuplicates("a_id", "b_id")
     // exact verify: shuffle-join the candidate ids back to the word sets.
     // The sets relation is corpus-sized, so it must NEVER be broadcast —
     // an id-keyed shuffle join keeps both sides partition-bounded at

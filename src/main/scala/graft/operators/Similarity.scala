@@ -31,13 +31,21 @@ object Similarity extends QueryPack {
   val K = 5
   val NQueries = 10
 
+  /** THE single source of truth for the fixture's embedding width. Every
+    * dim-dependent constant (hyperplane literals in the SQL oracles, the
+    * q68 dimension range, q69's MSE divisor) derives from this; a
+    * SparkSpec test asserts the parquet fixture actually has this width,
+    * so a different-dim corpus fails loudly instead of silently diverging
+    * from the oracle. */
+  val EmbeddingDim = 64
+
   /** 2^8 = 256 cells for the catalog queries (sf0.1 ≈ 5k vectors → ~20 per
     * cell); the axis-aligned hyperplanes cap bits at the embedding dim. */
   val SignBits = 8
 
   /** Bucket count must track corpus size: ~`perBucket` vectors per cell
     * keeps within-cell pairing constant-bounded as n grows 100×. */
-  def signBitsFor(n: Long, perBucket: Long = 4096, dim: Int = 64): Int = {
+  def signBitsFor(n: Long, perBucket: Long = 4096, dim: Int = EmbeddingDim): Int = {
     val cells = math.max(1L, n / perBucket)
     math.min(dim, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(cells)))
   }
@@ -71,10 +79,10 @@ object Similarity extends QueryPack {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       VectorOps.norm(col("embedding")).as("qn"),
       explode(probeBuckets(
-        VectorOps.signBucket(col("embedding"), bits), bits)).as("bucket"))
+        VectorOps.signBucket(col("embedding"), bits, EmbeddingDim), bits)).as("bucket"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
       VectorOps.norm(col("embedding")).as("cn"),
-      VectorOps.signBucket(col("embedding"), bits).as("bucket"))
+      VectorOps.signBucket(col("embedding"), bits, EmbeddingDim).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim_r",
@@ -94,10 +102,10 @@ object Similarity extends QueryPack {
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
       VectorOps.norm(col("embedding")).as("a_n"),
       explode(probeBuckets(
-        VectorOps.signBucket(col("embedding"), bits), bits)).as("bucket"))
+        VectorOps.signBucket(col("embedding"), bits, EmbeddingDim), bits)).as("bucket"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
       VectorOps.norm(col("embedding")).as("b_n"),
-      VectorOps.signBucket(col("embedding"), bits).as("bucket"))
+      VectorOps.signBucket(col("embedding"), bits, EmbeddingDim).as("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim_r",
@@ -159,7 +167,7 @@ object Similarity extends QueryPack {
     * list literals so both engines project identically. */
   private def bucketExprSql(vExpr: String): String =
     (0 until SignBits).map { i =>
-      val h = VectorOps.hyperplane(i, 64)
+      val h = VectorOps.hyperplane(i, EmbeddingDim)
         .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
       s"CASE WHEN list_dot_product($vExpr, $h) >= 0 THEN ${1 << i} ELSE 0 END"
     }.mkString(" + ")
@@ -308,12 +316,12 @@ object Similarity extends QueryPack {
             sum(round($"v".cast("double"), 6).cast("decimal(28,6)"))
               .cast("double") / count(lit(1)), 6).as("centroid"))
       },
-      Some("""
+      Some(s"""
         SELECT label, CAST(i - 1 AS INT) AS pos,
                round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
                                    AS DECIMAL(28,6))) AS DOUBLE)
                      / count(*), 6) AS centroid
-        FROM embeddings, range(1, 65) t(i)
+        FROM embeddings, range(1, ${EmbeddingDim + 1}) t(i)
         GROUP BY label, i
       """.stripMargin),
       doc = "per-label embedding centroids (decimal-stable dimension sums)"),
@@ -344,7 +352,7 @@ object Similarity extends QueryPack {
             transform($"embedding", v => round(err(v), 12).cast("decimal(28,12)")),
             lit(0).cast("decimal(28,12)"),
             (acc, x) => (acc + x).cast("decimal(28,12)"))
-            .cast("double") / 64 * 1e6, 4).as("mse_ppm"))
+            .cast("double") / size($"embedding") * 1e6, 4).as("mse_ppm"))
       },
       Some("""
         SELECT vec_id,
@@ -357,7 +365,7 @@ object Similarity extends QueryPack {
                  CAST(round(pow(CAST(v AS DOUBLE)
                    - greatest(-127, least(127,
                        CAST(round(CAST(v AS DOUBLE) * 400, 0) AS INT))) / 400.0, 2), 12)
-                      AS DECIMAL(28,12)))) AS DOUBLE) / 64 * 1e6, 4) AS mse_ppm
+                      AS DECIMAL(28,12)))) AS DOUBLE) / len(embedding) * 1e6, 4) AS mse_ppm
         FROM embeddings
       """.stripMargin),
       doc = "int8 scalar quantization: L1 mass, saturation count, MSE ppm")

@@ -31,7 +31,12 @@ object PlanAudit {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, d)
-        df.count() // let AQE finalize so we audit the real plan
+        // df.collect() executes df's OWN QueryExecution — df.count() would
+        // build and run a separate derived plan, leaving this one's
+        // AdaptiveSparkPlanExec un-finalized and every BroadcastExchange
+        // dataSize metric unpopulated (the LARGE BROADCAST check would be
+        // dead code). Data is sf0.001-sized, so collect is cheap.
+        df.collect()
         val nodes = walk(df.queryExecution.executedPlan)
         nodes.foreach {
           case w: WindowExec if w.partitionSpec.isEmpty =>

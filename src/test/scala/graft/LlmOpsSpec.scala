@@ -75,6 +75,27 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("first_shared_band: value at first agreeing position; sentinel when none") {
+    import graft.functions.FirstSharedBand
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(9L, 2L, 3L)),   // first agree at pos 1 -> 2
+      (Seq(5L, 6L), Seq(5L, 6L)),           // pos 0 -> 5
+      (Seq(1L, 2L), Seq(3L, 4L))            // none -> Long.MinValue
+    ).toDF("a", "b")
+    val got = df.select(FirstSharedBand.first($"a", $"b")).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L, 5L, Long.MinValue))
+  }
+
+  test("minhash candidate pairs are emitted exactly once (first-shared-band rule)") {
+    // the bucket-local generator replaces the pair dropDuplicates shuffle;
+    // a pair sharing several bands must still appear exactly once
+    val out = Dedup.minhashCandidates(Tables.documents(spark, sf), 0.8)
+      .groupBy("a_id", "b_id").count()
+    assert(out.filter($"count" > 1).count() == 0)
+    // and ids are strictly ordered
+    assert(out.filter($"a_id" >= $"b_id").count() == 0)
+  }
+
   test("minhash verify joins the corpus sets by shuffle, never broadcast") {
     val plan = Dedup.minhashCandidates(Tables.documents(spark, sf), 0.8)
       .queryExecution.executedPlan.toString
@@ -209,6 +230,16 @@ class LlmOpsSpec extends SparkSpec {
       (VectorOps.dot($"a", $"b") - VectorOps.hofDot($"a", $"b")).as("d"))
       .filter($"d" =!= 0.0).count()
     assert(diffs == 0)
+  }
+
+  test("embeddings fixture width equals Similarity.EmbeddingDim") {
+    // the q58/q59/q61/q66 oracles inline hyperplane literals of this
+    // width and q68's oracle ranges over it — a different-width corpus
+    // must fail HERE, loudly, not hash-diverge in the driver gate
+    val dims = Tables.embeddings(spark, sf)
+      .select(size($"embedding").as("d")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(dims == Seq(Similarity.EmbeddingDim), s"fixture dims: $dims")
   }
 
   test("vector ops: cosine of a vector with itself is 1") {

@@ -50,7 +50,10 @@ class EntrySpec extends SparkSpec {
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
-      df.count() // finalize AQE
+      // collect() executes df's OWN QueryExecution (count() runs a derived
+      // plan and would leave this one's AQE un-finalized); the walked plan
+      // below is then the actual final physical plan, metrics populated.
+      df.collect()
       val offenders = walk(df.queryExecution.executedPlan).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
