@@ -94,6 +94,40 @@ object Dedup extends QueryPack {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard_r"))
   }
 
+  /** Shared DuckDB CTE chain: word-set Jaccard pairs at 0.8 → symmetric
+    * edge list → recursive min-label reachability → (doc_id, cluster_id).
+    * The recursive term grows the reachable-label set per node; UNION
+    * dedups, so it terminates at the transitive closure. */
+  private val clusterCteSql: String = """
+        WITH RECURSIVE base AS (
+          SELECT doc_id, lang, source,
+                 list_distinct(string_split(text, ' ')) AS wset
+          FROM documents
+        ), exploded AS (
+          SELECT doc_id, lang, source, len(wset) AS wsize, unnest(wset) AS word
+          FROM base
+        ), pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM exploded a
+          JOIN exploded b
+            ON a.lang = b.lang AND a.source = b.source AND a.word = b.word
+           AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING CAST(count(*) AS DOUBLE)
+                   / (any_value(a.wsize) + any_value(b.wsize) - count(*)) >= 0.8
+        ), edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL
+          SELECT b_id AS src, a_id AS dst FROM pairs
+        ), reach AS (
+          SELECT doc_id AS id, doc_id AS lbl FROM documents
+          UNION
+          SELECT e.dst AS id, r.lbl AS lbl
+          FROM reach r JOIN edges e ON r.id = e.src
+        ), clusters AS (
+          SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+        )"""
+
   def queries: Map[String, Q] = Map(
     // ---- exact dedup: hash-groupBy keep-first over a duplicated corpus ----
     "q54_dedup_exact" -> Q(
@@ -185,45 +219,40 @@ object Dedup extends QueryPack {
       doc = "MinHash(96)+LSH(12x8 bands) near-dup candidates, exact-verified"),
 
     // ---- end-to-end dedup: the cleaned corpus a pipeline user consumes ----
-    // exact dups collapse to min doc_id, then near-dup pairs (blocked exact
-    // Jaccard) drop the higher id of each pair (greedy keep-first — the
-    // standard approximation of the transitive closure)
+    // near-dup pairs (blocked exact Jaccard) → connected components →
+    // keep each cluster's minimum doc_id. Cluster-based keeping is
+    // orientation-independent: the greedy drop-the-higher-id-of-each-pair
+    // rule kept different docs depending on how chains A~B~C happened to
+    // pair up (and kept mid-chain docs whose neighbors were all larger).
     "q62_dedup_corpus" -> Q(
       (s, d) => {
         import s.implicits._
         val docs = T.documents(s, d)
-        val nearDupLosers = jaccardPairs(docs, threshold = 0.8)
-          .select($"b_id".as("doc_id")).distinct()
-        docs.join(nearDupLosers, Seq("doc_id"), "left_anti")
+        val keepers = clusterIds(docs, threshold = 0.8)
+          .filter($"cluster_id" === $"doc_id").select("doc_id")
+        docs.join(keepers, Seq("doc_id"))
           .groupBy($"lang")
           .agg(count(lit(1)).as("n_docs_kept"),
             sum($"n_chars").as("total_chars"))
       },
-      Some("""
-        WITH base AS (
-          SELECT doc_id, lang, source,
-                 list_distinct(string_split(text, ' ')) AS wset
-          FROM documents
-        ), exploded AS (
-          SELECT doc_id, lang, source, len(wset) AS wsize, unnest(wset) AS word
-          FROM base
-        ), losers AS (
-          SELECT DISTINCT b.doc_id AS doc_id
-          FROM exploded a
-          JOIN exploded b
-            ON a.lang = b.lang AND a.source = b.source AND a.word = b.word
-           AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-          HAVING CAST(count(*) AS DOUBLE)
-                   / (any_value(a.wsize) + any_value(b.wsize) - count(*)) >= 0.8
-        )
-        SELECT lang, count(*) AS n_docs_kept,
-               CAST(sum(n_chars) AS BIGINT) AS total_chars
-        FROM documents
-        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-        GROUP BY lang
+      Some(s"""
+        $clusterCteSql
+        SELECT d.lang, count(*) AS n_docs_kept,
+               CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+        FROM documents d
+        JOIN clusters c ON d.doc_id = c.doc_id AND c.cluster_id = d.doc_id
+        GROUP BY d.lang
       """.stripMargin),
-      doc = "deduplicated corpus output (exact + near-dup keep-first)"),
+      doc = "deduplicated corpus output (near-dup connected components, keep cluster min)"),
+
+    // ---- near-dup cluster ids: the corpus-analytics view of dedup ----
+    "q79_dedup_clusters" -> Q(
+      (s, d) => clusterIds(T.documents(s, d), threshold = 0.8),
+      Some(s"""
+        $clusterCteSql
+        SELECT doc_id, cluster_id FROM clusters
+      """.stripMargin),
+      doc = "connected-component cluster id per document (min reachable id)"),
 
     // ---- SimHash signature buckets over the duplicated corpus ----
     "q57_simhash" -> Q(
@@ -247,6 +276,84 @@ object Dedup extends QueryPack {
       None,
       doc = "SimHash banded near-dup pairs, hamming<=3 exact recall")
   )
+
+  /** Connected components over the near-dup pair graph: every document
+    * gets the MINIMUM doc_id reachable through near-dup pairs as its
+    * cluster id — the transitive closure the greedy pair-drop
+    * approximates. Iterative min-label propagation (the classic
+    * MapReduce/Pregel CC formulation): each round every node takes the
+    * min of its own label and its neighbors' labels, until a fixed
+    * point.
+    *
+    * Scale design: iteration count is the graph diameter — near-dup
+    * clusters are near-cliques (template families), so propagation
+    * settles in a few rounds; each round is one edge-keyed shuffle join +
+    * hash aggregate, nothing corpus-broadcast. Only nodes that appear in
+    * an edge iterate — singletons (the overwhelming majority of a real
+    * corpus) join back once at the end with their own id. Per-round
+    * results are persisted and materialized so a task retry replays from
+    * the cached previous round, not the whole chain (at cluster scale
+    * one would checkpoint every few rounds to truncate lineage). */
+  def clusterIds(docs: DataFrame, threshold: Double,
+                 maxIters: Int = 50): DataFrame = {
+    val pairs = jaccardPairs(docs, threshold).select(col("a_id"), col("b_id"))
+    // partitioned ONCE by src and cached: the per-round propagation join
+    // then reuses this partitioning (InMemoryRelation reports it), so
+    // each round shuffles only the label side — the edge relation never
+    // re-exchanges
+    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst").repartition(col("src")).persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    labels.count()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      // neighbor step: take the min label across the adjacency
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+        .withColumnRenamed("dst", "id")
+      // persisted: the pointer-jump self-join below reads it twice, and
+      // recomputation would run the edge join twice per round
+      val stepped = labels.withColumnRenamed("lbl", "old")
+        .join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"),
+          col("old"))
+        .persist()
+      // pointer-doubling step: follow the label one hop (lbl := lbl(lbl)).
+      // Neighbor-only propagation needs diameter-many rounds — a chain of
+      // gradually mutated near-dups measured 30+ rounds at sf0.1; path
+      // compression makes the combined loop logarithmic (6 rounds there).
+      // A label is always some cluster-mate's id, so the hop stays inside
+      // the component and monotonically decreases toward its min.
+      // localCheckpoint (not persist): the self-join above puts `stepped`
+      // into the plan twice, so the LOGICAL plan of a persisted chain
+      // doubles per round (2^rounds analysis cost — measured an 8 GiB
+      // driver OOM by round 3 at sf0.1). Checkpointing truncates the
+      // lineage to the materialized rows; per-round state is label-sized,
+      // not corpus-sized. On a cluster a reliable checkpoint dir would
+      // back this against executor loss.
+      val next = stepped
+        .join(stepped.select(col("id").as("lbl"), col("lbl").as("jlbl")),
+          Seq("lbl"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"),
+          col("old"))
+        .localCheckpoint(true)
+      changed = next.filter(col("lbl") < col("old")).count()
+      labels.unpersist()
+      stepped.unpersist()
+      labels = next.select(col("id"), col("lbl"))
+      iters += 1
+    }
+    require(changed == 0,
+      s"connected components did not converge in $maxIters iterations")
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+  }
 
   /** SimHash near-dup pairs with EXACT recall at the requested radius:
     * `maxHamming + 1` bands over the 64-bit signature guarantee (by

@@ -96,6 +96,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.filter($"a_id" >= $"b_id").count() == 0)
   }
 
+  test("cluster ids: transitive closure of near-dup pairs, min-id labeled") {
+    val docs = Tables.documents(spark, sf)
+    val clusters = Dedup.clusterIds(docs, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc labeled, label is a real doc id ≤ own id
+    assert(clusters.size == docs.count())
+    assert(clusters.forall { case (id, c) => c <= id && clusters.contains(c) })
+    // cluster ids are fixed points (the min member labels itself)
+    assert(clusters.values.toSet.forall(c => clusters(c) == c))
+    // every near-dup pair lands in one cluster — and transitively: the
+    // kept set (docs labeling themselves) contains no near-dup pair
+    val pairs = Dedup.jaccardPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => clusters(a) == clusters(b) })
+    assert(!pairs.exists { case (a, b) => clusters(a) == a && clusters(b) == b })
+  }
+
   test("minhash verify joins the corpus sets by shuffle, never broadcast") {
     val plan = Dedup.minhashCandidates(Tables.documents(spark, sf), 0.8)
       .queryExecution.executedPlan.toString
