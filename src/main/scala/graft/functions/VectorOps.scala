@@ -53,15 +53,18 @@ object VectorOps {
     * coarse cell for ANN search. Random projections mix ALL dimensions,
     * so they beat axis-aligned sign bits wherever a raw component sits
     * near zero (measured 2× the recall, 0.10 → 0.20, on the sf0.1
-    * corpus). The remaining gap is inherent to hash-LSH at wide
+    * corpus). A SINGLE table is inherently recall-capped at wide
     * neighbor angles (~60° here): collision probability per hyperplane
-    * is 1−θ/π ≈ 0.66, so 8 bits retain ~20% at hamming ≤ 1 — for
-    * corpora with cluster structure prefer the IVF path
-    * (`Similarity.ivfTopK`, measured recall 1.0 on the same corpus).
-    * Projections use the native [[VectorDot]]. */
-  def signBucket(v: Column, bits: Int, dim: Int = 64): Column =
+    * is 1−θ/π ≈ 0.66, so 8 bits retain ~20% at hamming ≤ 1 —
+    * `Similarity.annTopK` OR-amplifies across `tableOffset`-separated
+    * independent tables (1−(1−p₁)^L) to buy recall back; clustered
+    * corpora can instead take the IVF path (`Similarity.ivfTopK`,
+    * measured recall 1.0 on the same corpus). Projections use the native
+    * [[VectorDot]]; `tableOffset` selects a disjoint hyperplane range so
+    * each table's bits are independent draws of the same family. */
+  def signBucket(v: Column, bits: Int, dim: Int = 64, tableOffset: Int = 0): Column =
     (0 until bits).map { i =>
-      when(VectorDot.dot(v, typedLit(hyperplane(i, dim))) >= 0d,
+      when(VectorDot.dot(v, typedLit(hyperplane(tableOffset + i, dim))) >= 0d,
         lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 }

@@ -71,20 +71,45 @@ object Similarity extends QueryPack {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim_r"))
   }
 
-  /** ANN: corpus sign-bucketed once; each query probes its own cell and
-    * all hamming-1 cells. A corpus row lives in exactly one cell and the
-    * probe cells are distinct, so no (query, neighbor) pair is scored
-    * twice. */
-  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int): DataFrame = {
+  /** Independent band tables for sign-LSH OR-amplification: a single
+    * 8-bit table retains only ~20% of true top-k neighbors at this
+    * corpus's ~60° neighbor angles (p₁ ≈ 0.19 at hamming ≤ 1); L
+    * independent tables retain 1−(1−p₁)^L — measured 0.72 at L=8 on the
+    * sf0.1 corpus (ProfileRecall). Probe count is L·(bits+1) — linear in
+    * L while the per-table cell count stays exponential in bits. */
+  val SignTables = 8
+
+  /** ANN: the corpus is sign-bucketed once PER TABLE (L rows per vector);
+    * each query probes, in every table, its own cell and all hamming-1
+    * cells. Candidates are the union across tables — a pair colliding in
+    * several tables is deduplicated before scoring, so ranks count each
+    * neighbor once. The candidate dedup shuffles only the (small)
+    * candidate set of the broadcast-side query fan-out, never the
+    * corpus. */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int,
+              tables: Int = SignTables): DataFrame = {
+    // all table cells come from ONE native sign_buckets call — the
+    // bits×tables inline `when(dot ≥ 0)` formulation generated past
+    // Janino's 64 KB method limit and dropped the stage to interpreted
+    val bk = graft.functions.SignBuckets.buckets(
+      col("embedding"), bits, tables, EmbeddingDim)
+    val qProbes = (0 until tables).flatMap { t =>
+      val base = element_at(col("bk"), t + 1)
+      (base +: (0 until bits).map(j => base.bitwiseXOR(lit(1 << j))))
+        .map(p => struct(lit(t).as("tbl"), p.as("bucket")))
+    }
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      VectorOps.norm(col("embedding")).as("qn"),
-      explode(probeBuckets(
-        VectorOps.signBucket(col("embedding"), bits, EmbeddingDim), bits)).as("bucket"))
+      VectorOps.norm(col("embedding")).as("qn"), bk.as("bk"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(array(qProbes: _*)).as("tb"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
       VectorOps.norm(col("embedding")).as("cn"),
-      VectorOps.signBucket(col("embedding"), bits, EmbeddingDim).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      posexplode(bk).as(Seq("tbl", "bucket")))
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("sim_r",
         round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
@@ -117,6 +142,10 @@ object Similarity extends QueryPack {
   val IvfCentroids = 16
   val IvfProbes = 4
 
+  /** Lloyd iterations for the q78 trained codebook — small so the SQL
+    * oracle's unrolled CTE chain stays reviewable. */
+  val IvfIters = 2
+
   /** IVF-style ANN: coarse centroid cells instead of hash cells. The
     * centroid set here is the first `nCentroids` corpus vectors — a real
     * deployment trains k-means offline and ships the codebook; the
@@ -129,10 +158,63 @@ object Similarity extends QueryPack {
     * recall/latency dial. Ties break on rounded similarity then centroid
     * id, reproducible across engines. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCentroids: Int, nProbe: Int): DataFrame = {
-    val cents = corpus.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"),
-        VectorOps.norm(col("embedding")).as("cent_n"))
+              nCentroids: Int, nProbe: Int): DataFrame =
+    ivfTopKWith(queries, corpus, k,
+      corpus.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("centv")),
+      nProbe)
+
+  /** Deterministic Lloyd's refinement of the IVF codebook: start from the
+    * first `nCentroids` corpus vectors (the q66 seed), then `iters` rounds
+    * of assign-to-nearest-by-cosine + per-cell per-dimension mean. The
+    * assignment rule is EXACTLY the query-time rule (cosine argmax, ties
+    * to the lower centroid id), so trained cells are the cells queries
+    * will probe. Each round is the q68 centroid primitive: broadcast the
+    * codebook, map-side-combine the ×C scores to one cell per vector,
+    * posexplode → one (cell, dim) hash aggregate — the corpus never
+    * amplifies through a shuffle, and the only iterated state is the
+    * codebook itself (checkpointed per round; 16 rows). Dimension sums run
+    * through DECIMAL on round(6) inputs, so centroids are bit-identical
+    * across engines and partitionings (the Dashboard.dsum rule) — which is
+    * what makes the unrolled-SQL oracle for q78 possible. Cells that lose
+    * every member keep their previous centroid. */
+  def trainCodebook(corpus: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nid"),
+      transform(col("embedding"), _.cast("double")).as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+      .persist()
+    var cents = corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), _.cast("double")).as("centv"))
+    for (_ <- 0 until iters) {
+      val cn = cents.withColumn("cent_n", VectorOps.norm(col("centv")))
+      val assigned = c.crossJoin(broadcast(cn))
+        .withColumn("sim_c", round(
+          VectorOps.dot(col("cv"), col("centv")) / (col("cn") * col("cent_n")), 6))
+        .groupBy(col("nid"))
+        .agg(max_by(col("cent_id"), struct(col("sim_c"), -col("cent_id"))).as("cell"),
+          first(col("cv")).as("cv"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(sum(round(col("x"), 6).cast("decimal(28,6)"))
+          .cast("double") / count(lit(1)), 6).as("cm"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cm")))),
+          _.getField("cm")).as("newv"))
+      cents = cents
+        .join(means.withColumnRenamed("cell", "cent_id"), Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("newv"), col("centv")).as("centv"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** IVF search against an explicit codebook (cent_id, centv). */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+                  codebook: DataFrame, nProbe: Int): DataFrame = {
+    val cents = codebook.select(col("cent_id"), col("centv"),
+      VectorOps.norm(col("centv")).as("cent_n"))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("cv"), VectorOps.norm(col("embedding")).as("cn"))
     val assigned = c.crossJoin(broadcast(cents))
@@ -163,32 +245,119 @@ object Similarity extends QueryPack {
   }
 
   /** The Rademacher-hyperplane bucket as SQL over a double-list expr —
-    * the SAME hyperplane constants as `VectorOps.signBucket`, inlined as
-    * list literals so both engines project identically. */
-  private def bucketExprSql(vExpr: String): String =
+    * the SAME hyperplane constants as `VectorOps.signBucket` (same
+    * `table * SignBits` offset), inlined as list literals so both engines
+    * project identically. */
+  private def bucketExprSql(vExpr: String, table: Int = 0): String =
     (0 until SignBits).map { i =>
-      val h = VectorOps.hyperplane(i, EmbeddingDim)
+      val h = VectorOps.hyperplane(table * SignBits + i, EmbeddingDim)
         .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
       s"CASE WHEN list_dot_product($vExpr, $h) >= 0 THEN ${1 << i} ELSE 0 END"
     }.mkString(" + ")
 
   private val rawVSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
+  private def cosSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  /** q78 oracle: the Lloyd iterations unrolled as CTE chains — one
+    * (assign, per-dim decimal mean, fallback-join) block per iteration,
+    * then the q66 probe/score/rank against the final codebook. Mirrors
+    * `trainCodebook` + `ivfTopKWith` exactly (same tie order, same
+    * round(6)→DECIMAL(28,6) mean folding). */
+  private def trainedIvfSql(iters: Int): String = {
+    val iterCtes = (0 until iters).map { i =>
+      s"""
+        assign$i AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cent_id AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     ${cosSql("e.v", "c.centv")} DESC, c.cent_id ASC) AS rn
+            FROM e CROSS JOIN cents$i c) WHERE rn = 1
+        ),
+        m$i AS (
+          SELECT cell, CAST(i AS INT) AS pos,
+                 round(CAST(sum(CAST(round(v[i], 6) AS DECIMAL(28,6))) AS DOUBLE)
+                       / count(*), 6) AS cm
+          FROM assign$i, range(1, ${EmbeddingDim + 1}) t(i)
+          GROUP BY cell, i
+        ),
+        mm$i AS (SELECT cell, list(cm ORDER BY pos) AS newv FROM m$i GROUP BY cell),
+        cents${i + 1} AS (
+          SELECT c.cent_id, coalesce(m.newv, c.centv) AS centv
+          FROM cents$i c LEFT JOIN mm$i m ON c.cent_id = m.cell
+        )"""
+    }.mkString(",")
+    s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      cents0 AS (
+        SELECT vec_id AS cent_id, v AS centv FROM e WHERE vec_id < $IvfCentroids
+      ),
+      $iterCtes,
+      corpus_scored AS (
+        SELECT e.vec_id AS neighbor_id, e.v AS cv, c.cent_id,
+               ${cosSql("e.v", "c.centv")} AS sim_c
+        FROM e CROSS JOIN cents$iters c
+      ),
+      assigned AS (
+        SELECT neighbor_id, cv, cent_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY neighbor_id
+            ORDER BY sim_c DESC, cent_id ASC) AS rn
+          FROM corpus_scored) WHERE rn = 1
+      ),
+      q_scored AS (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cent_id,
+               ${cosSql("e.v", "c.centv")} AS sim_c
+        FROM e CROSS JOIN cents$iters c
+        WHERE e.vec_id < $NQueries
+      ),
+      probes AS (
+        SELECT query_id, qv, cent_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim_c DESC, cent_id ASC) AS rn
+          FROM q_scored) WHERE rn <= $IvfProbes
+      ),
+      scored AS (
+        SELECT p.query_id, a.neighbor_id, ${cosSql("p.qv", "a.cv")} AS sim_r
+        FROM probes p JOIN assigned a ON p.cell = a.cell
+        WHERE p.query_id <> a.neighbor_id
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id, sim_r,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim_r DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+      )
+      SELECT query_id, rank, neighbor_id, sim_r
+      FROM ranked WHERE rank <= $K
+    """.stripMargin
+  }
+
   private def sqlTopK(bucketJoin: Boolean): String = {
+    // the bucket join mirrors the OR-amplified L-table probe: a pair is a
+    // candidate when ANY table's cells are within hamming 1 — the single
+    // OR-join emits each candidate pair once, matching the Spark side's
+    // per-pair dedup
+    val tableCols =
+      if (!bucketJoin) "" // q58 brute force carries no bucket columns
+      else (0 until SignTables)
+        .map(t => s",\n               ${bucketExprSql(rawVSql, t)} AS b$t").mkString
     val joinCond =
       if (bucketJoin)
-        "bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.query_id <> c.neighbor_id"
+        (0 until SignTables).map(t => s"bit_count(xor(q.b$t, c.b$t)) <= 1")
+          .mkString("(", " OR ", ")") + " AND q.query_id <> c.neighbor_id"
       else "q.query_id <> c.neighbor_id"
     s"""
       WITH q AS (
         SELECT vec_id AS query_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
-               ${bucketExprSql(rawVSql)} AS bucket
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv$tableCols
         FROM embeddings WHERE vec_id < $NQueries
       ), c AS (
         SELECT vec_id AS neighbor_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
-               ${bucketExprSql(rawVSql)} AS bucket
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv$tableCols
         FROM embeddings
       ), scored AS (
         SELECT query_id, neighbor_id,
@@ -279,6 +448,16 @@ object Similarity extends QueryPack {
         FROM ranked WHERE rank <= $K
       """.stripMargin),
       doc = "IVF ANN: 16 deterministic centroid cells, 4-probe (scale dial)"),
+
+    // ---- IVF with a TRAINED codebook (the k-means step q66 stubs) ----
+    "q78_ann_ivf_trained" -> Q(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        ivfTopKWith(emb.filter(col("vec_id") < NQueries), emb, K,
+          trainCodebook(emb, IvfCentroids, IvfIters), IvfProbes)
+      },
+      Some(trainedIvfSql(IvfIters)),
+      doc = "IVF ANN with Lloyd-trained codebook (2 deterministic iterations)"),
 
     // ---- embedding-cosine near-dup pairs (dedup family, vector flavor) ----
     "q61_embedding_neardup" -> Q(
