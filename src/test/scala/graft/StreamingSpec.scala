@@ -14,6 +14,74 @@ class StreamingSpec extends SparkSpec {
 
   private val gap = operators.Streaming.GapNs
 
+  test("foreachBatch streaming drive of the incremental warehouse equals the batch run") {
+    // the reference's hourly production shape (pyspark_dag2.py:447-448 —
+    // per-snapshot batch loads) in streaming clothes: raw JSON rows arrive
+    // on a stream, each micro-batch stages and merges into the SAME stored
+    // star a batch run maintains. Final tables must equal the q75/q76
+    // two-phase batch result bit-for-bit.
+    import graft.ibrd.{Clean, Fixture, IbrdWarehouse}
+    import graft.sources.TableSink
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_incr").toString
+
+    // expected: the two-phase batch run with persist/load between steps
+    val stagedAll = Clean.stage(Fixture.raw(spark)).cache()
+    val eSink1 = new TableSink(s"$root/exp1")
+    val eSink2 = new TableSink(s"$root/exp2")
+    IbrdWarehouse.persist(IbrdWarehouse.build(spark,
+      stagedAll.filter($"end_of_period" === "30-jun-2023"), "2023-07-01"), eSink1)
+    IbrdWarehouse.persist(IbrdWarehouse.incremental(
+      IbrdWarehouse.load(spark, eSink1),
+      stagedAll.filter($"end_of_period" === "30-jun-2024"), "2024-07-01"), eSink2)
+    val expected = IbrdWarehouse.load(spark, eSink2)
+
+    // streaming drive: the STAGED slices arrive as JSON rows — staging is
+    // upstream of the warehouse load (q75/q76 slice a jointly-staged
+    // dataset too: the global forward-fill interleaves snapshots in raw
+    // order, so staging inside each micro-batch would see a different
+    // fill history and the comparison would be apples-to-oranges)
+    val stagedSchema = stagedAll.schema
+    def batchLines(snapshot: String): Seq[String] =
+      stagedAll.filter($"end_of_period" === snapshot).toJSON.collect().toSeq
+    val asOfBySnapshot = Map("30-jun-2023" -> "2023-07-01",
+      "30-jun-2024" -> "2024-07-01")
+    // each batch writes a NEW star version and flips the pointer — a lazy
+    // plan reading v(n) while overwriting v(n) in place would delete its
+    // own input files mid-job (the stored-table contract needs either
+    // versioned dirs or write-then-swap)
+    @volatile var current: Option[TableSink] = None
+    val input = MemoryStream[String](spark)
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], id: Long) =>
+        if (!batch.isEmpty) {
+          val staged = spark.read.schema(stagedSchema).json(batch)
+          val asOf = asOfBySnapshot(
+            staged.select(max($"end_of_period")).head.getString(0))
+          val next = current match {
+            case None => IbrdWarehouse.build(spark, staged, asOf)
+            case Some(prev) => IbrdWarehouse.incremental(
+              IbrdWarehouse.load(spark, prev), staged, asOf)
+          }
+          val vSink = new TableSink(s"$root/stream/v$id")
+          IbrdWarehouse.persist(next, vSink)
+          current = Some(vSink)
+        }
+      }
+      .start()
+    input.addData(batchLines("30-jun-2023"))
+    q.processAllAvailable()
+    input.addData(batchLines("30-jun-2024"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = IbrdWarehouse.load(spark, current.get)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSet
+    assert(rows(got.dimProject) == rows(expected.dimProject))
+    assert(rows(got.dimCountry) == rows(expected.dimCountry))
+    assert(rows(got.fact) == rows(expected.fact))
+    assert(got.fact.count() == expected.fact.count())
+  }
+
   test("stateful streaming sessionizer matches the batch twin's closed sessions") {
     implicit val s = spark
     val events = Tables.events(spark, sf)
