@@ -362,28 +362,53 @@ object Dedup extends QueryPack {
     * bits spread across every band. Wider radii trade band width (64 /
     * (h+1) bits) for bucket selectivity: at h=3 bands are 16-bit (64k
     * keys — collisions are real signal); large h degrades toward
-    * all-pairs and is the caller's scale decision. */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
+    * all-pairs and is the caller's scale decision. The `maxBucket` cap
+    * bounds a pathological band bucket's quadratic term at scale — a
+    * capped bucket trades a sliver of the exactness guarantee for not
+    * detonating, the same dial `minhashCandidates` exposes (no bucket
+    * approaches it at the catalog's corpus sizes). */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int,
+                      maxBucket: Int = 100000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
     val nBands = maxHamming + 1
     val bounds = (0 to nBands).map(b => 64 * b / nBands)
-    val sigs = docs.select(col("doc_id"),
+    // same bucket-local exactly-once generator as `minhashCandidates`:
+    // band keys are index-salted xxhash64 longs, each bucket collects its
+    // members once (persisted pre-explode; sizes counted before any list
+    // materializes), combos stream map-side, and a pair is emitted only by
+    // its first shared band — no pair-dedup exchange. A cross-band hash
+    // collision can only produce a false candidate, which the exact
+    // hamming filter drops.
+    val bandsRel = docs.select(col("doc_id"),
       TextOps.simhash(col("text")).as("sh"))
-    val banded = sigs.select(col("doc_id"), col("sh"),
-      explode(array((0 until nBands).map { b =>
-        val width = bounds(b + 1) - bounds(b)
-        val mask = if (width >= 64) -1L else (1L << width) - 1L
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sh"), bounds(b)).bitwiseAND(mask).as("key"))
-      }: _*)).as("band"))
-    val a = banded.toDF("a_id", "a_sh", "band")
-    val b = banded.toDF("b_id", "b_sh", "band")
-    a.join(b, Seq("band"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh")
-      .dropDuplicates("a_id", "b_id")
-      .withColumn("hamming", TextOps.hamming(col("a_sh"), col("b_sh")))
-      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id"), col("sh"),
+        array((0 until nBands).map { b =>
+          val width = bounds(b + 1) - bounds(b)
+          val mask = if (width >= 64) -1L else (1L << width) - 1L
+          xxhash64(lit(b),
+            shiftrightunsigned(col("sh"), bounds(b)).bitwiseAND(mask))
+        }: _*).as("bands"))
+      .persist()
+    val banded = bandsRel.select(col("doc_id"), col("sh"), col("bands"),
+      explode(col("bands")).as("band"))
+    val keptBuckets = banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+      .select(col("band"))
+    val buckets = banded.join(keptBuckets, Seq("band"))
+      .groupBy(col("band"))
+      .agg(collect_list(struct(col("doc_id"), col("sh"), col("bands"))).as("ms"))
+    val withA = buckets.select(col("band"), col("ms"),
+      posexplode(col("ms")).as(Seq("i", "a")))
+    val rawPairs = withA.select(col("band"), col("a"),
+      explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("b"))
+    rawPairs
+      .filter(graft.functions.FirstSharedBand.first(
+        col("a.bands"), col("b.bands")) === col("band"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"),
+        TextOps.hamming(col("a.sh"), col("b.sh")).as("hamming"))
+      .filter(col("a_id") < col("b_id") && col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
   }
 

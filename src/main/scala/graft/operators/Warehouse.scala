@@ -198,6 +198,58 @@ object Warehouse extends QueryPack {
         FROM events e JOIN cohorts c USING (user_id)
         GROUP BY cohort
       """.stripMargin),
-      doc = "salted-join result identity: hot keys spread over 8 reducers (SCALE)")
+      doc = "salted-join result identity: hot keys spread over 8 reducers (SCALE)"),
+
+    // ---- bucketed co-located join: the shuffle-free big-big join ----
+    // Both sides are written bucketed+sorted on the join key, so the scan
+    // itself reports the hash partitioning and the sort-merge join runs
+    // with NO exchange on either side — at 100 TB this is the difference
+    // between re-shuffling the fact table on every join and paying the
+    // layout cost once at write time. The result must be IDENTICAL to the
+    // plain join, which is what the oracle's hash gate asserts; ScaleSpec
+    // asserts the executed plan's only exchange is the final aggregate's.
+    "q80_bucketed_join" -> Q(
+      (s, d) => bucketedJoin(s, d),
+      Some("""
+        SELECT o_orderpriority, count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+      """.stripMargin),
+      doc = "bucketed co-located join: zero-exchange sort-merge join (SCALE)")
   )
+
+  // bucketed copies of lineitem/orders, written once per (session, sfDir):
+  // the one-time layout cost a warehouse pays at load time so every later
+  // fact join is exchange-free. External tables under a temp root; the
+  // session catalog carries the bucketing metadata.
+  private val bucketCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  private def bucketedTables(s: SparkSession, d: String): (String, String) =
+    bucketCache.computeIfAbsent((s, d), { case (session, dir) =>
+      val tag = f"${dir.hashCode & 0xffffffffL}%08x"
+      val ltab = s"graft_lineitem_b_$tag"
+      val otab = s"graft_orders_b_$tag"
+      val root = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      graft.sources.TableSink.writeBucketed(
+        T.lineitem(session, dir).select(col("l_orderkey"), col("l_extendedprice")),
+        ltab, 8, Seq("l_orderkey"), Some(s"$root/lineitem"))
+      graft.sources.TableSink.writeBucketed(
+        T.orders(session, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        otab, 8, Seq("o_orderkey"), Some(s"$root/orders"))
+      (ltab, otab)
+    })
+
+  /** Zero-exchange join of the bucketed copies (MERGE hint pins the
+    * sort-merge strategy so the small-SF broadcast path can't mask the
+    * bucketing behavior being demonstrated). */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val (ltab, otab) = bucketedTables(s, d)
+    s.table(ltab).hint("MERGE")
+      .join(s.table(otab), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(28,2)")).cast("double").as("revenue"))
+  }
 }

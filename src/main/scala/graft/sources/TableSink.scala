@@ -29,11 +29,15 @@ object TableSink {
     * SCALE.md. Requires a catalog (`saveAsTable`), hence separate from
     * the plain parquet-dir sink. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-                    cols: Seq[String]): Unit =
-    df.write
+                    cols: Seq[String], path: Option[String] = None): Unit = {
+    val w = df.write
       .bucketBy(buckets, cols.head, cols.tail: _*)
       .sortBy(cols.head, cols.tail: _*)
       .mode(SaveMode.Overwrite)
       .format("parquet")
-      .saveAsTable(table)
+    // explicit path → external table: data lands under the caller's dir
+    // instead of the session warehouse (which defaults to ./spark-warehouse
+    // in driver runs); the catalog still carries the bucketing metadata
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

@@ -23,10 +23,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
 
-    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
-      case _ => p +: (p.children ++ p.subqueries).flatMap(walk)
-    }
+    // full traversal incl. materialized AQE query stages (see PlanWalk)
+    def walk(p: SparkPlan): Seq[SparkPlan] = graft.plans.PlanWalk.walk(p)
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -42,4 +42,21 @@ class ScaleSpec extends SparkSpec {
           $"o_custkey" === $"c_custkey").count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q80 bucketed join plan: the only exchange is the final aggregate's") {
+    val df = operators.Warehouse.bucketedJoin(spark, sf)
+    df.collect() // finalize AQE on THIS plan
+    import graft.plans.PlanWalk.walk
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val nodes = walk(df.queryExecution.executedPlan)
+    val joins = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(joins.nonEmpty, "expected a sort-merge join (MERGE hint)")
+    // no exchange anywhere BELOW the join: the bucketed scans already
+    // satisfy the join's distribution
+    val shufflesUnderJoin = joins.flatMap(j => j.children.flatMap(walk))
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(shufflesUnderJoin.isEmpty,
+      df.queryExecution.executedPlan.toString.take(2000))
+  }
 }

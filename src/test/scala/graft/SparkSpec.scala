@@ -41,22 +41,19 @@ class EntrySpec extends SparkSpec {
     // a window with an empty partition spec collapses the stage to one
     // task — the classic 100 TB killer (see SCALE.md). Walk every
     // query's FINAL (post-AQE) physical plan, not the logical one.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
-    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
-      case _ => p +: (p.children ++ p.subqueries).flatMap(walk)
-    }
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       // collect() executes df's OWN QueryExecution (count() runs a derived
       // plan and would leave this one's AQE un-finalized); the walked plan
       // below is then the actual final physical plan, metrics populated.
+      // PlanWalk descends into materialized query stages — a child-only
+      // walk over a finalized plan stops at every stage boundary.
       df.collect()
-      val offenders = walk(df.queryExecution.executedPlan).collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
-      }
+      val offenders = graft.plans.PlanWalk.walk(df.queryExecution.executedPlan)
+        .collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
       withClue(s"$name has unpartitioned window(s): $offenders") {
         assert(offenders.isEmpty)
       }
