@@ -297,60 +297,56 @@ object Dedup extends QueryPack {
   def clusterIds(docs: DataFrame, threshold: Double,
                  maxIters: Int = 50): DataFrame = {
     val pairs = jaccardPairs(docs, threshold).select(col("a_id"), col("b_id"))
-    // partitioned ONCE by src and cached: the per-round propagation join
-    // then reuses this partitioning (InMemoryRelation reports it), so
-    // each round shuffles only the label side — the edge relation never
-    // re-exchanges
     val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
-      .toDF("src", "dst").repartition(col("src")).persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
-    labels.count()
-    var changed = 1L
+      .toDF("src", "dst").localCheckpoint(true)
+    // hook step (union-find "hook to min neighbor"): every edge node maps
+    // to min(self, min neighbor). Near-dup clusters are near-cliques, so
+    // this one aggregate collapses almost the whole graph immediately.
+    var mapping = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
+      .localCheckpoint(true)
+    // contract: rewrite edges between current labels, drop intra-label
+    // self-loops, dedup. Unlike fixed-size label propagation (which
+    // re-joins the FULL edge set every round — measured ~5 s/query at
+    // sf0.1), the contracted edge set shrinks geometrically: round 1
+    // leaves only the cross-cluster remnant, later rounds run on near-
+    // nothing. Per-round state is checkpointed — composing mappings
+    // through joins otherwise compounds the logical plan (the pointer-
+    // doubling formulation this replaces OOM'd an 8 GiB driver on plan
+    // growth alone). On a cluster, a reliable checkpoint dir would back
+    // these tiny per-round tables against executor loss.
+    def contract(e: DataFrame, m: DataFrame): DataFrame = e
+      .join(m.select(col("id").as("src"), col("lbl").as("slbl")), Seq("src"), "left")
+      .join(m.select(col("id").as("dst"), col("lbl").as("dlbl")), Seq("dst"), "left")
+      .select(coalesce(col("slbl"), col("src")).as("src"),
+        coalesce(col("dlbl"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var ce = contract(edges, mapping)
+    var remaining = ce.count()
     var iters = 0
-    while (changed > 0 && iters < maxIters) {
-      // neighbor step: take the min label across the adjacency
-      val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-        .withColumnRenamed("dst", "id")
-      // persisted: the pointer-jump self-join below reads it twice, and
-      // recomputation would run the edge join twice per round
-      val stepped = labels.withColumnRenamed("lbl", "old")
-        .join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"),
-          col("old"))
-        .persist()
-      // pointer-doubling step: follow the label one hop (lbl := lbl(lbl)).
-      // Neighbor-only propagation needs diameter-many rounds — a chain of
-      // gradually mutated near-dups measured 30+ rounds at sf0.1; path
-      // compression makes the combined loop logarithmic (6 rounds there).
-      // A label is always some cluster-mate's id, so the hop stays inside
-      // the component and monotonically decreases toward its min.
-      // localCheckpoint (not persist): the self-join above puts `stepped`
-      // into the plan twice, so the LOGICAL plan of a persisted chain
-      // doubles per round (2^rounds analysis cost — measured an 8 GiB
-      // driver OOM by round 3 at sf0.1). Checkpointing truncates the
-      // lineage to the materialized rows; per-round state is label-sized,
-      // not corpus-sized. On a cluster a reliable checkpoint dir would
-      // back this against executor loss.
-      val next = stepped
-        .join(stepped.select(col("id").as("lbl"), col("lbl").as("jlbl")),
-          Seq("lbl"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"),
-          col("old"))
+    while (remaining > 0 && iters < maxIters) {
+      // hook again on the contracted graph: label -> min(label, min nbr)
+      val step = ce.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("lbl"), least(col("src"), col("mn")).as("nlbl"))
+      // compose into the node mapping (nodes whose label didn't move keep it)
+      mapping = mapping.join(step, Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
-      changed = next.filter(col("lbl") < col("old")).count()
-      labels.unpersist()
-      stepped.unpersist()
-      labels = next.select(col("id"), col("lbl"))
+      ce = contract(ce, step.select(col("lbl").as("id"), col("nlbl").as("lbl")))
+      remaining = ce.count()
       iters += 1
     }
-    require(changed == 0,
+    // termination = no cross-label edges: each component carries exactly
+    // one label, and since labels only ever decrease toward ids inside
+    // the component, that label is the component minimum.
+    require(remaining == 0,
       s"connected components did not converge in $maxIters iterations")
     docs.select(col("doc_id"))
-      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(mapping.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
