@@ -257,6 +257,68 @@ object TextAnalysis extends QueryPack {
                md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
         FROM documents
       """.stripMargin),
-      doc = "exact + canonical bag-of-words fingerprints")
+      doc = "exact + canonical bag-of-words fingerprints"),
+
+    // ---- collocation mining: bigram PMI (word2phrase-style) ----
+    // phrase detection for tokenizer/vocab building: score each adjacent
+    // word pair by pointwise mutual information over the whole corpus.
+    // Two corpus-wide aggregates (unigram + bigram counts — map-side
+    // partial, one shuffle each), then a count-keyed join; the totals ride
+    // along as broadcast one-row scalars. PMI is computed from integer
+    // counts on both engines and rounded at 6, so the only float op is a
+    // single log of identical doubles. Deterministic top-k tiebreak on
+    // (pmi, bigram).
+    "q81_bigram_pmi" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = T.documents(s, d)
+        val tokens = docs.select(explode(TextOps.words($"text")).as("w"))
+        val uni = tokens.groupBy($"w").agg(count(lit(1)).as("n_w"))
+        val nTok = tokens.agg(count(lit(1)).as("n_total"))
+        val bigrams = docs.select(explode(TextOps.shingles($"text", 2)).as("bg"))
+        val bi = bigrams.groupBy($"bg").agg(count(lit(1)).as("n_ab"))
+        val nBi = bigrams.agg(count(lit(1)).as("b_total"))
+        bi.filter($"n_ab" >= 5)
+          .withColumn("wa", element_at(split($"bg", " "), 1))
+          .withColumn("wb", element_at(split($"bg", " "), 2))
+          .join(uni.toDF("wa", "n_a"), "wa")
+          .join(uni.toDF("wb", "n_b"), "wb")
+          .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+          .withColumn("pmi_r", round(log(
+            ($"n_ab".cast("double") / $"b_total") /
+              (($"n_a".cast("double") / $"n_total") *
+                ($"n_b".cast("double") / $"n_total"))), 6))
+          .orderBy($"pmi_r".desc, $"bg".asc)
+          .limit(50)
+          .select($"bg".as("bigram"), $"n_ab", $"pmi_r")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ), uni AS (
+          SELECT w, count(*) AS n_w FROM toks GROUP BY w
+        ), n AS (SELECT count(*) AS n_total FROM toks),
+        bgs AS (
+          SELECT unnest(list_transform(
+            range(1, len(string_split(text, ' '))),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i + 1])) AS bg
+          FROM documents
+        ), bi AS (
+          SELECT bg, count(*) AS n_ab FROM bgs GROUP BY bg
+        ), b AS (SELECT count(*) AS b_total FROM bgs)
+        SELECT bg AS bigram, n_ab,
+               round(ln((CAST(n_ab AS DOUBLE) / b_total) /
+                 ((CAST(ua.n_w AS DOUBLE) / n_total) *
+                  (CAST(ub.n_w AS DOUBLE) / n_total))), 6) AS pmi_r
+        FROM bi
+        CROSS JOIN n CROSS JOIN b
+        JOIN uni ua ON ua.w = string_split(bg, ' ')[1]
+        JOIN uni ub ON ub.w = string_split(bg, ' ')[2]
+        WHERE n_ab >= 5
+        ORDER BY pmi_r DESC, bg ASC
+        LIMIT 50
+      """.stripMargin),
+      doc = "bigram collocations by PMI (word2phrase-style phrase mining)")
   )
 }
