@@ -43,18 +43,56 @@ object Dedup extends QueryPack {
     * shuffle (df count, per-doc window, id-only pair join, sort-merge
     * verify join) — no corpus-sized broadcast anywhere. */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 1): DataFrame = {
-    // the ENTIRE pipeline (blocking and verify) runs on sorted 64-bit
-    // token hashes, never the token strings: 8-byte shuffle keys instead
-    // of shingle text, and the verify intersection is a native merge-walk
-    // over two sorted long arrays (SortedIntersectCount) instead of
-    // array_intersect over UTF8 strings. The hash sets come from the
-    // native NGramHash64 expression — the HOF formulation (string
-    // shingles via element_at, then per-shingle xxhash64) ran interpreted
-    // and dominated q46's runtime. A hash collision merges two tokens —
-    // both docs see the SAME merged vocabulary, so the prefix bound still
-    // holds, and a collision altering any set size or intersection is
-    // ~|set|²/2⁶⁴ per doc/pair: vanishing against the corpus sizes this
-    // runs at (and the DuckDB oracle stays green).
+    val (prefix, sets) = prefixEngine(docs, threshold, n)
+    val a = prefix.toDF("a_id", "lang", "source", "word")
+    val b = prefix.toDF("b_id", "lang", "source", "word")
+    val candIds = a.join(b, Seq("lang", "source", "word"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    verifyPairs(candIds, sets, threshold)
+  }
+
+  /** Incremental near-dup detection: pairs of `all` docs at J ≥ t where at
+    * least one side is in `newIds` — the crawl-ingest shape, where a new
+    * batch is deduplicated against the corpus-so-far WITHOUT re-pairing
+    * the corpus against itself. Candidate generation joins the full
+    * prefix index against the batch's prefixes only, so pair volume (and
+    * the verify join) scales with the batch, not the corpus²; document
+    * frequencies come from the combined population so the prefix bound
+    * (shared-rare-word) holds for every emitted pair. */
+  def jaccardPairsIncremental(all: DataFrame, newIds: DataFrame,
+                              threshold: Double, n: Int = 1): DataFrame = {
+    val (prefix, sets) = prefixEngine(all, threshold, n)
+    val batchPrefix = prefix
+      .join(newIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val a = prefix.toDF("a_id", "lang", "source", "word")
+    val b = batchPrefix.toDF("b_id", "lang", "source", "word")
+    // both-new pairs arrive in both orientations — normalize then dedup
+    val candIds = a.join(b, Seq("lang", "source", "word"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    verifyPairs(candIds, sets, threshold)
+  }
+
+  /** Shared prefix-filter core: (per-doc prefix tokens, hashed word sets).
+    *
+    * The ENTIRE pipeline (blocking and verify) runs on sorted 64-bit
+    * token hashes, never the token strings: 8-byte shuffle keys instead
+    * of shingle text, and the verify intersection is a native merge-walk
+    * over two sorted long arrays (SortedIntersectCount) instead of
+    * array_intersect over UTF8 strings. The hash sets come from the
+    * native NGramHash64 expression — the HOF formulation (string
+    * shingles via element_at, then per-shingle xxhash64) ran interpreted
+    * and dominated q46's runtime. A hash collision merges two tokens —
+    * both docs see the SAME merged vocabulary, so the prefix bound still
+    * holds, and a collision altering any set size or intersection is
+    * ~|set|²/2⁶⁴ per doc/pair: vanishing against the corpus sizes this
+    * runs at (and the DuckDB oracle stays green). */
+  private def prefixEngine(docs: DataFrame, threshold: Double,
+                           n: Int): (DataFrame, DataFrame) = {
     val base = docs.select(
       col("doc_id"), col("lang"), col("source"),
       graft.functions.NGramHash64.ngramHashes(TextOps.words(col("text")), n)
@@ -73,15 +111,14 @@ object Dedup extends QueryPack {
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= col("wsize") - ceil(lit(threshold) * col("wsize")) + 1)
       .select(col("doc_id"), col("lang"), col("source"), col("word"))
-    val a = prefix.toDF("a_id", "lang", "source", "word")
-    val b = prefix.toDF("b_id", "lang", "source", "word")
-    val candIds = a.join(b, Seq("lang", "source", "word"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-      .dropDuplicates("a_id", "b_id")
-    // exact verify on the sorted hash sets: id-keyed SHUFFLE_HASH joins
-    // (never a corpus broadcast; hash beats sort-merge on wide array rows)
-    val sets = base.select(col("doc_id"), col("wset"))
+    (prefix, base.select(col("doc_id"), col("wset")))
+  }
+
+  /** Exact verify on the sorted hash sets: id-keyed SHUFFLE_HASH joins
+    * (never a corpus broadcast; hash beats sort-merge on wide array
+    * rows). */
+  private def verifyPairs(candIds: DataFrame, sets: DataFrame,
+                          threshold: Double): DataFrame =
     candIds
       .join(sets.toDF("a_id", "a_set").hint("SHUFFLE_HASH"), "a_id")
       .join(sets.toDF("b_id", "b_set").hint("SHUFFLE_HASH"), "b_id")
@@ -92,7 +129,6 @@ object Dedup extends QueryPack {
           (size(col("a_set")) + size(col("b_set")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard_r"))
-  }
 
   /** Shared DuckDB CTE chain: word-set Jaccard pairs at 0.8 → symmetric
     * edge list → recursive min-label reachability → (doc_id, cluster_id).
@@ -244,6 +280,49 @@ object Dedup extends QueryPack {
         GROUP BY d.lang
       """.stripMargin),
       doc = "deduplicated corpus output (near-dup connected components, keep cluster min)"),
+
+    // ---- incremental dedup: new crawl batch vs the corpus-so-far ----
+    // the production ingest shape: only pairs INVOLVING the new batch are
+    // generated, so each increment costs |batch|-proportional work, not a
+    // corpus² recompute. Batch = every 7th doc re-crawled under a new id.
+    "q82_dedup_incremental" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = T.documents(s, d)
+        val batch = docs.filter($"doc_id" % 7 === 0)
+          .withColumn("doc_id", $"doc_id" + 2000000L)
+        val newIds = batch.select($"doc_id")
+        jaccardPairsIncremental(docs.unionByName(batch), newIds,
+          threshold = 0.8)
+      },
+      Some("""
+        WITH all_docs AS (
+          SELECT doc_id, lang, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 2000000, lang, source, text
+          FROM documents WHERE doc_id % 7 = 0
+        ), base AS (
+          SELECT doc_id, lang, source,
+                 list_distinct(string_split(text, ' ')) AS wset
+          FROM all_docs
+        ), exploded AS (
+          SELECT doc_id, lang, source, len(wset) AS wsize, unnest(wset) AS word
+          FROM base
+        )
+        SELECT LEAST(a.doc_id, b.doc_id) AS a_id,
+               GREATEST(a.doc_id, b.doc_id) AS b_id,
+               round(CAST(count(*) AS DOUBLE)
+                 / (any_value(a.wsize) + any_value(b.wsize) - count(*)), 6) AS jaccard_r
+        FROM exploded a
+        JOIN exploded b
+          ON a.lang = b.lang AND a.source = b.source AND a.word = b.word
+         AND a.doc_id < b.doc_id
+        WHERE b.doc_id >= 2000000 OR a.doc_id >= 2000000
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(count(*) AS DOUBLE)
+                 / (any_value(a.wsize) + any_value(b.wsize) - count(*)) >= 0.8
+      """.stripMargin),
+      doc = "incremental dedup: new-batch near-dups vs corpus-so-far (batch-bounded)"),
 
     // ---- near-dup cluster ids: the corpus-analytics view of dedup ----
     "q79_dedup_clusters" -> Q(

@@ -75,6 +75,20 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup equals the full pair set restricted to the batch") {
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter($"doc_id" % 7 === 0)
+      .withColumn("doc_id", $"doc_id" + 2000000L)
+    val all = docs.unionByName(batch)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val inc = Dedup.jaccardPairsIncremental(all, batch.select($"doc_id"), 0.8)
+      .collect().map(key).toSet
+    val full = Dedup.jaccardPairs(all, 0.8).collect().map(key)
+      .filter { case (a, b) => a >= 2000000L || b >= 2000000L }.toSet
+    assert(inc == full)
+    assert(inc.nonEmpty, "vacuous: the re-crawled batch found no near-dups")
+  }
+
   test("first_shared_band: value at first agreeing position; sentinel when none") {
     import graft.functions.FirstSharedBand
     val df = Seq(
