@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Streaming,
     operators.AsOf,
     operators.TextAnalysis,
+    operators.Curation,
     operators.Dedup,
     operators.Similarity,
     operators.Multimodal,

@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.functions.{NGramHash64, TextOps}
+import graft.{Q, QueryPack, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators over the `documents` table — the
+  * steps between "raw crawl" and "training mix" that the dedup/quality
+  * packs don't cover: PII redaction, stratified quota sampling for mix
+  * construction, benchmark decontamination, and sequence packing into
+  * fixed-size context windows.
+  *
+  * Scale shapes (SCALE.md has the full arguments):
+  *   - q83/q84 are pure scan projections (q84 adds one tiny per-stratum
+  *     aggregate broadcast back) — embarrassingly parallel at 100 TB.
+  *   - q85 joins corpus n-grams against a BROADCAST benchmark gram set;
+  *     benchmarks are small by nature (that's why decontamination is
+  *     feasible at all), so the corpus side never shuffles.
+  *   - q86 packs per deterministic shard; shard count scales with the
+  *     cluster, each shard's window is a sorted streaming aggregate.
+  */
+object Curation extends QueryPack {
+
+  /** Knuth multiplicative hash — identical integer arithmetic on both
+    * engines (DuckDB has no xxhash64; at 100 TB you'd swap in
+    * `xxhash64(doc_id)`, the sampling logic is hash-agnostic). */
+  private val Knuth = 2654435761L
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  def queries: Map[String, Q] = Map(
+
+    // ---- PII redaction ----
+    // The fixture corpus carries no natural PII, so both engines first
+    // graft deterministic synthetic contacts onto the text (varying per
+    // doc so the counts aren't constant), then redact. The operator under
+    // test is the redaction pass: regex scrub + per-class counts, one
+    // codegen'd projection over the scan — no shuffle at any scale.
+    "q83_pii_scrub" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val pii = concat(
+          $"text",
+          when($"doc_id" % 3 > 0,
+            concat(lit(" reach user"), $"doc_id".cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when($"doc_id" % 4 > 0,
+            concat(lit(" call 555-"),
+              lpad(pmod($"doc_id" * 7, lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit("")))
+        T.documents(s, d)
+          .withColumn("pii_text", pii)
+          .select(
+            $"doc_id",
+            regexp_replace(
+              regexp_replace($"pii_text", lit(EmailRe), lit("<EMAIL>")),
+              lit(PhoneRe), lit("<PHONE>")).as("clean_text"),
+            regexp_count($"pii_text", lit(EmailRe)).cast("int").as("n_emails"),
+            regexp_count($"pii_text", lit(PhoneRe)).cast("int").as("n_phones"))
+      },
+      Some(s"""
+        WITH pii AS (
+          SELECT doc_id,
+                 text ||
+                 CASE WHEN doc_id % 3 > 0
+                      THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 4 > 0
+                      THEN ' call 555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS pii_text
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(pii_text,
+                 '$EmailRe', '<EMAIL>', 'g'),
+                 '$PhoneRe', '<PHONE>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(pii_text, '$EmailRe')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(pii_text, '$PhoneRe')) AS INT) AS n_phones
+        FROM pii
+      """.stripMargin),
+      doc = "PII redaction: email/phone regex scrub + per-class counts"),
+
+    // ---- stratified quota sampling (training-mix construction) ----
+    // Target ≤50 docs per language stratum. Per-stratum rate =
+    // min(1, target/|stratum|); keep a doc iff its hash bucket falls
+    // under the rate — deterministic, single-pass, no sort, no window.
+    // The stratum-count aggregate is |languages|-sized → broadcast back;
+    // the keep/drop decision is a pure projection over the scan.
+    "q84_quota_sample" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = T.documents(s, d)
+        val cnts = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+        docs.join(broadcast(cnts), "lang")
+          .withColumn("bucket", pmod($"doc_id" * Knuth, lit(1000000L)))
+          .filter($"bucket" <
+            floor(least(lit(1.0), lit(50.0) / $"n_lang") * 1000000).cast("long"))
+          .select($"doc_id", $"lang", $"bucket")
+      },
+      Some(s"""
+        WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang)
+        SELECT doc_id, lang, (doc_id * $Knuth) % 1000000 AS bucket
+        FROM documents JOIN c USING (lang)
+        WHERE (doc_id * $Knuth) % 1000000 <
+              CAST(floor(least(CAST(1 AS DOUBLE),
+                CAST(50 AS DOUBLE) / n_lang) * 1000000) AS BIGINT)
+      """.stripMargin),
+      doc = "deterministic stratified quota sampling by language"),
+
+    // ---- benchmark decontamination (n-gram overlap) ----
+    // Eval set = every 19th doc (stand-in for a held-out benchmark).
+    // Flag each training doc by how many of its distinct word 3-grams
+    // appear anywhere in the eval set (production uses 8–13-grams; the
+    // fixture vocabulary is ~30 words, so n=3 keeps the overlap
+    // distribution non-degenerate). Grams travel as 64-bit NGramHash64
+    // values (8-byte keys, not strings); a within-doc collision merging
+    // two grams is ~|doc|²/2⁻⁶⁴ — the string-gram oracle stays green.
+    // The eval gram set is benchmark-sized → broadcast; the corpus side
+    // is scan → explode → hash-agg on doc_id, no corpus-wide shuffle of
+    // gram strings.
+    "q85_decontaminate" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val grams = T.documents(s, d).select($"doc_id",
+          explode(NGramHash64.ngramHashes(TextOps.words($"text"), 3)).as("g"))
+        val evalGrams =
+          grams.filter($"doc_id" % 19 === 0).select($"g").distinct()
+        grams.filter($"doc_id" % 19 =!= 0)
+          .join(broadcast(evalGrams), "g")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shared_grams"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(ws) - 1),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+          FROM w
+        ), ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 19 = 0)
+        SELECT doc_id, count(*) AS n_shared_grams
+        FROM g JOIN ev USING (g)
+        WHERE doc_id % 19 <> 0
+        GROUP BY doc_id
+      """.stripMargin),
+      doc = "benchmark decontamination: training docs sharing eval 3-grams"),
+
+    // ---- sequence packing into fixed context windows ----
+    // Pack docs into 512-token windows the way a training pipeline fills
+    // context: shard the corpus deterministically (production: one shard
+    // per writer task — shard count scales with the cluster), then within
+    // each shard lay docs end-to-end in doc_id order; a doc starts at its
+    // shard-local cumulative token offset, its pack is offset/512. The
+    // per-shard window is a sorted streaming sum — no global sort, no
+    // unpartitioned window. pack_id namespaces packs globally
+    // (shard·10⁶ + pack_no; at >512M tokens/shard widen the namespace).
+    "q86_sequence_pack" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"shard").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.documents(s, d)
+          .select($"doc_id",
+            pmod($"doc_id" * Knuth, lit(32L)).as("shard"),
+            size(TextOps.words($"text")).as("n_tokens"))
+          .withColumn("tok_start",
+            sum($"n_tokens").over(w) - $"n_tokens")
+          .select($"doc_id", $"shard".cast("int").as("shard"),
+            ($"shard" * 1000000 + floor($"tok_start" / 512)).cast("long")
+              .as("pack_id"),
+            ($"tok_start" % 512).as("pack_offset"),
+            $"n_tokens".cast("int").as("n_tokens"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, (doc_id * $Knuth) % 32 AS shard,
+                 len(string_split(text, ' ')) AS n_tokens
+          FROM documents
+        ), cum AS (
+          SELECT doc_id, shard, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS tok_start
+          FROM base
+        )
+        SELECT doc_id, CAST(shard AS INT) AS shard,
+               -- sum() OVER yields HUGEINT in DuckDB; pin to BIGINT to
+               -- match the Spark LongType schema
+               CAST(shard * 1000000 + tok_start // 512 AS BIGINT) AS pack_id,
+               CAST(tok_start % 512 AS BIGINT) AS pack_offset,
+               CAST(n_tokens AS INT) AS n_tokens
+        FROM cum
+      """.stripMargin),
+      doc = "sequence packing: shard-local 512-token context windows")
+  )
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.functions.TextOps
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Properties of the curation pack (q83–q86): redaction completeness,
+  * quota-sampling guarantees, hash-gram vs string-gram decontamination
+  * parity, and packing-offset invariants. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) = Curation.queries(name).fn(spark, sf)
+
+  test("q83: no email/phone pattern survives redaction; counts follow the seed rule") {
+    val rows = q("q83_pii_scrub").collect()
+    assert(rows.nonEmpty)
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}".r
+    val phone = "\\b555-[0-9]{4}\\b".r
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val clean = r.getAs[String]("clean_text")
+      assert(email.findFirstIn(clean).isEmpty, s"doc $id leaks an email")
+      assert(phone.findFirstIn(clean).isEmpty, s"doc $id leaks a phone")
+      // the synthetic grafts are the only PII: fixture text is word salad
+      assert(r.getAs[Int]("n_emails") == (if (id % 3 > 0) 1 else 0))
+      assert(r.getAs[Int]("n_phones") == (if (id % 4 > 0) 1 else 0))
+      assert(clean.contains("<EMAIL>") == (id % 3 > 0))
+      assert(clean.contains("<PHONE>") == (id % 4 > 0))
+    }
+  }
+
+  test("q84: strata at/below the 50-doc target are kept whole; none oversampled") {
+    val perLang = Tables.documents(spark, sf)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = q("q84_quota_sample")
+      .groupBy($"lang").agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      val k = kept.getOrElse(lang, 0L)
+      if (n <= 50) assert(k == n, s"$lang: small stratum must be kept whole")
+      else assert(k <= n, s"$lang: sampled more than the stratum")
+    }
+    // deterministic: a second evaluation yields the same sample
+    val a = q("q84_quota_sample").collect().map(_.getLong(0)).sorted.toSeq
+    val b = q("q84_quota_sample").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("q85: hash-gram overlap counts equal string-gram overlap counts") {
+    // recompute with STRING 3-grams (TextOps.shingles) — the hashed form
+    // in the operator must agree exactly on this corpus
+    val grams = Tables.documents(spark, sf).select($"doc_id",
+      explode(array_distinct(TextOps.shingles($"text", 3))).as("g"))
+    val ev = grams.filter($"doc_id" % 19 === 0).select($"g").distinct()
+    val expect = grams.filter($"doc_id" % 19 =!= 0)
+      .join(ev, "g").groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = q("q85_decontaminate")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(got.keys.forall(_ % 19 != 0), "eval docs must not be flagged")
+  }
+
+  test("q86: offsets stay inside the window and docs tile each shard end-to-end") {
+    val rows = q("q86_sequence_pack").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val off = r.getAs[Long]("pack_offset")
+      assert(off >= 0 && off < 512, s"offset $off outside [0,512)")
+    }
+    // within a shard, replaying docs in doc_id order reproduces every
+    // (pack_id, pack_offset) from the cumulative token count
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (shard, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("pack_id") == shard * 1000000L + cum / 512,
+          s"shard $shard doc ${r.getAs[Long]("doc_id")}")
+        assert(r.getAs[Long]("pack_offset") == cum % 512)
+        cum += r.getAs[Int]("n_tokens")
+      }
+    }
+  }
+}
