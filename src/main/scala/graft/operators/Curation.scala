@@ -194,6 +194,33 @@ object Curation extends QueryPack {
                CAST(n_tokens AS INT) AS n_tokens
         FROM cum
       """.stripMargin),
-      doc = "sequence packing: shard-local 512-token context windows")
+      doc = "sequence packing: shard-local 512-token context windows"),
+
+    // ---- deterministic corpus shuffle (training-order assignment) ----
+    // Every doc gets a global 1-based training position ordered by
+    // (hash, doc_id) — the shuffle-before-pack step of a training
+    // pipeline, reproducible across runs because the "randomness" is the
+    // doc-id hash, not an RNG. The global order costs one range
+    // repartition + per-partition ranks + a partition-count offset join
+    // (SurrogateKeys) — NOT a single-task global window; partition count
+    // tracks the input splits, so the sort stays fully parallel at
+    // 100 TB.
+    "q87_corpus_shuffle" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val keyed = T.documents(s, d)
+          .select($"doc_id",
+            pmod($"doc_id" * Knuth, lit(1000000L)).as("shuffle_key"))
+        graft.warehouse.SurrogateKeys
+          .assign(keyed, Seq("shuffle_key", "doc_id"), "train_pos")
+          .select($"doc_id", $"shuffle_key", $"train_pos")
+      },
+      Some(s"""
+        SELECT doc_id, (doc_id * $Knuth) % 1000000 AS shuffle_key,
+               row_number() OVER (ORDER BY (doc_id * $Knuth) % 1000000,
+                                  doc_id) AS train_pos
+        FROM documents
+      """.stripMargin),
+      doc = "deterministic corpus shuffle: global hash-ordered training positions")
   )
 }

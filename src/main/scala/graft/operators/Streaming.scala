@@ -40,6 +40,39 @@ object Streaming extends QueryPack {
       """.stripMargin),
       doc = "tumbling 1h window agg, streaming twin (SURVEY §2.9)"),
 
+    // ---- sliding-window aggregation (window(ts, size, slide) twin) ----
+    // 1 h windows sliding every 30 min: with size = 2·slide every event
+    // lands in exactly two windows — the slide-aligned bucket and the one
+    // before it. Same exact integer bucket math as q40 (no double
+    // division at 1.7e18 ns); the 2× row expansion happens map-side
+    // (explode) and feeds the same partial-agg shuffle, which is how
+    // Spark's streaming `window(size, slide)` physically executes too.
+    "q88_sliding_window" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val slide = HourNs / 2
+        val aligned = $"ts" - pmod($"ts", lit(slide))
+        T.events(s, d)
+          .select($"event_type", $"value",
+            explode(array(aligned.cast("long"),
+              (aligned - slide).cast("long"))).as("win_start"))
+          .groupBy($"win_start", $"event_type")
+          .agg(count(lit(1)).as("n"), sum($"value").as("total_value"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT event_type, "value",
+                 unnest([(epoch_ns(ts) // ${HourNs / 2}) * ${HourNs / 2},
+                         (epoch_ns(ts) // ${HourNs / 2}) * ${HourNs / 2}
+                           - ${HourNs / 2}]) AS win_start
+          FROM events
+        )
+        SELECT win_start, event_type, count(*) AS n,
+               sum("value") AS total_value
+        FROM e GROUP BY win_start, event_type
+      """.stripMargin),
+      doc = "sliding 1h/30min window agg, streaming twin (SURVEY §2.9)"),
+
     // ---- gap-based sessionization (batch twin of the stateful stream) ----
     // The oracle runs in the MICROSECOND domain: DuckDB truncates
     // TIMESTAMP_NS parquet to µs on read, so ns-exact outputs can never

@@ -63,6 +63,20 @@ class CurationSpec extends SparkSpec {
     assert(got.keys.forall(_ % 19 != 0), "eval docs must not be flagged")
   }
 
+  test("q87: positions are a 1..N permutation matching the (hash, id) sort order") {
+    val rows = q("q87_corpus_shuffle").collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length == n)
+    val byPos = rows.sortBy(_.getAs[Long]("train_pos"))
+    assert(byPos.map(_.getAs[Long]("train_pos")).toSeq == (1L to n).toSeq,
+      "positions must be a dense 1..N permutation")
+    val sorted = rows.sortBy(r =>
+      (r.getAs[Long]("shuffle_key"), r.getAs[Long]("doc_id")))
+    assert(byPos.map(_.getAs[Long]("doc_id")).toSeq ==
+      sorted.map(_.getAs[Long]("doc_id")).toSeq,
+      "position order must equal the (hash, doc_id) sort order")
+  }
+
   test("q86: offsets stay inside the window and docs tile each shard end-to-end") {
     val rows = q("q86_sequence_pack").collect()
     assert(rows.nonEmpty)

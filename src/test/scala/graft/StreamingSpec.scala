@@ -142,6 +142,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.agg(sum("n")).head.getLong(0) == Tables.events(spark, sf).count())
   }
 
+  test("sliding window(size, slide) stream matches the q88 batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_slide").toString
+    Tables.events(spark, sf)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .select("ets", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      .withWatermark("ets", "1 hour")
+      .groupBy(window($"ets", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("slideagg")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    // compare in the µs domain: stream keys are window-start timestamps,
+    // the batch twin keys are ns bucket starts (exactly µs-representable)
+    val got = spark.table("slideagg")
+      .select(unix_micros($"window.start").as("start_us"), $"event_type", $"n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = SparkEntry.queries("q88_sliding_window")(spark, sf)
+      .select(expr("win_start div 1000").as("start_us"), $"event_type", $"n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup (dropDuplicatesWithinWatermark) matches the batch twin") {
     implicit val s = spark
     // duplicate-heavy stream: every event arrives twice (distinct ids),
