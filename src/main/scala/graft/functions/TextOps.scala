@@ -15,15 +15,13 @@ object TextOps {
 
   def distinctWords(text: Column): Column = array_distinct(words(text))
 
-  /** Word n-gram shingles: ["a","b","c"] with n=2 → ["a b","b c"]. */
-  def shingles(text: Column, n: Int): Column = {
-    val w = words(text)
-    val m = size(w)
-    when(m < n, array().cast("array<string>")).otherwise(
-      transform(
-        sequence(lit(0), m - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
-  }
+  /** Word n-gram shingles: ["a","b","c"] with n=2 → ["a b","b c"].
+    * Native `NGramStrings` expression — the original HOF form
+    * (`transform(sequence, concat_ws(element_at ...))`) broke whole-stage
+    * codegen and re-walked the words array per element; measured ~2.5s of
+    * q81's ~3s at sf0.1. */
+  def shingles(text: Column, n: Int): Column =
+    NGramStrings.ngramStrings(words(text), n)
 
   /** Count of tokens under a BPE-ish regex (letter runs / digit runs /
     * single other symbol) — the "token counting" analogue when no real
