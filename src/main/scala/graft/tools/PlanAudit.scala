@@ -40,9 +40,14 @@ object PlanAudit {
           case w: WindowExec if w.partitionSpec.isEmpty =>
             println(s"[audit] $name: UNPARTITIONED WINDOW ${w.windowExpression.mkString(",").take(80)}")
           case b: BroadcastExchangeExec =>
+            // dataSize for a hashed relation has a ~64 MiB allocation
+            // floor (preallocated map pages) even for a 5-row dim, so
+            // bytes alone false-positives on every broadcast; require a
+            // row count that can't be a dim/aggregate to call it large
             val bytes = b.metrics.get("dataSize").map(_.value).getOrElse(-1L)
-            if (bytes > 64L * 1024 * 1024)
-              println(s"[audit] $name: LARGE BROADCAST ~${bytes / 1024 / 1024} MiB")
+            val rows = b.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+            if (bytes > 128L * 1024 * 1024 || rows > 1000000L)
+              println(s"[audit] $name: LARGE BROADCAST ~${bytes / 1024 / 1024} MiB ($rows rows)")
           case _ =>
         }
       } catch {
