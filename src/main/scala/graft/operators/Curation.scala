@@ -221,6 +221,55 @@ object Curation extends QueryPack {
                                   doc_id) AS train_pos
         FROM documents
       """.stripMargin),
-      doc = "deterministic corpus shuffle: global hash-ordered training positions")
+      doc = "deterministic corpus shuffle: global hash-ordered training positions"),
+
+    // ---- composite quality filter (C4/Gopher-style keep/drop chain) ----
+    // The end-to-end verdict a filtering pipeline actually materializes:
+    // every doc gets keep/drop plus the FIRST failing rule (precedence:
+    // length → repetition → stopword density), so drop reasons are
+    // auditable per rule. One codegen'd projection over the scan — all
+    // signals derive from the split words array computed once per row;
+    // ratio compares are identical IEEE divisions on both engines.
+    "q89_quality_filter" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ws = TextOps.words($"text")
+        val nWords = size(ws)
+        val dupRatio =
+          lit(1.0) - size(TextOps.distinctWords($"text")).cast("double") / nWords
+        val stopRatio =
+          TextOps.vocabHits($"text", Seq("the", "a", "of", "and", "or"))
+            .cast("double") / nWords
+        val reason = when(nWords < 20, "too_short")
+          .when(dupRatio > 0.6, "repetitive")
+          .when(stopRatio < 0.01, "low_stopword")
+          .otherwise("ok")
+        T.documents(s, d).select(
+          $"doc_id", nWords.as("n_words"),
+          (reason === "ok").as("keep"), reason.as("drop_reason"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_words,
+                 1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS dup_ratio,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> list_contains(['the','a','of','and','or'], w))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stop_ratio
+          FROM documents
+        )
+        SELECT doc_id, CAST(n_words AS INT) AS n_words,
+               (CASE WHEN n_words < 20 THEN 'too_short'
+                     WHEN dup_ratio > 0.6 THEN 'repetitive'
+                     WHEN stop_ratio < 0.01 THEN 'low_stopword'
+                     ELSE 'ok' END) = 'ok' AS keep,
+               CASE WHEN n_words < 20 THEN 'too_short'
+                    WHEN dup_ratio > 0.6 THEN 'repetitive'
+                    WHEN stop_ratio < 0.01 THEN 'low_stopword'
+                    ELSE 'ok' END AS drop_reason
+        FROM m
+      """.stripMargin),
+      doc = "composite quality filter: keep/drop + first-failing rule")
   )
 }

@@ -77,6 +77,21 @@ class CurationSpec extends SparkSpec {
       "position order must equal the (hash, doc_id) sort order")
   }
 
+  test("q89: verdicts are consistent and the rule chain is exercised") {
+    val rows = q("q89_quality_filter").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val reasons = rows.map(_.getAs[String]("drop_reason")).toSet
+    assert(reasons.subsetOf(
+      Set("ok", "too_short", "repetitive", "low_stopword")))
+    assert(reasons.contains("ok") && reasons.size >= 2,
+      s"filter must actually split the corpus, got $reasons")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == (r.getAs[String]("drop_reason") == "ok"))
+      if (r.getAs[String]("drop_reason") == "too_short")
+        assert(r.getAs[Int]("n_words") < 20)
+    }
+  }
+
   test("q86: offsets stay inside the window and docs tile each shard end-to-end") {
     val rows = q("q86_sequence_pack").collect()
     assert(rows.nonEmpty)
