@@ -38,28 +38,40 @@ def norm(df):
                           na_position='last').reset_index(drop=True)
 
 fails = 0
+results = {}
+def rec(name, rows_match, schema_match, hash_match, spark_rows, oracle_rows, err):
+    results[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                     "hash_match": hash_match, "spark_rows": spark_rows,
+                     "oracle_rows": oracle_rows, "err": err}
 names = sorted(d for d in os.listdir(outdir)
                if os.path.isdir(os.path.join(outdir, d)))
 for name in names:
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
-        print(f"FAIL {name}: no parquet output"); fails += 1; continue
+        print(f"FAIL {name}: no parquet output"); fails += 1
+        rec(name, False, False, False, 0, None, "no parquet output"); continue
     got = pd.concat([pd.read_parquet(f) for f in files])
     if name not in oracle:
         status = "rows-only" if len(got) > 0 else "FAIL rows=0"
         if "FAIL" in status: fails += 1
         print(f"{status:9s} {name} rows={len(got)}")
+        rec(name, len(got) > 0, None, None, len(got), None,
+            None if len(got) > 0 else "rows=0")
         continue
     try:
         want = con.execute(oracle[name]).df()
     except Exception as e:
-        print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+        print(f"FAIL {name}: oracle error {e}"); fails += 1
+        rec(name, False, False, False, len(got), None, f"oracle error {e}"[:300]); continue
     g, w = norm(got.copy()), norm(want.copy())
     if list(g.columns) != list(w.columns):
         print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
-        fails += 1; continue
+        fails += 1
+        rec(name, len(g) == len(w), False, False, len(g), len(w),
+            f"columns {list(g.columns)} vs {list(w.columns)}"[:300]); continue
     if len(g) != len(w):
-        print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); fails += 1; continue
+        print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); fails += 1
+        rec(name, False, True, False, len(g), len(w), "row count mismatch"); continue
     try:
         # floats: tolerant compare; everything else (incl. big ints, where
         # rtol would mask µs/ns truncation bugs): exact
@@ -72,8 +84,13 @@ for name in names:
                 pd.testing.assert_series_equal(g[c], w[c], check_dtype=False,
                                                check_exact=True)
         print(f"OK        {name} rows={len(g)}")
+        rec(name, True, True, True, len(g), len(w), None)
     except AssertionError as e:
         print(f"FAIL {name}: {str(e)[:300]}"); fails += 1
+        rec(name, True, True, False, len(g), len(w), str(e)[:300])
 print(f"\n{'ALL OK' if fails == 0 else f'{fails} FAILURES'} "
       f"({len(names)} queries, {len(oracle)} oracled)")
+if len(sys.argv) > 3:
+    json.dump(results, open(sys.argv[3], 'w'), indent=2)
+    print(f"wrote {sys.argv[3]}")
 sys.exit(1 if fails else 0)

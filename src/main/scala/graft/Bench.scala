@@ -73,14 +73,18 @@ object Bench {
       // any failed rep fails the query (negative time)
       name -> (if (times.forall(_ >= 0)) times.min else -times.map(math.abs).min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Timings at 3 decimals: sub-ms digits are noise on this box, and the
+    // driver's capture keeps only the TAIL of the output — r3 and r4 both
+    // lost the line's head to truncation ("parsed": null). At ms precision
+    // the whole ~60-query line is ~1.8 KB and fits the capture window.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // "value" is printed AFTER "queries" so a tail-truncated capture of
-    // this (long) line still contains the headline total; the protocol
-    // fields record the warm-up methodology (present since round 3) so
-    // cross-round comparisons can detect the cold→warm switch.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"warmup_pass":$warmedUp,"warm_dir":"$warmDir","reps":$reps,"agg":"min","queries":$qs,"value":$total}""")
+    val sfTag = sfDir.split('/').last.stripPrefix("sf")
+    // "value" printed AFTER "queries" so even a truncated capture keeps the
+    // headline total; reps/agg record the min-of-N interference protocol.
+    println(s"""{"metric":"total","unit":"sec","sf":$sfTag,"reps":$reps,"agg":"min","warm":$warmedUp,"queries":$qs,"value":${fmt(total)}}""")
     spark.stop()
   }
 }
