@@ -55,6 +55,35 @@ object AsOf extends QueryPack {
       .drop("__side", "__v", "__m")
   }
 
+  /** Interval (range) join, binned: each interval is exploded to the
+    * fixed-width bins it covers, each point maps to its one bin, and the
+    * match becomes an EQUI-join on the bin key plus a residual range
+    * filter. Spark's native plan for `p BETWEEN s AND e` with no equality
+    * key is a broadcast-nested-loop join — O(|points|·|intervals|) work
+    * that no cluster survives at 100 TB. Binning makes it a shuffle
+    * hash/sort-merge join whose cost is |points| + Σ(span/binWidth + 1)
+    * interval replicas, with AQE splitting any hot bin.
+    *
+    * `binWidth` is the caller's span/selectivity dial: ~max interval span
+    * keeps replication ≤ 2× while keeping bins selective. Semantics:
+    * inner join on `start ≤ p < end` (end-exclusive, the time-window
+    * convention). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, ptCol: String,
+                startCol: String, endCol: String,
+                binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth=$binWidth")
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(col(startCol) / binWidth).cast("long"),
+        // end-exclusive: an interval ending exactly on a bin edge does
+        // not reach into the next bin
+        floor((col(endCol) - 1) / binWidth).cast("long"))))
+    points.withColumn("__bin", floor(col(ptCol) / binWidth).cast("long"))
+      .join(binned, Seq("__bin"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("__bin")
+  }
+
   def queries: Map[String, Q] = Map(
     // for each purchase, the latest click value of the same user at or
     // before the purchase instant (µs domain for oracle parity)
@@ -85,6 +114,40 @@ object AsOf extends QueryPack {
         ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
       """.stripMargin),
-      doc = "as-of join composed from union+carry, vs DuckDB native ASOF")
+      doc = "as-of join composed from union+carry, vs DuckDB native ASOF"),
+
+    // clicks landing inside each error's 5-minute incident window —
+    // the interval-join shape (impact analysis, ad attribution,
+    // maintenance-window filtering). µs domain for oracle parity; the
+    // oracle states the plain BETWEEN semantics the binning must preserve.
+    "q92_range_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ev = T.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+        val windows = ev.filter($"event_type" === "error")
+          .select($"event_id".as("win_id"), $"ts_us".as("wstart"),
+            ($"ts_us" + 300000000L).as("wend"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"ts_us", $"value")
+        rangeJoin(clicks, windows, "ts_us", "wstart", "wend",
+          binWidth = 300000000L)
+          .groupBy($"win_id")
+          .agg(count(lit(1)).as("n_clicks"),
+            round(sum($"value"), 4).as("click_value_r"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, epoch_us(ts) AS ts_us, event_type, "value"
+          FROM events
+        )
+        SELECT w.event_id AS win_id, count(*) AS n_clicks,
+               round(sum(c."value"), 4) AS click_value_r
+        FROM ev w
+        JOIN ev c ON c.ts_us >= w.ts_us AND c.ts_us < w.ts_us + 300000000
+                 AND c.event_type = 'click'
+        WHERE w.event_type = 'error'
+        GROUP BY w.event_id
+      """.stripMargin),
+      doc = "binned interval join: equi-join on time bins + residual range filter")
   )
 }

@@ -109,6 +109,37 @@ object Curation extends QueryPack {
       """.stripMargin),
       doc = "deterministic stratified quota sampling by language"),
 
+    // ---- deterministic train/val/test split ----
+    // 98/1/1 by hash bucket of doc_id — the split every training run
+    // needs: stable under reruns and corpus growth (a doc's split never
+    // depends on other docs), no sort, no shuffle beyond the final audit
+    // aggregate. Assignment itself is a pure projection — at 100 TB the
+    // split is a filter each consumer pushes into its scan, not a
+    // materialized table. The Knuth mixer stands in for xxhash64 (not
+    // ANSI-SQL-expressible) so the oracle can replay the arithmetic; the
+    // production swap is one line.
+    "q91_train_split" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val bucket = pmod($"doc_id" * Knuth, lit(100L))
+        T.documents(s, d)
+          .withColumn("split",
+            when(bucket < 98, "train").when(bucket === 98, "val")
+              .otherwise("test"))
+          .groupBy($"split", $"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+      },
+      Some(s"""
+        SELECT CASE WHEN (doc_id * $Knuth) % 100 < 98 THEN 'train'
+                    WHEN (doc_id * $Knuth) % 100 = 98 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents
+        GROUP BY 1, 2
+      """.stripMargin),
+      doc = "deterministic 98/1/1 train/val/test split with per-split audit counts"),
+
     // ---- benchmark decontamination (n-gram overlap) ----
     // Eval set = every 19th doc (stand-in for a held-out benchmark).
     // Flag each training doc by how many of its distinct word 3-grams

@@ -203,6 +203,47 @@ object TextAnalysis extends QueryPack {
       """.stripMargin),
       doc = "per-doc top-3 rarity-weighted terms (tf/df ranking)"),
 
+    // ---- unigram-LM quality scoring (perplexity proxy) ----
+    // mean log2 token probability under the corpus's own per-language
+    // unigram model: the cheap LM-based quality signal (gibberish and
+    // boilerplate score far from the language's center; the real-pipeline
+    // variant swaps in externally-trained n-gram probabilities). Scale:
+    // the LM is a (lang, token) hash aggregate; token instances
+    // shuffle-join the LM back by (lang, token) — vocabulary-sized, NEVER
+    // broadcast (same rule as q67's df) — and per-language totals are a
+    // handful of rows joined broadcast. Mean over INSTANCES, so repeated
+    // tokens weigh by their frequency, as in a true LM log-likelihood.
+    "q90_lm_score" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val toks = T.documents(s, d)
+          .select($"doc_id", $"lang", explode(TextOps.words($"text")).as("tok"))
+        val lm = toks.groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+        val tot = toks.groupBy($"lang").agg(count(lit(1)).as("n"))
+        toks.join(lm, Seq("lang", "tok"))
+          .join(broadcast(tot), Seq("lang"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            avg(log2($"c".cast("double") / $"n")).as("avg_log2p"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ), lm AS (
+          SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok
+        ), tot AS (
+          SELECT lang, count(*) AS n FROM toks GROUP BY lang
+        )
+        SELECT t.doc_id, count(*) AS n_tokens,
+               avg(log2(CAST(lm.c AS DOUBLE) / tot.n)) AS avg_log2p
+        FROM toks t
+        JOIN lm  ON t.lang = lm.lang AND t.tok = lm.tok
+        JOIN tot ON t.lang = tot.lang
+        GROUP BY t.doc_id
+      """.stripMargin),
+      doc = "unigram-LM mean log-prob per doc (perplexity-proxy quality signal)"),
+
     // ---- sliding-window chunking (RAG / context-window prep) ----
     // width 20 tokens, stride 10: chunk k covers words [k·10, k·10+20);
     // the last chunk may be partial. Pure projection + explode — the
