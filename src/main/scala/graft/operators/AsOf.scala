@@ -72,7 +72,12 @@ object AsOf extends QueryPack {
                 startCol: String, endCol: String,
                 binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth=$binWidth")
-    val binned = intervals.withColumn("__bin",
+    // drop empty/inverted intervals BEFORE binning: they can match no
+    // point (the residual filter is vacuously false), but sequence(a, b)
+    // generates DESCENDING bins when a > b, so a malformed interval would
+    // otherwise explode span/binWidth junk rows instead of zero
+    val wellFormed = intervals.filter(col(endCol) > col(startCol))
+    val binned = wellFormed.withColumn("__bin",
       explode(sequence(
         floor(col(startCol) / binWidth).cast("long"),
         // end-exclusive: an interval ending exactly on a bin edge does

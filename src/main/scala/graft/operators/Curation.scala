@@ -140,6 +140,52 @@ object Curation extends QueryPack {
       """.stripMargin),
       doc = "deterministic 98/1/1 train/val/test split with per-split audit counts"),
 
+    // ---- temperature-scaled source mixing ----
+    // The training-mix construction step after quotas: sample each source
+    // proportionally to n^α (α < 1 up-weights small sources relative to
+    // their raw share — the standard multilingual/multi-source rebalance).
+    // α = 1/2 with the keep-rate anchored at the SMALLEST source kept
+    // whole: r_i = sqrt(n_min/n_i), so kept_i = n_i·r_i ∝ sqrt(n_i) —
+    // exact α=0.5 shares. This formulation uses only correctly-rounded
+    // IEEE ops (one divide, one sqrt), so the rate — and therefore the
+    // kept SET — is bit-identical cross-engine; the textbook share form
+    // n^α/Σn^α needs pow and an order-dependent float sum, either of
+    // which can flip a bucket boundary by 1 ulp (production α=0.7 uses
+    // the same plumbing; it just has no second engine to agree with).
+    // Scale: per-source counts are a |sources|-sized aggregate broadcast
+    // back; the keep decision is a pure projection over the scan.
+    "q93_temperature_mix" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = T.documents(s, d)
+        val cnts = docs.groupBy($"source").agg(count(lit(1)).as("n_src"))
+        val nMin = cnts.agg(min($"n_src").as("n_min"))
+        val rated = cnts.crossJoin(broadcast(nMin))
+          .withColumn("rate",
+            sqrt($"n_min".cast("double") / $"n_src"))
+        docs.join(broadcast(rated.select($"source", $"rate")), "source")
+          .filter(pmod($"doc_id" * Knuth, lit(1000000L)) <
+            floor($"rate" * 1000000).cast("long"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("kept_chars"))
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT source, count(*) AS n_src FROM documents GROUP BY source
+        ), t AS (SELECT min(n_src) AS n_min FROM c),
+        r AS (
+          SELECT source, sqrt(CAST(n_min AS DOUBLE) / n_src) AS rate
+          FROM c, t
+        )
+        SELECT d.source, count(*) AS n_kept,
+               CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+        FROM documents d JOIN r ON d.source = r.source
+        WHERE (d.doc_id * $Knuth) % 1000000 <
+              CAST(floor(r.rate * 1000000) AS BIGINT)
+        GROUP BY d.source
+      """.stripMargin),
+      doc = "temperature-scaled source mixing (n^0.5 rebalance, deterministic keep)"),
+
     // ---- benchmark decontamination (n-gram overlap) ----
     // Eval set = every 19th doc (stand-in for a held-out benchmark).
     // Flag each training doc by how many of its distinct word 3-grams

@@ -111,4 +111,24 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("q93: kept sizes follow sqrt shares; the smallest source is kept whole") {
+    val perSource = Tables.documents(spark, sf)
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = q("q93_temperature_mix")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap
+    val nMin = perSource.values.min
+    perSource.foreach { case (src, n) =>
+      val k = kept.getOrElse(src, 0L)
+      assert(k <= n, s"$src oversampled")
+      // expectation is n·sqrt(nMin/n) = sqrt(n·nMin); the Knuth-bucket
+      // sample deviates like a uniform draw — allow ±25% + small-n slack
+      val expect = math.sqrt(n.toDouble * nMin)
+      assert(math.abs(k - expect) <= expect * 0.25 + 10,
+        s"$src kept $k vs expected ~${expect.round}")
+      if (n == nMin)
+        assert(k == n, s"smallest source $src must be kept whole (rate 1)")
+    }
+  }
 }

@@ -39,6 +39,14 @@ class RangeJoinSpec extends SparkSpec {
     assert(loops.isEmpty, "range join fell back to a nested loop")
   }
 
+  test("rangeJoin: empty and inverted intervals match nothing, cheaply") {
+    val pts = Seq(1L, 50L, 999L).toDF("p")
+    val ivs = Seq((1L, 100L, 100L), (2L, 100L, 100L - 70L * 1000L))
+      .toDF("iv_id", "s", "e")
+    val out = AsOf.rangeJoin(pts, ivs, "p", "s", "e", binWidth = 10L)
+    assert(out.count() == 0)
+  }
+
   test("q92: a bin-width narrower than the span still finds every match") {
     // intervals spanning many bins: replication must not drop or double-
     // count matches (sequence covers every touched bin exactly once)
