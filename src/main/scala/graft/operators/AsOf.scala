@@ -138,7 +138,11 @@ object AsOf extends QueryPack {
           binWidth = 300000000L)
           .groupBy($"win_id")
           .agg(count(lit(1)).as("n_clicks"),
-            round(sum($"value"), 4).as("click_value_r"))
+            // decimal-stable sum (Dashboard.dsum rationale): exact integer
+            // accumulation → bit-identical under any partitioning, so the
+            // driver's hash gate can't be flipped by float add order
+            sum($"value".cast("decimal(28,4)")).cast("double")
+              .as("click_value_r"))
       },
       Some("""
         WITH ev AS (
@@ -146,7 +150,8 @@ object AsOf extends QueryPack {
           FROM events
         )
         SELECT w.event_id AS win_id, count(*) AS n_clicks,
-               round(sum(c."value"), 4) AS click_value_r
+               CAST(sum(CAST(c."value" AS DECIMAL(28,4))) AS DOUBLE)
+                 AS click_value_r
         FROM ev w
         JOIN ev c ON c.ts_us >= w.ts_us AND c.ts_us < w.ts_us + 300000000
                  AND c.event_type = 'click'

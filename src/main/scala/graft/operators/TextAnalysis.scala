@@ -224,7 +224,11 @@ object TextAnalysis extends QueryPack {
           .join(broadcast(tot), Seq("lang"))
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_tokens"),
-            avg(log2($"c".cast("double") / $"n")).as("avg_log2p"))
+            // quantized to 3 dp: the mean of ~|doc| libm log2 terms differs
+            // across engines (and partitionings) by ~1e-13 relative — far
+            // inside a 5e-4 rounding bucket, so the rounded value is
+            // engine- and plan-stable; 3 dp is ample for a quality signal
+            round(avg(log2($"c".cast("double") / $"n")), 3).as("avg_log2p"))
       },
       Some("""
         WITH toks AS (
@@ -236,7 +240,7 @@ object TextAnalysis extends QueryPack {
           SELECT lang, count(*) AS n FROM toks GROUP BY lang
         )
         SELECT t.doc_id, count(*) AS n_tokens,
-               avg(log2(CAST(lm.c AS DOUBLE) / tot.n)) AS avg_log2p
+               round(avg(log2(CAST(lm.c AS DOUBLE) / tot.n)), 3) AS avg_log2p
         FROM toks t
         JOIN lm  ON t.lang = lm.lang AND t.tok = lm.tok
         JOIN tot ON t.lang = tot.lang

@@ -77,7 +77,10 @@ class RangeJoinSpec extends SparkSpec {
       val lp = r.getAs[Double]("avg_log2p")
       // every token occurs at least once in its own doc: p ∈ [1/N_lang, 1]
       val floor = math.log(1.0 / totalByLang(r.getAs[String]("lang"))) / math.log(2)
-      assert(lp <= 0.0 && lp >= floor, s"doc ${r.getAs[Long]("doc_id")}: $lp")
+      // ±5e-4: the operator quantizes to 3 dp, which can nudge a doc
+      // sitting exactly on the floor (every token unique) just below it
+      assert(lp <= 0.0 && lp >= floor - 0.001,
+        s"doc ${r.getAs[Long]("doc_id")}: $lp")
       assert(r.getAs[Long]("n_tokens") == r.getAs[Long]("nt"))
     }
   }

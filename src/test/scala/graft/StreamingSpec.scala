@@ -14,6 +14,45 @@ class StreamingSpec extends SparkSpec {
 
   private val gap = operators.Streaming.GapNs
 
+  test("foreachBatch streaming drive of incremental dedup equals the full-corpus pair set") {
+    // the crawl-ingest production shape for q82: batches of new documents
+    // arrive on a stream; each micro-batch is near-dup-checked against the
+    // corpus-so-far only (batch-bounded work). Every pair is detected
+    // exactly when its LATER endpoint arrives, so the union of per-batch
+    // pair sets must equal the all-at-once q55-style pair set — exactly,
+    // because prefix filtering is exact whatever df ordering each batch's
+    // corpus snapshot induces.
+    import org.apache.spark.sql.{DataFrame, Dataset}
+    val docs = Tables.documents(spark, sf).cache()
+    val expected = operators.Dedup.jaccardPairs(docs, threshold = 0.8)
+      .select($"a_id", $"b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val schema = docs.schema
+    @volatile var corpus: Option[DataFrame] = None
+    val found = scala.collection.mutable.Set[(Long, Long)]()
+    val input = MemoryStream[String](spark)
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: Dataset[String], _: Long) =>
+        if (!batch.isEmpty) {
+          val newDocs = spark.read.schema(schema).json(batch).cache()
+          val all = corpus.map(_.unionByName(newDocs)).getOrElse(newDocs).cache()
+          val pairs = operators.Dedup.jaccardPairsIncremental(
+            all, newDocs.select($"doc_id"), threshold = 0.8)
+          found ++= pairs.select($"a_id", $"b_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          corpus = Some(all)
+        }
+      }
+      .start()
+    (0 until 3).foreach { k =>
+      input.addData(docs.filter($"doc_id" % 3 === k).toJSON.collect().toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(found.toSet == expected, s"streamed ${found.size} vs batch ${expected.size}")
+    assert(expected.nonEmpty, "fixture must produce near-dup pairs at 0.8")
+  }
+
   test("foreachBatch streaming drive of the incremental warehouse equals the batch run") {
     // the reference's hourly production shape (pyspark_dag2.py:447-448 —
     // per-snapshot batch loads) in streaming clothes: raw JSON rows arrive
