@@ -81,13 +81,17 @@ final class PagedTable(schema: StructType) extends Table with SupportsRead {
     () => new PagedScan(schema,
       options.getInt("pageSize", 50),
       options.getInt("totalRows", Fixture.nRows),
-      PageTransport.resolve(options.getOrDefault("transport", "fixture")))
+      PageTransport.resolve(options.getOrDefault("transport", "fixture")),
+      options.getInt("maxRetries", 3),
+      options.getLong("retryBaseMs", 100L))
 }
 
 final class PagedScan(schema: StructType, pageSize: Int, totalRows: Int,
-                      transport: PageTransport)
+                      transport: PageTransport, maxRetries: Int = 3,
+                      retryBaseMs: Long = 100L)
     extends Scan with Batch {
   require(pageSize > 0, s"option 'pageSize' must be positive, got $pageSize")
+  require(maxRetries >= 0, s"option 'maxRetries' must be >= 0, got $maxRetries")
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
@@ -101,33 +105,53 @@ final class PagedScan(schema: StructType, pageSize: Int, totalRows: Int,
   // a dedicated Serializable factory: a lambda here would capture `this`
   // (the non-serializable Scan) and fail task serialization
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(transport)
+    new PagedReaderFactory(transport, maxRetries, retryBaseMs)
 }
 
-final class PagedReaderFactory(transport: PageTransport)
+final class PagedReaderFactory(transport: PageTransport, maxRetries: Int,
+                               retryBaseMs: Long)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagedInputPartition]
-    new PagedPartitionReader(p.offset, p.count, transport)
+    new PagedPartitionReader(p.offset, p.count, transport, maxRetries, retryBaseMs)
   }
 }
 
 final case class PagedInputPartition(offset: Int, count: Int) extends InputPartition
 
 /** Reads one page through the injected [[PageTransport]] (executor-side).
-  * Non-200 → IOException, failing the task like the reference's raise
-  * (`pyspark_dag2.py:75-77`) fails the Airflow task — Spark's retry then
-  * re-fetches the SAME page (the partition pins offset/count), which is
-  * the at-least-once contract the cursor design expects. */
-final class PagedPartitionReader(offset: Int, count: Int, transport: PageTransport)
+  *
+  * TRANSIENT statuses (429, 5xx) are retried in-reader with exponential
+  * backoff (`maxRetries` × `retryBaseMs·2^attempt`) — at 1000 parallel
+  * page fetches, transient throttles are the NORM, and a task-level
+  * retry would re-pay task setup per blip (and in local mode
+  * `spark.task.maxFailures=1` would kill the whole job on one 503).
+  * Other non-200s (permanent 4xx) raise IMMEDIATELY, failing the task
+  * like the reference's raise (`pyspark_dag2.py:75-77`) fails the
+  * Airflow task — Spark's task retry then re-fetches the SAME page (the
+  * partition pins offset/count), the at-least-once contract the cursor
+  * design expects. */
+final class PagedPartitionReader(offset: Int, count: Int,
+                                 transport: PageTransport,
+                                 maxRetries: Int = 3, retryBaseMs: Long = 100L)
     extends PartitionReader[InternalRow] {
 
+  private def retryable(status: Int): Boolean =
+    status == 429 || (status >= 500 && status < 600)
+
   private def fetchPage(): Iterator[org.apache.spark.sql.Row] = {
-    val resp = transport.fetch(offset, count)
-    if (resp.status != 200)
-      throw new java.io.IOException(
-        s"Failed to fetch page at offset=$offset: HTTP ${resp.status}")
-    resp.rows.iterator
+    var attempt = 0
+    while (true) {
+      val resp = transport.fetch(offset, count)
+      if (resp.status == 200) return resp.rows.iterator
+      if (!retryable(resp.status) || attempt >= maxRetries)
+        throw new java.io.IOException(
+          s"Failed to fetch page at offset=$offset: HTTP ${resp.status}" +
+            (if (attempt > 0) s" after ${attempt + 1} attempts" else ""))
+      Thread.sleep(retryBaseMs << attempt)
+      attempt += 1
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private val proj = UnsafeProjection.create(Model.rawSchema)

@@ -18,6 +18,26 @@ object SourcesSpecTransports {
       PageTransport.Response(200,
         Fixture.rawRows.slice(offset, offset + math.min(count, 30)))
   }
+  /** Throttles each page's first two fetches (429), then serves it —
+    * the transient-blip shape the in-reader retry must absorb. */
+  object Throttled extends PageTransport {
+    val attempts = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicInteger]()
+    def reset(): Unit = attempts.clear()
+    override def fetch(offset: Int, count: Int): PageTransport.Response = {
+      val n = attempts.computeIfAbsent(offset,
+        _ => new java.util.concurrent.atomic.AtomicInteger()).incrementAndGet()
+      if (n <= 2) PageTransport.Response(429, Nil)
+      else PageTransport.FixtureTransport.fetch(offset, count)
+    }
+  }
+  /** Permanent client error: must fail fast, never retry. */
+  object Gone404 extends PageTransport {
+    val calls = new java.util.concurrent.atomic.AtomicInteger()
+    override def fetch(offset: Int, count: Int): PageTransport.Response = {
+      calls.incrementAndGet()
+      PageTransport.Response(404, Nil)
+    }
+  }
 }
 
 /** Source/sink operators (SURVEY.md §2.1): DSv2 paged reader, CSV dict
@@ -47,11 +67,42 @@ class SourcesSpec extends SparkSpec {
   test("paged source: non-200 transport fails the read like the reference raise") {
     PageTransport.register("flaky503", SourcesSpecTransports.Flaky503)
     val df = spark.read.format("graft.sources.PagedDataSourceV2")
-      .option("pageSize", "50").option("transport", "flaky503").load()
+      .option("pageSize", "50").option("transport", "flaky503")
+      .option("maxRetries", "0") // the raise path itself, no retry layer
+      .load()
     val e = intercept[Exception] { df.count() }
     val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(_.getMessage).mkString(" | ")
     assert(msgs.contains("HTTP 503"), s"got: $msgs")
+  }
+
+  test("paged source: transient 429s are absorbed by in-reader retry") {
+    SourcesSpecTransports.Throttled.reset()
+    PageTransport.register("throttled", SourcesSpecTransports.Throttled)
+    val df = spark.read.format("graft.sources.PagedDataSourceV2")
+      .option("pageSize", "50").option("transport", "throttled")
+      .option("retryBaseMs", "1").load()
+    assert(df.count() == Fixture.nRows) // full read despite 2 blips/page
+    // every page paid exactly 2 failures + 1 success — and the throttle
+    // was per-page, so retries never re-fetched a neighboring page
+    import scala.jdk.CollectionConverters._
+    val attempts = SourcesSpecTransports.Throttled.attempts.asScala
+    assert(attempts.size == 5) // ceil(220/50) pages
+    assert(attempts.values.forall(_.get == 3), attempts.toString)
+  }
+
+  test("paged source: permanent 4xx fails fast without retry") {
+    SourcesSpecTransports.Gone404.calls.set(0)
+    PageTransport.register("gone404", SourcesSpecTransports.Gone404)
+    val df = spark.read.format("graft.sources.PagedDataSourceV2")
+      .option("pageSize", "300").option("transport", "gone404")
+      .option("retryBaseMs", "1").load() // one page -> one task
+    val e = intercept[Exception] { df.count() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("HTTP 404"), s"got: $msgs")
+    assert(SourcesSpecTransports.Gone404.calls.get == 1,
+      s"4xx must not retry, saw ${SourcesSpecTransports.Gone404.calls.get} calls")
   }
 
   test("paged source: partial pages surface exactly the rows the API returned") {
