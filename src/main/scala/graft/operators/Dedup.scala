@@ -379,6 +379,9 @@ object Dedup extends QueryPack {
     // branches are separate plan subtrees, so checkpointing downstream of
     // the union ran the whole prefix-filter + verify pipeline twice (the
     // dominant cost of the operator — measured ~1s off q79 at sf0.1)
+    // (AQE already right-sizes the tiny CC shuffles — an explicit
+    // count+repartition of the pair graph was measured SLOWER at sf0.1:
+    // the extra jobs cost more than the narrow-task savings)
     val pairs = jaccardPairs(docs, threshold).select(col("a_id"), col("b_id"))
       .localCheckpoint(true)
     val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
