@@ -27,6 +27,26 @@ object Curation extends QueryPack {
     * `xxhash64(doc_id)`, the sampling logic is hash-agnostic). */
   private val Knuth = 2654435761L
 
+  /** Shard fan-out of the written training mix (q94). Production sizes
+    * this to the writer cluster; the assignment rule is shard-count- and
+    * row-order-independent either way. */
+  val NShards = 8
+
+  /** Materialize the corpus as deterministic hash shards: one parquet
+    * directory per shard, each row landing in the shard q94's manifest
+    * accounts for. `repartition(N, shard)` keys the exchange on the
+    * shard id so a shard's rows arrive at one writer task (no
+    * partitionBy row-scatter: every task would otherwise open a file in
+    * EVERY shard dir — the small-files explosion at 100 TB), and
+    * `partitionBy` turns the id into the directory layout consumers
+    * list. */
+  def writeSharded(docs: org.apache.spark.sql.DataFrame, dir: String): Unit =
+    docs
+      .withColumn("shard",
+        pmod(col("doc_id") * Knuth, lit(NShards)).cast("int"))
+      .repartition(NShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PhoneRe = "\\b555-[0-9]{4}\\b"
 
@@ -185,6 +205,37 @@ object Curation extends QueryPack {
         GROUP BY d.source
       """.stripMargin),
       doc = "temperature-scaled source mixing (n^0.5 rebalance, deterministic keep)"),
+
+    // ---- sharded corpus output manifest ----
+    // The write-side contract of the pipeline: the training mix lands as
+    // N deterministic shards (shard = hash bucket of doc_id — stable
+    // under reruns, independent of row order), and every shard ships
+    // with audit counts a consumer can validate against. The manifest IS
+    // the oracled query; `Curation.writeSharded` materializes the same
+    // assignment as one partitioned parquet write (CurationSpec asserts
+    // the files on disk match this manifest row-for-row). Scale: shard
+    // count tracks the writer cluster, the manifest is one
+    // |shards|-sized aggregate.
+    "q94_shard_manifest" -> Q(
+      (s, d) => {
+        import s.implicits._
+        T.documents(s, d)
+          .withColumn("shard", pmod($"doc_id" * Knuth, lit(NShards)).cast("int"))
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("n_chars"),
+            min($"doc_id").as("min_doc_id"),
+            max($"doc_id").as("max_doc_id"))
+      },
+      Some(s"""
+        SELECT CAST((doc_id * $Knuth) % $NShards AS INT) AS shard,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        FROM documents
+        GROUP BY 1
+      """.stripMargin),
+      doc = "sharded-output manifest: per-shard audit counts for the written mix"),
 
     // ---- benchmark decontamination (n-gram overlap) ----
     // Eval set = every 19th doc (stand-in for a held-out benchmark).

@@ -112,6 +112,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q94: written shards match the manifest row-for-row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Curation.writeSharded(Tables.documents(spark, sf), dir)
+    val back = spark.read.parquet(dir)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"),
+        min($"doc_id").as("min_doc_id"), max($"doc_id").as("max_doc_id"))
+    val manifest = q("q94_shard_manifest")
+    assert(back.collect().map(_.toString).sorted.toSeq
+      == manifest.collect().map(_.toString).sorted.toSeq)
+    assert(manifest.count() == Curation.NShards)
+    // every shard dir exists on disk and no doc crossed shards
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.length == Curation.NShards, dirs.mkString(","))
+  }
+
   test("q93: kept sizes follow sqrt shares; the smallest source is kept whole") {
     val perSource = Tables.documents(spark, sf)
       .groupBy($"source").agg(count(lit(1)).as("n"))
