@@ -1,6 +1,6 @@
 package graft.ibrd
 
-import graft.warehouse.{DimDate, FactBuilder, Scd, ScdSpec, SurrogateKeys}
+import graft.warehouse.{CacheScope, DimDate, FactBuilder, Scd, ScdSpec, SurrogateKeys}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -68,32 +68,36 @@ object IbrdWarehouse {
 
   // dims are cached on build: every one is read multiple times (fact
   // lookups + the dangling probe + visuals), and dimension tables are by
-  // definition small relative to the fact — the standard warehouse trade
-  private def dimOf(staged: DataFrame, spec: ScdSpec, asOf: String): DataFrame =
-    Scd.initialLoad(staged.filter(col(spec.bk).isNotNull), spec, asOf).cache()
+  // definition small relative to the fact — the standard warehouse trade.
+  // The caches register against the caller's scope so a batch loop can
+  // release them once the star is materialized (see CacheScope).
+  private def dimOf(staged: DataFrame, spec: ScdSpec, asOf: String,
+                    scope: CacheScope): DataFrame =
+    scope.persist(Scd.initialLoad(staged.filter(col(spec.bk).isNotNull), spec, asOf, scope))
 
   /** Initial warehouse load from one staged batch. */
-  def build(spark: SparkSession, staged: DataFrame, asOf: String = "2024-07-01"): Star = {
-    val dimRegion = dimOf(staged, regionSpec, asOf)
+  def build(spark: SparkSession, staged: DataFrame, asOf: String = "2024-07-01",
+            scope: CacheScope = CacheScope.untracked): Star = {
+    val dimRegion = dimOf(staged, regionSpec, asOf, scope)
     // snowflake: country carries the region SK resolved from the current
     // region rows (J3, `country_dimension.dtsx:1264-1287`)
     val regionCurrent = dimRegion.filter(col("is_current"))
       .select(col("region_BK"), col("PK_region_SK"))
     val dimCountry = dimOf(
       staged.join(broadcast(regionCurrent), Seq("region_BK"), "left"),
-      countrySpec.copy(fixed = Seq("PK_region_SK")), asOf)
-    val dimBorrower = dimOf(staged, borrowerSpec, asOf)
-    val dimGuarantor = dimOf(staged, guarantorSpec, asOf)
-    val dimStatus = dimOf(staged, statusSpec, asOf)
-    val dimType = dimOf(staged, typeSpec, asOf)
-    val dimProject = dimOf(staged, projectSpec, asOf)
+      countrySpec.copy(fixed = Seq("PK_region_SK")), asOf, scope)
+    val dimBorrower = dimOf(staged, borrowerSpec, asOf, scope)
+    val dimGuarantor = dimOf(staged, guarantorSpec, asOf, scope)
+    val dimStatus = dimOf(staged, statusSpec, asOf, scope)
+    val dimType = dimOf(staged, typeSpec, asOf, scope)
+    val dimProject = dimOf(staged, projectSpec, asOf, scope)
     // range covers observed fixture dates plus future snapshots
     // (incremental batches land after the initial load's year)
     val dd = ibrdDimDate(spark, 1990, 2026)
 
     val dims = Star(dimRegion, dimCountry, dimBorrower, dimGuarantor,
       dimStatus, dimType, dimProject, dd, null)
-    dims.copy(fact = factRows(nonDangling(staged), factLookups(dims)))
+    dims.copy(fact = factRows(nonDangling(staged), factLookups(dims), scope))
   }
 
   /** Incremental load: merge a new staged batch into every dimension
@@ -106,18 +110,25 @@ object IbrdWarehouse {
     * The input `star` must be MATERIALIZED tables (persisted + re-read,
     * e.g. via [[persist]]/[[load]]), exactly as a real warehouse stores
     * them between batches — chaining increments over raw lineage compounds
-    * the plan until analysis itself becomes the bottleneck. */
-  def incremental(star: Star, staged: DataFrame, asOf: String): Star = {
-    val dimRegion = Scd.merge(star.dimRegion,
-      staged.filter(col("region_BK").isNotNull), regionSpec, asOf).cache()
+    * the plan until analysis itself becomes the bottleneck.
+    *
+    * Cache lifecycle: every per-batch cache (7 merged dims + each merge's
+    * internals) registers against `scope`. The production loop — the
+    * reference's hourly cadence driven via `foreachBatch` — must own a
+    * scope per batch and release it after [[persist]], or storage blocks
+    * grow without bound (StreamingSpec asserts the flat profile). */
+  def incremental(star: Star, staged: DataFrame, asOf: String,
+                  scope: CacheScope = CacheScope.untracked): Star = {
+    val dimRegion = scope.persist(Scd.merge(star.dimRegion,
+      staged.filter(col("region_BK").isNotNull), regionSpec, asOf, scope))
     val regionCurrent = dimRegion.filter(col("is_current"))
       .select(col("region_BK"), col("PK_region_SK"))
-    val dimCountry = Scd.merge(star.dimCountry,
+    val dimCountry = scope.persist(Scd.merge(star.dimCountry,
       staged.filter(col("country_BK").isNotNull)
         .join(broadcast(regionCurrent), Seq("region_BK"), "left"),
-      countrySpec.copy(fixed = Seq("PK_region_SK")), asOf).cache()
+      countrySpec.copy(fixed = Seq("PK_region_SK")), asOf, scope))
     def mergeDim(dim: DataFrame, spec: ScdSpec): DataFrame =
-      Scd.merge(dim, staged.filter(col(spec.bk).isNotNull), spec, asOf).cache()
+      scope.persist(Scd.merge(dim, staged.filter(col(spec.bk).isNotNull), spec, asOf, scope))
     val merged = Star(
       dimRegion, dimCountry,
       mergeDim(star.dimBorrower, borrowerSpec),
@@ -131,7 +142,7 @@ object IbrdWarehouse {
         Seq("loan_number", "end_of_period"), "left_anti")
     val maxSk = star.fact
       .agg(coalesce(max(col("PK_loan_number_SK")), lit(0L)).as("__max"))
-    val appended = factRows(factIn, factLookups(merged))
+    val appended = factRows(factIn, factLookups(merged), scope)
       .crossJoin(broadcast(maxSk))
       .withColumn("PK_loan_number_SK", col("PK_loan_number_SK") + col("__max"))
       .drop("__max")
@@ -192,7 +203,8 @@ object IbrdWarehouse {
   }
 
   private def factRows(factIn: DataFrame,
-                       lookups: Seq[FactBuilder.Lookup]): DataFrame = {
+                       lookups: Seq[FactBuilder.Lookup],
+                       scope: CacheScope): DataFrame = {
     // the fact is keyed on (loan_number, end_of_period) by declaration
     // (SURVEY §7 risk 5): deterministic within-batch dedup, same policy
     // as the SCD dims
@@ -204,7 +216,7 @@ object IbrdWarehouse {
     FactBuilder.assertNoDangling(unique, lookups)
     val joined = FactBuilder.build(unique, lookups)
     SurrogateKeys.assign(joined, Seq("loan_number", "end_of_period"),
-      "PK_loan_number_SK")
+      "PK_loan_number_SK", scope = scope)
       .select(
         col("PK_loan_number_SK"),
         col("FK_borrower"), col("FK_guarantor"), col("FK_country"),

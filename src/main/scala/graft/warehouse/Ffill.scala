@@ -24,7 +24,8 @@ import org.apache.spark.sql.DataFrame
 object Ffill {
 
   def forwardFill(df: DataFrame, orderCols: Seq[String], target: String,
-                  numPartitions: Option[Int] = None): DataFrame = {
+                  numPartitions: Option[Int] = None,
+                  scope: CacheScope = CacheScope.untracked): DataFrame = {
     val keys = orderCols.map(col)
     // partition count tracks the input size (see SurrogateKeys.assign)
     val n = numPartitions.getOrElse(math.max(df.rdd.getNumPartitions, 1))
@@ -35,12 +36,11 @@ object Ffill {
     // final join; range-bound sampling + spark_partition_id() are
     // execution-dependent, so independent evaluations could disagree on
     // pid assignment (see SurrogateKeys.assign)
-    val withLocal = ranged
+    val withLocal = scope.persist(ranged
       .withColumn(pid, spark_partition_id())
       .withColumn(local, last(col(target), ignoreNulls = true).over(
         Window.partitionBy(col(pid)).orderBy(keys: _*)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .persist()
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
     // per-partition last filled value (max_by is order-insensitive under
     // the shuffle, unlike last()) → running carry from earlier partitions.
     // Single-partition window on a one-row-per-partition frame is

@@ -56,8 +56,9 @@ object Scd {
   }
 
   /** Initial load: dedup + surrogate keys + SCD bookkeeping columns. */
-  def initialLoad(batch: DataFrame, spec: ScdSpec, asOf: String): DataFrame =
-    SurrogateKeys.assign(dedup(batch, spec), Seq(spec.bk), spec.sk)
+  def initialLoad(batch: DataFrame, spec: ScdSpec, asOf: String,
+                  scope: CacheScope = CacheScope.untracked): DataFrame =
+    SurrogateKeys.assign(dedup(batch, spec), Seq(spec.bk), spec.sk, scope = scope)
       .withColumn("source_system_code", lit(1))
       .withColumn("start_date", lit(asOf).cast("date"))
       .withColumn("end_date", lit(null).cast("date"))
@@ -80,15 +81,23 @@ object Scd {
     *  - SCD2 change: current row expired (end_date=asOf, is_current=false)
     *    and a new version inserted;
     *  - new BK: inserted. New rows get SKs above the current max.
+    *
+    * Cache lifecycle: the merge persists two relations (the input dim and
+    * the full-outer join) because each feeds multiple plan branches. They
+    * are registered against `scope`; a caller running repeated merges (the
+    * streaming/hourly warehouse loop) must pass an owned [[CacheScope]] and
+    * release it once the merged output is materialized — otherwise storage
+    * blocks accumulate batch-over-batch (see CacheScope scaladoc).
     */
-  def merge(dim: DataFrame, batch: DataFrame, spec: ScdSpec, asOf: String): DataFrame = {
+  def merge(dim: DataFrame, batch: DataFrame, spec: ScdSpec, asOf: String,
+            scope: CacheScope = CacheScope.untracked): DataFrame = {
     // side-presence markers: deriving presence from BK nullness would
     // mis-route null-BK rows (they fail the equality join, so a single
     // input row would satisfy BOTH isNew and isAbsent and emit twice)
     // dim feeds three readers (current-row filter, history filter, max-SK
     // aggregate): one cached evaluation instead of three runs of whatever
     // plan produced it (dimension-sized, so bounded at warehouse scale)
-    val dimP = dim.persist()
+    val dimP = scope.persist(dim)
     val staged = dedup(batch, spec).withColumn("__s_present", lit(true)).as("s")
     val cur = dimP.filter(col("end_date").isNull)
       .withColumn("__c_present", lit(true)).as("c")
@@ -98,8 +107,8 @@ object Scd {
     // carry projection and the insert branch); one cached evaluation
     // instead of re-running the full-outer shuffle per branch. Dims are
     // dimension-sized, so the cache is bounded even at warehouse scale.
-    val j = staged.join(cur, col(s"s.${spec.bk}") === col(s"c.${spec.bk}"), "full_outer")
-      .persist()
+    val j = scope.persist(
+      staged.join(cur, col(s"s.${spec.bk}") === col(s"c.${spec.bk}"), "full_outer"))
     val isNew = col("__c_present").isNull
     val isAbsent = col("__s_present").isNull
     val scd2Chg = anyDiffers(spec.scd2)
@@ -131,7 +140,7 @@ object Scd {
     val inserts = j.filter(isNew || (!isAbsent && scd2Chg))
       .select(spec.allIn.map(c => col(s"s.$c")): _*)
     val maxSkDf = dimP.agg(coalesce(max(col(spec.sk)), lit(0L)).as("__max_sk"))
-    val inserted = SurrogateKeys.assign(inserts, Seq(spec.bk), spec.sk)
+    val inserted = SurrogateKeys.assign(inserts, Seq(spec.bk), spec.sk, scope = scope)
       .crossJoin(broadcast(maxSkDf))
       .withColumn(spec.sk, col(spec.sk) + col("__max_sk"))
       .drop("__max_sk")

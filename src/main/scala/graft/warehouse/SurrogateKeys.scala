@@ -23,7 +23,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 object SurrogateKeys {
 
   def assign(df: DataFrame, keyCols: Seq[String], skName: String,
-             offset: Long = 0L, numPartitions: Option[Int] = None): DataFrame = {
+             offset: Long = 0L, numPartitions: Option[Int] = None,
+             scope: CacheScope = CacheScope.untracked): DataFrame = {
     val keys: Seq[Column] = keyCols.map(col)
     // scale the range-partition count with the input (a fixed 32-way range
     // shuffle dominates wall-clock on small dims; at scale the input split
@@ -38,11 +39,10 @@ object SurrogateKeys {
     // independent evaluations (or a task retry at scale) could disagree
     // on pid assignment and collide/skip SKs. One cached evaluation makes
     // both readers see the same pids — and skips recomputing the shuffle.
-    val withRn = ranged
+    val withRn = scope.persist(ranged
       .withColumn(pid, spark_partition_id())
       .withColumn(rn, row_number().over(
-        Window.partitionBy(col(pid)).orderBy(keys: _*)))
-      .persist()
+        Window.partitionBy(col(pid)).orderBy(keys: _*))))
     // partition sizes → cumulative offsets (one row per partition; tiny).
     // The single-partition window is INTENTIONAL on this driver-sized
     // frame; the constant-VALUED but non-foldable partition key (pmod of

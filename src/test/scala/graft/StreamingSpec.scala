@@ -96,13 +96,15 @@ class StreamingSpec extends SparkSpec {
           val staged = spark.read.schema(stagedSchema).json(batch)
           val asOf = asOfBySnapshot(
             staged.select(max($"end_of_period")).head.getString(0))
+          val scope = new graft.warehouse.CacheScope
           val next = current match {
-            case None => IbrdWarehouse.build(spark, staged, asOf)
+            case None => IbrdWarehouse.build(spark, staged, asOf, scope)
             case Some(prev) => IbrdWarehouse.incremental(
-              IbrdWarehouse.load(spark, prev), staged, asOf)
+              IbrdWarehouse.load(spark, prev), staged, asOf, scope)
           }
           val vSink = new TableSink(s"$root/stream/v$id")
           IbrdWarehouse.persist(next, vSink)
+          scope.release() // batch caches die with the batch
           current = Some(vSink)
         }
       }
@@ -119,6 +121,64 @@ class StreamingSpec extends SparkSpec {
     assert(rows(got.dimCountry) == rows(expected.dimCountry))
     assert(rows(got.fact) == rows(expected.fact))
     assert(got.fact.count() == expected.fact.count())
+  }
+
+  test("incremental warehouse releases its caches per batch (no storage-block growth)") {
+    // the round-4 bench inflation mechanism: Scd.merge + incremental cached
+    // per batch and never unpersisted, so a long-running foreachBatch drive
+    // accumulated storage blocks without bound. With an owned CacheScope
+    // released after persist, the persistent-RDD count must return to the
+    // post-batch-1 baseline after EVERY subsequent batch.
+    import graft.ibrd.{Clean, Fixture, IbrdWarehouse}
+    import graft.sources.TableSink
+    import graft.warehouse.CacheScope
+    val root = java.nio.file.Files.createTempDirectory("graft_scope").toString
+    val stagedAll = Clean.stage(Fixture.raw(spark)).cache()
+    val stagedSchema = stagedAll.schema
+    val nBatches = 5
+    def slice(k: Int): Seq[String] =
+      stagedAll.filter(pmod(abs(hash($"loan_number")), lit(nBatches)) === k)
+        .toJSON.collect().toSeq
+
+    @volatile var current: Option[TableSink] = None
+    val rddCounts = scala.collection.mutable.ArrayBuffer[Int]()
+    val input = MemoryStream[String](spark)
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], id: Long) =>
+        if (!batch.isEmpty) {
+          val staged = spark.read.schema(stagedSchema).json(batch)
+          val asOf = f"2023-${id + 1}%02d-01"
+          val scope = new CacheScope
+          val next = current match {
+            case None => IbrdWarehouse.build(spark, staged, asOf, scope)
+            case Some(prev) => IbrdWarehouse.incremental(
+              IbrdWarehouse.load(spark, prev), staged, asOf, scope)
+          }
+          val vSink = new TableSink(s"$root/v$id")
+          IbrdWarehouse.persist(next, vSink)
+          assert(scope.trackedCount > 0, "the engine must register caches with the scope")
+          scope.release()
+          assert(scope.trackedCount == 0)
+          current = Some(vSink)
+          rddCounts += spark.sparkContext.getPersistentRDDs.size
+          ()
+        }
+      }
+      .start()
+    (0 until nBatches).foreach { k =>
+      input.addData(slice(k))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    assert(rddCounts.size == nBatches)
+    val baseline = rddCounts.head
+    // flat profile: no batch may leave more persisted RDDs than batch 1 did
+    assert(rddCounts.forall(_ <= baseline),
+      s"storage blocks grew batch-over-batch: $rddCounts")
+    // and the final star is a real warehouse: every staged loan landed
+    val fact = IbrdWarehouse.load(spark, current.get).fact
+    assert(fact.count() > 0)
   }
 
   test("stateful streaming sessionizer matches the batch twin's closed sessions") {
