@@ -142,6 +142,51 @@ object Similarity extends QueryPack {
   val IvfCentroids = 16
   val IvfProbes = 4
 
+  /** The codebook as ONE row holding a cent_id-ascending array of
+    * (cent_id, centv, cent_n) structs. Joining this single row in with
+    * `crossJoin(broadcast(...))` lets every per-vector cell decision run
+    * as a pure projection — the corpus-side alternative
+    * (`crossJoin(broadcast(cents)) → groupBy(vector)`) amplifies the
+    * corpus ×C and then shuffles one row per vector to reduce it back,
+    * the ANN path's only corpus-wide exchange at 100 TB. */
+  private def codebookRow(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(struct(
+      col("cent_id"), col("centv"), col("cent_n")))).as("__cb"))
+
+  /** Fused argmax over the codebook array: nearest cell by rounded cosine,
+    * ties to the LOWER cent_id — exactly the former
+    * `max_by(cent_id, struct(sim_c, -cent_id))` rule (strict `>` against a
+    * cent_id-ascending array keeps the first, i.e. lowest, id on ties; a
+    * NaN similarity wins under Spark's NaN-is-largest ordering, matching
+    * max_by). Zero shuffle: one codegen'd projection per corpus row. */
+  private def nearestCell(v: Column, n: Column, cb: Column): Column =
+    aggregate(cb,
+      struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("id")),
+      (acc, e) => {
+        val sim = round(
+          VectorOps.dot(v, e.getField("centv")) / (n * e.getField("cent_n")), 6)
+        when(sim > acc.getField("s"),
+          struct(sim.as("s"), e.getField("cent_id").cast("long").as("id")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("id"))
+
+  /** The query's `nProbe` nearest cells as a sorted array — same
+    * (sim desc, cent_id asc) order the former per-query window produced,
+    * but as a projection over the one-row codebook (no window shuffle). */
+  private def probeCells(v: Column, n: Column, cb: Column, nProbe: Int): Column = {
+    val scored = transform(cb, e => struct(
+      round(VectorOps.dot(v, e.getField("centv")) / (n * e.getField("cent_n")), 6).as("s"),
+      e.getField("cent_id").cast("long").as("id")))
+    val ordered = array_sort(scored, (l, r) =>
+      when(l.getField("s") > r.getField("s"), -1)
+        .when(l.getField("s") < r.getField("s"), 1)
+        .when(l.getField("id") < r.getField("id"), -1)
+        .when(l.getField("id") > r.getField("id"), 1)
+        .otherwise(0))
+    transform(slice(ordered, 1, nProbe), e => e.getField("id"))
+  }
+
   /** Lloyd iterations for the q78 trained codebook — small so the SQL
     * oracle's unrolled CTE chain stays reviewable. */
   val IvfIters = 2
@@ -151,10 +196,10 @@ object Similarity extends QueryPack {
     * deployment trains k-means offline and ships the codebook; the
     * deterministic seed choice keeps the identical plumbing
     * oracle-checkable. Corpus assignment is a broadcast of the (tiny)
-    * centroid table + per-row argmax with MAP-SIDE partial aggregation
-    * (`max_by` under groupBy: the ×C scored rows reduce to one row per
-    * vector before any shuffle — the corpus never amplifies through an
-    * exchange). Queries probe their `nProbe` nearest cells, the IVF
+    * codebook as ONE array-of-structs row + a fused per-row argmax
+    * projection ([[nearestCell]]): the corpus never amplifies and never
+    * shuffles — cell choice costs zero exchange bytes at any scale.
+    * Queries probe their `nProbe` nearest cells, the IVF
     * recall/latency dial. Ties break on rounded similarity then centroid
     * id, reproducible across engines. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
@@ -170,9 +215,10 @@ object Similarity extends QueryPack {
     * assignment rule is EXACTLY the query-time rule (cosine argmax, ties
     * to the lower centroid id), so trained cells are the cells queries
     * will probe. Each round is the q68 centroid primitive: broadcast the
-    * codebook, map-side-combine the ×C scores to one cell per vector,
-    * posexplode → one (cell, dim) hash aggregate — the corpus never
-    * amplifies through a shuffle, and the only iterated state is the
+    * one-row codebook, fused-argmax each vector to its cell (a projection,
+    * no exchange — [[nearestCell]]), posexplode → one (cell, dim) hash
+    * aggregate — the corpus never amplifies or shuffles for assignment,
+    * and the only iterated state is the
     * codebook itself (checkpointed per round; 16 rows). Dimension sums run
     * through DECIMAL on round(6) inputs, so centroids are bit-identical
     * across engines and partitionings (the Dashboard.dsum rule) — which is
@@ -187,13 +233,12 @@ object Similarity extends QueryPack {
       .select(col("vec_id").as("cent_id"),
         transform(col("embedding"), _.cast("double")).as("centv"))
     for (_ <- 0 until iters) {
-      val cn = cents.withColumn("cent_n", VectorOps.norm(col("centv")))
-      val assigned = c.crossJoin(broadcast(cn))
-        .withColumn("sim_c", round(
-          VectorOps.dot(col("cv"), col("centv")) / (col("cn") * col("cent_n")), 6))
-        .groupBy(col("nid"))
-        .agg(max_by(col("cent_id"), struct(col("sim_c"), -col("cent_id"))).as("cell"),
-          first(col("cv")).as("cv"))
+      val cb = codebookRow(cents.withColumn("cent_n", VectorOps.norm(col("centv"))))
+      // fused argmax: cell choice is a projection; the round's only
+      // aggregate is the (cell, dim) mean below
+      val assigned = c.crossJoin(broadcast(cb))
+        .withColumn("cell", nearestCell(col("cv"), col("cn"), col("__cb")))
+        .select(col("nid"), col("cell"), col("cv"))
       val means = assigned
         .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
@@ -215,24 +260,19 @@ object Similarity extends QueryPack {
                   codebook: DataFrame, nProbe: Int): DataFrame = {
     val cents = codebook.select(col("cent_id"), col("centv"),
       VectorOps.norm(col("centv")).as("cent_n"))
+    val cb = codebookRow(cents)
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("cv"), VectorOps.norm(col("embedding")).as("cn"))
-    val assigned = c.crossJoin(broadcast(cents))
-      .withColumn("sim_c",
-        round(VectorOps.dot(col("cv"), col("centv")) / (col("cn") * col("cent_n")), 6))
-      .groupBy(col("neighbor_id"))
-      .agg(max_by(col("cent_id"), struct(col("sim_c"), -col("cent_id"))).as("cell"),
-        first(col("cv")).as("cv"), first(col("cn")).as("cn"))
+    // corpus cell assignment is a zero-shuffle projection (see nearestCell)
+    val assigned = c.crossJoin(broadcast(cb))
+      .withColumn("cell", nearestCell(col("cv"), col("cn"), col("__cb")))
+      .select(col("neighbor_id"), col("cell"), col("cv"), col("cn"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"), VectorOps.norm(col("embedding")).as("qn"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_c").desc, col("cent_id").asc)
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("sim_c",
-        round(VectorOps.dot(col("qv"), col("centv")) / (col("qn") * col("cent_n")), 6))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+    val probes = q.crossJoin(broadcast(cb))
+      .withColumn("cell",
+        explode(probeCells(col("qv"), col("qn"), col("__cb"), nProbe)))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim_r",
