@@ -371,10 +371,14 @@ object Dedup extends QueryPack {
     * an edge iterate — singletons (the overwhelming majority of a real
     * corpus) join back once at the end with their own id. Per-round
     * results are persisted and materialized so a task retry replays from
-    * the cached previous round, not the whole chain (at cluster scale
-    * one would checkpoint every few rounds to truncate lineage). */
+    * the cached previous round, not the whole chain. Pass `checkpointDir`
+    * on a cluster: rounds then write through reliable `checkpoint()` and
+    * survive executor loss (see [[Rounds]]). */
   def clusterIds(docs: DataFrame, threshold: Double,
-                 maxIters: Int = 50): DataFrame = {
+                 maxIters: Int = 50,
+                 checkpointDir: Option[String] = None): DataFrame = {
+    val rounds = Rounds(checkpointDir)
+    rounds.init(docs)
     // checkpoint the PAIRS, not the symmetrized edge union: union's two
     // branches are separate plan subtrees, so checkpointing downstream of
     // the union ran the whole prefix-filter + verify pipeline twice (the
@@ -382,17 +386,16 @@ object Dedup extends QueryPack {
     // (AQE already right-sizes the tiny CC shuffles — an explicit
     // count+repartition of the pair graph was measured SLOWER at sf0.1:
     // the extra jobs cost more than the narrow-task savings)
-    val pairs = jaccardPairs(docs, threshold).select(col("a_id"), col("b_id"))
-      .localCheckpoint(true)
+    val pairs = rounds.mark(
+      jaccardPairs(docs, threshold).select(col("a_id"), col("b_id")))
     val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
     // hook step (union-find "hook to min neighbor"): every edge node maps
     // to min(self, min neighbor). Near-dup clusters are near-cliques, so
     // this one aggregate collapses almost the whole graph immediately.
-    var mapping = edges.groupBy(col("src"))
+    var mapping = rounds.mark(edges.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
-      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
-      .localCheckpoint(true)
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl")))
     // contract: rewrite edges between current labels, drop intra-label
     // self-loops, dedup. Unlike fixed-size label propagation (which
     // re-joins the FULL edge set every round — measured ~5 s/query at
@@ -401,16 +404,15 @@ object Dedup extends QueryPack {
     // nothing. Per-round state is checkpointed — composing mappings
     // through joins otherwise compounds the logical plan (the pointer-
     // doubling formulation this replaces OOM'd an 8 GiB driver on plan
-    // growth alone). On a cluster, a reliable checkpoint dir would back
-    // these tiny per-round tables against executor loss.
-    def contract(e: DataFrame, m: DataFrame): DataFrame = e
+    // growth alone). With `checkpointDir` set these tiny per-round tables
+    // land on reliable storage and survive executor loss.
+    def contract(e: DataFrame, m: DataFrame): DataFrame = rounds.mark(e
       .join(m.select(col("id").as("src"), col("lbl").as("slbl")), Seq("src"), "left")
       .join(m.select(col("id").as("dst"), col("lbl").as("dlbl")), Seq("dst"), "left")
       .select(coalesce(col("slbl"), col("src")).as("src"),
         coalesce(col("dlbl"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var ce = contract(edges, mapping)
     var remaining = ce.count()
     var iters = 0
@@ -420,9 +422,8 @@ object Dedup extends QueryPack {
         .agg(min(col("dst")).as("mn"))
         .select(col("src").as("lbl"), least(col("src"), col("mn")).as("nlbl"))
       // compose into the node mapping (nodes whose label didn't move keep it)
-      mapping = mapping.join(step, Seq("lbl"), "left")
-        .select(col("id"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      mapping = rounds.mark(mapping.join(step, Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("nlbl"), col("lbl")).as("lbl")))
       ce = contract(ce, step.select(col("lbl").as("id"), col("nlbl").as("lbl")))
       remaining = ce.count()
       iters += 1

@@ -219,12 +219,17 @@ object Similarity extends QueryPack {
     * no exchange — [[nearestCell]]), posexplode → one (cell, dim) hash
     * aggregate — the corpus never amplifies or shuffles for assignment,
     * and the only iterated state is the
-    * codebook itself (checkpointed per round; 16 rows). Dimension sums run
+    * codebook itself (checkpointed per round; 16 rows — pass
+    * `checkpointDir` on a cluster for executor-loss-durable rounds,
+    * [[Rounds]]). Dimension sums run
     * through DECIMAL on round(6) inputs, so centroids are bit-identical
     * across engines and partitionings (the Dashboard.dsum rule) — which is
     * what makes the unrolled-SQL oracle for q78 possible. Cells that lose
     * every member keep their previous centroid. */
-  def trainCodebook(corpus: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
+  def trainCodebook(corpus: DataFrame, nCentroids: Int, iters: Int,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val rounds = Rounds(checkpointDir)
+    rounds.init(corpus)
     val c = corpus.select(col("vec_id").as("nid"),
       transform(col("embedding"), _.cast("double")).as("cv"))
       .withColumn("cn", VectorOps.norm(col("cv")))
@@ -247,11 +252,14 @@ object Similarity extends QueryPack {
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cm")))),
           _.getField("cm")).as("newv"))
-      cents = cents
+      cents = rounds.mark(cents
         .join(means.withColumnRenamed("cell", "cent_id"), Seq("cent_id"), "left")
-        .select(col("cent_id"), coalesce(col("newv"), col("centv")).as("centv"))
-        .localCheckpoint(true)
+        .select(col("cent_id"), coalesce(col("newv"), col("centv")).as("centv")))
     }
+    // every round is materialized by `mark`, so the trained codebook no
+    // longer references the cached corpus projection — release it here
+    // rather than leaking one storage block per training call
+    c.unpersist(blocking = false)
     cents
   }
 

@@ -127,6 +127,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => clusters(a) == a && clusters(b) == b })
   }
 
+  test("iterative operators write reliable checkpoints when a dir is given") {
+    // at cluster scale localCheckpoint blocks die with a lost executor;
+    // checkpointDir routes every round through reliable checkpoint().
+    // Results must be identical to the default path, and checkpoint files
+    // must actually land in the dir.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_rel").toString
+    val docs = Tables.documents(spark, sf)
+    val withCk = Dedup.clusterIds(docs, 0.8, checkpointDir = Some(s"$dir/cc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val default = Dedup.clusterIds(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withCk == default)
+    def filesUnder(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(root)) 0L
+      else java.nio.file.Files.walk(root).filter(java.nio.file.Files.isRegularFile(_)).count()
+    }
+    assert(filesUnder(s"$dir/cc") > 0, "CC rounds must land in the reliable dir")
+
+    val emb = Tables.embeddings(spark, sf).limit(400)
+    val trained = Similarity.trainCodebook(emb, 8, 2, checkpointDir = Some(s"$dir/lloyd"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val trainedDefault = Similarity.trainCodebook(emb, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(trained == trainedDefault)
+    assert(filesUnder(s"$dir/lloyd") > 0, "Lloyd rounds must land in the reliable dir")
+  }
+
   test("minhash verify joins the corpus sets by shuffle, never broadcast") {
     val plan = Dedup.minhashCandidates(Tables.documents(spark, sf), 0.8)
       .queryExecution.executedPlan.toString
