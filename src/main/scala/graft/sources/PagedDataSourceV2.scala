@@ -18,9 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * than requested (the clamped last page). Implementations must be
   * Serializable: the instance is resolved on the driver at scan
   * planning and shipped inside each task, so the same seam works on a
-  * real cluster. An HTTP implementation would issue the GET here;
-  * offline tests inject failing/partial transports through the
-  * registry — no network needed to exercise the error paths.
+  * real cluster. [[HttpPageTransport]] is the `java.net.http` online
+  * implementation; offline tests inject failing/partial transports
+  * through the registry — no network needed to exercise the error paths.
   */
 trait PageTransport extends Serializable {
   def fetch(offset: Int, count: Int): PageTransport.Response
@@ -92,6 +92,7 @@ final class PagedScan(schema: StructType, pageSize: Int, totalRows: Int,
     extends Scan with Batch {
   require(pageSize > 0, s"option 'pageSize' must be positive, got $pageSize")
   require(maxRetries >= 0, s"option 'maxRetries' must be >= 0, got $maxRetries")
+  require(retryBaseMs >= 0, s"option 'retryBaseMs' must be >= 0, got $retryBaseMs")
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
@@ -136,8 +137,11 @@ final class PagedPartitionReader(offset: Int, count: Int,
                                  maxRetries: Int = 3, retryBaseMs: Long = 100L)
     extends PartitionReader[InternalRow] {
 
+  // 501 (Not Implemented) and 505 (Version Not Supported) are permanent
+  // server answers, not blips — retrying them just burns the budget
   private def retryable(status: Int): Boolean =
-    status == 429 || (status >= 500 && status < 600)
+    status == 429 ||
+      (status >= 500 && status < 600 && status != 501 && status != 505)
 
   private def fetchPage(): Iterator[org.apache.spark.sql.Row] = {
     var attempt = 0
@@ -148,7 +152,9 @@ final class PagedPartitionReader(offset: Int, count: Int,
         throw new java.io.IOException(
           s"Failed to fetch page at offset=$offset: HTTP ${resp.status}" +
             (if (attempt > 0) s" after ${attempt + 1} attempts" else ""))
-      Thread.sleep(retryBaseMs << attempt)
+      // cap the shift: a large maxRetries must saturate the backoff, not
+      // overflow the long into a negative sleep
+      Thread.sleep(retryBaseMs << math.min(attempt, 20))
       attempt += 1
     }
     throw new IllegalStateException("unreachable")

@@ -135,6 +135,71 @@ class SourcesSpec extends SparkSpec {
     assert(last.df.count() == 2)
   }
 
+  test("HttpPageTransport: GET top/skip pages against a local server, retry + raise paths") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.sources.HttpPageTransport
+    // the reference's API shape (pyspark_dag2.py:52-77): JSON body with a
+    // `data` array; top/skip slice the record set
+    val jsonRows = Fixture.raw(spark).toJSON.collect()
+    val throttled = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def send(ex: HttpExchange, status: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/api", { (ex: HttpExchange) =>
+      val params = ex.getRequestURI.getQuery.split("&")
+        .map(_.split("=", 2)).map(kv => kv(0) -> kv(1)).toMap
+      val (top, skip) = (params("top").toInt, params("skip").toInt)
+      // first hit per page is throttled: the reader's backoff must absorb it
+      val n = throttled.computeIfAbsent(s"$skip",
+        _ => new java.util.concurrent.atomic.AtomicInteger()).incrementAndGet()
+      if (n == 1) send(ex, 429, "")
+      else send(ex, 200,
+        jsonRows.slice(skip, skip + top).mkString("{\"data\": [", ",", "]}"))
+    })
+    server.createContext("/gone", (ex: HttpExchange) => send(ex, 404, ""))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      PageTransport.register("http-ok", new HttpPageTransport(s"$base/api?type=json"))
+      val df = spark.read.format("graft.sources.PagedDataSourceV2")
+        .option("pageSize", "50").option("transport", "http-ok")
+        .option("retryBaseMs", "1").load()
+      // full fixture through real HTTP: 200s, a partial last page, and one
+      // 429 per page absorbed in-reader
+      assert(df.count() == Fixture.nRows)
+      val a = df.orderBy("loan_number", "end_of_period").collect()
+      val b = Fixture.raw(spark).orderBy("loan_number", "end_of_period").collect()
+      assert(a.sameElements(b))
+      assert(throttled.size == 5) // ceil(220/50) pages, throttle was per-page
+
+      // permanent 4xx: fail fast, reader does not retry (matches the raise)
+      PageTransport.register("http-gone", new HttpPageTransport(s"$base/gone"))
+      val bad = spark.read.format("graft.sources.PagedDataSourceV2")
+        .option("pageSize", "300").option("transport", "http-gone")
+        .option("retryBaseMs", "1").load()
+      val e = intercept[Exception] { bad.count() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("HTTP 404"), s"got: $msgs")
+    } finally server.stop(0)
+
+    // connect failure (server down) maps to the synthetic 599 and is
+    // retried as transient before the task fails
+    PageTransport.register("http-dead",
+      new HttpPageTransport(s"http://127.0.0.1:${server.getAddress.getPort}/api", timeoutMs = 500))
+    val dead = spark.read.format("graft.sources.PagedDataSourceV2")
+      .option("pageSize", "300").option("transport", "http-dead")
+      .option("maxRetries", "1").option("retryBaseMs", "1").load()
+    val e2 = intercept[Exception] { dead.count() }
+    val msgs2 = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs2.contains("HTTP 599") && msgs2.contains("2 attempts"), s"got: $msgs2")
+  }
+
   test("CSV dictionary round-trip preserves entries incl. commas and case-folding") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dicts")
     Fixture.allDicts.foreach { case (name, dict) =>
