@@ -86,18 +86,36 @@ object Bench {
       // any failed rep fails the query (negative time)
       name -> (if (times.forall(_ >= 0)) times.min else -times.map(math.abs).min)
     }
-    // Timings at 3 decimals: sub-ms digits are noise on this box, and the
-    // driver's capture keeps only the TAIL of the output — r3 and r4 both
-    // lost the line's head to truncation ("parsed": null). At ms precision
-    // the whole ~60-query line is ~1.8 KB and fits the capture window.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Timings at 2 decimals: sub-10ms digits are noise on this box, and the
+    // driver's capture keeps only the TAIL (~2.9 KB) of the output — r3-r5
+    // all lost the line's head to truncation ("parsed": null). At 2dp the
+    // whole 84-query line is ~2.1 KB and fits the window whole. Locale is
+    // pinned to ROOT: the f interpolator uses the default locale, and a
+    // comma-decimal locale would emit invalid JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val sfTag = sfDir.split('/').last.stripPrefix("sf")
-    // "value" printed AFTER "queries" so even a truncated capture keeps the
-    // headline total; reps/agg record the min-of-N interference protocol.
-    println(s"""{"metric":"total","unit":"sec","sf":$sfTag,"reps":$reps,"agg":"min","warm":$warmedUp,"queries":$qs,"value":${fmt(total)}}""")
+    // the sf tag is only emitted unquoted when it is actually a number —
+    // any other dir name would otherwise yield a bare word and a parse
+    // failure (the exact failure mode this line exists to avoid)
+    val sfRaw = sfDir.split('/').last.stripPrefix("sf")
+    val sfTag = if (sfRaw.matches("""\d+(\.\d+)?""")) sfRaw
+                else "\"" + sfRaw.replace("\"", "'") + "\""
+    // "n_queries"/"only" and "value" print AFTER "queries" so a tail-
+    // truncated capture still shows the headline total AND whether it came
+    // from a subset run (a filtered total must not masquerade as a full
+    // catalog run); reps/agg record the min-of-N interference protocol.
+    val line = s"""{"metric":"total","sf":$sfTag,"reps":$reps,"agg":"min","queries":$qs,"n_queries":${results.size},"only":${only.isDefined},"value":${fmt(total)}}"""
+    println(line)
+    // belt-and-braces: the full metric JSON also lands in a file that no
+    // capture window can truncate
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
