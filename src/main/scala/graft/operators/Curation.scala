@@ -27,6 +27,26 @@ object Curation extends QueryPack {
     * `xxhash64(doc_id)`, the sampling logic is hash-agnostic). */
   private val Knuth = 2654435761L
 
+  /** doc_id is folded to 31 bits BEFORE the Knuth multiply: the raw
+    * product wraps silently in Spark (and errors under ANSI mode) for
+    * doc_id ≳ 3.5e9 while DuckDB raises an overflow — folding first keeps
+    * the arithmetic identical on both engines at ANY id ((2³¹−1)·K ≈
+    * 5.7e18 stays inside int64). At test scale ids are < 2³¹ so the fold
+    * is the identity and oracles are unchanged numerically. */
+  private val IdFold = 2147483648L // 2^31
+  private def mixed(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(c, lit(IdFold)) * Knuth
+  private val MixSql = s"((doc_id % $IdFold) * $Knuth)"
+
+  /** Second mixing prime (xxhash32's PRIME2) for the within-shard file
+    * salt — independent of the shard hash so sub-files split evenly. */
+  private val Salt2 = 2246822519L
+
+  /** q86's pack-id namespace: the shard id occupies the bits above 2⁴⁰,
+    * so per-shard pack numbers stay collision-free until a single shard
+    * exceeds 2⁴⁰ × 512 ≈ 5.6e14 tokens. */
+  val PackBits = 40
+
   /** Shard fan-out of the written training mix (q94). Production sizes
     * this to the writer cluster; the assignment rule is shard-count- and
     * row-order-independent either way. */
@@ -34,18 +54,61 @@ object Curation extends QueryPack {
 
   /** Materialize the corpus as deterministic hash shards: one parquet
     * directory per shard, each row landing in the shard q94's manifest
-    * accounts for. `repartition(N, shard)` keys the exchange on the
-    * shard id so a shard's rows arrive at one writer task (no
-    * partitionBy row-scatter: every task would otherwise open a file in
-    * EVERY shard dir — the small-files explosion at 100 TB), and
-    * `partitionBy` turns the id into the directory layout consumers
-    * list. */
-  def writeSharded(docs: org.apache.spark.sql.DataFrame, dir: String): Unit =
+    * accounts for. The exchange is keyed on (shard, salt) so a shard's
+    * rows arrive at exactly `filesPerShard` writer tasks (no partitionBy
+    * row-scatter: every task would otherwise open a file in EVERY shard
+    * dir — the small-files explosion at 100 TB), and `partitionBy` turns
+    * the shard id into the directory layout consumers list.
+    *
+    * At TB-sized shards one writer task per shard is the bottleneck:
+    * `filesPerShard` sub-splits each shard across k parallel writers on a
+    * second independent doc_id hash (deterministic — reruns produce the
+    * same file membership), and `maxRecordsPerFile` (0 = unlimited) caps
+    * any single file regardless. Routing is EXACT one-combo-per-task:
+    * plain `repartition(m, shard, salt)` hashes the pair and lets combos
+    * collide into one task (measured at 8×3: a shard lost a file while a
+    * sibling writer sat idle), and `repartitionByRange` merges
+    * small-sample combos the same way — so each (shard, salt) combo is
+    * instead routed through a driver-chosen value whose
+    * `pmod(hash(v), m)` partition ids are pairwise distinct
+    * ([[routeValues]]). */
+  def writeSharded(docs: org.apache.spark.sql.DataFrame, dir: String,
+                   filesPerShard: Int = 1, maxRecordsPerFile: Long = 0L): Unit = {
+    require(filesPerShard >= 1, s"filesPerShard must be >= 1, got $filesPerShard")
+    val m = NShards * filesPerShard
+    val routes = routeValues(docs.sparkSession, m)
     docs
-      .withColumn("shard",
-        pmod(col("doc_id") * Knuth, lit(NShards)).cast("int"))
-      .repartition(NShards, col("shard"))
-      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+      .withColumn("shard", pmod(mixed(col("doc_id")), lit(NShards)).cast("int"))
+      // combo index: shard-major, sub-file minor (independent second hash)
+      .withColumn("__grp", (col("shard") * filesPerShard +
+        pmod(pmod(col("doc_id"), lit(IdFold)) * Salt2, lit(filesPerShard.toLong)))
+        .cast("int"))
+      .withColumn("__route", element_at(typedLit(routes), col("__grp")))
+      .repartition(m, col("__route"))
+      .drop("__grp", "__route")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard").parquet(dir)
+  }
+
+  /** One route value per combo index 0..m−1 such that Spark's
+    * hash-partition placement `pmod(hash(v), m)` is pairwise distinct —
+    * `functions.hash` IS the Murmur3(seed 42) that `hashPartitioning`
+    * uses, so verifying distinctness here guarantees distinct writer
+    * tasks at execution. Deterministic (fixed hash, ascending scan);
+    * coupon-collector needs ~m·ln m candidates, 64·m gives huge margin
+    * and the require guards the tail risk. */
+  private def routeValues(spark: org.apache.spark.sql.SparkSession,
+                          m: Int): Map[Int, Long] = {
+    import spark.implicits._
+    val cand = spark.range(0, 64L * m)
+      .select($"id", pmod(hash($"id"), lit(m)).cast("int").as("p"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val byPart = scala.collection.mutable.LinkedHashMap[Int, Long]()
+    cand.foreach { case (v, p) => if (!byPart.contains(p)) byPart(p) = v }
+    require(byPart.size == m, s"route search covered ${byPart.size}/$m partitions")
+    byPart.values.toSeq.sorted.zipWithIndex.map { case (v, g) => g -> v }.toMap
+  }
 
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PhoneRe = "\\b555-[0-9]{4}\\b"
@@ -114,16 +177,16 @@ object Curation extends QueryPack {
         val docs = T.documents(s, d)
         val cnts = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
         docs.join(broadcast(cnts), "lang")
-          .withColumn("bucket", pmod($"doc_id" * Knuth, lit(1000000L)))
+          .withColumn("bucket", pmod(mixed($"doc_id"), lit(1000000L)))
           .filter($"bucket" <
             floor(least(lit(1.0), lit(50.0) / $"n_lang") * 1000000).cast("long"))
           .select($"doc_id", $"lang", $"bucket")
       },
       Some(s"""
         WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang)
-        SELECT doc_id, lang, (doc_id * $Knuth) % 1000000 AS bucket
+        SELECT doc_id, lang, $MixSql % 1000000 AS bucket
         FROM documents JOIN c USING (lang)
-        WHERE (doc_id * $Knuth) % 1000000 <
+        WHERE $MixSql % 1000000 <
               CAST(floor(least(CAST(1 AS DOUBLE),
                 CAST(50 AS DOUBLE) / n_lang) * 1000000) AS BIGINT)
       """.stripMargin),
@@ -141,7 +204,7 @@ object Curation extends QueryPack {
     "q91_train_split" -> Q(
       (s, d) => {
         import s.implicits._
-        val bucket = pmod($"doc_id" * Knuth, lit(100L))
+        val bucket = pmod(mixed($"doc_id"), lit(100L))
         T.documents(s, d)
           .withColumn("split",
             when(bucket < 98, "train").when(bucket === 98, "val")
@@ -150,8 +213,8 @@ object Curation extends QueryPack {
           .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
       },
       Some(s"""
-        SELECT CASE WHEN (doc_id * $Knuth) % 100 < 98 THEN 'train'
-                    WHEN (doc_id * $Knuth) % 100 = 98 THEN 'val'
+        SELECT CASE WHEN $MixSql % 100 < 98 THEN 'train'
+                    WHEN $MixSql % 100 = 98 THEN 'val'
                     ELSE 'test' END AS split,
                lang, count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS n_chars
@@ -184,7 +247,7 @@ object Curation extends QueryPack {
           .withColumn("rate",
             sqrt($"n_min".cast("double") / $"n_src"))
         docs.join(broadcast(rated.select($"source", $"rate")), "source")
-          .filter(pmod($"doc_id" * Knuth, lit(1000000L)) <
+          .filter(pmod(mixed($"doc_id"), lit(1000000L)) <
             floor($"rate" * 1000000).cast("long"))
           .groupBy($"source")
           .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("kept_chars"))
@@ -200,7 +263,7 @@ object Curation extends QueryPack {
         SELECT d.source, count(*) AS n_kept,
                CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
         FROM documents d JOIN r ON d.source = r.source
-        WHERE (d.doc_id * $Knuth) % 1000000 <
+        WHERE ((d.doc_id % $IdFold) * $Knuth) % 1000000 <
               CAST(floor(r.rate * 1000000) AS BIGINT)
         GROUP BY d.source
       """.stripMargin),
@@ -220,7 +283,7 @@ object Curation extends QueryPack {
       (s, d) => {
         import s.implicits._
         T.documents(s, d)
-          .withColumn("shard", pmod($"doc_id" * Knuth, lit(NShards)).cast("int"))
+          .withColumn("shard", pmod(mixed($"doc_id"), lit(NShards)).cast("int"))
           .groupBy($"shard")
           .agg(count(lit(1)).as("n_docs"),
             sum($"n_chars").as("n_chars"),
@@ -228,7 +291,7 @@ object Curation extends QueryPack {
             max($"doc_id").as("max_doc_id"))
       },
       Some(s"""
-        SELECT CAST((doc_id * $Knuth) % $NShards AS INT) AS shard,
+        SELECT CAST($MixSql % $NShards AS INT) AS shard,
                count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS n_chars,
                min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
@@ -283,8 +346,11 @@ object Curation extends QueryPack {
     // each shard lay docs end-to-end in doc_id order; a doc starts at its
     // shard-local cumulative token offset, its pack is offset/512. The
     // per-shard window is a sorted streaming sum — no global sort, no
-    // unpartitioned window. pack_id namespaces packs globally
-    // (shard·10⁶ + pack_no; at >512M tokens/shard widen the namespace).
+    // unpartitioned window. pack_id namespaces packs globally: the shard
+    // sits above bit 40 (shard·2⁴⁰ + pack_no), collision-free until a
+    // shard exceeds 2⁴⁰ windows ≈ 5.6e14 tokens — the former shard·10⁶
+    // namespace overflowed at a mere 512M tokens/shard. 32 shards × 2⁴⁰
+    // tops out at 2⁴⁵, far inside the long.
     "q86_sequence_pack" -> Q(
       (s, d) => {
         import s.implicits._
@@ -292,19 +358,19 @@ object Curation extends QueryPack {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         T.documents(s, d)
           .select($"doc_id",
-            pmod($"doc_id" * Knuth, lit(32L)).as("shard"),
+            pmod(mixed($"doc_id"), lit(32L)).as("shard"),
             size(TextOps.words($"text")).as("n_tokens"))
           .withColumn("tok_start",
             sum($"n_tokens").over(w) - $"n_tokens")
           .select($"doc_id", $"shard".cast("int").as("shard"),
-            ($"shard" * 1000000 + floor($"tok_start" / 512)).cast("long")
+            (shiftleft($"shard", PackBits) + floor($"tok_start" / 512)).cast("long")
               .as("pack_id"),
             ($"tok_start" % 512).as("pack_offset"),
             $"n_tokens".cast("int").as("n_tokens"))
       },
       Some(s"""
         WITH base AS (
-          SELECT doc_id, (doc_id * $Knuth) % 32 AS shard,
+          SELECT doc_id, $MixSql % 32 AS shard,
                  len(string_split(text, ' ')) AS n_tokens
           FROM documents
         ), cum AS (
@@ -316,8 +382,9 @@ object Curation extends QueryPack {
         )
         SELECT doc_id, CAST(shard AS INT) AS shard,
                -- sum() OVER yields HUGEINT in DuckDB; pin to BIGINT to
-               -- match the Spark LongType schema
-               CAST(shard * 1000000 + tok_start // 512 AS BIGINT) AS pack_id,
+               -- match the Spark LongType schema. shard * 2^40 == the
+               -- Spark side's shiftleft(shard, 40)
+               CAST(shard * ${1L << PackBits} + tok_start // 512 AS BIGINT) AS pack_id,
                CAST(tok_start % 512 AS BIGINT) AS pack_offset,
                CAST(n_tokens AS INT) AS n_tokens
         FROM cum
@@ -338,14 +405,14 @@ object Curation extends QueryPack {
         import s.implicits._
         val keyed = T.documents(s, d)
           .select($"doc_id",
-            pmod($"doc_id" * Knuth, lit(1000000L)).as("shuffle_key"))
+            pmod(mixed($"doc_id"), lit(1000000L)).as("shuffle_key"))
         graft.warehouse.SurrogateKeys
           .assign(keyed, Seq("shuffle_key", "doc_id"), "train_pos")
           .select($"doc_id", $"shuffle_key", $"train_pos")
       },
       Some(s"""
-        SELECT doc_id, (doc_id * $Knuth) % 1000000 AS shuffle_key,
-               row_number() OVER (ORDER BY (doc_id * $Knuth) % 1000000,
+        SELECT doc_id, $MixSql % 1000000 AS shuffle_key,
+               row_number() OVER (ORDER BY $MixSql % 1000000,
                                   doc_id) AS train_pos
         FROM documents
       """.stripMargin),

@@ -104,12 +104,29 @@ class CurationSpec extends SparkSpec {
     rows.groupBy(_.getAs[Int]("shard")).foreach { case (shard, rs) =>
       var cum = 0L
       rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
-        assert(r.getAs[Long]("pack_id") == shard * 1000000L + cum / 512,
+        assert(r.getAs[Long]("pack_id") ==
+          (shard.toLong << Curation.PackBits) + cum / 512,
           s"shard $shard doc ${r.getAs[Long]("doc_id")}")
         assert(r.getAs[Long]("pack_offset") == cum % 512)
         cum += r.getAs[Int]("n_tokens")
       }
     }
+  }
+
+  test("q86: pack namespace holds at the per-shard boundary without collisions") {
+    // the former shard·10⁶ namespace overflowed at >512M tokens/shard;
+    // the 2^40 namespace must keep neighboring shards disjoint right up
+    // to the last pack number a shard can hold
+    val lastPack = (1L << Curation.PackBits) - 1
+    def packId(shard: Long, packNo: Long): Long = (shard << Curation.PackBits) + packNo
+    // shard 3's final pack < shard 4's first pack: no overlap at the seam
+    assert(packId(3, lastPack) < packId(4, 0))
+    assert(packId(3, lastPack) == packId(4, 0) - 1)
+    // 32 shards of full namespaces stay positive (no sign-bit wrap)
+    assert(packId(31, lastPack) > 0 && packId(31, lastPack) == (1L << 45) - 1)
+    // and the id round-trips: shard and pack number recover exactly
+    assert(packId(7, 12345) >> Curation.PackBits == 7)
+    assert((packId(7, 12345) & lastPack) == 12345)
   }
 
   test("q94: written shards match the manifest row-for-row") {
@@ -127,6 +144,28 @@ class CurationSpec extends SparkSpec {
     val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
       .map(_.getName).filter(_.startsWith("shard=")).sorted
     assert(dirs.length == Curation.NShards, dirs.mkString(","))
+  }
+
+  test("q94: sub-split sharded write spreads each shard over k files, manifest intact") {
+    // TB-sized shards need >1 writer task: filesPerShard=k must yield
+    // exactly k data files per shard dir (k parallel writers, no combo
+    // collisions) while the on-disk rows still match the manifest
+    val k = 3
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_k").toString
+    Curation.writeSharded(Tables.documents(spark, sf), dir, filesPerShard = k)
+    val back = spark.read.parquet(dir)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"),
+        min($"doc_id").as("min_doc_id"), max($"doc_id").as("max_doc_id"))
+    val manifest = q("q94_shard_manifest")
+    assert(back.collect().map(_.toString).sorted.toSeq
+      == manifest.collect().map(_.toString).sorted.toSeq)
+    new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("shard=")).foreach { d =>
+        val files = d.listFiles().map(_.getName)
+          .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        assert(files.length == k, s"${d.getName}: ${files.length} files, want $k")
+      }
   }
 
   test("q93: kept sizes follow sqrt shares; the smallest source is kept whole") {
