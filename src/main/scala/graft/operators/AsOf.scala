@@ -67,26 +67,45 @@ object AsOf extends QueryPack {
     * `binWidth` is the caller's span/selectivity dial: ~max interval span
     * keeps replication ≤ 2× while keeping bins selective. Semantics:
     * inner join on `start ≤ p < end` (end-exclusive, the time-window
-    * convention). */
+    * convention).
+    *
+    * The two inputs must not share column names (the equi-join would
+    * silently resolve ambiguously — alias one side first); an interval
+    * spanning more than `maxBinsPerInterval` bins fails with a clear
+    * message instead of exploding a near-2³¹-element sequence (or
+    * quietly producing a billion replicas of one hot interval). */
   def rangeJoin(points: DataFrame, intervals: DataFrame, ptCol: String,
                 startCol: String, endCol: String,
-                binWidth: Long): DataFrame = {
+                binWidth: Long,
+                maxBinsPerInterval: Long = 1L << 20): DataFrame = {
     require(binWidth > 0, s"binWidth=$binWidth")
+    require(maxBinsPerInterval > 0, s"maxBinsPerInterval=$maxBinsPerInterval")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"rangeJoin inputs share column names ${shared.mkString(", ")} — " +
+        "alias one side before joining")
+    // a bin key that cannot collide with either input's columns
+    val bin = Iterator.from(0).map(i => s"__bin$i")
+      .find(n => !points.columns.contains(n) && !intervals.columns.contains(n)).get
     // drop empty/inverted intervals BEFORE binning: they can match no
     // point (the residual filter is vacuously false), but sequence(a, b)
     // generates DESCENDING bins when a > b, so a malformed interval would
     // otherwise explode span/binWidth junk rows instead of zero
     val wellFormed = intervals.filter(col(endCol) > col(startCol))
-    val binned = wellFormed.withColumn("__bin",
-      explode(sequence(
-        floor(col(startCol) / binWidth).cast("long"),
-        // end-exclusive: an interval ending exactly on a bin edge does
-        // not reach into the next bin
-        floor((col(endCol) - 1) / binWidth).cast("long"))))
-    points.withColumn("__bin", floor(col(ptCol) / binWidth).cast("long"))
-      .join(binned, Seq("__bin"))
+    val loBin = floor(col(startCol) / binWidth).cast("long")
+    // end-exclusive: an interval ending exactly on a bin edge does not
+    // reach into the next bin
+    val hiBin = floor((col(endCol) - 1) / binWidth).cast("long")
+    val guardedHi = when(hiBin - loBin < maxBinsPerInterval, hiBin)
+      .otherwise(raise_error(format_string(
+        s"rangeJoin: interval [%s, %s) spans more than $maxBinsPerInterval " +
+          s"bins at binWidth=$binWidth — widen binWidth or raise maxBinsPerInterval",
+        col(startCol).cast("string"), col(endCol).cast("string"))))
+    val binned = wellFormed.withColumn(bin, explode(sequence(loBin, guardedHi)))
+    points.withColumn(bin, floor(col(ptCol) / binWidth).cast("long"))
+      .join(binned, Seq(bin))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
-      .drop("__bin")
+      .drop(bin)
   }
 
   def queries: Map[String, Q] = Map(

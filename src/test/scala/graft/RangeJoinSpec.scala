@@ -62,6 +62,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(wide == narrow)
   }
 
+  test("rangeJoin: shared column names are rejected; oversized spans raise clearly") {
+    val pts = Seq(1L).toDF("p")
+    // shared name: the equi-join would resolve ambiguously — must refuse
+    val clash = Seq((1L, 0L, 10L)).toDF("p", "s", "e")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.rangeJoin(pts, clash, "p", "s", "e", binWidth = 10L)
+    }
+    assert(e1.getMessage.contains("share column names"))
+    // a caller-owned __bin0 column must not collide with the internal key
+    val withBin = Seq((1L, 0L, 10L, 7L)).toDF("iv", "s", "e", "__bin0")
+    assert(AsOf.rangeJoin(pts, withBin, "p", "s", "e", binWidth = 10L)
+      .columns.contains("__bin0")) // caller's column survives untouched
+    // an interval spanning more bins than the cap fails with the
+    // operator's message, not sequence()'s length error
+    val huge = Seq((1L, 0L, Long.MaxValue / 4)).toDF("iv", "s", "e")
+    val e2 = intercept[Exception] {
+      AsOf.rangeJoin(pts, huge, "p", "s", "e", binWidth = 10L,
+        maxBinsPerInterval = 1000L).count()
+    }
+    val msgs = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("spans more than 1000"), s"got: $msgs")
+  }
+
   test("q90: LM scores are valid log-probs and n_tokens matches the tokenizer") {
     val scored = TextAnalysis.queries("q90_lm_score").fn(spark, sf)
     val toks = Tables.documents(spark, sf)
