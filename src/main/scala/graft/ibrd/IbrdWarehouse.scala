@@ -163,6 +163,27 @@ object IbrdWarehouse {
       sink.overwrite(df, n)
     }
 
+  /** One production batch, end to end: build (first batch) or merge
+    * `staged` into the star stored in `prev`, materialize the result to
+    * `next`, and release every engine cache the batch created — the
+    * complete per-batch contract of the reference's hourly loop
+    * (`pyspark_dag2.py:447-448`) in one call, so callers cannot forget
+    * the release half (the storage-block leak StreamingSpec guards).
+    * `prev`/`next` must differ: a lazy plan reading v(n) while
+    * overwriting v(n) would delete its own input files mid-job. */
+  def runBatch(spark: SparkSession, prev: Option[graft.sources.TableSink],
+               staged: DataFrame, asOf: String,
+               next: graft.sources.TableSink): Unit = {
+    val scope = new CacheScope
+    try {
+      val star = prev match {
+        case None => build(spark, staged, asOf, scope)
+        case Some(p) => incremental(load(spark, p), staged, asOf, scope)
+      }
+      persist(star, next)
+    } finally scope.release()
+  }
+
   /** Re-read a persisted star (fresh lineage rooted at the stored files). */
   def load(spark: SparkSession, sink: graft.sources.TableSink): Star = {
     val Seq(r, c, b, g, st, t, p, dd, f) =

@@ -44,11 +44,20 @@ object PageTransport {
   registry.put("fixture", FixtureTransport)
 
   def register(name: String, t: PageTransport): Unit = registry.put(name, t)
-  def resolve(name: String): PageTransport = {
-    val t = registry.get(name)
-    require(t != null, s"unknown page transport '$name'")
-    t
-  }
+
+  /** Registered name, or a URL: `transport=https://host/path?x=y` builds
+    * an [[HttpPageTransport]] directly, so the online source works from
+    * pure string options (`spark.read.format(...).option("transport",
+    * url)`) with no driver-side registration step. */
+  def resolve(name: String): PageTransport =
+    if (name.startsWith("http://") || name.startsWith("https://"))
+      new HttpPageTransport(name)
+    else {
+      val t = registry.get(name)
+      require(t != null,
+        s"unknown page transport '$name' (register one, or pass an http(s):// URL)")
+      t
+    }
 }
 
 /** DataSourceV2 paged source (SURVEY.md §2.1 S1): the reference pages the

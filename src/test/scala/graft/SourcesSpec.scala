@@ -164,9 +164,9 @@ class SourcesSpec extends SparkSpec {
     server.start()
     try {
       val base = s"http://127.0.0.1:${server.getAddress.getPort}"
-      PageTransport.register("http-ok", new HttpPageTransport(s"$base/api?type=json"))
+      // URL-form option: no registration step — the pure-string-options path
       val df = spark.read.format("graft.sources.PagedDataSourceV2")
-        .option("pageSize", "50").option("transport", "http-ok")
+        .option("pageSize", "50").option("transport", s"$base/api?type=json")
         .option("retryBaseMs", "1").load()
       // full fixture through real HTTP: 200s, a partial last page, and one
       // 429 per page absorbed in-reader

@@ -140,6 +140,18 @@ class StreamingSpec extends SparkSpec {
       stagedAll.filter(pmod(abs(hash($"loan_number")), lit(nBatches)) === k)
         .toJSON.collect().toSeq
 
+    // sanity on the scope plumbing itself: the engine must register its
+    // caches against the scope it was handed
+    locally {
+      val probe = new CacheScope
+      val star = IbrdWarehouse.build(spark,
+        spark.read.schema(stagedSchema).json(slice(0).toDS()), "2023-01-01", probe)
+      star.fact.count()
+      assert(probe.trackedCount > 0, "the engine must register caches with the scope")
+      probe.release()
+      assert(probe.trackedCount == 0)
+    }
+
     @volatile var current: Option[TableSink] = None
     val rddCounts = scala.collection.mutable.ArrayBuffer[Int]()
     val input = MemoryStream[String](spark)
@@ -148,17 +160,9 @@ class StreamingSpec extends SparkSpec {
         if (!batch.isEmpty) {
           val staged = spark.read.schema(stagedSchema).json(batch)
           val asOf = f"2023-${id + 1}%02d-01"
-          val scope = new CacheScope
-          val next = current match {
-            case None => IbrdWarehouse.build(spark, staged, asOf, scope)
-            case Some(prev) => IbrdWarehouse.incremental(
-              IbrdWarehouse.load(spark, prev), staged, asOf, scope)
-          }
           val vSink = new TableSink(s"$root/v$id")
-          IbrdWarehouse.persist(next, vSink)
-          assert(scope.trackedCount > 0, "the engine must register caches with the scope")
-          scope.release()
-          assert(scope.trackedCount == 0)
+          // the one-call production shape: build/merge + persist + release
+          IbrdWarehouse.runBatch(spark, current, staged, asOf, vSink)
           current = Some(vSink)
           rddCounts += spark.sparkContext.getPersistentRDDs.size
           ()
