@@ -324,6 +324,51 @@ object Dedup extends QueryPack {
       """.stripMargin),
       doc = "incremental dedup: new-batch near-dups vs corpus-so-far (batch-bounded)"),
 
+    // ---- span-level dedup: duplicated 10-gram windows across documents ----
+    // The sub-document complement of doc-level dedup (the "deduplicating
+    // training data" operating point: repeated SPANS inflate memorization
+    // even when whole docs differ): every 10-token window is hashed at
+    // EVERY position (multiplicity kept, not the jaccard set form), a
+    // window is "duplicated" when it occurs in ≥2 distinct docs, and each
+    // doc reports how many of its window positions are covered.
+    // Scale: windows travel as 8-byte NGramHash64 values; the duplicated-
+    // window table grows with the corpus (vocabulary-sized, NOT a dim —
+    // q67's rule, unlike q85 where the benchmark side is small by
+    // nature), so the join back is declared plain and AQE broadcasts
+    // only while it actually fits, shuffle-joining on the 8-byte key at
+    // scale; min≠max(doc_id) detects cross-doc duplication in ONE
+    // aggregate (no count-distinct expand).
+    "q95_span_dedup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val spans = T.documents(s, d).select($"doc_id",
+          explode(graft.functions.NGramHash64
+            .ngramHashes(TextOps.words($"text"), 10, distinct = false)).as("g"))
+        val dup = spans.groupBy($"g")
+          .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+          .filter($"mn" =!= $"mx").select($"g", lit(1).as("__dup"))
+        spans.join(dup, Seq("g"), "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            count($"__dup").as("n_dup_spans"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), g AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws) - 8),
+            i -> array_to_string(ws[i:i+9], ' '))) AS g
+          FROM w
+        ), d AS (
+          SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id)
+        )
+        SELECT g.doc_id, count(*) AS n_spans,
+               CAST(count(d.g) AS BIGINT) AS n_dup_spans
+        FROM g LEFT JOIN d ON g.g = d.g
+        GROUP BY g.doc_id
+      """.stripMargin),
+      doc = "span-level dedup: per-doc 10-gram windows duplicated across docs"),
+
     // ---- near-dup cluster ids: the corpus-analytics view of dedup ----
     "q79_dedup_clusters" -> Q(
       (s, d) => clusterIds(T.documents(s, d), threshold = 0.8),

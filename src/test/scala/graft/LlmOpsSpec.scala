@@ -127,6 +127,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => clusters(a) == a && clusters(b) == b })
   }
 
+  test("q95: hash-span dup counts equal string-span counts; dups are cross-doc") {
+    // recompute with STRING 10-grams (position-preserving shingles) — the
+    // hashed form must agree exactly on this corpus (q85's parity rule,
+    // extended to the multiplicity-keeping span variant)
+    val spans = Tables.documents(spark, sf)
+      .select($"doc_id", explode(TextOps.shingles($"text", 10)).as("g"))
+    val dup = spans.groupBy($"g")
+      .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+      .filter($"mn" =!= $"mx").select($"g")
+    val expectDup = spans.join(dup, Seq("g"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectTotal = spans.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q95_span_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(t => t._1 -> t._2).toMap == expectTotal)
+    assert(got.filter(_._3 > 0).map(t => t._1 -> t._3).toMap == expectDup)
+    // sane shape: dup spans bounded by total spans; both sides non-trivial
+    got.foreach { case (id, n, nd) => assert(nd <= n, s"doc $id") }
+    assert(expectDup.nonEmpty && got.exists(_._3 == 0),
+      "fixture must exercise both duplicated and clean docs")
+  }
+
   test("iterative operators write reliable checkpoints when a dir is given") {
     // at cluster scale localCheckpoint blocks die with a lost executor;
     // checkpointDir routes every round through reliable checkpoint().
