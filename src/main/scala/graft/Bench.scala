@@ -75,7 +75,10 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
         }
-        val elapsed = (System.nanoTime() - t0) / 1e9
+        // failure floor: a query that throws during analysis in <5ms would
+        // otherwise record -0.004, format to "-0.00" at 2dp, and parse as
+        // -0.0 — which fails v<0 checks and masquerades as a fast success
+        val elapsed = math.max((System.nanoTime() - t0) / 1e9, 0.01)
         // outside the timed section: drop this query's internal persists
         // and nudge the ContextCleaner (it reclaims broadcast and shuffle
         // blocks only after a driver GC proves the refs dead)

@@ -169,11 +169,16 @@ object IbrdWarehouse {
     * complete per-batch contract of the reference's hourly loop
     * (`pyspark_dag2.py:447-448`) in one call, so callers cannot forget
     * the release half (the storage-block leak StreamingSpec guards).
-    * `prev`/`next` must differ: a lazy plan reading v(n) while
-    * overwriting v(n) would delete its own input files mid-job. */
+    * `prev`/`next` must target different storage (enforced on
+    * `TableSink.location`): a lazy plan reading v(n) while overwriting
+    * v(n) would delete its own input files mid-job — and two sinks on
+    * one JDBC url are the same tables even as distinct objects. */
   def runBatch(spark: SparkSession, prev: Option[graft.sources.TableSink],
                staged: DataFrame, asOf: String,
                next: graft.sources.TableSink): Unit = {
+    require(!prev.exists(_.location == next.location),
+      s"runBatch must not read and overwrite the same storage " +
+        s"('${next.location}') in one batch — use versioned sinks")
     val scope = new CacheScope
     try {
       val star = prev match {

@@ -30,9 +30,11 @@ object Curation extends QueryPack {
   /** doc_id is folded to 31 bits BEFORE the Knuth multiply: the raw
     * product wraps silently in Spark (and errors under ANSI mode) for
     * doc_id ≳ 3.5e9 while DuckDB raises an overflow — folding first keeps
-    * the arithmetic identical on both engines at ANY id ((2³¹−1)·K ≈
-    * 5.7e18 stays inside int64). At test scale ids are < 2³¹ so the fold
-    * is the identity and oracles are unchanged numerically. */
+    * the arithmetic identical on both engines at any NON-NEGATIVE id
+    * ((2³¹−1)·K ≈ 5.7e18 stays inside int64; negative ids are outside the
+    * contract — Spark's pmod and DuckDB's sign-following % disagree
+    * there). At test scale ids are < 2³¹ so the fold is the identity and
+    * oracles are unchanged numerically. */
   private val IdFold = 2147483648L // 2^31
   private def mixed(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(c, lit(IdFold)) * Knuth

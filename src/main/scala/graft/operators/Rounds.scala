@@ -18,7 +18,11 @@ import org.apache.spark.sql.DataFrame
   */
 private[operators] final case class Rounds(checkpointDir: Option[String]) {
 
-  /** Call once before iterating: registers the reliable dir when set. */
+  /** Call once before iterating: registers the reliable dir when set.
+    * NOTE: `setCheckpointDir` is SparkContext-global — concurrent
+    * iterative operators in one session should share a single
+    * checkpointDir (each RDD's files still land under distinct
+    * generated subdirs), because the last `init` wins for all of them. */
   def init(df: DataFrame): Unit =
     checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
 

@@ -21,9 +21,10 @@ import org.apache.spark.sql.types.{DoubleType, StructType}
   * covers network blips — at 1000 parallel page fetches those are as
   * routine as throttles.
   *
-  * Serializable by construction: the client is `@transient lazy`, so
-  * each executor builds its own on first fetch and only the
-  * configuration strings ship inside the task.
+  * Serializable by construction: only the configuration strings ship
+  * inside the task; the client is resolved per JVM from a small
+  * timeout-keyed cache (one selector thread + connection pool per
+  * executor, not one per deserialized task instance).
   */
 final class HttpPageTransport(
     baseUrl: String,
@@ -32,12 +33,6 @@ final class HttpPageTransport(
     skipParam: String = "skip",
     dataField: String = "data",
     timeoutMs: Long = 30000L) extends PageTransport {
-
-  @transient private lazy val client: HttpClient =
-    HttpClient.newBuilder()
-      .connectTimeout(Duration.ofMillis(timeoutMs))
-      .followRedirects(HttpClient.Redirect.NORMAL)
-      .build()
 
   @transient private lazy val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
@@ -48,14 +43,19 @@ final class HttpPageTransport(
     val request = HttpRequest.newBuilder(uri)
       .timeout(Duration.ofMillis(timeoutMs))
       .GET().build()
-    val response =
-      try client.send(request, HttpResponse.BodyHandlers.ofString())
-      catch {
-        case _: java.io.IOException => return PageTransport.Response(599, Nil)
-      }
-    if (response.statusCode() != 200)
-      PageTransport.Response(response.statusCode(), Nil)
-    else PageTransport.Response(200, parse(response.body()))
+    // the parse sits INSIDE the try: a 200 whose body was truncated by a
+    // proxy throws JsonProcessingException (an IOException) — that is the
+    // same transient network blip as a failed connect and must reach the
+    // reader's backoff as the synthetic 599, not kill the task
+    try {
+      val response =
+        HttpPageTransport.client(timeoutMs).send(request, HttpResponse.BodyHandlers.ofString())
+      if (response.statusCode() != 200)
+        PageTransport.Response(response.statusCode(), Nil)
+      else PageTransport.Response(200, parse(response.body()))
+    } catch {
+      case _: java.io.IOException => PageTransport.Response(599, Nil)
+    }
   }
 
   private def parse(body: String): Seq[Row] = {
@@ -67,11 +67,29 @@ final class HttpPageTransport(
         val v = node.get(f.name)
         if (v == null || v.isNull) null
         else f.dataType match {
-          case DoubleType => Double.box(v.asDouble())
+          // only genuinely numeric JSON lands in double fields: Jackson's
+          // asDouble() coerces "N/A" to 0.0, which would be
+          // indistinguishable from a real zero across the whole ingest
+          case DoubleType => if (v.isNumber) Double.box(v.asDouble()) else null
           case _ => v.asText()
         }
       }
       Row(values.toIndexedSeq: _*)
     }
   }
+}
+
+object HttpPageTransport {
+  // per-JVM client cache: HttpClient owns a selector thread and pool and
+  // has no close() before Java 21 — one per timeout config, shared by
+  // every task the executor runs
+  private val clients =
+    new java.util.concurrent.ConcurrentHashMap[Long, HttpClient]()
+
+  private def client(timeoutMs: Long): HttpClient =
+    clients.computeIfAbsent(timeoutMs, t =>
+      HttpClient.newBuilder()
+        .connectTimeout(Duration.ofMillis(t))
+        .followRedirects(HttpClient.Redirect.NORMAL)
+        .build())
 }

@@ -45,13 +45,16 @@ object PageTransport {
 
   def register(name: String, t: PageTransport): Unit = registry.put(name, t)
 
+  def isUrl(name: String): Boolean =
+    name.startsWith("http://") || name.startsWith("https://")
+
   /** Registered name, or a URL: `transport=https://host/path?x=y` builds
     * an [[HttpPageTransport]] directly, so the online source works from
     * pure string options (`spark.read.format(...).option("transport",
-    * url)`) with no driver-side registration step. */
+    * url)`) with no driver-side registration step (pass `totalRows` too —
+    * the fixture default would truncate a remote dataset). */
   def resolve(name: String): PageTransport =
-    if (name.startsWith("http://") || name.startsWith("https://"))
-      new HttpPageTransport(name)
+    if (isUrl(name)) new HttpPageTransport(name)
     else {
       val t = registry.get(name)
       require(t != null,
@@ -86,13 +89,22 @@ final class PagedTable(schema: StructType) extends Table with SupportsRead {
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val transport = options.getOrDefault("transport", "fixture")
+    // the totalRows default is the FIXTURE's row count — right for the
+    // offline transports, but against a real endpoint it would silently
+    // plan ceil(220/pageSize) pages and truncate the dataset to 220 rows
+    require(!PageTransport.isUrl(transport) || options.containsKey("totalRows"),
+      "option 'totalRows' is required with a URL transport — the fixture " +
+        s"default (${Fixture.nRows}) would silently truncate the remote dataset " +
+        "(the reference pins it too: rows=1342181, pyspark_dag2.py:39)")
     () => new PagedScan(schema,
       options.getInt("pageSize", 50),
       options.getInt("totalRows", Fixture.nRows),
-      PageTransport.resolve(options.getOrDefault("transport", "fixture")),
+      PageTransport.resolve(transport),
       options.getInt("maxRetries", 3),
       options.getLong("retryBaseMs", 100L))
+  }
 }
 
 final class PagedScan(schema: StructType, pageSize: Int, totalRows: Int,

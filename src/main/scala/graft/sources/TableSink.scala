@@ -19,6 +19,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 final class TableSink(root: String,
                       jdbc: Option[TableSink.JdbcConfig] = None) {
 
+  /** Identity of the storage this sink writes: the parquet root, or the
+    * JDBC url (table names are used verbatim, so two sinks on one url ARE
+    * the same tables). Used by batch loops to refuse reading and
+    * overwriting the same storage in one job. */
+  def location: String = jdbc.map(_.url).getOrElse(root)
+
   def append(df: DataFrame, table: String): Unit = write(df, table, SaveMode.Append)
 
   def overwrite(df: DataFrame, table: String): Unit = write(df, table, SaveMode.Overwrite)

@@ -164,10 +164,20 @@ class SourcesSpec extends SparkSpec {
     server.start()
     try {
       val base = s"http://127.0.0.1:${server.getAddress.getPort}"
-      // URL-form option: no registration step — the pure-string-options path
+      // URL-form option: no registration step — the pure-string-options path.
+      // totalRows is mandatory here: the fixture default would silently
+      // truncate a real endpoint (asserted below)
       val df = spark.read.format("graft.sources.PagedDataSourceV2")
         .option("pageSize", "50").option("transport", s"$base/api?type=json")
+        .option("totalRows", Fixture.nRows.toString)
         .option("retryBaseMs", "1").load()
+      val eMissing = intercept[Exception] {
+        spark.read.format("graft.sources.PagedDataSourceV2")
+          .option("transport", s"$base/api?type=json").load().count()
+      }
+      val missingMsgs = Iterator.iterate(eMissing: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(missingMsgs.contains("totalRows"), s"got: $missingMsgs")
       // full fixture through real HTTP: 200s, a partial last page, and one
       // 429 per page absorbed in-reader
       assert(df.count() == Fixture.nRows)

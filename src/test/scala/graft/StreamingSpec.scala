@@ -183,6 +183,15 @@ class StreamingSpec extends SparkSpec {
     // and the final star is a real warehouse: every staged loan landed
     val fact = IbrdWarehouse.load(spark, current.get).fact
     assert(fact.count() > 0)
+
+    // reading and overwriting the same storage in one batch must be
+    // refused up front (a lazy plan would delete its own input mid-job)
+    val same = current.get
+    val eSame = intercept[IllegalArgumentException] {
+      IbrdWarehouse.runBatch(spark, Some(same),
+        spark.read.schema(stagedSchema).json(slice(0).toDS()), "2024-01-01", same)
+    }
+    assert(eSame.getMessage.contains("same storage"))
   }
 
   test("stateful streaming sessionizer matches the batch twin's closed sessions") {
