@@ -48,7 +48,12 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      // null elements hash to the shared sentinel (NGramHash64's rule):
+      // the declared input admits containsNull=true and
+      // XxHash64Function.hash NPEs on null
+      val u = arr.getUTF8String(i)
+      val h = if (u == null) NGramHash64.NullElementHash
+              else XxHash64Function.hash(u, StringType, 42L)
       var j = 0
       while (j < k) {
         val hj = h * a(j) + b(j)
@@ -69,12 +74,16 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
       val j = ctx.freshName("j")
       val h = ctx.freshName("h")
       val hj = ctx.freshName("hj")
+      val u = ctx.freshName("u")
       s"""
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $i = 0; $i < $arr.numElements(); $i++) {
-         |  long $h = org.apache.spark.sql.catalyst.expressions.XxHash64Function$$.MODULE$$
-         |    .hash($arr.getUTF8String($i),
+         |  org.apache.spark.unsafe.types.UTF8String $u = $arr.getUTF8String($i);
+         |  long $h = ($u == null)
+         |    ? ${NGramHash64.NullElementHash}L
+         |    : org.apache.spark.sql.catalyst.expressions.XxHash64Function$$.MODULE$$
+         |    .hash($u,
          |      org.apache.spark.sql.types.StringType$$.MODULE$$, 42L);
          |  for (int $j = 0; $j < $k; $j++) {
          |    long $hj = $h * $aRef[$j] + $bRef[$j];

@@ -34,7 +34,12 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      // null elements hash to the shared sentinel (NGramHash64's rule):
+      // the declared input admits containsNull=true and
+      // XxHash64Function.hash NPEs on null
+      val u = arr.getUTF8String(i)
+      val h = if (u == null) NGramHash64.NullElementHash
+              else XxHash64Function.hash(u, StringType, 42L)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -55,11 +60,15 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       val b = ctx.freshName("b")
       val h = ctx.freshName("h")
       val out = ctx.freshName("out")
+      val u = ctx.freshName("u")
       s"""
          |int[] $votes = new int[64];
          |for (int $i = 0; $i < $arr.numElements(); $i++) {
-         |  long $h = org.apache.spark.sql.catalyst.expressions.XxHash64Function$$.MODULE$$
-         |    .hash($arr.getUTF8String($i),
+         |  org.apache.spark.unsafe.types.UTF8String $u = $arr.getUTF8String($i);
+         |  long $h = ($u == null)
+         |    ? ${NGramHash64.NullElementHash}L
+         |    : org.apache.spark.sql.catalyst.expressions.XxHash64Function$$.MODULE$$
+         |    .hash($u,
          |      org.apache.spark.sql.types.StringType$$.MODULE$$, 42L);
          |  for (int $b = 0; $b < 64; $b++) {
          |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;

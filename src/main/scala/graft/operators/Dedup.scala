@@ -497,7 +497,9 @@ object Dedup extends QueryPack {
     * detonating, the same dial `minhashCandidates` exposes (no bucket
     * approaches it at the catalog's corpus sizes). */
   def simhashNearDups(docs: DataFrame, maxHamming: Int,
-                      maxBucket: Int = 100000): DataFrame = {
+                      maxBucket: Int = 100000,
+                      scope: graft.warehouse.CacheScope =
+                        graft.warehouse.CacheScope.untracked): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
     val nBands = maxHamming + 1
     val bounds = (0 to nBands).map(b => 64 * b / nBands)
@@ -508,7 +510,7 @@ object Dedup extends QueryPack {
     // its first shared band — no pair-dedup exchange. A cross-band hash
     // collision can only produce a false candidate, which the exact
     // hamming filter drops.
-    val bandsRel = docs.select(col("doc_id"),
+    val bandsRel = scope.persist(docs.select(col("doc_id"),
       TextOps.simhash(col("text")).as("sh"))
       .select(col("doc_id"), col("sh"),
         array((0 until nBands).map { b =>
@@ -516,8 +518,7 @@ object Dedup extends QueryPack {
           val mask = if (width >= 64) -1L else (1L << width) - 1L
           xxhash64(lit(b),
             shiftrightunsigned(col("sh"), bounds(b)).bitwiseAND(mask))
-        }: _*).as("bands"))
-      .persist()
+        }: _*).as("bands")))
     val banded = bandsRel.select(col("doc_id"), col("sh"), col("bands"),
       explode(col("bands")).as("band"))
     val keptBuckets = banded.groupBy(col("band"))
@@ -567,7 +568,9 @@ object Dedup extends QueryPack {
     * aggregation (one row per (lang, band) bucket) and the id-keyed
     * verify joins. */
   def minhashCandidates(docs: DataFrame, verifyThreshold: Double,
-                        maxBucket: Int = 100000): DataFrame = {
+                        maxBucket: Int = 100000,
+                        scope: graft.warehouse.CacheScope =
+                          graft.warehouse.CacheScope.untracked): DataFrame = {
     // signature over word 1-grams: the signature must estimate the SAME
     // set-similarity that the verify step computes (word-set Jaccard) —
     // a shingle-based signature under-recalls word-level near-dups.
@@ -589,12 +592,14 @@ object Dedup extends QueryPack {
     // the whole operator at sf0.1). The cached relation is one narrow row
     // per doc (id, lang, 12-band vector ≈ 110 B) — ~2% of corpus text
     // bytes, default MEMORY_AND_DISK so it spills at 100 TB.
-    val bandsRel = docs.select(
+    // batch-loop callers (the crawl-ingest shape) pass an owned
+    // CacheScope and release after materializing, per the engine's
+    // cache-lifecycle contract; the untracked default serves one-shot use
+    val bandsRel = scope.persist(docs.select(
       col("doc_id"), col("lang"),
       TextOps.lshBands(
         TextOps.minhashSignature(col("text"), n = 1, k = 96),
-        bands = 12, rowsPer = 8).as("bands"))
-      .persist()
+        bands = 12, rowsPer = 8).as("bands")))
     val banded = bandsRel.select(col("doc_id"), col("lang"), col("bands"),
       explode(col("bands")).as("band"))
     // a bucket of b docs yields b²/2 pairs — cap pathological buckets

@@ -90,13 +90,19 @@ object Ibrd extends QueryPack {
         country_rows AS (
           -- LEFT join: the Spark build left-joins regionCurrent, so a
           -- country with a null region_BK must survive (null region SK)
-          -- in both engines
-          SELECT s.country_BK, min(s.country) AS country,
-                 min(s.country_code) AS country_code,
-                 min(dr.PK_region_SK) AS PK_region_SK
-          FROM staged s LEFT JOIN dim_region dr USING (region_BK)
-          WHERE s.country_BK IS NOT NULL
-          GROUP BY s.country_BK
+          -- in both engines. Row-based dedup in Scd.dedup's exact order
+          -- (attr columns ASC NULLS FIRST — Spark's asc default), same as
+          -- the q75 oracle: a per-column min() would diverge from the
+          -- engine whenever duplicate-BK rows mix null and non-null
+          -- attributes (min skips nulls; the row pick does not).
+          SELECT country_BK, country, country_code, PK_region_SK FROM (
+            SELECT s.country_BK, s.country, s.country_code, dr.PK_region_SK,
+                   row_number() OVER (PARTITION BY s.country_BK
+                     ORDER BY s.country NULLS FIRST, s.country_code NULLS FIRST,
+                              dr.PK_region_SK NULLS FIRST) AS rn
+            FROM staged s LEFT JOIN dim_region dr USING (region_BK)
+            WHERE s.country_BK IS NOT NULL)
+          WHERE rn = 1
         )
         SELECT row_number() OVER (ORDER BY country_BK) AS PK_country_SK,
                country_BK, country, country_code, PK_region_SK,
@@ -229,8 +235,12 @@ object Ibrd extends QueryPack {
   // the 30-jun-2024 snapshot, then an idempotent RE-merge of the same
   // batch, which must change nothing (the oracle describes only the first
   // two steps).
+  // weak keys: a stopped/discarded session must not stay pinned by this
+  // fixture cache (a per-tenant newSession() pattern would otherwise leak
+  // one cached Star per session forever)
   private val incrCache =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, IbrdWarehouse.Star]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, IbrdWarehouse.Star]())
 
   private def incrementalStar(s: org.apache.spark.sql.SparkSession): IbrdWarehouse.Star =
     incrCache.computeIfAbsent(s, { session =>
@@ -345,7 +355,8 @@ object Ibrd extends QueryPack {
   // full clean stage + 7 dims + an eager dangling probe — rebuilding and
   // re-caching per query would triple the work and pin 3x the storage).
   private val starCache =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, IbrdWarehouse.Star]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, IbrdWarehouse.Star]())
 
   private def star(s: org.apache.spark.sql.SparkSession): IbrdWarehouse.Star =
     starCache.computeIfAbsent(s, { session =>

@@ -223,11 +223,19 @@ object Warehouse extends QueryPack {
   // the one-time layout cost a warehouse pays at load time so every later
   // fact join is exchange-free. External tables under a temp root; the
   // session catalog carries the bucketing metadata.
+  // weak session keys (nested per-dir map): a discarded session must not
+  // stay pinned by this fixture cache — a tuple key in a WeakHashMap
+  // would be collected immediately (nothing else references the tuple),
+  // so the session itself is the weak key
   private val bucketCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, (String, String)]]())
 
   private def bucketedTables(s: SparkSession, d: String): (String, String) =
-    bucketCache.computeIfAbsent((s, d), { case (session, dir) =>
+    bucketCache.computeIfAbsent(s,
+      _ => scala.collection.concurrent.TrieMap.empty[String, (String, String)])
+      .getOrElseUpdate(d, { val (session, dir) = (s, d)
       val tag = f"${dir.hashCode & 0xffffffffL}%08x"
       val ltab = s"graft_lineitem_b_$tag"
       val otab = s"graft_orders_b_$tag"

@@ -54,14 +54,29 @@ final class HttpPageTransport(
         PageTransport.Response(response.statusCode(), Nil)
       else PageTransport.Response(200, parse(response.body()))
     } catch {
-      case _: java.io.IOException => PageTransport.Response(599, Nil)
+      case e: java.io.IOException =>
+        // the reader only sees the synthetic status; surface the cause on
+        // executor stderr so an exhausted retry is diagnosable
+        System.err.println(s"[paged-http] $uri -> 599: ${e.getMessage}")
+        PageTransport.Response(599, Nil)
     }
   }
 
   private def parse(body: String): Seq[Row] = {
     val data = mapper.readTree(body).get(dataField)
-    if (data == null || !data.isArray) Seq.empty
-    else (0 until data.size).map { i =>
+    // a 200 whose JSON has no `dataField` ARRAY is not an empty page — an
+    // API that reports errors in a 200 body ({"error": "over quota"}), or
+    // a misconfigured dataField, would otherwise read as a successful
+    // empty page and silently truncate the dataset (the reader treats
+    // short 200 pages as the legal clamped last page). Raise as an
+    // IOException so the enclosing catch maps it to the retryable 599 and
+    // persistent cases fail the task with this message.
+    if (data == null || !data.isArray)
+      throw new java.io.IOException(
+        s"HTTP 200 body has no '$dataField' array (keys: " +
+          s"${scala.jdk.CollectionConverters.IteratorHasAsScala(
+            mapper.readTree(body).fieldNames).asScala.take(8).mkString(", ")})")
+    (0 until data.size).map { i =>
       val node = data.get(i)
       val values = schema.fields.map { f =>
         val v = node.get(f.name)

@@ -18,6 +18,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == List(List("a b", "b c", "c d"), Nil, List("x y")))
   }
 
+  test("hash expressions map null array elements to the sentinel, never NPE") {
+    // the declared input type admits containsNull=true (e.g. a nullable
+    // parquet array column or SQL array('a', NULL)); every native hash
+    // expression must hash nulls to NGramHash64's sentinel, not crash
+    // inside generated code
+    import graft.functions.{MinHashSig, SimHash64, NGramHash64}
+    val withNull = array(lit("a"), lit(null).cast("string"), lit("b"))
+    val sentinelWord = array(lit("a"), lit("__swap__"), lit("b"))
+    val one = spark.range(1)
+    val sigN = one.select(MinHashSig.minhashSig(withNull, 4)).head.getSeq[Long](0)
+    assert(sigN.length == 4) // evaluated without NPE
+    val shN = one.select(SimHash64.simhash64(withNull)).head.getLong(0)
+    val shClean = one.select(SimHash64.simhash64(sentinelWord)).head.getLong(0)
+    assert(shN != 0L || shClean != 0L)
+    val ngN = one.select(NGramHash64.ngramHashes(withNull, 2)).head.getSeq[Long](0)
+    assert(ngN.length == 2)
+    // SQL-registered form too (reachable by any spark.sql user)
+    graft.plans.GraftExtensions.registerFunctions(spark.sessionState.functionRegistry)
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(array('a', CAST(NULL AS STRING), 'b'), 4)")
+      .head.getSeq[Long](0)
+    assert(viaSql == sigN, "codegen and interpreted paths must agree on the sentinel")
+  }
+
   test("bag-of-words fingerprint is invariant under word order") {
     val a = Seq("alpha beta gamma").toDF("text")
       .select(md5(TextOps.canonicalForm($"text"))).head.getString(0)

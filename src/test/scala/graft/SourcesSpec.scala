@@ -161,6 +161,9 @@ class SourcesSpec extends SparkSpec {
         jsonRows.slice(skip, skip + top).mkString("{\"data\": [", ",", "]}"))
     })
     server.createContext("/gone", (ex: HttpExchange) => send(ex, 404, ""))
+    // a 200 whose body has no `data` array (API reporting errors in-band)
+    server.createContext("/nodata",
+      (ex: HttpExchange) => send(ex, 200, "{\"error\": \"over quota\"}"))
     server.start()
     try {
       val base = s"http://127.0.0.1:${server.getAddress.getPort}"
@@ -195,6 +198,17 @@ class SourcesSpec extends SparkSpec {
       val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
         .map(_.getMessage).mkString(" | ")
       assert(msgs.contains("HTTP 404"), s"got: $msgs")
+
+      // a 200 with no data array must FAIL (as retryable 599), never read
+      // as a successful empty page — that would silently truncate the set
+      PageTransport.register("http-nodata", new HttpPageTransport(s"$base/nodata"))
+      val nodata = spark.read.format("graft.sources.PagedDataSourceV2")
+        .option("pageSize", "300").option("transport", "http-nodata")
+        .option("maxRetries", "1").option("retryBaseMs", "1").load()
+      val e3 = intercept[Exception] { nodata.count() }
+      val msgs3 = Iterator.iterate(e3: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(msgs3.contains("HTTP 599"), s"got: $msgs3")
     } finally server.stop(0)
 
     // connect failure (server down) maps to the synthetic 599 and is
