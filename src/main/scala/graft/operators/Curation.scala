@@ -115,6 +115,41 @@ object Curation extends QueryPack {
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PhoneRe = "\\b555-[0-9]{4}\\b"
 
+  /** Serialized Bloom filter over a Long column — the build side of the
+    * Bloom-prefiltered decontamination path (q96). Uses Spark's own
+    * sketch aggregate (`BloomFilterAggregate`, the expression behind
+    * AQE's runtime row-level filtering) so probes stay inside codegen;
+    * bit count follows the standard optimal sizing for the target
+    * false-positive rate. The returned bytes are a plan-shippable
+    * constant: production builds this ONCE from the benchmark suite,
+    * persists it beside the eval set, and reuses it for every ingest
+    * batch — the eval scan drops out of the steady-state path. */
+  def longBloom(rel: org.apache.spark.sql.DataFrame, colName: String,
+                expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(expectedItems > 0, s"expectedItems=$expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp=$fpp")
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      org.apache.spark.sql.graft.Bridge.expression(col(colName)),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    rel.select(org.apache.spark.sql.graft.Bridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Codegen'd Bloom probe of a serialized filter: false positives at the
+    * build fpp, false negatives never — so prune-then-exact-confirm
+    * pipelines are exact. */
+  def mightContain(bloom: Array[Byte], value: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bloom, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graft.Bridge.expression(value)))
+
   def queries: Map[String, Q] = Map(
 
     // ---- PII redaction ----
@@ -340,6 +375,59 @@ object Curation extends QueryPack {
         GROUP BY doc_id
       """.stripMargin),
       doc = "benchmark decontamination: training docs sharing eval 3-grams"),
+
+    // ---- Bloom-prefiltered decontamination ----
+    // q85's contract by the scale-path physical plan. q85 broadcasts the
+    // eval gram set into an exact join — right while the benchmark suite
+    // fits executor memory; past broadcast range that join degrades to a
+    // corpus-wide shuffle of every exploded gram. This variant builds a
+    // Bloom filter over the eval grams ONCE (~1.2 bytes/gram at 1% fpp —
+    // an order smaller than the gram set — shipped with the plan as a
+    // constant), prunes corpus grams with a codegen'd might_contain
+    // projection in the scan stage, and only then runs the exact confirm
+    // join on the survivors (the contaminated fraction + fpp of the
+    // corpus). False positives die in the confirm join; Bloom filters
+    // have no false negatives — the output is row-identical to q85, and
+    // the oracle is the same SQL. The confirm join is deliberately
+    // unhinted: AQE broadcasts the remnant at test scale and shuffles it
+    // at 100 TB, where the shuffle carries ~1% of the gram stream. In a
+    // batch ingest loop the filter is built once per benchmark release,
+    // so the steady-state cost is the probe projection alone.
+    "q96_bloom_decontaminate" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val grams = T.documents(s, d).select($"doc_id",
+          explode(NGramHash64.ngramHashes(TextOps.words($"text"), 3)).as("g"))
+        // eval side is read 3× (size, build, confirm) — cache the
+        // benchmark-sized relation, not the corpus (untracked one-shot
+        // scope; batch callers hold the bloom bytes and never rebuild)
+        val evalGrams =
+          grams.filter($"doc_id" % 19 === 0).select($"g").distinct().persist()
+        // production sizes the filter from the benchmark's true gram
+        // count — known exactly at build time; undersizing only raises
+        // the fpp (more confirm-join work), never breaks exactness
+        val bloom = longBloom(evalGrams, "g", math.max(evalGrams.count(), 1L))
+        grams.filter($"doc_id" % 19 =!= 0)
+          .filter(mightContain(bloom, $"g"))
+          .join(evalGrams, "g")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shared_grams"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(ws) - 1),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+          FROM w
+        ), ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 19 = 0)
+        SELECT doc_id, count(*) AS n_shared_grams
+        FROM g JOIN ev USING (g)
+        WHERE doc_id % 19 <> 0
+        GROUP BY doc_id
+      """.stripMargin),
+      doc = "Bloom-prefiltered decontamination: constant-size eval sketch prunes the gram stream before the exact confirm join"),
 
     // ---- sequence packing into fixed context windows ----
     // Pack docs into 512-token windows the way a training pipeline fills

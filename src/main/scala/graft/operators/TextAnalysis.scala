@@ -369,6 +369,52 @@ object TextAnalysis extends QueryPack {
         ORDER BY pmi_r DESC, bg ASC
         LIMIT 50
       """.stripMargin),
-      doc = "bigram collocations by PMI (word2phrase-style phrase mining)")
+      doc = "bigram collocations by PMI (word2phrase-style phrase mining)"),
+
+    // ---- heavy-hitter n-grams (boilerplate phrase mining) ----
+    // Find every word 3-gram occurring ≥ 6 times corpus-wide — the
+    // boilerplate/template-phrase detector (headers, footers, license
+    // blurbs repeat verbatim across crawled pages; the catalog pins an
+    // absolute threshold, production calibrates it per corpus). The naive
+    // plan shuffles EVERY exploded gram into a corpus-wide count — at
+    // 100 TB that exchange is ~the corpus size again. Here a Count-Min
+    // Sketch over the hashed gram stream (CountMinSketchAgg: merge-able
+    // partials, one constant-size row — width 2/eps × depth ln(1/δ),
+    // ~1 MB at eps=1e-4) is built first and shipped with the plan; a
+    // codegen'd `cms_estimate >= t` projection then prunes the stream in
+    // the scan stage, and only survivors — true heavy hitters plus the
+    // eps·N-bounded overcount tail — enter the exact groupBy. CMS never
+    // undercounts, so no true heavy hitter is lost; the exact HAVING
+    // drops the impostors: output ≡ the naive plan, oracled as such.
+    // (The same sketch is reused query-over-query in an ingest loop —
+    // the build is one pass, amortized across batches.)
+    "q97_heavy_hitters" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val t = 6L
+        val grams = T.documents(s, d)
+          .select(explode(TextOps.shingles($"text", 3)).as("g"))
+        val cms = graft.functions.CmsEstimate.buildLongCms(
+          grams.select(xxhash64($"g").as("h")), "h")
+        grams
+          .filter(graft.functions.CmsEstimate.cmsEstimate(xxhash64($"g"), cms) >= t)
+          .groupBy($"g")
+          .agg(count(lit(1)).as("n_occurrences"))
+          .filter($"n_occurrences" >= t)
+          .select($"g".as("gram"), $"n_occurrences")
+      },
+      Some("""
+        WITH w AS (
+          SELECT string_split(text, ' ') AS ws FROM documents
+        ), g AS (
+          SELECT unnest(list_transform(
+            range(1, len(ws) - 1),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+          FROM w
+        )
+        SELECT g AS gram, count(*) AS n_occurrences
+        FROM g GROUP BY g HAVING count(*) >= 6
+      """.stripMargin),
+      doc = "heavy-hitter 3-grams via Count-Min prefilter + exact confirm (boilerplate mining)")
   )
 }

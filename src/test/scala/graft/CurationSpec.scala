@@ -63,6 +63,30 @@ class CurationSpec extends SparkSpec {
     assert(got.keys.forall(_ % 19 != 0), "eval docs must not be flagged")
   }
 
+  test("q96: bloom-prefiltered result is row-identical to exact q85") {
+    val exact = q("q85_decontaminate")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomed = q("q96_bloom_decontaminate")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // confirm join drops every false positive; no false negatives exist —
+    // any diff means the prune dropped a true match
+    assert(bloomed == exact)
+  }
+
+  test("bloom prune: no false negatives, and non-members pass at ~fpp") {
+    import graft.operators.Curation.{longBloom, mightContain}
+    val members = spark.range(0, 5000).select(($"id" * 2).as("g"))
+    val bloom = longBloom(members, "g", 5000L, fpp = 0.01)
+    val memberPass = members.filter(mightContain(bloom, $"g")).count()
+    assert(memberPass == 5000L, "a Bloom filter must never drop a member")
+    // odd values were never inserted: pass rate must be ≈ fpp (generous
+    // 5× bound so the assert can't flake on hash luck)
+    val nonMembers = spark.range(0, 20000).select(($"id" * 2 + 1).as("g"))
+    val fpPass = nonMembers.filter(mightContain(bloom, $"g")).count()
+    assert(fpPass <= 20000 * 0.05,
+      s"false-positive rate ${fpPass / 20000.0} far above the 1% build fpp")
+  }
+
   test("q87: positions are a 1..N permutation matching the (hash, id) sort order") {
     val rows = q("q87_corpus_shuffle").collect()
     val n = Tables.documents(spark, sf).count()

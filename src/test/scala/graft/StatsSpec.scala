@@ -42,6 +42,36 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q97: CMS-prefiltered heavy hitters equal the naive exact count") {
+    val grams = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextOps.shingles($"text", 3)).as("g"))
+    val naive = grams.groupBy($"g").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = operators.TextAnalysis.queries("q97_heavy_hitters")
+      .fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // CMS overcounts only: the prune keeps every true heavy hitter and
+    // the exact confirm kills every impostor — any diff is a prune bug
+    assert(got == naive)
+    assert(got.nonEmpty, "threshold must stay non-degenerate on the fixture")
+  }
+
+  test("CMS probe: estimate is never below the true count") {
+    import graft.functions.CmsEstimate
+    // skewed stream: key k occurs k times (1..60) — plenty of collisions
+    // in a deliberately tiny sketch (eps=0.01) to exercise overcounting
+    val stream = spark.range(1, 61)
+      .select(explode(array_repeat($"id", $"id".cast("int"))).as("k"))
+    val cms = CmsEstimate.buildLongCms(stream, "k", eps = 0.01)
+    val est = stream.distinct()
+      .select($"k", CmsEstimate.cmsEstimate($"k", cms).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    est.foreach { case (k, e) =>
+      assert(e >= k, s"key $k true count $k estimated $e: CMS undercounted")
+    }
+  }
+
   test("q67: exactly <=3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = operators.TextAnalysis.queries("q67_tfidf_topk")
       .fn(spark, sf)
