@@ -150,6 +150,31 @@ object Curation extends QueryPack {
           bloom, org.apache.spark.sql.types.BinaryType),
         org.apache.spark.sql.graft.Bridge.expression(value)))
 
+  /** Distinct word n-gram hashes of a document relation — the unit both
+    * decontamination paths (q85/q96) operate on. */
+  def docGrams(docs: org.apache.spark.sql.DataFrame, n: Int = 3)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      explode(NGramHash64.ngramHashes(TextOps.words(col("text")), n)).as("g"))
+
+  /** Bloom-prefiltered benchmark decontamination: per training doc, how
+    * many of its distinct word n-grams appear anywhere in the eval set.
+    * `bloom` is the serialized eval-gram filter — build it ONCE per
+    * benchmark release with `longBloom(evalGrams, "g", nGrams)` and reuse
+    * it for every ingest batch; the probe prunes the corpus gram stream
+    * in the scan stage and the exact confirm join against `evalGrams`
+    * drops the false positives, so the output is row-identical to the
+    * direct join (q85) with the join fed ~the contaminated fraction + fpp
+    * of the corpus instead of all of it. */
+  def decontaminate(trainGrams: org.apache.spark.sql.DataFrame,
+                    evalGrams: org.apache.spark.sql.DataFrame,
+                    bloom: Array[Byte]): org.apache.spark.sql.DataFrame =
+    trainGrams
+      .filter(mightContain(bloom, col("g")))
+      .join(evalGrams.select(col("g")), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+
   def queries: Map[String, Q] = Map(
 
     // ---- PII redaction ----
@@ -396,8 +421,7 @@ object Curation extends QueryPack {
     "q96_bloom_decontaminate" -> Q(
       (s, d) => {
         import s.implicits._
-        val grams = T.documents(s, d).select($"doc_id",
-          explode(NGramHash64.ngramHashes(TextOps.words($"text"), 3)).as("g"))
+        val grams = docGrams(T.documents(s, d))
         // eval side is read 3× (size, build, confirm) — cache the
         // benchmark-sized relation, not the corpus (untracked one-shot
         // scope; batch callers hold the bloom bytes and never rebuild)
@@ -407,11 +431,7 @@ object Curation extends QueryPack {
         // count — known exactly at build time; undersizing only raises
         // the fpp (more confirm-join work), never breaks exactness
         val bloom = longBloom(evalGrams, "g", math.max(evalGrams.count(), 1L))
-        grams.filter($"doc_id" % 19 =!= 0)
-          .filter(mightContain(bloom, $"g"))
-          .join(evalGrams, "g")
-          .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_shared_grams"))
+        decontaminate(grams.filter($"doc_id" % 19 =!= 0), evalGrams, bloom)
       },
       Some("""
         WITH w AS (

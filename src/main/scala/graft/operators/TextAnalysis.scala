@@ -12,6 +12,29 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis extends QueryPack {
 
+  /** Heavy-hitter word n-grams (count ≥ t corpus-wide) with a Count-Min
+    * prefilter: the sketch (built here, or passed in pre-built for the
+    * ingest-loop reuse shape) prunes the exploded gram stream in the scan
+    * stage, so the exact count + HAVING confirm shuffles only candidates
+    * — true heavy hitters plus the eps·N overcount tail — instead of
+    * every gram. CMS never undercounts ⇒ output ≡ the naive corpus-wide
+    * count (q97's oracle). Size eps so eps·N ≪ t or the prune goes
+    * vacuous (correctness unaffected). */
+  def heavyHitterGrams(docs: org.apache.spark.sql.DataFrame, n: Int, t: Long,
+                       cms: Option[Array[Byte]] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.CmsEstimate
+    val grams = docs.select(explode(TextOps.shingles(col("text"), n)).as("g"))
+    val sketch = cms.getOrElse(
+      CmsEstimate.buildLongCms(grams.select(xxhash64(col("g")).as("h")), "h"))
+    grams
+      .filter(CmsEstimate.cmsEstimate(xxhash64(col("g")), sketch) >= t)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= t)
+      .select(col("g").as("gram"), col("n_occurrences"))
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "or")
   // marker words per language for the n-gram-heuristic language ID
   private val markers: Seq[(String, Seq[String])] = Seq(
@@ -389,20 +412,7 @@ object TextAnalysis extends QueryPack {
     // (The same sketch is reused query-over-query in an ingest loop —
     // the build is one pass, amortized across batches.)
     "q97_heavy_hitters" -> Q(
-      (s, d) => {
-        import s.implicits._
-        val t = 6L
-        val grams = T.documents(s, d)
-          .select(explode(TextOps.shingles($"text", 3)).as("g"))
-        val cms = graft.functions.CmsEstimate.buildLongCms(
-          grams.select(xxhash64($"g").as("h")), "h")
-        grams
-          .filter(graft.functions.CmsEstimate.cmsEstimate(xxhash64($"g"), cms) >= t)
-          .groupBy($"g")
-          .agg(count(lit(1)).as("n_occurrences"))
-          .filter($"n_occurrences" >= t)
-          .select($"g".as("gram"), $"n_occurrences")
-      },
+      (s, d) => heavyHitterGrams(T.documents(s, d), n = 3, t = 6L),
       Some("""
         WITH w AS (
           SELECT string_split(text, ' ') AS ws FROM documents
