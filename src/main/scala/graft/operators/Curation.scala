@@ -132,6 +132,21 @@ object Curation extends QueryPack {
     require(fpp > 0 && fpp < 1, s"fpp=$fpp")
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
+    // BloomFilterAggregate SILENTLY clamps both sizes to the runtime-
+    // filter conf caps (Math.min in the 4.1.2 aggregate) — past them the
+    // real fpp degrades without any signal, exactly in the large-eval
+    // regime this path exists for. Fail loudly instead: the caller raises
+    // the caps knowingly or accepts a documented fpp.
+    val conf = rel.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom needs $expectedItems items / $numBits bits but the session caps " +
+        s"are $maxItems / $maxBits — raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
+        "or accept a larger fpp")
     val agg = new BloomFilterAggregate(
       org.apache.spark.sql.graft.Bridge.expression(col(colName)),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
@@ -150,22 +165,34 @@ object Curation extends QueryPack {
           bloom, org.apache.spark.sql.types.BinaryType),
         org.apache.spark.sql.graft.Bridge.expression(value)))
 
-  /** Distinct word n-gram hashes of a document relation — the unit both
+  /** Word n-gram hashes of a document relation, distinct PER DOC (one
+    * row per (doc_id, gram) — a gram repeated inside one doc appears
+    * once; the same gram in k docs appears k times). The unit both
     * decontamination paths (q85/q96) operate on. */
   def docGrams(docs: org.apache.spark.sql.DataFrame, n: Int = 3)
       : org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"),
       explode(NGramHash64.ngramHashes(TextOps.words(col("text")), n)).as("g"))
 
+  /** The CORPUS-distinct gram set of an eval corpus — the build input for
+    * `longBloom` and the confirm side of `decontaminate` (docGrams alone
+    * is only per-doc distinct; joining it directly would multiply counts
+    * by a gram's eval-doc frequency). */
+  def evalGramSet(evalDocs: org.apache.spark.sql.DataFrame, n: Int = 3)
+      : org.apache.spark.sql.DataFrame =
+    docGrams(evalDocs, n).select(col("g")).distinct()
+
   /** Bloom-prefiltered benchmark decontamination: per training doc, how
     * many of its distinct word n-grams appear anywhere in the eval set.
-    * `bloom` is the serialized eval-gram filter — build it ONCE per
-    * benchmark release with `longBloom(evalGrams, "g", nGrams)` and reuse
-    * it for every ingest batch; the probe prunes the corpus gram stream
-    * in the scan stage and the exact confirm join against `evalGrams`
-    * drops the false positives, so the output is row-identical to the
-    * direct join (q85) with the join fed ~the contaminated fraction + fpp
-    * of the corpus instead of all of it. */
+    * `evalGrams` MUST be distinct on `g` (use [[evalGramSet]]) — a
+    * duplicated eval gram would multiply every match it joins. `bloom` is
+    * the serialized eval-gram filter — build it ONCE per benchmark
+    * release with `longBloom(evalGrams, "g", nGrams)` and reuse it for
+    * every ingest batch; the probe prunes the corpus gram stream in the
+    * scan stage and the exact confirm join against `evalGrams` drops the
+    * false positives, so the output is row-identical to the direct join
+    * (q85) with the join fed ~the contaminated fraction + fpp of the
+    * corpus instead of all of it. */
   def decontaminate(trainGrams: org.apache.spark.sql.DataFrame,
                     evalGrams: org.apache.spark.sql.DataFrame,
                     bloom: Array[Byte]): org.apache.spark.sql.DataFrame =

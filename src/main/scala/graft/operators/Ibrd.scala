@@ -235,15 +235,29 @@ object Ibrd extends QueryPack {
   // the 30-jun-2024 snapshot, then an idempotent RE-merge of the same
   // batch, which must change nothing (the oracle describes only the first
   // two steps).
-  // weak keys: a stopped/discarded session must not stay pinned by this
-  // fixture cache (a per-tenant newSession() pattern would otherwise leak
-  // one cached Star per session forever)
+  // weak keys + SOFT values: a stopped/discarded session must not stay
+  // pinned by this fixture cache (a per-tenant newSession() pattern would
+  // otherwise leak one cached Star per session forever). The value must
+  // be softly held because a Star's DataFrames strongly reference their
+  // SparkSession — a plain WeakHashMap value would re-pin its own key
+  // through that chain and never be collected (the WeakHashMap javadoc's
+  // value-references-key trap). Soft deref: worst case the Star is
+  // re-built after a near-OOM GC; its orphaned persisted blocks are
+  // reclaimed by the ContextCleaner.
   private val incrCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, IbrdWarehouse.Star]())
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.lang.ref.SoftReference[IbrdWarehouse.Star]]()
 
   private def incrementalStar(s: org.apache.spark.sql.SparkSession): IbrdWarehouse.Star =
-    incrCache.computeIfAbsent(s, { session =>
+    incrCache.synchronized {
+      Option(incrCache.get(s)).flatMap(r => Option(r.get)).getOrElse {
+        val st = buildIncrementalStar(s)
+        incrCache.put(s, new java.lang.ref.SoftReference(st))
+        st
+      }
+    }
+
+  private def buildIncrementalStar(session: org.apache.spark.sql.SparkSession): IbrdWarehouse.Star = {
       val staged = Clean.stage(Fixture.raw(session)).cache()
       val b1 = staged.filter(col("end_of_period") === "30-jun-2023")
       val b2 = staged.filter(col("end_of_period") === "30-jun-2024")
@@ -265,7 +279,7 @@ object Ibrd extends QueryPack {
       // live for the queries' own materialization (untracked default)
       IbrdWarehouse.incremental(
         IbrdWarehouse.load(session, sink2), b2, "2025-07-01")
-    })
+  }
 
   private def stagedOracleSql: String = {
     val jsonCols = Model.rawSchema.fields.map { f =>
@@ -354,13 +368,20 @@ object Ibrd extends QueryPack {
   // One star build per session: q70/q71/q73 share it (the build runs the
   // full clean stage + 7 dims + an eager dangling probe — rebuilding and
   // re-caching per query would triple the work and pin 3x the storage).
+  // weak keys + soft values, same trap as incrCache: the Star's
+  // DataFrames strongly reference the session, so the value must be
+  // softly held or the entry can never be collected
   private val starCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, IbrdWarehouse.Star]())
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.lang.ref.SoftReference[IbrdWarehouse.Star]]()
 
   private def star(s: org.apache.spark.sql.SparkSession): IbrdWarehouse.Star =
-    starCache.computeIfAbsent(s, { session =>
-      val staged = Clean.stage(Fixture.raw(session)).cache()
-      IbrdWarehouse.build(session, staged)
-    })
+    starCache.synchronized {
+      Option(starCache.get(s)).flatMap(r => Option(r.get)).getOrElse {
+        val staged = Clean.stage(Fixture.raw(s)).cache()
+        val st = IbrdWarehouse.build(s, staged)
+        starCache.put(s, new java.lang.ref.SoftReference(st))
+        st
+      }
+    }
 }

@@ -12,21 +12,35 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis extends QueryPack {
 
+  /** Build the Count-Min sketch `heavyHitterGrams` probes: keyed by
+    * `xxhash64(gram)` over the SAME n-gram tokenization the probe uses.
+    * The ingest-loop reuse shape ("build once, prune every batch") MUST
+    * build through this method — a sketch keyed any other way returns
+    * near-zero estimates for every probe, the prune silently drops true
+    * heavy hitters, and no downstream step can resurrect them. */
+  def gramCms(docs: org.apache.spark.sql.DataFrame, n: Int,
+              eps: Double = 1e-4): Array[Byte] =
+    graft.functions.CmsEstimate.buildLongCms(
+      docs.select(explode(TextOps.shingles(col("text"), n)).as("g"))
+        .select(xxhash64(col("g")).as("h")),
+      "h", eps = eps)
+
   /** Heavy-hitter word n-grams (count ≥ t corpus-wide) with a Count-Min
     * prefilter: the sketch (built here, or passed in pre-built for the
-    * ingest-loop reuse shape) prunes the exploded gram stream in the scan
-    * stage, so the exact count + HAVING confirm shuffles only candidates
-    * — true heavy hitters plus the eps·N overcount tail — instead of
-    * every gram. CMS never undercounts ⇒ output ≡ the naive corpus-wide
-    * count (q97's oracle). Size eps so eps·N ≪ t or the prune goes
-    * vacuous (correctness unaffected). */
+    * ingest-loop reuse shape — it must come from [[gramCms]] with the
+    * same `n`, which pins the key derivation the probe assumes) prunes
+    * the exploded gram stream in the scan stage, so the exact count +
+    * HAVING confirm shuffles only candidates — true heavy hitters plus
+    * the eps·N overcount tail — instead of every gram. CMS never
+    * undercounts ⇒ output ≡ the naive corpus-wide count (q97's oracle).
+    * Size eps so eps·N ≪ t or the prune goes vacuous (correctness
+    * unaffected). */
   def heavyHitterGrams(docs: org.apache.spark.sql.DataFrame, n: Int, t: Long,
                        cms: Option[Array[Byte]] = None)
       : org.apache.spark.sql.DataFrame = {
     import graft.functions.CmsEstimate
     val grams = docs.select(explode(TextOps.shingles(col("text"), n)).as("g"))
-    val sketch = cms.getOrElse(
-      CmsEstimate.buildLongCms(grams.select(xxhash64(col("g")).as("h")), "h"))
+    val sketch = cms.getOrElse(gramCms(docs, n))
     grams
       .filter(CmsEstimate.cmsEstimate(xxhash64(col("g")), sketch) >= t)
       .groupBy(col("g"))

@@ -232,10 +232,15 @@ object Warehouse extends QueryPack {
       new java.util.WeakHashMap[SparkSession,
         scala.collection.concurrent.TrieMap[String, (String, String)]]())
 
-  private def bucketedTables(s: SparkSession, d: String): (String, String) =
-    bucketCache.computeIfAbsent(s,
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    val perDir = bucketCache.computeIfAbsent(s,
       _ => scala.collection.concurrent.TrieMap.empty[String, (String, String)])
-      .getOrElseUpdate(d, { val (session, dir) = (s, d)
+    // TrieMap.getOrElseUpdate may run a racing thunk twice; the builder
+    // creates catalog tables (second run would hit "table already
+    // exists"), so serialize it per session — exactly-once like the
+    // ConcurrentHashMap.computeIfAbsent it replaced
+    perDir.synchronized {
+      perDir.getOrElseUpdate(d, { val (session, dir) = (s, d)
       val tag = f"${dir.hashCode & 0xffffffffL}%08x"
       val ltab = s"graft_lineitem_b_$tag"
       val otab = s"graft_orders_b_$tag"
@@ -247,7 +252,9 @@ object Warehouse extends QueryPack {
         T.orders(session, dir).select(col("o_orderkey"), col("o_orderpriority")),
         otab, 8, Seq("o_orderkey"), Some(s"$root/orders"))
       (ltab, otab)
-    })
+      })
+    }
+  }
 
   /** Zero-exchange join of the bucketed copies (MERGE hint pins the
     * sort-merge strategy so the small-SF broadcast path can't mask the

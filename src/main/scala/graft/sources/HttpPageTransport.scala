@@ -63,19 +63,23 @@ final class HttpPageTransport(
   }
 
   private def parse(body: String): Seq[Row] = {
-    val data = mapper.readTree(body).get(dataField)
-    // a 200 whose JSON has no `dataField` ARRAY is not an empty page — an
-    // API that reports errors in a 200 body ({"error": "over quota"}), or
-    // a misconfigured dataField, would otherwise read as a successful
+    val root = mapper.readTree(body)
+    val data = root.get(dataField)
+    // an explicit `"data": null` is a legal empty page (many serializers
+    // emit null for an empty list past the last page) — but a 200 whose
+    // JSON has no `dataField` at all, or a non-array value there, is not:
+    // an API that reports errors in a 200 body ({"error": "over quota"}),
+    // or a misconfigured dataField, would otherwise read as a successful
     // empty page and silently truncate the dataset (the reader treats
     // short 200 pages as the legal clamped last page). Raise as an
     // IOException so the enclosing catch maps it to the retryable 599 and
     // persistent cases fail the task with this message.
+    if (data != null && data.isNull) return Seq.empty
     if (data == null || !data.isArray)
       throw new java.io.IOException(
         s"HTTP 200 body has no '$dataField' array (keys: " +
           s"${scala.jdk.CollectionConverters.IteratorHasAsScala(
-            mapper.readTree(body).fieldNames).asScala.take(8).mkString(", ")})")
+            root.fieldNames).asScala.take(8).mkString(", ")})")
     (0 until data.size).map { i =>
       val node = data.get(i)
       val values = schema.fields.map { f =>

@@ -25,15 +25,23 @@ class LlmOpsSpec extends SparkSpec {
     // inside generated code
     import graft.functions.{MinHashSig, SimHash64, NGramHash64}
     val withNull = array(lit("a"), lit(null).cast("string"), lit("b"))
-    val sentinelWord = array(lit("a"), lit("__swap__"), lit("b"))
+    val noNull = array(lit("a"), lit("b"))
     val one = spark.range(1)
     val sigN = one.select(MinHashSig.minhashSig(withNull, 4)).head.getSeq[Long](0)
     assert(sigN.length == 4) // evaluated without NPE
+    // the sentinel CONTRIBUTES: dropping the null must change the result
+    // (deterministic fixed inputs — no flake risk)
+    val sig2 = one.select(MinHashSig.minhashSig(noNull, 4)).head.getSeq[Long](0)
+    assert(sigN != sig2, "null element must contribute the sentinel hash")
     val shN = one.select(SimHash64.simhash64(withNull)).head.getLong(0)
-    val shClean = one.select(SimHash64.simhash64(sentinelWord)).head.getLong(0)
-    assert(shN != 0L || shClean != 0L)
-    val ngN = one.select(NGramHash64.ngramHashes(withNull, 2)).head.getSeq[Long](0)
-    assert(ngN.length == 2)
+    val sh2 = one.select(SimHash64.simhash64(noNull)).head.getLong(0)
+    assert(shN != sh2, "null element must vote with the sentinel hash")
+    // 1-grams expose the sentinel value directly
+    val ngN = one.select(NGramHash64.ngramHashes(withNull, 1)).head.getSeq[Long](0)
+    assert(ngN.contains(NGramHash64.NullElementHash),
+      "a null 1-gram must hash to exactly NullElementHash")
+    assert(one.select(NGramHash64.ngramHashes(withNull, 2)).head.getSeq[Long](0)
+      .length == 2)
     // SQL-registered form too (reachable by any spark.sql user)
     graft.plans.GraftExtensions.registerFunctions(spark.sessionState.functionRegistry)
     val viaSql = spark.sql(

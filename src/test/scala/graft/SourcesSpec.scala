@@ -164,6 +164,10 @@ class SourcesSpec extends SparkSpec {
     // a 200 whose body has no `data` array (API reporting errors in-band)
     server.createContext("/nodata",
       (ex: HttpExchange) => send(ex, 200, "{\"error\": \"over quota\"}"))
+    // a 200 with an EXPLICIT null data field — many serializers' encoding
+    // of an empty list (a legal empty page, unlike the missing field)
+    server.createContext("/nullpage",
+      (ex: HttpExchange) => send(ex, 200, "{\"data\": null}"))
     server.start()
     try {
       val base = s"http://127.0.0.1:${server.getAddress.getPort}"
@@ -209,6 +213,13 @@ class SourcesSpec extends SparkSpec {
       val msgs3 = Iterator.iterate(e3: Throwable)(_.getCause).takeWhile(_ != null)
         .map(_.getMessage).mkString(" | ")
       assert(msgs3.contains("HTTP 599"), s"got: $msgs3")
+
+      // an explicit {"data": null} is a legal empty page, not an error
+      PageTransport.register("http-nullpage", new HttpPageTransport(s"$base/nullpage"))
+      val nullpage = spark.read.format("graft.sources.PagedDataSourceV2")
+        .option("pageSize", "300").option("transport", "http-nullpage")
+        .option("retryBaseMs", "1").load()
+      assert(nullpage.count() == 0L)
     } finally server.stop(0)
 
     // connect failure (server down) maps to the synthetic 599 and is
