@@ -130,6 +130,55 @@ object Dedup extends QueryPack {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard_r"))
 
+  /** Sub-document EXACT dedup with REASSEMBLY — the "remove duplicated
+    * spans, keep the first occurrence" curation shape (the step RefinedWeb-
+    * style pipelines run after doc-level dedup; q95 only MEASURES span
+    * duplication, this one rewrites the corpus). Documents split into
+    * non-overlapping `width`-word blocks; a block's global keeper is its
+    * first occurrence in corpus order (min doc_id, then min block_no);
+    * every other occurrence — including later repeats inside the SAME
+    * document — is dropped, and each document is re-assembled from its
+    * surviving blocks in original order.
+    *
+    * Scale design: keeper election is ONE hash aggregate on the block
+    * key (`min(struct(doc_id, block_no))` — no corpus-wide window, no
+    * sort), and the verdict joins back on the same key, so both
+    * exchanges are block-keyed and map-side-combinable. Reassembly is a
+    * per-doc aggregate of ≤ |doc|/width rows (`array_sort` of collected
+    * (block_no, block) structs — bounded by document length, not corpus
+    * size). Blocks travel as text here because the output needs the
+    * bytes; a 100 TB run keys the election and verdict join on a 128-bit
+    * block hash instead and re-reads winning text only on the keeper
+    * side (same plan shape, 16-byte exchange keys). Hot blocks
+    * (boilerplate repeated millions of times) are a single aggregate
+    * key — AQE skew-join splits the verdict join's hot partitions. */
+  def paragraphDedup(docs: DataFrame, width: Int = 20): DataFrame = {
+    require(width > 0, s"width=$width")
+    val ws = TextOps.words(col("text"))
+    val nBlocks = greatest(
+      ceil(size(ws).cast("double") / width).cast("int"), lit(1))
+    val blocks = docs
+      .select(col("doc_id"), ws.as("ws"),
+        explode(sequence(lit(0), nBlocks - 1)).as("block_no"))
+      .select(col("doc_id"), col("block_no"),
+        array_join(slice(col("ws"), col("block_no") * width + 1, width), " ")
+          .as("block"))
+    val keeper = blocks.groupBy(col("block"))
+      .agg(min(struct(col("doc_id"), col("block_no"))).as("k"))
+      .select(col("block"),
+        col("k.doc_id").as("k_doc"), col("k.block_no").as("k_blk"))
+    blocks.join(keeper, Seq("block"))
+      .withColumn("keep",
+        col("doc_id") === col("k_doc") && col("block_no") === col("k_blk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("block_no"), col("block"))))),
+          e => e.getField("block")), " ").as("clean_text"))
+  }
+
   /** Shared DuckDB CTE chain: word-set Jaccard pairs at 0.8 → symmetric
     * edge list → recursive min-label reachability → (doc_id, cluster_id).
     * The recursive term grows the reachable-label set per node; UNION
@@ -368,6 +417,44 @@ object Dedup extends QueryPack {
         GROUP BY g.doc_id
       """.stripMargin),
       doc = "span-level dedup: per-doc 10-gram windows duplicated across docs"),
+
+    // ---- block-level exact dedup with reassembly (q95's rewrite twin) ----
+    // run over the recrawl-duplicated corpus so the operator has real
+    // repeats to strip: every recrawl copy's blocks lose to the original
+    // (lower doc_id), so copies reassemble to empty text while originals
+    // survive verbatim — plus any genuine cross-doc block repeats.
+    "q98_paragraph_dedup" -> Q(
+      (s, d) => paragraphDedup(withRecrawl(s, d)),
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents
+        ), w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM corpus
+        ), b AS (
+          SELECT doc_id,
+                 unnest(range(0, greatest((len(ws) + 19) // 20, 1))) AS block_no,
+                 ws
+          FROM w
+        ), blk AS (
+          SELECT doc_id, block_no,
+                 array_to_string(ws[(block_no*20+1):(block_no*20+20)], ' ') AS block
+          FROM b
+        ), ranked AS (
+          SELECT doc_id, block_no, block,
+                 row_number() OVER (PARTITION BY block
+                                    ORDER BY doc_id, block_no) AS rn
+          FROM blk
+        )
+        SELECT doc_id, count(*) AS n_blocks,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               coalesce(string_agg(block, ' ' ORDER BY block_no)
+                          FILTER (WHERE rn = 1), '') AS clean_text
+        FROM ranked
+        GROUP BY doc_id
+      """.stripMargin),
+      doc = "block-level exact dedup: strip duplicated 20-word blocks, reassemble"),
 
     // ---- near-dup cluster ids: the corpus-analytics view of dedup ----
     "q79_dedup_clusters" -> Q(
