@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness TESTDATA tables (TESTDATA.md): TPC-H-ish star
   * schema + `events` + `documents`/`embeddings`, one parquet per table under
@@ -25,7 +27,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  /** `events` with `ts` normalized to the engine's internal contract:
+    * nanoseconds-since-epoch as LongType. Generator vintages differ —
+    * TIMESTAMP(NANOS) parquet arrives as raw ns long (via the
+    * `nanosAsLong` session flag), TIMESTAMP(MICROS) as TimestampType/
+    * TimestampNTZType — so the loader, not every query, absorbs the
+    * difference. NTZ→epoch is evaluated under the session time zone;
+    * all entry points pin it to UTC, matching DuckDB's `epoch_ns`,
+    * which also reads naive timestamps as UTC. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = apply(s, d, "events")
+    val tsNs: Option[Column] = raw.schema("ts").dataType match {
+      case LongType         => None // already raw nanoseconds
+      case TimestampType    => Some(unix_micros(col("ts")) * 1000L)
+      case TimestampNTZType =>
+        Some(unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other")
+    }
+    tsNs.fold(raw)(c => raw.withColumn("ts", c))
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

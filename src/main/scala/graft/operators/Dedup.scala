@@ -154,14 +154,16 @@ object Dedup extends QueryPack {
     * key — AQE skew-join splits the verdict join's hot partitions. */
   def paragraphDedup(docs: DataFrame, width: Int = 20): DataFrame = {
     require(width > 0, s"width=$width")
-    val ws = TextOps.words(col("text"))
+    // null text ≡ empty text: without this, size(null)→null makes the
+    // block key null and the inner join silently drops the document
+    val ws = TextOps.words(coalesce(col("text"), lit("")))
     val nBlocks = greatest(
       ceil(size(ws).cast("double") / width).cast("int"), lit(1))
     val blocks = docs
       .select(col("doc_id"), ws.as("ws"),
         explode(sequence(lit(0), nBlocks - 1)).as("block_no"))
       .select(col("doc_id"), col("block_no"),
-        array_join(slice(col("ws"), col("block_no") * width + 1, width), " ")
+        array_join(slice(col("ws"), col("block_no") * width + 1, lit(width)), " ")
           .as("block"))
     val keeper = blocks.groupBy(col("block"))
       .agg(min(struct(col("doc_id"), col("block_no"))).as("k"))
@@ -177,6 +179,51 @@ object Dedup extends QueryPack {
           array_sort(collect_list(
             when(col("keep"), struct(col("block_no"), col("block"))))),
           e => e.getField("block")), " ").as("clean_text"))
+  }
+
+  /** The 100 TB form of [[paragraphDedup]] the scaladoc above promises:
+    * election and verdict joins keyed on a 128-bit block hash (two
+    * independently-salted xxhash64 halves — both codegen'd), so the two
+    * corpus-wide exchanges carry 16-byte keys instead of block text.
+    * Winning text is never shuffled at all: the per-doc verdict is
+    * reduced to a sorted array of surviving block ordinals (≤ |doc|/width
+    * ints), joined back to the corpus on doc_id, and each document
+    * re-slices its own word array locally. Same output contract as the
+    * text-keyed version; equal on any corpus without a 128-bit xxhash64
+    * collision (property-tested ≡ in LlmOpsSpec).
+    */
+  def paragraphDedupHashed(docs: DataFrame, width: Int = 20): DataFrame = {
+    require(width > 0, s"width=$width")
+    val corpus = docs.select(col("doc_id"),
+      TextOps.words(coalesce(col("text"), lit(""))).as("ws"))
+    val nBlocks = greatest(
+      ceil(size(col("ws")).cast("double") / width).cast("int"), lit(1))
+    val blocks = corpus
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), nBlocks - 1)).as("block_no"))
+      .select(col("doc_id"), col("block_no"),
+        array_join(slice(col("ws"), col("block_no") * width + 1, lit(width)),
+          " ").as("block"))
+      .select(col("doc_id"), col("block_no"),
+        xxhash64(col("block")).as("h_lo"),
+        xxhash64(lit("graft-q98-hi"), col("block")).as("h_hi"))
+    val keeper = blocks.groupBy(col("h_lo"), col("h_hi"))
+      .agg(min(struct(col("doc_id"), col("block_no"))).as("k"))
+      .select(col("h_lo"), col("h_hi"),
+        col("k.doc_id").as("k_doc"), col("k.block_no").as("k_blk"))
+    val verdicts = blocks.join(keeper, Seq("h_lo", "h_hi"))
+      .withColumn("keep",
+        col("doc_id") === col("k_doc") && col("block_no") === col("k_blk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(col("keep"), col("block_no"))))
+          .as("kept_nos"))
+    corpus.join(verdicts, Seq("doc_id"))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        array_join(transform(col("kept_nos"), bn =>
+          array_join(slice(col("ws"), bn * width + 1, lit(width)), " ")),
+          " ").as("clean_text"))
   }
 
   /** Shared DuckDB CTE chain: word-set Jaccard pairs at 0.8 → symmetric
@@ -212,6 +259,39 @@ object Dedup extends QueryPack {
         ), clusters AS (
           SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
         )"""
+
+  /** Shared q98/q99 oracle: row_number-per-block keeper election over the
+    * recrawl-duplicated corpus, ORDER BY block_no reassembly, '' for
+    * fully-deduplicated documents. */
+  private val paragraphDedupOracle: String = """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents
+        ), w AS (
+          SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM corpus
+        ), b AS (
+          SELECT doc_id,
+                 unnest(range(0, greatest((len(ws) + 19) // 20, 1))) AS block_no,
+                 ws
+          FROM w
+        ), blk AS (
+          SELECT doc_id, block_no,
+                 array_to_string(ws[(block_no*20+1):(block_no*20+20)], ' ') AS block
+          FROM b
+        ), ranked AS (
+          SELECT doc_id, block_no, block,
+                 row_number() OVER (PARTITION BY block
+                                    ORDER BY doc_id, block_no) AS rn
+          FROM blk
+        )
+        SELECT doc_id, count(*) AS n_blocks,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               coalesce(string_agg(block, ' ' ORDER BY block_no)
+                          FILTER (WHERE rn = 1), '') AS clean_text
+        FROM ranked
+        GROUP BY doc_id
+      """.stripMargin
 
   def queries: Map[String, Q] = Map(
     // ---- exact dedup: hash-groupBy keep-first over a duplicated corpus ----
@@ -425,36 +505,16 @@ object Dedup extends QueryPack {
     // survive verbatim — plus any genuine cross-doc block repeats.
     "q98_paragraph_dedup" -> Q(
       (s, d) => paragraphDedup(withRecrawl(s, d)),
-      Some("""
-        WITH corpus AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 1000000, text FROM documents
-        ), w AS (
-          SELECT doc_id, string_split(text, ' ') AS ws FROM corpus
-        ), b AS (
-          SELECT doc_id,
-                 unnest(range(0, greatest((len(ws) + 19) // 20, 1))) AS block_no,
-                 ws
-          FROM w
-        ), blk AS (
-          SELECT doc_id, block_no,
-                 array_to_string(ws[(block_no*20+1):(block_no*20+20)], ' ') AS block
-          FROM b
-        ), ranked AS (
-          SELECT doc_id, block_no, block,
-                 row_number() OVER (PARTITION BY block
-                                    ORDER BY doc_id, block_no) AS rn
-          FROM blk
-        )
-        SELECT doc_id, count(*) AS n_blocks,
-               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-               coalesce(string_agg(block, ' ' ORDER BY block_no)
-                          FILTER (WHERE rn = 1), '') AS clean_text
-        FROM ranked
-        GROUP BY doc_id
-      """.stripMargin),
+      Some(paragraphDedupOracle),
       doc = "block-level exact dedup: strip duplicated 20-word blocks, reassemble"),
+
+    // ---- q98's 100 TB form: 16-byte hash keys on both corpus-wide
+    // exchanges, text never shuffled (same DuckDB oracle — outputs equal
+    // absent a 128-bit hash collision) ----
+    "q99_paragraph_dedup_hashed" -> Q(
+      (s, d) => paragraphDedupHashed(withRecrawl(s, d)),
+      Some(paragraphDedupOracle),
+      doc = "block dedup, hash-keyed exchanges: the at-scale plan shape"),
 
     // ---- near-dup cluster ids: the corpus-analytics view of dedup ----
     "q79_dedup_clusters" -> Q(

@@ -183,6 +183,33 @@ class LlmOpsSpec extends SparkSpec {
       "fixture must exercise both duplicated and clean docs")
   }
 
+  test("paragraphDedup: hash-keyed q99 variant is row-identical to text-keyed q98") {
+    // the 100 TB plan shape (16-byte exchange keys, text never shuffled)
+    // must produce EXACTLY the text-keyed output — including a null-text
+    // document (≡ empty text, ADVICE r7) and a repeated-block document
+    val docs = Dedup.withRecrawl(spark, sf)
+      .unionByName(Seq(
+        (9000001L, null.asInstanceOf[String]),
+        (9000002L, ""),
+        (9000003L, Array.fill(3)((1 to 20).map(i => s"w$i").mkString(" "))
+          .mkString(" ")) // same 20-word block 3× inside ONE document
+      ).toDF("doc_id", "text"), allowMissingColumns = true)
+    val a = Dedup.paragraphDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    val b = Dedup.paragraphDedupHashed(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(a.length == b.length && a.sameElements(b))
+    // the intra-doc repeat keeps only its first occurrence
+    val rep = a.find(_._1 == 9000003L).get
+    assert(rep._2 == 3 && rep._3 == 1 &&
+      rep._4 == (1 to 20).map(i => s"w$i").mkString(" "))
+    // null-text and empty-text docs survive with clean_text '' or the
+    // shared keeper's block — they must NOT vanish from the output
+    assert(a.exists(_._1 == 9000001L) && a.exists(_._1 == 9000002L))
+  }
+
   test("iterative operators write reliable checkpoints when a dir is given") {
     // at cluster scale localCheckpoint blocks die with a lost executor;
     // checkpointDir routes every round through reliable checkpoint().
