@@ -4,7 +4,7 @@ import graft.functions.TextOps
 import graft.{Q, QueryPack, Tables => T}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Deduplication over `documents` (training-data pipeline surface):
   * exact (hash-groupBy), n-gram Jaccard within blocking keys (exact,
@@ -44,13 +44,41 @@ object Dedup extends QueryPack {
     * verify join) — no corpus-sized broadcast anywhere. */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 1): DataFrame = {
     val (prefix, sets) = prefixEngine(docs, threshold, n)
-    val a = prefix.toDF("a_id", "lang", "source", "word")
-    val b = prefix.toDF("b_id", "lang", "source", "word")
+    val a = prefix.toDF("a_id", "lang", "source", "word", "a_rk", "a_sz")
+    val b = prefix.toDF("b_id", "lang", "source", "word", "b_rk", "b_sz")
     val candIds = a.join(b, Seq("lang", "source", "word"))
       .filter(col("a_id") < col("b_id"))
+      .filter(ppjoinFilter(threshold))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
     verifyPairs(candIds, sets, threshold)
+  }
+
+  /** PPJoin candidate pruning (position-enhanced prefix filtering, public
+    * similarity-join literature), applied BEFORE the pair dedup and the
+    * set-carrying verify join — the two stages measured super-linear in
+    * corpus size (ProfileQ46Scale: shuffle/text ratio 16.5→22.4→30.5 at
+    * 1×/2×/4×). Two sound bounds, no false negatives:
+    *  - length filter: J ≥ t forces t·|a| ≤ |b| ≤ |a|/t;
+    *  - positional filter: for a true pair's MINIMAL shared token (which
+    *    the prefix theorem places inside both prefixes, at ranks i, j in
+    *    the per-block (df, word) total order), total overlap
+    *    ≤ 1 + min(|a|−i, |b|−j), which must reach the equivalent-overlap
+    *    bound ⌈t/(1+t)·(|a|+|b|)⌉. A pair survives if ANY shared prefix
+    *    token passes (EXISTS-semantics via the downstream dedup) — the
+    *    minimal shared token is always such a witness for true pairs.
+    * The 1e-9 slack keeps double rounding from ever OVER-pruning; a few
+    * extra candidates only cost verify work, never correctness. */
+  private def ppjoinFilter(threshold: Double): Column = {
+    val minOverlap = ceil(
+      lit(threshold / (1 + threshold)) * (col("a_sz") + col("b_sz")) - 1e-9)
+    val lengthOk =
+      least(col("a_sz"), col("b_sz")).cast("double") >=
+        lit(threshold) * greatest(col("a_sz"), col("b_sz")) - 1e-9
+    val positionOk =
+      (lit(1) + least(col("a_sz") - col("a_rk"), col("b_sz") - col("b_rk")))
+        .cast("double") >= minOverlap
+    lengthOk && positionOk
   }
 
   /** Incremental near-dup detection: pairs of `all` docs at J ≥ t where at
@@ -66,11 +94,12 @@ object Dedup extends QueryPack {
     val (prefix, sets) = prefixEngine(all, threshold, n)
     val batchPrefix = prefix
       .join(newIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val a = prefix.toDF("a_id", "lang", "source", "word")
-    val b = batchPrefix.toDF("b_id", "lang", "source", "word")
+    val a = prefix.toDF("a_id", "lang", "source", "word", "a_rk", "a_sz")
+    val b = batchPrefix.toDF("b_id", "lang", "source", "word", "b_rk", "b_sz")
     // both-new pairs arrive in both orientations — normalize then dedup
     val candIds = a.join(b, Seq("lang", "source", "word"))
       .filter(col("a_id") =!= col("b_id"))
+      .filter(ppjoinFilter(threshold))
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
       .dropDuplicates("a_id", "b_id")
@@ -110,7 +139,10 @@ object Dedup extends QueryPack {
     val prefix = tokens.join(dfreq, Seq("lang", "source", "word"))
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= col("wsize") - ceil(lit(threshold) * col("wsize")) + 1)
-      .select(col("doc_id"), col("lang"), col("source"), col("word"))
+      // rk + wsize travel with each prefix token for the PPJoin
+      // positional/length pruning at candidate-generation time
+      .select(col("doc_id"), col("lang"), col("source"), col("word"),
+        col("rk"), col("wsize"))
     (prefix, base.select(col("doc_id"), col("wset")))
   }
 
