@@ -89,6 +89,20 @@ object Bench {
       // any failed rep fails the query (negative time)
       name -> (if (times.forall(_ >= 0)) times.min else -times.map(math.abs).min)
     }
+    // Hardware calibration: a fixed, data-independent workload (range →
+    // xxhash64 → hash aggregate, all codegen'd) timed min-of-3. Rounds
+    // run on whatever box the scheduler gives them — r8 measured the
+    // SAME code uniformly ~2× slower than r6 on a slower-per-core host —
+    // so cross-round query comparisons need this to separate "code got
+    // slower" from "the machine did". Compare query_time/calib_sec
+    // across rounds, not raw seconds.
+    val calib = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 50000000L, 1, cpus.toInt)
+        .selectExpr("xxhash64(id) % 997 AS k")
+        .groupBy("k").count().count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // Timings at 2 decimals: sub-10ms digits are noise on this box, and the
     // driver's capture keeps only the TAIL (~2.9 KB) of the output — r3-r5
     // all lost the line's head to truncation ("parsed": null). At 2dp the
@@ -110,7 +124,9 @@ object Bench {
     // truncated capture still shows the headline total AND whether it came
     // from a subset run (a filtered total must not masquerade as a full
     // catalog run); reps/agg record the min-of-N interference protocol.
-    val line = s"""{"metric":"total","sf":$sfTag,"reps":$reps,"agg":"min","queries":$qs,"n_queries":${results.size},"only":${only.isDefined},"value":${fmt(total)}}"""
+    // calib_sec sits in the TAIL section (after "queries") so the
+    // driver's tail-truncated capture always retains it
+    val line = s"""{"metric":"total","sf":$sfTag,"reps":$reps,"agg":"min","queries":$qs,"n_queries":${results.size},"only":${only.isDefined},"calib_sec":${fmt(calib)},"value":${fmt(total)}}"""
     println(line)
     // belt-and-braces: the full metric JSON also lands in a file that no
     // capture window can truncate
