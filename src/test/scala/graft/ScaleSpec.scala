@@ -43,6 +43,32 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q99 plan: every exchange keys on hashes or doc_id — block text never shuffles") {
+    // the at-scale contract of paragraphDedupHashed (SCALE.md): the two
+    // corpus-wide exchanges carry 16-byte hash keys (h_lo, h_hi) or
+    // doc_id — if any hashpartitioning expression referenced the block
+    // text, the whole point of the hash-keyed variant would be gone.
+    // Pin the physical plan so a refactor can't silently regress it.
+    val df = SparkEntry.queries("q99_paragraph_dedup_hashed")(spark, sf)
+    df.collect() // finalize AQE on THIS plan
+    import graft.plans.PlanWalk.walk
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val exchanges = walk(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected shuffles (election + verdict + reassembly)")
+    val allowed = Set("h_lo", "h_hi", "doc_id")
+    exchanges.foreach { e =>
+      val keyAttrs = e.outputPartitioning match {
+        case hp: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          hp.expressions.flatMap(_.references.map(_.name))
+        case _ => Seq.empty
+      }
+      withClue(s"exchange keys $keyAttrs in:\n${e.simpleString(5)}") {
+        assert(keyAttrs.forall(allowed.contains))
+      }
+    }
+  }
+
   test("q80 bucketed join plan: the only exchange is the final aggregate's") {
     val df = operators.Warehouse.bucketedJoin(spark, sf)
     df.collect() // finalize AQE on THIS plan
