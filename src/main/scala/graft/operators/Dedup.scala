@@ -226,11 +226,31 @@ object Dedup extends QueryPack {
     */
   def paragraphDedupHashed(docs: DataFrame, width: Int = 20): DataFrame = {
     require(width > 0, s"width=$width")
-    val corpus = docs.select(col("doc_id"),
+    val corpus = wordArrays(docs)
+    val blocks = hashedBlocks(corpus, width)
+    val keeper = blocks.groupBy(col("h_lo"), col("h_hi"))
+      .agg(min(struct(col("doc_id"), col("block_no"))).as("k"))
+      .select(col("h_lo"), col("h_hi"),
+        col("k.doc_id").as("k_doc"), col("k.block_no").as("k_blk"))
+    val verdicts = blocks.join(keeper, Seq("h_lo", "h_hi"))
+      .withColumn("keep",
+        col("doc_id") === col("k_doc") && col("block_no") === col("k_blk"))
+    reassemble(corpus, verdicts, width)
+  }
+
+  /** (doc_id, ws): the corpus as word arrays, null text ≡ empty text. */
+  private def wordArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       TextOps.words(coalesce(col("text"), lit(""))).as("ws"))
+
+  /** Non-overlapping `width`-word blocks keyed by a 128-bit hash (two
+    * independently-salted codegen'd xxhash64 halves): one row per
+    * (doc_id, block_no, h_lo, h_hi) — block text is hashed in the scan
+    * stage and never leaves it. */
+  private def hashedBlocks(corpus: DataFrame, width: Int): DataFrame = {
     val nBlocks = greatest(
       ceil(size(col("ws")).cast("double") / width).cast("int"), lit(1))
-    val blocks = corpus
+    corpus
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(0), nBlocks - 1)).as("block_no"))
       .select(col("doc_id"), col("block_no"),
@@ -239,23 +259,65 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), col("block_no"),
         xxhash64(col("block")).as("h_lo"),
         xxhash64(lit("graft-q98-hi"), col("block")).as("h_hi"))
-    val keeper = blocks.groupBy(col("h_lo"), col("h_hi"))
-      .agg(min(struct(col("doc_id"), col("block_no"))).as("k"))
-      .select(col("h_lo"), col("h_hi"),
-        col("k.doc_id").as("k_doc"), col("k.block_no").as("k_blk"))
-    val verdicts = blocks.join(keeper, Seq("h_lo", "h_hi"))
-      .withColumn("keep",
-        col("doc_id") === col("k_doc") && col("block_no") === col("k_blk"))
-      .groupBy(col("doc_id"))
+  }
+
+  /** Per-doc verdict reduction + local re-slice: `verdicts` must carry
+    * (doc_id, keep) one row per block; each document rebuilds its
+    * surviving text from its OWN word array — kept block text never
+    * shuffles, only the sorted ordinal array does. */
+  private def reassemble(corpus: DataFrame, verdicts: DataFrame,
+                         width: Int): DataFrame = {
+    val perDoc = verdicts.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_blocks"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         array_sort(collect_list(when(col("keep"), col("block_no"))))
           .as("kept_nos"))
-    corpus.join(verdicts, Seq("doc_id"))
+    corpus.join(perDoc, Seq("doc_id"))
       .select(col("doc_id"), col("n_blocks"), col("n_kept"),
         array_join(transform(col("kept_nos"), bn =>
           array_join(slice(col("ws"), bn * width + 1, lit(width)), " ")),
           " ").as("clean_text"))
+  }
+
+  /** Block registry for incremental runs: the distinct 128-bit block
+    * hashes of a corpus — 16 bytes per distinct block, the only state
+    * the crawl-ingest loop persists between batches (vs re-scanning the
+    * whole corpus-so-far per batch). */
+  def blockRegistry(docs: DataFrame, width: Int = 20): DataFrame =
+    hashedBlocks(wordArrays(docs), width)
+      .select(col("h_lo"), col("h_hi")).dropDuplicates("h_lo", "h_hi")
+
+  /** Crawl-ingest form of [[paragraphDedupHashed]] (the q82 pattern for
+    * the block family): strip every batch block already present in
+    * `registry` (the corpus-so-far's [[blockRegistry]]), self-dedupe the
+    * remainder within the batch (first occurrence by (doc_id, block_no)
+    * wins), and reassemble the batch's documents. Cost scales with the
+    * BATCH plus one registry anti-join — the corpus-so-far participates
+    * as 16-byte hash rows only, never as text. The registry for the next
+    * batch is `registry ∪ blockRegistry(batch)`. With
+    * `registry = blockRegistry(corpus)` and a batch whose doc_ids sort
+    * after the corpus's, output equals [[paragraphDedupHashed]] of
+    * corpus+batch restricted to the batch (property-tested). */
+  def paragraphDedupIncremental(registry: DataFrame, batch: DataFrame,
+                                width: Int = 20): DataFrame = {
+    require(width > 0, s"width=$width")
+    val corpus = wordArrays(batch)
+    val blocks = hashedBlocks(corpus, width)
+    // batch-internal keeper election, then registry knockout: a block in
+    // the registry has NO keeper in this batch at all
+    val keeper = blocks.groupBy(col("h_lo"), col("h_hi"))
+      .agg(min(struct(col("doc_id"), col("block_no"))).as("k"))
+      .join(registry.select(col("h_lo"), col("h_hi")),
+        Seq("h_lo", "h_hi"), "left_anti")
+      .select(col("h_lo"), col("h_hi"),
+        col("k.doc_id").as("k_doc"), col("k.block_no").as("k_blk"))
+    // left join: registry-known blocks still count in n_blocks, they just
+    // can never be kept
+    val verdicts = blocks.join(keeper, Seq("h_lo", "h_hi"), "left_outer")
+      .withColumn("keep",
+        col("k_doc").isNotNull &&
+          col("doc_id") === col("k_doc") && col("block_no") === col("k_blk"))
+    reassemble(corpus, verdicts, width)
   }
 
   /** Shared DuckDB CTE chain: word-set Jaccard pairs at 0.8 → symmetric
@@ -547,6 +609,64 @@ object Dedup extends QueryPack {
       (s, d) => paragraphDedupHashed(withRecrawl(s, d)),
       Some(paragraphDedupOracle),
       doc = "block dedup, hash-keyed exchanges: the at-scale plan shape"),
+
+    // ---- crawl-ingest block dedup: batch vs corpus-so-far registry ----
+    // registry built from the even-id half of the corpus, batch = every
+    // doc re-ingested under a shifted id: even-origin batch docs lose all
+    // their blocks to the registry, odd-origin docs elect batch-internal
+    // keepers — both paths exercised in one query.
+    "q100_paragraph_dedup_incr" -> Q(
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val registry = blockRegistry(docs.filter(col("doc_id") % 2 === 0))
+        paragraphDedupIncremental(registry,
+          docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      },
+      Some("""
+        WITH reg_docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        ), batch AS (
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        ), rw AS (
+          SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM reg_docs
+        ), rb AS (
+          SELECT doc_id,
+                 unnest(range(0, greatest((len(ws) + 19) // 20, 1))) AS block_no,
+                 ws
+          FROM rw
+        ), reg AS (
+          SELECT DISTINCT
+                 array_to_string(ws[(block_no*20+1):(block_no*20+20)], ' ') AS block
+          FROM rb
+        ), bw AS (
+          SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM batch
+        ), bb AS (
+          SELECT doc_id,
+                 unnest(range(0, greatest((len(ws) + 19) // 20, 1))) AS block_no,
+                 ws
+          FROM bw
+        ), bblk AS (
+          SELECT doc_id, block_no,
+                 array_to_string(ws[(block_no*20+1):(block_no*20+20)], ' ') AS block
+          FROM bb
+        ), ranked AS (
+          SELECT doc_id, block_no, block,
+                 row_number() OVER (PARTITION BY block
+                                    ORDER BY doc_id, block_no) AS rn
+          FROM bblk
+        ), verdict AS (
+          SELECT r.doc_id, r.block_no, r.block,
+                 CASE WHEN r.rn = 1 AND reg.block IS NULL THEN 1 ELSE 0 END AS kept
+          FROM ranked r LEFT JOIN reg ON r.block = reg.block
+        )
+        SELECT doc_id, count(*) AS n_blocks,
+               CAST(sum(kept) AS BIGINT) AS n_kept,
+               coalesce(string_agg(block, ' ' ORDER BY block_no)
+                          FILTER (WHERE kept = 1), '') AS clean_text
+        FROM verdict
+        GROUP BY doc_id
+      """.stripMargin),
+      doc = "incremental block dedup: registry knockout + batch-internal keepers"),
 
     // ---- near-dup cluster ids: the corpus-analytics view of dedup ----
     "q79_dedup_clusters" -> Q(

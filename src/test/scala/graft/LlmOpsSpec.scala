@@ -210,6 +210,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(a.exists(_._1 == 9000001L) && a.exists(_._1 == 9000002L))
   }
 
+  test("paragraphDedupIncremental ≡ full hashed run restricted to the batch") {
+    // the crawl-ingest contract: with registry = blockRegistry(corpus)
+    // and batch doc_ids sorting AFTER the corpus's, the incremental
+    // output must equal the full corpus+batch run's verdicts for batch
+    // docs. Batch = recrawl copies (all blocks known) + one brand-new
+    // doc (no blocks known) + one half-new doc (mixes both paths).
+    val corpus = Tables.documents(spark, sf)
+    val knownBlock = corpus.orderBy("doc_id").select("text").head.getString(0)
+      .split(' ').take(20).mkString(" ")
+    val batch = corpus
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+      .select($"doc_id", $"text")
+      .unionByName(Seq(
+        (9000001L, (1 to 45).map(i => s"fresh$i").mkString(" ")),
+        (9000002L, knownBlock + " " + (1 to 20).map(i => s"novel$i").mkString(" "))
+      ).toDF("doc_id", "text"))
+    val full = Dedup.paragraphDedupHashed(
+      corpus.select($"doc_id", $"text").unionByName(batch))
+      .filter($"doc_id" >= 1000000L)
+    val incr = Dedup.paragraphDedupIncremental(
+      Dedup.blockRegistry(corpus), batch)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    val a = full.collect().map(key).sortBy(_._1)
+    val b = incr.collect().map(key).sortBy(_._1)
+    assert(a.length == b.length && a.sameElements(b))
+    // the mixed doc keeps exactly its novel block, drops the known one
+    val mixed = b.find(_._1 == 9000002L).get
+    assert(mixed._2 == 2 && mixed._3 == 1 &&
+      mixed._4 == (1 to 20).map(i => s"novel$i").mkString(" "))
+    // the fresh doc survives whole
+    val freshDoc = b.find(_._1 == 9000001L).get
+    assert(freshDoc._3 == freshDoc._2 &&
+      freshDoc._4 == (1 to 45).map(i => s"fresh$i").mkString(" "))
+  }
+
   test("iterative operators write reliable checkpoints when a dir is given") {
     // at cluster scale localCheckpoint blocks die with a lost executor;
     // checkpointDir routes every round through reliable checkpoint().

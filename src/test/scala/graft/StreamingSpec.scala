@@ -53,6 +53,53 @@ class StreamingSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture must produce near-dup pairs at 0.8")
   }
 
+  test("foreachBatch streaming drive of block dedup equals the full-corpus run") {
+    // q100's production shape: crawl batches arrive in ingest order (doc
+    // ids ascend across batches); each micro-batch block-dedupes against
+    // the registry-so-far only, then unions its own blocks into the
+    // registry. Because a block's global keeper (min doc_id, block_no)
+    // always lives in the EARLIEST batch containing it, the union of
+    // per-batch outputs must equal the all-at-once q99 run exactly.
+    import org.apache.spark.sql.{DataFrame, Dataset}
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").cache()
+    val expected = operators.Dedup.paragraphDedupHashed(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val ids = docs.select($"doc_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    val schema = docs.schema
+    @volatile var registry: DataFrame =
+      Seq.empty[(Long, Long)].toDF("h_lo", "h_hi")
+    val out = scala.collection.mutable.Map[Long, (Long, Long, String)]()
+    val input = MemoryStream[String](spark)
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: Dataset[String], _: Long) =>
+        if (!batch.isEmpty) {
+          val newDocs = spark.read.schema(schema).json(batch).cache()
+          val cleaned = operators.Dedup.paragraphDedupIncremental(registry, newDocs)
+          out ++= cleaned.collect()
+            .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+          // registry state must not grow a lazy lineage across batches:
+          // materialize the union (the production loop persists it)
+          registry = registry
+            .unionByName(operators.Dedup.blockRegistry(newDocs))
+            .dropDuplicates("h_lo", "h_hi").localCheckpoint()
+        }
+      }
+      .start()
+    val slices = Seq(
+      docs.filter($"doc_id" <= cuts(0)),
+      docs.filter($"doc_id" > cuts(0) && $"doc_id" <= cuts(1)),
+      docs.filter($"doc_id" > cuts(1)))
+    slices.foreach { s =>
+      input.addData(s.toJSON.collect().toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(out.size == expected.size, s"${out.size} vs ${expected.size}")
+    assert(out.toMap == expected)
+  }
+
   test("foreachBatch streaming drive of the incremental warehouse equals the batch run") {
     // the reference's hourly production shape (pyspark_dag2.py:447-448 —
     // per-snapshot batch loads) in streaming clothes: raw JSON rows arrive
