@@ -43,6 +43,41 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed block registry: the q100 anti-join reads it with no registry-side exchange") {
+    // at 100 TB the registry is corpus-sized (one 16-byte row per
+    // distinct block) while each crawl batch is small: stored bucketed
+    // on the hash key, the per-batch knockout shuffles ONLY the batch.
+    // Assert the plan: registry scan side has no Exchange above it.
+    import graft.operators.Dedup
+    import graft.plans.PlanWalk.walk
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, SortMergeJoinExec}
+    val docs = Tables.documents(spark, sf)
+    TableSink.writeBucketed(Dedup.blockRegistry(docs), "b_registry", 8,
+      Seq("h_lo", "h_hi"))
+    val registry = spark.table("b_registry")
+    val batch = docs.filter($"doc_id" % 7 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Dedup.paragraphDedupIncremental(registry, batch)
+      df.collect() // finalize AQE on THIS plan
+      val nodes = walk(df.queryExecution.executedPlan)
+      val antiJoins = nodes.collect {
+        case j: BaseJoinExec if j.joinType.sql == "LEFT ANTI" => j
+      }
+      assert(antiJoins.nonEmpty, "expected the registry knockout anti-join")
+      antiJoins.foreach { j =>
+        // the registry is the anti-join's RIGHT side: bucketed scan
+        // satisfies its distribution, so no shuffle may sit under it
+        val rightShuffles = walk(j.right)
+          .collect { case e: ShuffleExchangeExec => e }
+        withClue(j.simpleString(10)) { assert(rightShuffles.isEmpty) }
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q99 plan: every exchange keys on hashes or doc_id — block text never shuffles") {
     // the at-scale contract of paragraphDedupHashed (SCALE.md): the two
     // corpus-wide exchanges carry 16-byte hash keys (h_lo, h_hi) or
