@@ -279,6 +279,95 @@ object Dedup extends QueryPack {
           " ").as("clean_text"))
   }
 
+  /** Content-defined block dedup — the offset-robust complement of the
+    * fixed-width [[paragraphDedup]] family. Fixed 20-word blocks lose
+    * every block alignment after a single inserted word; here a block
+    * boundary falls AFTER any word whose md5 starts with hex 0 or 1
+    * (p = 1/8 → ~8-word expected blocks), so block boundaries are a
+    * function of content alone and re-align immediately after an edit
+    * (the content-defined-chunking idea from dedup storage literature,
+    * applied at word granularity). The boundary rule is expressible in
+    * both engines byte-for-byte (md5 hex), so the operator is fully
+    * oracled. Election/verdict are the same one-hash-aggregate shape as
+    * q98; the only additions are a per-doc position window (doc-keyed,
+    * bounded by doc length) to number segments and a (doc, seg) group to
+    * assemble block text.
+    */
+  def paragraphDedupCDC(docs: DataFrame): DataFrame = {
+    val blocks = cdcBlocks(docs)
+    val keeper = blocks.groupBy(col("block"))
+      .agg(min(struct(col("doc_id"), col("seg"))).as("k"))
+      .select(col("block"),
+        col("k.doc_id").as("k_doc"), col("k.seg").as("k_seg"))
+    cdcReassemble(blocks.join(keeper, Seq("block"))
+      .withColumn("keep",
+        col("doc_id") === col("k_doc") && col("seg") === col("k_seg")))
+  }
+
+  /** (doc_id, seg, block): content-defined blocks — boundary AFTER any
+    * word whose md5 starts with hex 0/1; a word's segment id is the
+    * count of flagged words strictly before it (per-doc window, bounded
+    * by doc length). */
+  private def cdcBlocks(docs: DataFrame): DataFrame = {
+    val words = wordArrays(docs).select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("pos", "word")))
+    val wSeg = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    words
+      .withColumn("b",
+        when(substring(md5(col("word")), 1, 1).isin("0", "1"), 1L)
+          .otherwise(0L))
+      .withColumn("seg", coalesce(sum(col("b")).over(wSeg), lit(0L)))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("word")))),
+        e => e.getField("word")), " ").as("block"))
+  }
+
+  /** Per-doc reduction of CDC verdicts (doc_id, seg, block, keep) to the
+    * family's output contract, survivors re-joined in segment order. */
+  private def cdcReassemble(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("seg"), col("block"))))),
+          e => e.getField("block")), " ").as("clean_text"))
+
+  /** CDC block registry: distinct 128-bit hashes of a corpus's
+    * content-defined blocks (16 bytes per block), for
+    * [[paragraphDedupCDCIncremental]]. */
+  def blockRegistryCDC(docs: DataFrame): DataFrame =
+    cdcBlocks(docs)
+      .select(xxhash64(col("block")).as("h_lo"),
+        xxhash64(lit("graft-q98-hi"), col("block")).as("h_hi"))
+      .dropDuplicates("h_lo", "h_hi")
+
+  /** Crawl-ingest form of [[paragraphDedupCDC]]: knock out batch blocks
+    * whose 128-bit hash is in `registry` (built by [[blockRegistryCDC]]
+    * over the corpus-so-far), elect batch-internal keepers for the rest,
+    * reassemble. Same contract as [[paragraphDedupIncremental]] but with
+    * offset-robust blocks — the combination a re-crawl pipeline actually
+    * wants (new crawl of an edited page still dedupes against the old
+    * crawl's registry). */
+  def paragraphDedupCDCIncremental(registry: DataFrame,
+                                   batch: DataFrame): DataFrame = {
+    val blocks = cdcBlocks(batch)
+      .withColumn("h_lo", xxhash64(col("block")))
+      .withColumn("h_hi", xxhash64(lit("graft-q98-hi"), col("block")))
+    val keeper = blocks.groupBy(col("h_lo"), col("h_hi"))
+      .agg(min(struct(col("doc_id"), col("seg"))).as("k"))
+      .join(registry.select(col("h_lo"), col("h_hi")),
+        Seq("h_lo", "h_hi"), "left_anti")
+      .select(col("h_lo"), col("h_hi"),
+        col("k.doc_id").as("k_doc"), col("k.seg").as("k_seg"))
+    cdcReassemble(blocks.join(keeper, Seq("h_lo", "h_hi"), "left_outer")
+      .withColumn("keep",
+        col("k_doc").isNotNull &&
+          col("doc_id") === col("k_doc") && col("seg") === col("k_seg")))
+  }
+
   /** Block registry for incremental runs: the distinct 128-bit block
     * hashes of a corpus — 16 bytes per distinct block, the only state
     * the crawl-ingest loop persists between batches (vs re-scanning the
@@ -667,6 +756,50 @@ object Dedup extends QueryPack {
         GROUP BY doc_id
       """.stripMargin),
       doc = "incremental block dedup: registry knockout + batch-internal keepers"),
+
+    // ---- content-defined block dedup: offset-robust rewrite ----
+    // same recrawl-duplicated corpus as q98; boundaries are a pure
+    // function of word content (md5 prefix), identical in both engines.
+    "q101_paragraph_dedup_cdc" -> Q(
+      (s, d) => paragraphDedupCDC(withRecrawl(s, d)),
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents
+        ), w AS (
+          SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM corpus
+        ), tok AS (
+          SELECT doc_id, unnest(ws) AS word,
+                 generate_subscripts(ws, 1) AS pos
+          FROM w
+        ), flag AS (
+          SELECT doc_id, pos, word,
+                 CASE WHEN substr(md5(word), 1, 1) IN ('0', '1')
+                      THEN 1 ELSE 0 END AS b
+          FROM tok
+        ), segd AS (
+          SELECT doc_id, pos, word,
+                 coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+          FROM flag
+        ), blk AS (
+          SELECT doc_id, seg, string_agg(word, ' ' ORDER BY pos) AS block
+          FROM segd GROUP BY doc_id, seg
+        ), ranked AS (
+          SELECT doc_id, seg, block,
+                 row_number() OVER (PARTITION BY block
+                                    ORDER BY doc_id, seg) AS rn
+          FROM blk
+        )
+        SELECT doc_id, count(*) AS n_blocks,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               coalesce(string_agg(block, ' ' ORDER BY seg)
+                          FILTER (WHERE rn = 1), '') AS clean_text
+        FROM ranked
+        GROUP BY doc_id
+      """.stripMargin),
+      doc = "content-defined block dedup: md5-boundary blocks, offset-robust"),
 
     // ---- near-dup cluster ids: the corpus-analytics view of dedup ----
     "q79_dedup_clusters" -> Q(

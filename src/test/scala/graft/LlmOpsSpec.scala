@@ -210,6 +210,62 @@ class LlmOpsSpec extends SparkSpec {
     assert(a.exists(_._1 == 9000001L) && a.exists(_._1 == 9000002L))
   }
 
+  test("CDC block dedup realigns after an insertion; fixed-width does not") {
+    // THE reason q101 exists: prepend a few words to a long document and
+    // re-ingest it. Fixed 20-word blocks all shift → near-zero knockout;
+    // content-defined boundaries re-align at the first boundary after
+    // the insertion → almost everything is knocked out.
+    val base = (1 to 400).map(i => s"tok$i").mkString(" ")
+    val shifted = "inserted words here " + base
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val cdc = Dedup.paragraphDedupCDC(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val fixed = Dedup.paragraphDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1 (first in corpus order) keeps everything under both schemes
+    assert(cdc(1L)._1 == cdc(1L)._2)
+    assert(fixed(1L)._1 == fixed(1L)._2)
+    // CDC: doc 2 loses most of its blocks (all segments past the first
+    // boundary after the insertion are verbatim repeats of doc 1's)
+    val (cdcBlocks, cdcKept) = cdc(2L)
+    assert(cdcKept.toDouble / cdcBlocks < 0.25,
+      s"CDC kept $cdcKept of $cdcBlocks — boundaries failed to realign")
+    // fixed-width: the 3-word shift breaks every 20-word block alignment
+    val (fwBlocks, fwKept) = fixed(2L)
+    assert(fwKept == fwBlocks,
+      s"fixed-width unexpectedly knocked out ${fwBlocks - fwKept} shifted blocks")
+    // and the CDC survivors reassemble to a PREFIX-anchored remnant: the
+    // insertion plus the head segment up to the first realigned boundary
+    val clean2 = Dedup.paragraphDedupCDC(docs)
+      .filter($"doc_id" === 2L).head.getString(3)
+    assert(clean2.startsWith("inserted words here"))
+    assert(clean2.length < shifted.length / 4)
+  }
+
+  test("CDC incremental ≡ full CDC run restricted to the batch; edited re-crawl dedupes") {
+    val corpus = Tables.documents(spark, sf).select($"doc_id", $"text")
+    // batch: an EDITED re-crawl (3 words prepended to every doc) under
+    // shifted ids — the case fixed-width incremental can't help with
+    val batch = corpus
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+      .withColumn("text", concat(lit("edited re crawl "), $"text"))
+    val full = Dedup.paragraphDedupCDC(corpus.unionByName(batch))
+      .filter($"doc_id" >= 1000000L)
+    val incr = Dedup.paragraphDedupCDCIncremental(
+      Dedup.blockRegistryCDC(corpus), batch)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    val a = full.collect().map(key).sortBy(_._1)
+    val b = incr.collect().map(key).sortBy(_._1)
+    assert(a.length == b.length && a.sameElements(b))
+    // the edited re-crawl still dedupes heavily: most CDC blocks of each
+    // batch doc realign with the original and are knocked out
+    val (nb, nk) = b.map(t => (t._2, t._3))
+      .reduce((x, y) => (x._1 + y._1, x._2 + y._2))
+    assert(nk.toDouble / nb < 0.5,
+      s"edited re-crawl kept $nk of $nb CDC blocks — registry knockout failed")
+  }
+
   test("paragraphDedupIncremental ≡ full hashed run restricted to the batch") {
     // the crawl-ingest contract: with registry = blockRegistry(corpus)
     // and batch doc_ids sorting AFTER the corpus's, the incremental
