@@ -306,8 +306,14 @@ object Dedup extends QueryPack {
 
   /** (doc_id, seg, block): content-defined blocks — boundary AFTER any
     * word whose md5 starts with hex 0/1; a word's segment id is the
-    * count of flagged words strictly before it (per-doc window, bounded
-    * by doc length). */
+    * count of flagged words strictly before it (per-doc position window
+    * — doc-keyed, bounded by doc length — then a (doc, seg) assembly
+    * aggregate, whose output stays hash-partitioned on (doc_id, seg)
+    * for downstream reuse). A pure-HOF zero-shuffle formulation was
+    * tried and measured 10–25× SLOWER at sf0.1: nested
+    * transform/filter/element_at lambdas run interpreted per element,
+    * outside whole-stage codegen — the doc-keyed window shuffle is
+    * cheap by comparison. */
   private def cdcBlocks(docs: DataFrame): DataFrame = {
     val words = wordArrays(docs).select(col("doc_id"),
       posexplode(col("ws")).as(Seq("pos", "word")))
@@ -334,6 +340,30 @@ object Dedup extends QueryPack {
           array_sort(collect_list(
             when(col("keep"), struct(col("seg"), col("block"))))),
           e => e.getField("block")), " ").as("clean_text"))
+
+  /** The q99 treatment applied to CDC blocks: election and verdict join
+    * on the 128-bit block hash, so both DEDUP exchanges carry 16-byte
+    * keys instead of block text. Block text moves exactly once — in the
+    * segmentation aggregate all CDC variants share — and its
+    * (doc_id, seg) partitioning is REUSED by the final flag join (same
+    * keys), so no exchange ever re-shuffles text. Output ≡
+    * [[paragraphDedupCDC]] absent a 128-bit collision (property-tested).
+    */
+  def paragraphDedupCDCHashed(docs: DataFrame): DataFrame = {
+    val blocks = cdcBlocks(docs)
+    val hashed = blocks.select(col("doc_id"), col("seg"),
+      xxhash64(col("block")).as("h_lo"),
+      xxhash64(lit("graft-q98-hi"), col("block")).as("h_hi"))
+    val keeper = hashed.groupBy(col("h_lo"), col("h_hi"))
+      .agg(min(struct(col("doc_id"), col("seg"))).as("k"))
+      .select(col("h_lo"), col("h_hi"),
+        col("k.doc_id").as("k_doc"), col("k.seg").as("k_seg"))
+    val flags = hashed.join(keeper, Seq("h_lo", "h_hi"))
+      .select(col("doc_id"), col("seg"),
+        (col("doc_id") === col("k_doc") && col("seg") === col("k_seg"))
+          .as("keep"))
+    cdcReassemble(blocks.join(flags, Seq("doc_id", "seg")))
+  }
 
   /** CDC block registry: distinct 128-bit hashes of a corpus's
     * content-defined blocks (16 bytes per block), for
@@ -471,6 +501,46 @@ object Dedup extends QueryPack {
         SELECT doc_id, count(*) AS n_blocks,
                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                coalesce(string_agg(block, ' ' ORDER BY block_no)
+                          FILTER (WHERE rn = 1), '') AS clean_text
+        FROM ranked
+        GROUP BY doc_id
+      """.stripMargin
+
+  /** Shared q101/q102 oracle: cumulative-flag segment numbering (DuckDB
+    * window), row_number keeper election, segment-order reassembly. */
+  private val paragraphDedupCDCOracle: String = """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents
+        ), w AS (
+          SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM corpus
+        ), tok AS (
+          SELECT doc_id, unnest(ws) AS word,
+                 generate_subscripts(ws, 1) AS pos
+          FROM w
+        ), flag AS (
+          SELECT doc_id, pos, word,
+                 CASE WHEN substr(md5(word), 1, 1) IN ('0', '1')
+                      THEN 1 ELSE 0 END AS b
+          FROM tok
+        ), segd AS (
+          SELECT doc_id, pos, word,
+                 coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+          FROM flag
+        ), blk AS (
+          SELECT doc_id, seg, string_agg(word, ' ' ORDER BY pos) AS block
+          FROM segd GROUP BY doc_id, seg
+        ), ranked AS (
+          SELECT doc_id, seg, block,
+                 row_number() OVER (PARTITION BY block
+                                    ORDER BY doc_id, seg) AS rn
+          FROM blk
+        )
+        SELECT doc_id, count(*) AS n_blocks,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               coalesce(string_agg(block, ' ' ORDER BY seg)
                           FILTER (WHERE rn = 1), '') AS clean_text
         FROM ranked
         GROUP BY doc_id
@@ -762,44 +832,14 @@ object Dedup extends QueryPack {
     // function of word content (md5 prefix), identical in both engines.
     "q101_paragraph_dedup_cdc" -> Q(
       (s, d) => paragraphDedupCDC(withRecrawl(s, d)),
-      Some("""
-        WITH corpus AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 1000000, text FROM documents
-        ), w AS (
-          SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM corpus
-        ), tok AS (
-          SELECT doc_id, unnest(ws) AS word,
-                 generate_subscripts(ws, 1) AS pos
-          FROM w
-        ), flag AS (
-          SELECT doc_id, pos, word,
-                 CASE WHEN substr(md5(word), 1, 1) IN ('0', '1')
-                      THEN 1 ELSE 0 END AS b
-          FROM tok
-        ), segd AS (
-          SELECT doc_id, pos, word,
-                 coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
-          FROM flag
-        ), blk AS (
-          SELECT doc_id, seg, string_agg(word, ' ' ORDER BY pos) AS block
-          FROM segd GROUP BY doc_id, seg
-        ), ranked AS (
-          SELECT doc_id, seg, block,
-                 row_number() OVER (PARTITION BY block
-                                    ORDER BY doc_id, seg) AS rn
-          FROM blk
-        )
-        SELECT doc_id, count(*) AS n_blocks,
-               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-               coalesce(string_agg(block, ' ' ORDER BY seg)
-                          FILTER (WHERE rn = 1), '') AS clean_text
-        FROM ranked
-        GROUP BY doc_id
-      """.stripMargin),
+      Some(paragraphDedupCDCOracle),
       doc = "content-defined block dedup: md5-boundary blocks, offset-robust"),
+
+    // ---- q101's 100 TB form: hash-keyed exchanges, text never shuffled ----
+    "q102_paragraph_dedup_cdc_hashed" -> Q(
+      (s, d) => paragraphDedupCDCHashed(withRecrawl(s, d)),
+      Some(paragraphDedupCDCOracle),
+      doc = "CDC block dedup, hash-keyed exchanges: the at-scale plan shape"),
 
     // ---- near-dup cluster ids: the corpus-analytics view of dedup ----
     "q79_dedup_clusters" -> Q(

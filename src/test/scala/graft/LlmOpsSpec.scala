@@ -242,6 +242,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(clean2.length < shifted.length / 4)
   }
 
+  test("CDC hashed q102 is row-identical to text-keyed q101") {
+    val docs = Dedup.withRecrawl(spark, sf)
+      .unionByName(Seq(
+        (9000001L, null.asInstanceOf[String]),
+        (9000002L, "")
+      ).toDF("doc_id", "text"), allowMissingColumns = true)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    val a = Dedup.paragraphDedupCDC(docs).collect().map(key).sortBy(_._1)
+    val b = Dedup.paragraphDedupCDCHashed(docs).collect().map(key).sortBy(_._1)
+    assert(a.length == b.length && a.sameElements(b))
+    assert(a.exists(_._1 == 9000001L) && a.exists(_._1 == 9000002L))
+  }
+
   test("CDC incremental ≡ full CDC run restricted to the batch; edited re-crawl dedupes") {
     val corpus = Tables.documents(spark, sf).select($"doc_id", $"text")
     // batch: an EDITED re-crawl (3 words prepended to every doc) under

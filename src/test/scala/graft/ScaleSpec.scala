@@ -84,22 +84,30 @@ class ScaleSpec extends SparkSpec {
     // doc_id — if any hashpartitioning expression referenced the block
     // text, the whole point of the hash-keyed variant would be gone.
     // Pin the physical plan so a refactor can't silently regress it.
-    val df = SparkEntry.queries("q99_paragraph_dedup_hashed")(spark, sf)
-    df.collect() // finalize AQE on THIS plan
     import graft.plans.PlanWalk.walk
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val exchanges = walk(df.queryExecution.executedPlan)
-      .collect { case e: ShuffleExchangeExec => e }
-    assert(exchanges.nonEmpty, "expected shuffles (election + verdict + reassembly)")
-    val allowed = Set("h_lo", "h_hi", "doc_id")
-    exchanges.foreach { e =>
-      val keyAttrs = e.outputPartitioning match {
-        case hp: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
-          hp.expressions.flatMap(_.references.map(_.name))
-        case _ => Seq.empty
-      }
-      withClue(s"exchange keys $keyAttrs in:\n${e.simpleString(5)}") {
-        assert(keyAttrs.forall(allowed.contains))
+    // q102's segmentation additionally partitions by doc position
+    // (window) and (doc_id, seg) (assembly + flag join) — but never by
+    // block text, for either variant
+    val allowedByQuery = Map(
+      "q99_paragraph_dedup_hashed" -> Set("h_lo", "h_hi", "doc_id"),
+      "q102_paragraph_dedup_cdc_hashed" ->
+        Set("h_lo", "h_hi", "doc_id", "seg", "pos"))
+    allowedByQuery.foreach { case (q, allowed) =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // finalize AQE on THIS plan
+      val exchanges = walk(df.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, s"$q: expected shuffles")
+      exchanges.foreach { e =>
+        val keyAttrs = e.outputPartitioning match {
+          case hp: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            hp.expressions.flatMap(_.references.map(_.name))
+          case _ => Seq.empty
+        }
+        withClue(s"$q exchange keys $keyAttrs in:\n${e.simpleString(5)}") {
+          assert(keyAttrs.forall(allowed.contains))
+        }
       }
     }
   }
