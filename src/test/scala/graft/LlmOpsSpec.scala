@@ -316,6 +316,34 @@ class LlmOpsSpec extends SparkSpec {
       freshDoc._4 == (1 to 45).map(i => s"fresh$i").mkString(" "))
   }
 
+  test("block registries: empty registry ≡ full run; parquet round-trip preserves knockout") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").limit(100)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    // an EMPTY registry degenerates the incremental form to the full
+    // batch-internal run — for both block families
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("h_lo", LongType), StructField("h_hi", LongType))))
+    assert(Dedup.paragraphDedupIncremental(empty, docs).collect().map(key).sortBy(_._1)
+      .sameElements(Dedup.paragraphDedupHashed(docs).collect().map(key).sortBy(_._1)))
+    assert(Dedup.paragraphDedupCDCIncremental(empty, docs).collect().map(key).sortBy(_._1)
+      .sameElements(Dedup.paragraphDedupCDC(docs).collect().map(key).sortBy(_._1)))
+    // the production persistence path: a registry written to parquet and
+    // reloaded must knock out exactly what the in-memory one does
+    val dir = java.nio.file.Files.createTempDirectory("graft_reg").toString
+    Dedup.blockRegistry(docs).write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val viaMem = Dedup.paragraphDedupIncremental(Dedup.blockRegistry(docs), docs)
+      .collect().map(key).sortBy(_._1)
+    val viaDisk = Dedup.paragraphDedupIncremental(reloaded, docs)
+      .collect().map(key).sortBy(_._1)
+    assert(viaMem.sameElements(viaDisk))
+    // every block known → nothing kept, every doc still present
+    assert(viaDisk.length == 100 && viaDisk.forall(_._3 == 0L))
+  }
+
   test("iterative operators write reliable checkpoints when a dir is given") {
     // at cluster scale localCheckpoint blocks die with a lost executor;
     // checkpointDir routes every round through reliable checkpoint().
