@@ -256,6 +256,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(a.exists(_._1 == 9000001L) && a.exists(_._1 == 9000002L))
   }
 
+  test("native cdc_blocks ≡ the window-based segmentation it replaced") {
+    // q101/q102's segmentation is now one native codegen'd projection
+    // (functions/CdcBlocksExpr.scala); the DuckDB oracle still runs the
+    // window formulation, so pin byte-equality against that exact chain
+    // on real docs plus the awkward edges (null text, empty text, one
+    // word, consecutive spaces → empty word elements from split).
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .unionByName(Seq(
+        (9000001L, null.asInstanceOf[String]), (9000002L, ""),
+        (9000003L, "one"), (9000004L, "a  b")).toDF("doc_id", "text"))
+    val ws = split(coalesce($"text", lit("")), " ")
+    val native = docs
+      .select($"doc_id", posexplode(
+        graft.functions.CdcBlocks.cdcBlocks(ws)).as(Seq("seg", "block")))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2)))
+      .sorted
+    val wSeg = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val old = docs.select($"doc_id", posexplode(ws).as(Seq("pos", "word")))
+      .withColumn("b",
+        when(substring(md5($"word"), 1, 1).isin("0", "1"), 1L).otherwise(0L))
+      .withColumn("seg", coalesce(sum($"b").over(wSeg), lit(0L)))
+      .groupBy($"doc_id", $"seg")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"pos", $"word"))),
+        e => e.getField("word")), " ").as("block"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted
+    assert(native.length == old.length, s"${native.length} vs ${old.length}")
+    assert(native.sameElements(old))
+  }
+
   test("CDC incremental ≡ full CDC run restricted to the batch; edited re-crawl dedupes") {
     val corpus = Tables.documents(spark, sf).select($"doc_id", $"text")
     // batch: an EDITED re-crawl (3 words prepended to every doc) under

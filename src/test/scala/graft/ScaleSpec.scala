@@ -86,13 +86,13 @@ class ScaleSpec extends SparkSpec {
     // Pin the physical plan so a refactor can't silently regress it.
     import graft.plans.PlanWalk.walk
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    // q102's segmentation additionally partitions by doc position
-    // (window) and (doc_id, seg) (assembly + flag join) — but never by
-    // block text, for either variant
+    // q102's segmentation is a native scan-stage projection since round
+    // 9 (functions/CdcBlocksExpr.scala) — its exchange discipline is now
+    // identical to q99's: hash keys and doc_id only, never block text,
+    // never per-word position keys
     val allowedByQuery = Map(
       "q99_paragraph_dedup_hashed" -> Set("h_lo", "h_hi", "doc_id"),
-      "q102_paragraph_dedup_cdc_hashed" ->
-        Set("h_lo", "h_hi", "doc_id", "seg", "pos"))
+      "q102_paragraph_dedup_cdc_hashed" -> Set("h_lo", "h_hi", "doc_id"))
     allowedByQuery.foreach { case (q, allowed) =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect() // finalize AQE on THIS plan
