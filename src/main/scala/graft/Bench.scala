@@ -126,7 +126,11 @@ object Bench {
     // catalog run); reps/agg record the min-of-N interference protocol.
     // calib_sec sits in the TAIL section (after "queries") so the
     // driver's tail-truncated capture always retains it
-    val line = s"""{"metric":"total","sf":$sfTag,"reps":$reps,"agg":"min","queries":$qs,"n_queries":${results.size},"only":${only.isDefined},"calib_sec":${fmt(calib)},"value":${fmt(total)}}"""
+    // cpus prints NEXT TO calib_sec: the calibration partition count (and
+    // thus the number it produces) assumes this many cores — a cross-round
+    // calib-normalized comparison is only valid between runs with
+    // matching cpus (SCALE.md §cross-round comparability)
+    val line = s"""{"metric":"total","sf":$sfTag,"reps":$reps,"agg":"min","queries":$qs,"n_queries":${results.size},"only":${only.isDefined},"cpus":$cpus,"calib_sec":${fmt(calib)},"value":${fmt(total)}}"""
     println(line)
     // belt-and-braces: the full metric JSON also lands in a file that no
     // capture window can truncate

@@ -41,9 +41,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map { case (k, q) => k -> q.fn }
 
-  /** Bench subset: the sf-scaled queries. The IBRD e2e entries run on a
-    * fixed 220-row fixture regardless of sfDir — constant-cost rows,
-    * excluded so BENCH measures data-scaled throughput. */
+  /** Bench subset: the sf-scaled queries. The IBRD e2e entries below run
+    * on a fixed 220-row fixture regardless of sfDir — constant-cost rows,
+    * excluded so BENCH measures data-scaled throughput. The parity
+    * pipeline IS benched at sf through q103_ibrd_scaled_build (IbrdScale:
+    * ~600k staged rows at sf0.1). */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries.removedAll(Seq("q70_ibrd_e2e_loans_by_status",
       "q71_ibrd_measures_card", "q72_ibrd_staged", "q73_ibrd_trend_by_year",

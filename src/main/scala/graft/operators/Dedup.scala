@@ -42,6 +42,33 @@ object Dedup extends QueryPack {
     * grows quadratically with corpus size. Every stage is a bounded
     * shuffle (df count, per-doc window, id-only pair join, sort-merge
     * verify join) — no corpus-sized broadcast anywhere. */
+  /** Exact-tier routing rule (VERDICT r8 §next-5). Exact set-similarity
+    * joins are inherently SUPER-LINEAR under df-scaling vocabularies —
+    * every token's document frequency grows with the corpus, so prefix
+    * buckets widen everywhere at once even after PPJoin pruning
+    * (ProfileQ46Scale x1→x8, SCALE.md §dedup). The catalog's at-scale
+    * near-dup path is therefore q56's banded+capped MinHash LSH (linear
+    * by construction); [[jaccardPairs]] is the exact tier you run WITHIN
+    * a blocking key, or on LSH survivors. This guard states the budget
+    * explicitly: token occurrences (docs × avg tokens/doc) per blocking
+    * key beyond which the exact tier's candidate shuffle leaves the
+    * linear regime and the caller must pre-block or LSH-prefilter.
+    * The constant comes from the measured growth curve (x1 = the real
+    * sf0.1 corpus; x2/x4/x8 = same-df deterministic syntheses):
+    * shuffle/text ratio 12.1 → 17.1 → 24.7 → 34.4, i.e. ×~1.4 per
+    * corpus doubling (shuffle ≈ text^1.5), from ~2.5×10⁵ token
+    * occurrences at x1. Projecting the curve, at ~2×10⁷ occurrences per
+    * blocking key the ratio passes ~100 — every corpus byte shuffled a
+    * hundred times, an unambiguous "wrong tier" signal. */
+  val ExactTierMaxTokenOccurrences: Long = 20000000L
+
+  /** True when [[jaccardPairs]] is the right tier for a blocking key of
+    * `nDocs` documents averaging `avgTokensPerDoc` tokens; false ⇒ run
+    * MinHash LSH first ([[minhashCandidates]]) and exact-verify
+    * survivors, or block harder. */
+  def exactTierAdvisable(nDocs: Long, avgTokensPerDoc: Double): Boolean =
+    nDocs.toDouble * avgTokensPerDoc <= ExactTierMaxTokenOccurrences.toDouble
+
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 1): DataFrame = {
     val (prefix, sets) = prefixEngine(docs, threshold, n)
     val a = prefix.toDF("a_id", "lang", "source", "word", "a_rk", "a_sz")
@@ -410,6 +437,30 @@ object Dedup extends QueryPack {
   def blockRegistry(docs: DataFrame, width: Int = 20): DataFrame =
     hashedBlocks(wordArrays(docs), width)
       .select(col("h_lo"), col("h_hi")).dropDuplicates("h_lo", "h_hi")
+
+  /** Registry lifecycle (VERDICT r8 §next-6): fold a new batch's blocks
+    * into the corpus registry. The crawl loop's per-batch state update is
+    * `registry ∪ blockRegistry(batch)` deduped on the 128-bit key —
+    * 16 bytes per distinct block, monotone under re-union (feeding the
+    * same batch twice changes nothing), and written back through
+    * `TableSink.writeBucketed` on (h_lo, h_hi) it lands in the SAME
+    * pinned bucketed layout the q100 anti-join reads with no
+    * registry-side exchange (plan-pinned in ScaleSpec, including after a
+    * compaction round). The dedup's shuffle is registry-sized but
+    * hash-keyed and map-side combinable; at 100 TB this is the loop's
+    * one registry-sized job per batch, vs re-deriving the registry from
+    * the whole corpus (corpus-sized text scan). */
+  def compactedRegistry(registry: DataFrame, batch: DataFrame,
+                        width: Int = 20): DataFrame =
+    registry.select(col("h_lo"), col("h_hi"))
+      .unionByName(blockRegistry(batch, width))
+      .dropDuplicates("h_lo", "h_hi")
+
+  /** CDC twin of [[compactedRegistry]], for [[blockRegistryCDC]]. */
+  def compactedRegistryCDC(registry: DataFrame, batch: DataFrame): DataFrame =
+    registry.select(col("h_lo"), col("h_hi"))
+      .unionByName(blockRegistryCDC(batch))
+      .dropDuplicates("h_lo", "h_hi")
 
   /** Crawl-ingest form of [[paragraphDedupHashed]] (the q82 pattern for
     * the block family): strip every batch block already present in

@@ -16,6 +16,12 @@ object Ibrd extends QueryPack {
   // staged source column 1:1 (SK ↔ BK bijection on the initial load), so
   // the DuckDB oracle runs the visual directly over the staged CTE with
   // the fact's non-null-BK filter applied.
+  /** DuckDB list literal of [[graft.ibrd.IbrdScale.statusesClean]], in
+    * cycle order — single source of truth for the q103 oracle. */
+  private def IbrdScaleStatusList: String =
+    graft.ibrd.IbrdScale.statusesClean
+      .map("'" + _ + "'").mkString("[", ", ", "]")
+
   private def factInSql =
     s"""staged AS (${stagedOracleSql}),
        |fact_in AS (
@@ -191,6 +197,36 @@ object Ibrd extends QueryPack {
         SELECT * FROM carried UNION ALL SELECT * FROM inserted
       """.stripMargin),
       doc = "incremental SCD merge of dim_project over two fixture batches (R2)"),
+
+    // ---- the sf-SCALED parity run (VERDICT r8 item 3): the flagship
+    // clean → 7-SCD-dim → fact → visual pipeline on data-scaled input
+    // (~600k staged rows at sf0.1), so the parity claim is performance-
+    // graded like every other operator. Input rows are index-derived
+    // from lineitem (IbrdScale), so the oracle recomputes the visual
+    // from the index arithmetic: snapshot filter = i%16<14, dangling
+    // country knockout = i%97=0, identical-dup collapse = DISTINCT i,
+    // cleaned status = the recoded cycle indexed by j%6. ----
+    "q103_ibrd_scaled_build" -> Q(
+      (s, d) => IbrdMeasures.loansByStatus(graft.ibrd.IbrdScale.star(s, d)),
+      Some(s"""
+        WITH idx AS (
+          SELECT DISTINCT l_orderkey * 8 +
+                 CASE WHEN l_linenumber = 7 THEN 1 ELSE l_linenumber END AS i
+          FROM lineitem
+        ),
+        kept AS (
+          SELECT i, i + i // 3 AS j FROM idx
+          WHERE i % 16 < 14 AND i % 97 <> 0
+        )
+        SELECT ${IbrdScaleStatusList}[CAST(j % 6 AS INT) + 1] AS loan_status,
+               count(*) AS Loans,
+               sum(CAST(CAST(1000000.0 + (i % 100000) * 10.0 AS DECIMAL(18,2))
+                        AS DOUBLE)) AS "Loan Amount"
+        FROM kept
+        GROUP BY 1
+        ORDER BY Loans DESC, loan_status ASC
+      """.stripMargin),
+      doc = "sf-scaled IBRD parity build: clean → SCD dims → fact → loans-by-status visual"),
 
     "q76_ibrd_incremental_fact" -> Q(
       (s, _) => incrementalStar(s).fact

@@ -55,10 +55,16 @@ object Scd {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Initial load: dedup + surrogate keys + SCD bookkeeping columns. */
+  /** Initial load: dedup + surrogate keys + SCD bookkeeping columns.
+    * The deduped rows are persisted (scope-registered) before SK
+    * assignment: [[SurrogateKeys.assign]] reads its input twice (range
+    * sampling + the keyed pass), and dedup is a full-batch window — on a
+    * data-scaled batch (q103: 600k rows per dim) recomputing it per read
+    * doubled every dim build. */
   def initialLoad(batch: DataFrame, spec: ScdSpec, asOf: String,
                   scope: CacheScope = CacheScope.untracked): DataFrame =
-    SurrogateKeys.assign(dedup(batch, spec), Seq(spec.bk), spec.sk, scope = scope)
+    SurrogateKeys.assign(scope.persist(dedup(batch, spec)),
+      Seq(spec.bk), spec.sk, scope = scope)
       .withColumn("source_system_code", lit(1))
       .withColumn("start_date", lit(asOf).cast("date"))
       .withColumn("end_date", lit(null).cast("date"))
@@ -137,8 +143,12 @@ object Scd {
     // inserts: brand-new BKs + new versions of SCD2-changed BKs. The SK
     // offset (current max) joins in as a broadcast scalar — no driver
     // action inside the merge plan.
-    val inserts = j.filter(isNew || (!isAbsent && scd2Chg))
-      .select(spec.allIn.map(c => col(s"s.$c")): _*)
+    // persisted: inserts are batch-change-sized (tiny against the dim) and
+    // read twice by SK assignment; the persist also routes assignment onto
+    // its single-partition fast path (no range sampling, no offsets
+    // broadcast — see SurrogateKeys) whenever the change set counts small
+    val inserts = scope.persist(j.filter(isNew || (!isAbsent && scd2Chg))
+      .select(spec.allIn.map(c => col(s"s.$c")): _*))
     val maxSkDf = dimP.agg(coalesce(max(col(spec.sk)), lit(0L)).as("__max_sk"))
     val inserted = SurrogateKeys.assign(inserts, Seq(spec.bk), spec.sk, scope = scope)
       .crossJoin(broadcast(maxSkDf))

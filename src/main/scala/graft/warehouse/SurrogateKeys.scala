@@ -28,8 +28,29 @@ object SurrogateKeys {
     val keys: Seq[Column] = keyCols.map(col)
     // scale the range-partition count with the input (a fixed 32-way range
     // shuffle dominates wall-clock on small dims; at scale the input split
-    // count grows with the data and so does this)
-    val n = numPartitions.getOrElse(math.max(df.rdd.getNumPartitions, 1))
+    // count grows with the data and so does this). A PERSISTED input that
+    // counts small takes the single-partition fast path below — the count
+    // only reads (or materializes, which a later reader needed anyway)
+    // the cache; unpersisted inputs never pay an extra pass for it.
+    val n = numPartitions.getOrElse {
+      val persisted =
+        df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      if (persisted && df.count() <= 100000) 1
+      else math.max(df.rdd.getNumPartitions, 1)
+    }
+    if (n == 1) {
+      // dictionary-bounded inputs (the warehouse dims): ONE narrow task
+      // assigns the total-order SK directly — no range sampling, no
+      // per-partition offsets aggregate, no broadcast join, no cache
+      // write. Deterministic without materialization: pid is always 0
+      // and row_number over the total key order has no execution-order
+      // freedom. The non-foldable constant partition key keeps the
+      // WindowExec partition spec non-empty (see the offsets note below).
+      return df.repartitionByRange(1, keys: _*)
+        .withColumn(skName, (row_number().over(
+          Window.partitionBy(pmod(spark_partition_id(), lit(1)))
+            .orderBy(keys: _*)) + lit(offset)).cast("long"))
+    }
     val ranged = df.repartitionByRange(n, keys: _*)
     val pid = "__sk_pid"
     val rn = "__sk_rn"

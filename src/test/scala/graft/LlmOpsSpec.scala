@@ -256,6 +256,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(a.exists(_._1 == 9000001L) && a.exists(_._1 == 9000002L))
   }
 
+  test("exact-tier routing guard: catalog corpora sit inside the budget; 100TB-scale keys do not") {
+    // the explicit threshold VERDICT r8 §next-5 asked for: the catalog's
+    // real corpora are safely inside the exact tier, while a key sized
+    // like an unblocked 100 TB shard is rejected toward LSH
+    val docs = Tables.documents(spark, sf)
+    val stats = docs.select(count(lit(1)).as("n"),
+      avg(size(split($"text", " "))).as("avg_tok")).head
+    assert(Dedup.exactTierAdvisable(stats.getLong(0), stats.getDouble(1)))
+    // sf0.1 ≈ 10k docs × ~340 tokens — still inside with margin
+    assert(Dedup.exactTierAdvisable(10000L, 400.0))
+    // an unblocked 1M-doc web shard at 500 tokens/doc is the wrong tier
+    assert(!Dedup.exactTierAdvisable(1000000L, 500.0))
+    // boundary is the documented constant itself
+    assert(Dedup.exactTierAdvisable(Dedup.ExactTierMaxTokenOccurrences, 1.0))
+    assert(!Dedup.exactTierAdvisable(Dedup.ExactTierMaxTokenOccurrences + 1, 1.0))
+  }
+
   test("native cdc_blocks ≡ the window-based segmentation it replaced") {
     // q101/q102's segmentation is now one native codegen'd projection
     // (functions/CdcBlocksExpr.scala); the DuckDB oracle still runs the

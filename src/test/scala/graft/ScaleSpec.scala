@@ -78,6 +78,54 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("registry compaction: idempotent under re-union, keeps the no-exchange anti-join layout") {
+    // the crawl loop's state update (VERDICT r8 §next-6): registry(n+1) =
+    // compact(registry(n), batch). Three contracts: (1) compaction equals
+    // the from-scratch registry of corpus∪batch (so the loop never needs
+    // a corpus-sized rebuild); (2) re-feeding the same batch is a no-op;
+    // (3) a compacted registry WRITTEN back bucketed still serves the
+    // q100 anti-join with no registry-side exchange.
+    import graft.operators.Dedup
+    import graft.plans.PlanWalk.walk
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+      .withColumn("doc_id", $"doc_id" + 3000000L)
+    val r0 = Dedup.blockRegistry(docs)
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val compacted = Dedup.compactedRegistry(r0, batch)
+    val scratch = Dedup.blockRegistry(docs.select("doc_id", "text")
+      .unionByName(batch.select("doc_id", "text")))
+    assert(compacted.collect().map(key).sorted
+      .sameElements(scratch.collect().map(key).sorted))
+    val again = Dedup.compactedRegistry(compacted, batch)
+    assert(again.collect().map(key).sorted
+      .sameElements(compacted.collect().map(key).sorted))
+    // (3): write the compacted registry bucketed; the knockout anti-join
+    // must read it with no exchange above the registry-side scan
+    TableSink.writeBucketed(compacted, "b_registry_compacted", 8,
+      Seq("h_lo", "h_hi"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Dedup.paragraphDedupIncremental(
+        spark.table("b_registry_compacted"),
+        docs.filter($"doc_id" % 3 === 0)
+          .withColumn("doc_id", $"doc_id" + 4000000L))
+      df.collect()
+      val antiJoins = walk(df.queryExecution.executedPlan).collect {
+        case j: BaseJoinExec if j.joinType.sql == "LEFT ANTI" => j
+      }
+      assert(antiJoins.nonEmpty, "expected the registry knockout anti-join")
+      antiJoins.foreach { j =>
+        val rightShuffles = walk(j.right)
+          .collect { case e: ShuffleExchangeExec => e }
+        withClue(j.simpleString(10)) { assert(rightShuffles.isEmpty) }
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q99 plan: every exchange keys on hashes or doc_id — block text never shuffles") {
     // the at-scale contract of paragraphDedupHashed (SCALE.md): the two
     // corpus-wide exchanges carry 16-byte hash keys (h_lo, h_hi) or
