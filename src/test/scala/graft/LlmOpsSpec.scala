@@ -306,6 +306,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(native.sameElements(old))
   }
 
+  test("cdc_blocks / cdc_select edges: nulls, empty ordinals, out-of-range ordinals") {
+    import graft.functions.CdcBlocks.{cdcBlocks, cdcSelect}
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // real words — some boundary somewhere
+      (2L, "")                      // split("") = [""] → one block of ""
+    ).toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("ws"))
+    // blocks concatenated in order reproduce the document exactly
+    val roundTrip = df.select($"doc_id",
+      array_join(cdcBlocks($"ws"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(roundTrip(1L) == "a b c d e f g h i j" && roundTrip(2L) == "")
+    // cdc_select: empty ordinal array → ""; out-of-range ordinals are
+    // skipped (array_join semantics); null ws → null
+    val sel = df.select($"doc_id",
+      cdcSelect($"ws", array().cast("array<int>")).as("empty"),
+      cdcSelect($"ws", array(lit(0), lit(999))).as("oob"),
+      cdcSelect(lit(null).cast("array<string>"), array(lit(0))).as("nullws"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(sel(1L)._1 == "")
+    val firstBlock = df.filter($"doc_id" === 1L)
+      .select(element_at(cdcBlocks($"ws"), 1)).head.getString(0)
+    assert(sel(1L)._2 == firstBlock)
+    assert(sel(1L)._3 == null)
+  }
+
   test("CDC incremental ≡ full CDC run restricted to the batch; edited re-crawl dedupes") {
     val corpus = Tables.documents(spark, sf).select($"doc_id", $"text")
     // batch: an EDITED re-crawl (3 words prepended to every doc) under
