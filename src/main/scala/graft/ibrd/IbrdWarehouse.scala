@@ -1,6 +1,6 @@
 package graft.ibrd
 
-import graft.warehouse.{CacheScope, DimDate, FactBuilder, Scd, ScdSpec, SurrogateKeys}
+import graft.warehouse.{CacheScope, DimDate, FactBuilder, Scd, ScdSpec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -259,21 +259,48 @@ object IbrdWarehouse {
   private def factRows(factIn: DataFrame,
                        lookups: Seq[FactBuilder.Lookup],
                        scope: CacheScope): DataFrame = {
-    // the fact is keyed on (loan_number, end_of_period) by declaration
-    // (SURVEY §7 risk 5): deterministic within-batch dedup, same policy
-    // as the SCD dims
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("loan_number"), col("end_of_period"))
-      .orderBy(factIn.columns.map(col).toIndexedSeq: _*)
-    // persisted: read by the dangling probe, the lookup chain, and SK
-    // range sampling — three passes over the full staged pipeline
-    val unique = scope.persist(factIn
-      .withColumn("__fact_rn", row_number().over(w))
-      .filter(col("__fact_rn") === 1).drop("__fact_rn"))
+    // The fact is keyed on (loan_number, end_of_period) by declaration
+    // (SURVEY §7 risk 5): deterministic within-batch keep-first dedup,
+    // same policy as the SCD dims, plus an order-stable SK over the key.
+    // Both ride ONE range exchange (the old shape paid two full-width
+    // fact shuffles: a hash-partitioned dedup window, then the SK range
+    // pass): range partitioning colocates equal keys, so within a
+    // partition one sort by (key, all columns) yields the keep-first
+    // flag (key differs from the previous row's) AND the survivor
+    // ordinal; per-partition survivor counts (driver-sized) become the
+    // global SK offsets, as in SurrogateKeys.assign. Persisted before
+    // its three readers (offsets aggregate, dangling probe, lookup
+    // chain) — range bounds are sampled and spark_partition_id() is
+    // execution-dependent, so one materialization is a correctness
+    // requirement under task retries, not a cache optimization.
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq(col("loan_number"), col("end_of_period"))
+    val n = math.max(factIn.rdd.getNumPartitions, 1)
+    val pid = "__f_pid"
+    val w = Window.partitionBy(col(pid))
+      .orderBy((keys ++ factIn.columns.map(col)).toIndexedSeq: _*)
+    val keyStruct = struct(keys: _*)
+    val marked = scope.persist(factIn.repartitionByRange(n, keys: _*)
+      .withColumn(pid, spark_partition_id())
+      .withColumn("__f_first",
+        coalesce(lag(keyStruct, 1).over(w) =!= keyStruct, lit(true)))
+      .withColumn("__f_ord",
+        sum(when(col("__f_first"), 1L).otherwise(0L)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val offsets = marked.groupBy(col(pid))
+      .agg(sum(when(col("__f_first"), 1L).otherwise(0L)).as("__f_cnt"))
+      .withColumn("__f_off",
+        coalesce(sum(col("__f_cnt")).over(
+          Window.partitionBy(pmod(col(pid), lit(1))).orderBy(col(pid))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(pid), col("__f_off"))
+    val unique = marked.filter(col("__f_first"))
+      .join(broadcast(offsets), pid)
+      .withColumn("PK_loan_number_SK",
+        (col("__f_off") + col("__f_ord")).cast("long"))
+      .drop(pid, "__f_first", "__f_ord", "__f_off")
     FactBuilder.assertNoDangling(unique, lookups)
-    val joined = FactBuilder.build(unique, lookups)
-    SurrogateKeys.assign(joined, Seq("loan_number", "end_of_period"),
-      "PK_loan_number_SK", scope = scope)
+    FactBuilder.build(unique, lookups)
       .select(
         col("PK_loan_number_SK"),
         col("FK_borrower"), col("FK_guarantor"), col("FK_country"),

@@ -955,35 +955,61 @@ object Dedup extends QueryPack {
     * computed it twice. The mapping itself is tiny (one (id, cluster_id)
     * row per doc — ~16 bytes/doc, corpus-linear, never corpus²), so it
     * is persisted and eagerly materialized once per (session, dir,
-    * threshold); the second consumer reads the cached rows. Keyed on the
-    * session object so a stopped session's entries can't leak into a new
-    * one. */
-  private val clusterMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Double), DataFrame]()
+    * threshold); the second consumer reads the cached rows (and after a
+    * cache flush, re-derives them from the pipeline's localCheckpoint
+    * roots — cheap, the pair generation never re-runs). WEAK session
+    * keys + SOFT values, same as the q75/q76 star memo: a stopped
+    * session must not stay pinned by this cache, and the value must be
+    * softly held because a DataFrame strongly references its session —
+    * a plain weak-map value would re-pin its own key (the WeakHashMap
+    * value-references-key trap). */
+  private val clusterMemo =
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.SoftReference[
+      scala.collection.concurrent.TrieMap[(String, Double), DataFrame]]]()
 
   def clusterIdsShared(s: SparkSession, d: String,
-                       threshold: Double): DataFrame =
-    clusterMemo.computeIfAbsent((s, d, threshold), _ => {
+                       threshold: Double): DataFrame = {
+    val perSession = clusterMemo.synchronized {
+      Option(clusterMemo.get(s)).flatMap(r => Option(r.get)).getOrElse {
+        val m = scala.collection.concurrent.TrieMap.empty[(String, Double), DataFrame]
+        clusterMemo.put(s, new java.lang.ref.SoftReference(m))
+        m
+      }
+    }
+    perSession.getOrElseUpdate((d, threshold), {
       val m = clusterIds(T.documents(s, d), threshold)
       m.persist()
       m.count()
       m
     })
+  }
 
   def clusterIds(docs: DataFrame, threshold: Double,
                  maxIters: Int = 50,
-                 checkpointDir: Option[String] = None): DataFrame = {
+                 checkpointDir: Option[String] = None): DataFrame =
+    componentsFromEdges(docs.select(col("doc_id")),
+      jaccardPairs(docs, threshold), maxIters, checkpointDir)
+
+  /** Connected components over an arbitrary undirected pair set —
+    * factored out of [[clusterIds]] so ANY near-dup pair source can be
+    * contracted to clusters (text-Jaccard pairs for q62/q79, embedding-
+    * cosine pairs for q104 semantic dedup). `ids` carries one `doc_id`
+    * per node (singletons join back at the end with their own id);
+    * `pairs` carries (a_id, b_id). Output: (doc_id, cluster_id) with
+    * cluster_id = the component's minimum id. */
+  def componentsFromEdges(ids: DataFrame, pairsIn: DataFrame,
+                          maxIters: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
     val rounds = Rounds(checkpointDir)
-    rounds.init(docs)
+    rounds.init(ids)
     // checkpoint the PAIRS, not the symmetrized edge union: union's two
     // branches are separate plan subtrees, so checkpointing downstream of
-    // the union ran the whole prefix-filter + verify pipeline twice (the
+    // the union ran the whole pair-generation pipeline twice (the
     // dominant cost of the operator — measured ~1s off q79 at sf0.1)
     // (AQE already right-sizes the tiny CC shuffles — an explicit
     // count+repartition of the pair graph was measured SLOWER at sf0.1:
     // the extra jobs cost more than the narrow-task savings)
-    val pairs = rounds.mark(
-      jaccardPairs(docs, threshold).select(col("a_id"), col("b_id")))
+    val pairs = rounds.mark(pairsIn.select(col("a_id"), col("b_id")))
     val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
     // hook step (union-find "hook to min neighbor"): every edge node maps
@@ -1029,7 +1055,7 @@ object Dedup extends QueryPack {
     // the component, that label is the component minimum.
     require(remaining == 0,
       s"connected components did not converge in $maxIters iterations")
-    docs.select(col("doc_id"))
+    ids.select(col("doc_id"))
       .join(mapping.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("lbl"), col("doc_id")).as("cluster_id"))

@@ -527,6 +527,60 @@ object Similarity extends QueryPack {
       """.stripMargin),
       doc = "embedding-cosine near-dup pairs, hamming-1 multi-probe cells"),
 
+    // ---- SemDeDup-shaped SEMANTIC dedup: the corpus-rewrite view of
+    // q61's pairs (SemDeDup, public 2023 literature: embedding-space
+    // near-dup groups, keep one representative). Pairs come from the
+    // bucketed cosine join; groups are connected components via the same
+    // contraction engine as q62/q79 (Dedup.componentsFromEdges); the
+    // keeper is the component minimum. Output: every vector with its
+    // semantic-cluster id and keep/drop verdict. The oracle replays the
+    // pair join and closes it with a recursive transitive-closure CTE —
+    // exact because components are tiny (near-clique duplicate groups),
+    // while the engine side stays the geometric-contraction form that
+    // scales to corpus-sized graphs. ----
+    "q104_semantic_dedup" -> Q(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        Dedup.componentsFromEdges(emb.select(col("vec_id").as("doc_id")),
+            embeddingNearDups(emb, SignBits, minSim = 0.4))
+          .select(col("doc_id").as("vec_id"), col("cluster_id"),
+            (col("doc_id") === col("cluster_id")).as("kept"))
+      },
+      Some(s"""
+        WITH RECURSIVE e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 ${bucketExprSql(rawVSql)} AS bucket
+          FROM embeddings
+        ),
+        p AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM e a JOIN e b
+            ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+        ),
+        edges AS (
+          SELECT a_id AS s, b_id AS d FROM p
+          UNION
+          SELECT b_id, a_id FROM p
+        ),
+        reach(s, d) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s
+        ),
+        lbl AS (
+          SELECT s AS vec_id, least(s, min(d)) AS cluster_id
+          FROM reach GROUP BY s
+        )
+        SELECT emb.vec_id,
+               coalesce(l.cluster_id, emb.vec_id) AS cluster_id,
+               emb.vec_id = coalesce(l.cluster_id, emb.vec_id) AS kept
+        FROM embeddings emb LEFT JOIN lbl l USING (vec_id)
+      """.stripMargin),
+      doc = "semantic dedup: embedding near-dup components, keep cluster minimum"),
+
     // ---- per-label centroids (the IVF codebook-training primitive) ----
     // posexplode → one hash aggregate on (label, pos): the 100 TB shape is
     // a map-side partial sum per dimension, one shuffle of |labels|·dim

@@ -306,6 +306,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(native.sameElements(old))
   }
 
+  test("semantic dedup (q104): cluster ids are component minima; keepers are exactly them") {
+    val rows = SparkEntry.queries("q104_semantic_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == 500)
+    // cluster id is a minimum: never above the member's own id, and it
+    // appears as a member of its own cluster
+    val ids = rows.map(_._1).toSet
+    rows.foreach { case (v, c, k) =>
+      assert(c <= v && ids.contains(c))
+      assert(k == (v == c))
+    }
+    // the synthetic corpus has real near-dup groups: something is dropped
+    val dropped = rows.count(!_._3)
+    assert(dropped > 0, "expected at least one semantic near-dup group")
+    // agreement with the pair source: every dropped vector shares its
+    // cluster with at least one other member (it joined via an edge)
+    val bySize = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    rows.filter(!_._3).foreach { case (v, c, _) =>
+      assert(bySize(c) >= 2, s"dropped $v alone in cluster $c")
+    }
+  }
+
   test("cdc_blocks / cdc_select edges: nulls, empty ordinals, out-of-range ordinals") {
     import graft.functions.CdcBlocks.{cdcBlocks, cdcSelect}
     val df = Seq(
