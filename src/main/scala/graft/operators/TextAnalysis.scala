@@ -439,6 +439,101 @@ object TextAnalysis extends QueryPack {
         SELECT g AS gram, count(*) AS n_occurrences
         FROM g GROUP BY g HAVING count(*) >= 6
       """.stripMargin),
-      doc = "heavy-hitter 3-grams via Count-Min prefilter + exact confirm (boilerplate mining)")
+      doc = "heavy-hitter 3-grams via Count-Min prefilter + exact confirm (boilerplate mining)"),
+
+    // ---- BM25 lexical retrieval (RAG / corpus search) ----
+    // Okapi BM25 top-k for a fixed keyword query. The plan is shaped for
+    // a 100 TB corpus: ONE aggregate over the exploded token stream
+    // produces a compact per-doc row (doc length + a tf column per query
+    // term — conditional aggregation, so tf extraction adds no second
+    // pass); corpus stats (N, avgdl) and the per-term dfs reduce from
+    // that DOC-sized table into a single broadcast row; scoring is then a
+    // pure projection (no per-term join fan-out — the classic
+    // score-join-per-term plan shuffles |terms|·|docs| rows, this one
+    // shuffles the token aggregate once and nothing after); top-k is
+    // TakeOrderedAndProject, never a global sort. Each term's BM25
+    // contribution is round(·,6)'d BEFORE the fixed-order 3-term sum, so
+    // the result is bit-stable across engines and partitionings (the
+    // q90/dsum float rule). rk ties break on doc_id.
+    "q105_bm25_topk" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val terms = Bm25Query
+        val perDoc = T.documents(s, d)
+          .select($"doc_id", explode(TextOps.words($"text")).as("term"))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("dl"),
+            terms.zipWithIndex.map { case (t, i) =>
+              count(when($"term" === t, 1)).as(s"tf${i + 1}")
+            }: _*)
+        val g = perDoc.agg(
+          count(lit(1)).as("n"),
+          (avg($"dl").as("avgdl") +:
+            terms.indices.map { i =>
+              count(when(col(s"tf${i + 1}") > 0, 1)).as(s"df${i + 1}")
+            }): _*)
+        val w: Seq[org.apache.spark.sql.Column] = terms.indices.map { i =>
+          val tf = col(s"tf${i + 1}").cast("double")
+          val df = col(s"df${i + 1}")
+          val idf = log(lit(1.0) + ($"n" - df + lit(0.5)) / (df + lit(0.5)))
+          val denom = tf + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            lit(Bm25B) * $"dl" / $"avgdl")
+          round(when(tf === 0, 0.0)
+            .otherwise(idf * (tf * lit(Bm25K1 + 1.0)) / denom), 6)
+        }
+        perDoc.crossJoin(broadcast(g))
+          .select($"doc_id", w.reduceLeft(_ + _).as("bm25"))
+          .orderBy($"bm25".desc, $"doc_id".asc)
+          .limit(Bm25TopK)
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy($"bm25".desc, $"doc_id".asc)).cast("int"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ), d AS (
+          SELECT doc_id, count(*) AS dl,
+                 count(*) FILTER (term = '${Bm25Query(0)}') AS tf1,
+                 count(*) FILTER (term = '${Bm25Query(1)}') AS tf2,
+                 count(*) FILTER (term = '${Bm25Query(2)}') AS tf3
+          FROM toks GROUP BY doc_id
+        ), g AS (
+          SELECT count(*) AS n, avg(dl) AS avgdl,
+                 count(*) FILTER (tf1 > 0) AS df1,
+                 count(*) FILTER (tf2 > 0) AS df2,
+                 count(*) FILTER (tf3 > 0) AS df3
+          FROM d
+        ), s AS (
+          SELECT doc_id,
+            round(CASE WHEN tf1 = 0 THEN 0.0 ELSE
+              ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                * (CAST(tf1 AS DOUBLE) * ${Bm25K1 + 1.0})
+                / (CAST(tf1 AS DOUBLE) + ${Bm25K1} * (${1.0 - Bm25B} + ${Bm25B} * dl / avgdl)) END, 6)
+          + round(CASE WHEN tf2 = 0 THEN 0.0 ELSE
+              ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                * (CAST(tf2 AS DOUBLE) * ${Bm25K1 + 1.0})
+                / (CAST(tf2 AS DOUBLE) + ${Bm25K1} * (${1.0 - Bm25B} + ${Bm25B} * dl / avgdl)) END, 6)
+          + round(CASE WHEN tf3 = 0 THEN 0.0 ELSE
+              ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5))
+                * (CAST(tf3 AS DOUBLE) * ${Bm25K1 + 1.0})
+                / (CAST(tf3 AS DOUBLE) + ${Bm25K1} * (${1.0 - Bm25B} + ${Bm25B} * dl / avgdl)) END, 6)
+            AS bm25
+          FROM d CROSS JOIN g
+        )
+        SELECT doc_id, bm25, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rk
+        FROM s
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT ${Bm25TopK}
+      """.stripMargin),
+      doc = "Okapi BM25 top-k retrieval for a fixed keyword query (RAG lexical search)")
   )
+
+  /** BM25 catalog constants: the fixed query terms and the standard
+    * Okapi parameters. */
+  val Bm25Query: Seq[String] = Seq("spark", "join", "window")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10
 }
