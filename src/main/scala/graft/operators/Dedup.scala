@@ -149,6 +149,19 @@ object Dedup extends QueryPack {
     * runs at (and the DuckDB oracle stays green). */
   private def prefixEngine(docs: DataFrame, threshold: Double,
                            n: Int): (DataFrame, DataFrame) = {
+    val (ranked, sets) = rankedTokens(docs, n)
+    val prefix = ranked
+      .filter(col("rk") <= col("wsize") - ceil(lit(threshold) * col("wsize")) + 1)
+    (prefix, sets)
+  }
+
+  /** Rarity-ranked token stream shared by the Jaccard prefix engine and
+    * the containment join: every token of every doc with its per-doc
+    * rarest-first rank (`rk`) and the doc's set size (`wsize`), plus the
+    * per-doc sorted hash sets for exact verification. Ranking ties break
+    * on the token hash so the order is deterministic under any
+    * partitioning / task retry. */
+  private def rankedTokens(docs: DataFrame, n: Int): (DataFrame, DataFrame) = {
     val base = docs.select(
       col("doc_id"), col("lang"), col("source"),
       graft.functions.NGramHash64.ngramHashes(TextOps.words(col("text")), n)
@@ -159,18 +172,65 @@ object Dedup extends QueryPack {
       explode(col("wset")).as("word"))
     val dfreq = tokens.groupBy(col("lang"), col("source"), col("word"))
       .agg(count(lit(1)).as("df"))
-    // rarest-first ranking per doc; ties broken on the token hash so the
-    // prefix is deterministic under any partitioning / task retry
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df").asc, col("word").asc)
-    val prefix = tokens.join(dfreq, Seq("lang", "source", "word"))
+    val ranked = tokens.join(dfreq, Seq("lang", "source", "word"))
       .withColumn("rk", row_number().over(byRarity))
-      .filter(col("rk") <= col("wsize") - ceil(lit(threshold) * col("wsize")) + 1)
-      // rk + wsize travel with each prefix token for the PPJoin
-      // positional/length pruning at candidate-generation time
+      // rk + wsize travel with each token for positional/length pruning
+      // at candidate-generation time
       .select(col("doc_id"), col("lang"), col("source"), col("word"),
         col("rk"), col("wsize"))
-    (prefix, base.select(col("doc_id"), col("wset")))
+    (ranked, base.select(col("doc_id"), col("wset")))
+  }
+
+  /** Directed set-containment join: pairs (a, b) with
+    * |tokens(a) ∩ tokens(b)| / |tokens(a)| ≥ t — "document a is mostly
+    * contained in document b", the asymmetric near-dup relation Jaccard
+    * misses (a short quote inside a long page scores near-zero Jaccard
+    * but containment 1.0). Boilerplate/quote/subset detection over
+    * n-gram shingle sets.
+    *
+    * Scale design (asymmetric prefix filter, public set-containment-join
+    * literature): only the CONTAINED side is prefix-cut — a true pair
+    * needs overlap ≥ ⌈t·|a|⌉, so a's rarest |a| − ⌈t·|a|⌉ + 1 tokens must
+    * intersect the overlap (pigeonhole) — while the containing side is
+    * probed through its FULL rarity-ranked token stream (an inverted
+    * index: corpus-linear, built once, the same exchange an LSH band
+    * index costs). Candidates prune further on two sound bounds before
+    * any set travels: |b| must reach the required overlap, and the
+    * shared witness token's positions cap the achievable overlap at
+    * 1 + min(|a|−rk_a, |b|−rk_b). The 1e-9 slack inside every ⌈·⌉ keeps
+    * double rounding from OVER-pruning (extra candidates cost verify
+    * work, never correctness). Verify is the exact sorted-hash
+    * merge-walk on id-keyed SHUFFLE_HASH joins, like [[jaccardPairs]];
+    * the final predicate is the division form `inter/|a| ≥ t` — the
+    * SAME float comparison the oracle runs, so boundary pairs (e.g.
+    * 20/25 vs 0.8) cannot flip between engines. */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+                       n: Int = 1): DataFrame = {
+    val (ranked, sets) = rankedTokens(docs, n)
+    val aPrefix = ranked.filter(
+      col("rk") <= col("wsize") - ceil(lit(threshold) * col("wsize") - 1e-9) + 1)
+    val a = aPrefix.toDF("a_id", "lang", "source", "word", "a_rk", "a_sz")
+    val b = ranked.toDF("b_id", "lang", "source", "word", "b_rk", "b_sz")
+    val minOverlap = ceil(lit(threshold) * col("a_sz") - 1e-9)
+    val candIds = a.join(b, Seq("lang", "source", "word"))
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(col("b_sz").cast("double") >= minOverlap)
+      .filter((lit(1) + least(col("a_sz") - col("a_rk"),
+        col("b_sz") - col("b_rk"))).cast("double") >= minOverlap)
+      .select(col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    candIds
+      .join(sets.toDF("a_id", "a_set").hint("SHUFFLE_HASH"), "a_id")
+      .join(sets.toDF("b_id", "b_set").hint("SHUFFLE_HASH"), "b_id")
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.count(col("a_set"), col("b_set")))
+      .withColumn("containment",
+        col("inter").cast("double") / size(col("a_set")))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        round(col("containment"), 6).as("containment_r"))
   }
 
   /** Exact verify on the sorted hash sets: id-keyed SHUFFLE_HASH joins
@@ -650,6 +710,37 @@ object Dedup extends QueryPack {
                  / (any_value(a.wsize) + any_value(b.wsize) - count(*)) >= 0.5
       """.stripMargin),
       doc = "blocked exact Jaccard near-dup pairs"),
+
+    // ---- directed set containment (asymmetric near-dup) ----
+    // |a∩b|/|a| ≥ 0.8 over 2-shingle sets: catches "a is a subset/quote
+    // of b" pairs whose Jaccard stays low when |b| ≫ |a|. Directed
+    // output — (a⊂b) and (b⊂a) are different facts.
+    "q107_containment_pairs" -> Q(
+      (s, d) => containmentPairs(T.documents(s, d), threshold = 0.8, n = 2),
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, source,
+                 list_distinct(list_transform(
+                   range(1, len(string_split(text, ' '))),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1])) AS wset
+          FROM documents
+        ), exploded AS (
+          SELECT doc_id, lang, source, len(wset) AS wsize,
+                 unnest(wset) AS word
+          FROM base
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(CAST(count(*) AS DOUBLE) / any_value(a.wsize), 6)
+                 AS containment_r
+        FROM exploded a
+        JOIN exploded b
+          ON a.lang = b.lang AND a.source = b.source AND a.word = b.word
+         AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(count(*) AS DOUBLE) / any_value(a.wsize) >= 0.8
+      """.stripMargin),
+      doc = "directed set-containment pairs (quote/subset detection, asymmetric prefix filter)"),
 
     // ---- n-gram (2-shingle) Jaccard: order-sensitive near-dup ----
     // word-set Jaccard is order-blind; 2-gram shingles distinguish

@@ -90,6 +90,50 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs equals the naive directed all-words join at every threshold") {
+    val docs = Tables.documents(spark, sf)
+    // naive reference: explode-join every word within the block, count
+    // shared words per DIRECTED pair, divide by the contained side's size
+    def naive(threshold: Double): Set[(Long, Long, Double)] = {
+      val exploded = docs.select($"doc_id", $"lang", $"source",
+        TextOps.distinctWords($"text").as("wset"))
+        .withColumn("wsize", size($"wset"))
+        .select($"doc_id", $"lang", $"source", $"wsize",
+          explode($"wset").as("word"))
+      val a = exploded.toDF("a_id", "lang", "source", "a_size", "word")
+      val b = exploded.toDF("b_id", "lang", "source", "b_size", "word")
+      a.join(b, Seq("lang", "source", "word"))
+        .filter($"a_id" =!= $"b_id")
+        .groupBy($"a_id", $"b_id", $"a_size")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("c", $"inter".cast("double") / $"a_size")
+        .filter($"c" >= threshold)
+        .select($"a_id", $"b_id", round($"c", 6).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    Seq(0.5, 0.8, 0.95).foreach { t =>
+      val fast = Dedup.containmentPairs(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      withClue(s"threshold $t: fast=${fast.size} naive=${naive(t).size}") {
+        assert(fast == naive(t))
+      }
+    }
+  }
+
+  test("containment is asymmetric: a short subset doc scores 1.0 into its superset") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s"),
+      (2L, "alpha beta gamma delta", "en", "s"),
+      (3L, "iota kappa lambda mu", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val pairs = Dedup.containmentPairs(docs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // doc 2 ⊂ doc 1 (containment 1.0); the reverse direction is 4/8 = 0.5
+    // and must NOT appear; doc 3 shares nothing
+    assert(pairs == Set((2L, 1L, 1.0)))
+  }
+
   test("minhash LSH: high recall of exact near-dup pairs, perfect precision") {
     val docs = Tables.documents(spark, sf)
     // exact baseline blocked on (lang, source); LSH blocks on lang only,
