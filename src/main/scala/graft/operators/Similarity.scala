@@ -149,6 +149,126 @@ object Similarity extends QueryPack {
     * (`crossJoin(broadcast(cents)) → groupBy(vector)`) amplifies the
     * corpus ×C and then shuffles one row per vector to reduce it back,
     * the ANN path's only corpus-wide exchange at 100 TB. */
+  /** Product-quantization geometry: [[EmbeddingDim]] splits into `PqM`
+    * subspaces of `PqSubDim` dims, each quantized to one of `PqK`
+    * centroids — a vector compresses to PqM 4-bit codes (4 bytes) vs
+    * 256 bytes of float32: the 64× compression tier above q69's int8
+    * (4×), and the representation a 100 TB vector corpus actually
+    * searches (codes + a per-query 128-entry lookup table; the floats
+    * never leave cold storage after encoding). */
+  val PqM = 8
+  val PqK = 16
+  val PqSubDim: Int = EmbeddingDim / PqM
+
+  /** Micro-unit quantization: round(x, 6)·10⁶ as a BIGINT. ALL PQ
+    * arithmetic (encode argmin, ADC tables, distance sums) runs in this
+    * scaled-integer domain — squared distances are exact integers
+    * (≤ ~3·10¹³, far inside both Long and the 2⁵³ double window), so
+    * codes and scores are bit-identical across engines and
+    * partitionings with no decimal/float rules needed. The outer
+    * round(·, 0) snaps the ≤1-ulp error of round(x,6)·10⁶ back to the
+    * exact integer; its .5 boundary is unreachable (the operand is
+    * within 1 ulp of an integer). */
+  private def q6(x: Column): Column =
+    round(round(x.cast("double"), 6) * lit(1000000.0), 0).cast("long")
+
+  /** Exact integer L2² between subspace `m` of two micro-unit vectors. */
+  private def pqSubDist(v: Column, cv: Column, m: Column): Column =
+    aggregate(
+      sequence(m * lit(PqSubDim) + lit(1), m * lit(PqSubDim) + lit(PqSubDim)),
+      lit(0L),
+      (acc, i) => acc +
+        (element_at(v, i) - element_at(cv, i)) *
+          (element_at(v, i) - element_at(cv, i)))
+
+  /** One-row PQ codebook: the micro-unit vectors of the first [[PqK]]
+    * corpus ids, id-ascending (the deterministic q66-style seed — a real
+    * deployment trains per-subspace k-means offline; the seed choice
+    * keeps identical plumbing oracle-checkable). Broadcast-sized by
+    * construction: PqK × EmbeddingDim longs. */
+  private def pqCodebookRow(corpus: DataFrame): DataFrame =
+    corpus.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("j"),
+        transform(col("embedding"), x => q6(x)).as("c6"))
+      .agg(sort_array(collect_list(struct(col("j"), col("c6")))).as("cs"))
+      .select(transform(col("cs"), c => c.getField("c6")).as("__pqcb"))
+
+  /** PQ encoding: each vector → [[PqM]] centroid codes, argmin of the
+    * exact integer subspace L2² against the broadcast codebook, ties to
+    * the lower code (array_position finds the FIRST minimum). A pure
+    * projection — the corpus never shuffles to encode, at any scale. */
+  def pqCodes(corpus: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(pqCodebookRow(corpus)))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => q6(x)).as("v6"), col("__pqcb"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(PqM - 1)), m => {
+          val dists = transform(col("__pqcb"), cv =>
+            pqSubDist(col("v6"), cv, m))
+          (array_position(dists, array_min(dists)) - 1).cast("int")
+        }).as("codes"))
+
+  /** ADC shortlist width: the PQ recall/latency dial. On THIS corpus
+    * (near-random unit vectors — worst case for quantization: neighbor
+    * gaps are tiny against the distance-concentration floor, so raw ADC
+    * top-5 retains only ~0.2 of the exact answer, and subspace Lloyd
+    * training does not move it) a 100-wide shortlist re-ranked exactly
+    * measures 0.78–0.96 recall across sf0.001–0.1. Like `signBitsFor`,
+    * production scales R with corpus size. */
+  val PqShortlist = 100
+
+  /** PQ top-k: ADC shortlist + exact re-rank (the FAISS refine shape).
+    * Stage 1 — asymmetric distance: each query precomputes its
+    * PqM × PqK table of exact integer subspace distances to the
+    * codebook; a corpus row's score is PqM table lookups summed, so the
+    * scan touches ONLY the 4-byte codes plus a broadcast table — the
+    * float vectors never leave cold storage. Per-query top-R reduces
+    * through the rank window. Stage 2 — refine: the R·|queries|
+    * shortlist ids (tiny) join BACK to the corpus by id to re-read just
+    * those vectors, and exact integer L2² re-ranks to top-k. This is
+    * the memory-resident search tier for a corpus whose float vectors
+    * exceed aggregate RAM (q66/q78's IVF cell routing composes in front
+    * unchanged — same codebook-broadcast shape); outputs are exact
+    * integers end-to-end, ties break on neighbor id. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             shortlist: Int = PqShortlist): DataFrame = {
+    val qt = queries.crossJoin(broadcast(pqCodebookRow(corpus)))
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => q6(x)).as("q6v"), col("__pqcb"))
+      .select(col("query_id"), col("q6v"),
+        transform(sequence(lit(0), lit(PqM - 1)), m =>
+          transform(col("__pqcb"), cv => pqSubDist(col("q6v"), cv, m)))
+          .as("qtab"))
+    val scored = pqCodes(corpus)
+      .crossJoin(broadcast(qt.select(col("query_id"), col("qtab"))))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adist",
+        (0 until PqM).map(m =>
+          element_at(element_at(col("qtab"), m + 1),
+            element_at(col("codes"), m + 1) + 1)).reduce(_ + _))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val short = scored.withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= shortlist)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    // refine: re-read ONLY the shortlisted vectors by id, exact L2²
+    val exact = short
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        transform(col("embedding"), x => q6(x)).as("n6v"))
+        .hint("SHUFFLE_HASH"), "neighbor_id")
+      .join(broadcast(qt.select(col("query_id"), col("q6v"))), "query_id")
+      .withColumn("l2d", aggregate(
+        sequence(lit(1), lit(EmbeddingDim)), lit(0L),
+        (acc, i) => acc +
+          (element_at(col("q6v"), i) - element_at(col("n6v"), i)) *
+            (element_at(col("q6v"), i) - element_at(col("n6v"), i))))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2d").asc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(wE).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("l2d"))
+  }
+
   private def codebookRow(cents: DataFrame): DataFrame =
     cents.agg(sort_array(collect_list(struct(
       col("cent_id"), col("centv"), col("cent_n")))).as("__cb"))
@@ -649,6 +769,70 @@ object Similarity extends QueryPack {
                       AS DECIMAL(28,12)))) AS DOUBLE) / len(embedding) * 1e6, 4) AS mse_ppm
         FROM embeddings
       """.stripMargin),
-      doc = "int8 scalar quantization: L1 mass, saturation count, MSE ppm")
+      doc = "int8 scalar quantization: L1 mass, saturation count, MSE ppm"),
+
+    // ---- product quantization ANN (the 100 TB vector-search tier) ----
+    // 64× compression (4-byte codes vs 256-byte float32): ADC table-
+    // lookup shortlist over the codes, exact re-rank of the shortlist.
+    // Exact-integer micro-unit domain end-to-end, so codes, shortlists
+    // AND distances hash-match the relational DuckDB oracle with no
+    // float rules. Recall vs the exact q58 baseline is property-tested
+    // in LlmOpsSpec.
+    "q106_ann_pq" -> Q(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        pqTopK(emb.filter(col("vec_id") < NQueries), emb, K)
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, CAST((i - 1) // $PqSubDim AS INT) AS m,
+                 (i - 1) % $PqSubDim AS p, i - 1 AS pos,
+                 CAST(round(round(CAST(embedding[i] AS DOUBLE), 6)
+                            * 1000000.0, 0) AS BIGINT) AS x6
+          FROM embeddings, range(1, ${EmbeddingDim + 1}) t(i)
+        ), cent AS (
+          SELECT m, vec_id AS j, p, x6 AS c6 FROM v WHERE vec_id < $PqK
+        ), dist AS (
+          SELECT s.vec_id, s.m, c.j,
+                 sum((s.x6 - c.c6) * (s.x6 - c.c6)) AS d
+          FROM v s JOIN cent c ON s.m = c.m AND s.p = c.p
+          GROUP BY s.vec_id, s.m, c.j
+        ), code AS (
+          SELECT vec_id, m, j AS code FROM (
+            SELECT vec_id, m, j,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d ASC, j ASC) AS rk
+            FROM dist) WHERE rk = 1
+        ), short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adist ASC, neighbor_id ASC)
+                     AS ark
+            FROM (
+              SELECT d.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     sum(d.d) AS adist
+              FROM code c JOIN dist d ON d.m = c.m AND d.j = c.code
+              WHERE d.vec_id < $NQueries AND c.vec_id <> d.vec_id
+              GROUP BY 1, 2))
+          WHERE ark <= $PqShortlist
+        ), refined AS (
+          SELECT s.query_id, s.neighbor_id,
+                 CAST(sum((q.x6 - n.x6) * (q.x6 - n.x6)) AS BIGINT) AS l2d
+          FROM short s
+          JOIN v q ON q.vec_id = s.query_id
+          JOIN v n ON n.vec_id = s.neighbor_id AND n.pos = q.pos
+          GROUP BY 1, 2
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, l2d
+        FROM (
+          SELECT query_id, neighbor_id, l2d,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY l2d ASC, neighbor_id ASC)
+                   AS rank
+          FROM refined)
+        WHERE rank <= $K
+      """.stripMargin),
+      doc = "product-quantization ANN: 4-bit codes, ADC shortlist, exact re-rank")
   )
 }

@@ -584,6 +584,31 @@ class LlmOpsSpec extends SparkSpec {
     withClue(s"ivf recall=$recall") { assert(recall >= 0.8) }
   }
 
+  test("PQ ANN: codes are 4-bit, codebook vectors self-encode, recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val codes = Similarity.pqCodes(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // every code is a valid 4-bit centroid index
+    assert(codes.values.forall(cs =>
+      cs.length == Similarity.PqM && cs.forall(c => c >= 0 && c < Similarity.PqK)))
+    // a codebook vector is its own nearest centroid in EVERY subspace
+    (0L until Similarity.PqK.toLong).foreach { j =>
+      assert(codes(j).forall(_ == j),
+        s"codebook vector $j must self-encode, got ${codes(j)}")
+    }
+    // ADC shortlist + exact re-rank retains most of the exact top-k
+    // (measured 0.88 at sf0.001; raw ADC top-5 alone is ~0.22 on this
+    // near-random corpus — the refine stage IS the operator)
+    val bf = Similarity.bruteForceTopK(emb.filter($"vec_id" < 10), emb, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb.filter($"vec_id" < 10), emb, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & pq).size.toDouble / bf.size
+    withClue(s"pq recall=$recall") { assert(recall >= 0.7) }
+  }
+
   test("trained IVF codebook recovers recall lost to a degenerate seed") {
     // adversarial fixture: the seed (first 16 vectors) sits entirely in
     // ONE of four well-separated clusters, so the q66 seed codebook
