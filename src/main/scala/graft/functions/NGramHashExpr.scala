@@ -21,9 +21,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * Spark-first preference order (b): custom `Expression` with codegen,
   * not a UDF.
   */
-case class NGramHash64(child: Expression, n: Int, distinct: Boolean = true)
+case class NGramHash64(child: Expression, n: Int, distinct: Boolean = true,
+                       positional: Boolean = false)
     extends UnaryExpression {
   require(n >= 1, s"n-gram width must be >= 1, got $n")
+  // positional keeps window order (index = window start), so sorting or
+  // deduplicating would destroy exactly what the caller asked for
+  require(!(distinct && positional),
+    "positional n-gram hashes cannot be distinct (order is the payload)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "ngram_hash64"
@@ -39,11 +44,11 @@ case class NGramHash64(child: Expression, n: Int, distinct: Boolean = true)
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    NGramHash64.compute(input.asInstanceOf[ArrayData], n, distinct)
+    NGramHash64.compute(input.asInstanceOf[ArrayData], n, distinct, positional)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr =>
-      s"${ev.value} = graft.functions.NGramHash64$$.MODULE$$.compute($arr, $n, $distinct);")
+      s"${ev.value} = graft.functions.NGramHash64$$.MODULE$$.compute($arr, $n, $distinct, $positional);")
 
   override protected def withNewChildInternal(newChild: Expression): NGramHash64 =
     copy(child = newChild)
@@ -60,8 +65,12 @@ object NGramHash64 {
     * same xxHash64/seed-42 as Spark's `xxhash64`; windows mix word hashes
     * with a SplitMix64-style avalanche so "a b"/"b a" differ. With
     * `distinct = false` every window's hash is kept (sorted, duplicates
-    * preserved) — the counting form for repetition metrics. */
-  def compute(arr: ArrayData, n: Int, distinct: Boolean = true): GenericArrayData = {
+    * preserved) — the counting form for repetition metrics. With
+    * `positional = true` the array is NOT sorted: element i is the hash
+    * of the window STARTING at word i — the (position, window) form span
+    * rewriting needs (posexplode recovers the start offsets). */
+  def compute(arr: ArrayData, n: Int, distinct: Boolean = true,
+              positional: Boolean = false): GenericArrayData = {
     val m = arr.numElements()
     val cnt = m - n + 1
     if (cnt <= 0) return new GenericArrayData(Array.emptyLongArray)
@@ -95,6 +104,7 @@ object NGramHash64 {
       }
       s += 1
     }
+    if (positional) return new GenericArrayData(out)
     java.util.Arrays.sort(out)
     if (!distinct) return new GenericArrayData(out)
     var w = 1
@@ -106,7 +116,9 @@ object NGramHash64 {
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
-  def ngramHashes(words: Column, n: Int, distinct: Boolean = true): Column =
+  def ngramHashes(words: Column, n: Int, distinct: Boolean = true,
+                  positional: Boolean = false): Column =
     org.apache.spark.sql.graft.Bridge.column(
-      NGramHash64(org.apache.spark.sql.graft.Bridge.expression(words), n, distinct))
+      NGramHash64(org.apache.spark.sql.graft.Bridge.expression(words), n,
+        distinct, positional))
 }

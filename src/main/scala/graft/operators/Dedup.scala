@@ -368,6 +368,57 @@ object Dedup extends QueryPack {
           " ").as("clean_text"))
   }
 
+  /** Sliding-window SPAN rewrite — the exact-substring-dedup curation
+    * step (the "drop repeated spans, keep the first copy" operating
+    * point of the dedup-the-training-data literature): every token
+    * covered by a `width`-word window whose FIRST corpus occurrence lies
+    * in an EARLIER document is dropped, and each document re-assembles
+    * from its surviving tokens. [[Dedup.queries q95]] only MEASURES span
+    * duplication; this rewrites the corpus. The block family (q98–q102)
+    * can't see these: a span straddling a block boundary duplicates
+    * neither block.
+    *
+    * Cross-document only (q95's min≠max notion): within-document repeats
+    * are kept, which also guarantees the keeper document stays
+    * byte-identical — under an "every non-first occurrence loses" rule, a
+    * self-overlapping periodic span would mutilate the keeper copy too.
+    *
+    * Scale design: windows travel as 8-byte POSITIONAL NGramHash64
+    * values (per-start-offset order — the sort/dedup the similarity
+    * pipeline wants would destroy the offsets; q95/q46's hash-collision
+    * argument applies unchanged); keeper election is ONE map-side-
+    * combinable `min(doc_id)` hash aggregate on the window hash; covered
+    * token offsets reduce doc-locally (`collect_set` of ≤|doc| ints) and
+    * each document rebuilds from its OWN word array via `array_except`
+    * over the offset sequence — token TEXT never shuffles, matching the
+    * hashed block family. The loser explode is bounded by width·(loser
+    * windows) int pairs, doc-keyed (no concentration); hot boilerplate
+    * windows are single aggregate keys and AQE splits the verdict join's
+    * skewed partitions. */
+  def spanRewrite(docs: DataFrame, width: Int = 10): DataFrame = {
+    require(width > 0, s"width=$width")
+    val corpus = wordArrays(docs)
+    val wins = corpus.select(col("doc_id"),
+      posexplode(graft.functions.NGramHash64.ngramHashes(
+        col("ws"), width, distinct = false, positional = true))
+        .as(Seq("p", "g")))
+    val keeper = wins.groupBy(col("g")).agg(min(col("doc_id")).as("k_doc"))
+    val covered = wins.join(keeper, Seq("g"))
+      .filter(col("doc_id") > col("k_doc"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(width - 1))).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("t")).as("cov"))
+    corpus.join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_tokens"),
+        size(col("cov")).as("n_dropped"),
+        array_join(transform(
+          array_except(sequence(lit(0), size(col("ws")) - 1), col("cov")),
+          t => element_at(col("ws"), t + 1)), " ").as("clean_text"))
+  }
+
   /** Content-defined block dedup — the offset-robust complement of the
     * fixed-width [[paragraphDedup]] family. Fixed 20-word blocks lose
     * every block alignment after a single inserted word; here a block
@@ -897,6 +948,45 @@ object Dedup extends QueryPack {
         GROUP BY g.doc_id
       """.stripMargin),
       doc = "span-level dedup: per-doc 10-gram windows duplicated across docs"),
+
+    // ---- span-level REWRITE: strip cross-doc duplicated 10-gram spans ----
+    // q95's rewrite twin (see the spanRewrite scaladoc for semantics and
+    // the no-text-shuffle plan shape). Oracle mirrors the construction on
+    // string windows; the Spark side runs on 64-bit window hashes — the
+    // q95 precedent (hash-span ≡ string-span parity in LlmOpsSpec).
+    "q108_span_rewrite" -> Q(
+      (s, d) => spanRewrite(T.documents(s, d), width = 10),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), g AS (
+          SELECT doc_id, i - 1 AS p, array_to_string(ws[i:i+9], ' ') AS g
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 8)) AS i FROM w)
+        ), l AS (
+          SELECT doc_id, p FROM (
+            SELECT doc_id, p, min(doc_id) OVER (PARTITION BY g) AS mn FROM g)
+          WHERE doc_id > mn
+        ), cov AS (
+          SELECT DISTINCT doc_id, p + j AS t FROM l, range(0, 10) s(j)
+        ), tok AS (
+          SELECT doc_id, i - 1 AS t, ws[i] AS word
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w)
+        ), kept AS (
+          SELECT tok.doc_id, tok.t, tok.word
+          FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.t = cov.t
+          WHERE cov.t IS NULL
+        )
+        SELECT w.doc_id,
+               CAST(len(w.ws) AS INT) AS n_tokens,
+               CAST(coalesce(c.n_dropped, 0) AS INT) AS n_dropped,
+               coalesce(k.txt, '') AS clean_text
+        FROM w
+        LEFT JOIN (SELECT doc_id, count(*) AS n_dropped
+                   FROM cov GROUP BY doc_id) c USING (doc_id)
+        LEFT JOIN (SELECT doc_id, string_agg(word, ' ' ORDER BY t) AS txt
+                   FROM kept GROUP BY doc_id) k USING (doc_id)
+      """.stripMargin),
+      doc = "span rewrite: drop tokens under cross-doc duplicated 10-gram windows, keep first copy"),
 
     // ---- block-level exact dedup with reassembly (q95's rewrite twin) ----
     // run over the recrawl-duplicated corpus so the operator has real

@@ -486,8 +486,12 @@ object TextAnalysis extends QueryPack {
           .select($"doc_id", w.reduceLeft(_ + _).as("bm25"))
           .orderBy($"bm25".desc, $"doc_id".asc)
           .limit(Bm25TopK)
+          // rank the ≤k survivors; pmod(doc_id,1) keeps the partition spec
+          // non-empty (house idiom) so the bounded single-partition window
+          // doesn't trip the WindowExec warning
           .withColumn("rk", row_number().over(
             org.apache.spark.sql.expressions.Window
+              .partitionBy(pmod($"doc_id", lit(1)))
               .orderBy($"bm25".desc, $"doc_id".asc)).cast("int"))
       },
       Some(s"""

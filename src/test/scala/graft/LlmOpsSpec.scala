@@ -726,4 +726,60 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     assert(sims.forall(s => math.abs(s - 1.0) < 1e-9))
   }
+
+  test("spanRewrite: loser doc loses exactly the shared span; keeper and short docs byte-identical") {
+    // doc 1 owns tokens a0..a29; doc 2 embeds doc 1's a5..a20 (16 tokens)
+    // between unique b*/c* runs — every width-10 window fully inside the
+    // span duplicates doc 1's, every straddling window is unique
+    val w1 = (0 until 30).map(i => s"a$i")
+    val span = (5 until 21).map(i => s"a$i")
+    val w2 = (0 until 10).map(i => s"b$i") ++ span ++ (0 until 10).map(i => s"c$i")
+    val docs = Seq((1L, w1.mkString(" ")), (2L, w2.mkString(" ")),
+      (3L, "short doc")).toDF("doc_id", "text")
+    val got = Dedup.spanRewrite(docs, width = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((30, 0, w1.mkString(" "))), "keeper must stay intact")
+    assert(got(3L) == ((2, 0, "short doc")), "sub-width docs untouched")
+    val expect2 = ((0 until 10).map(i => s"b$i") ++
+      (0 until 10).map(i => s"c$i")).mkString(" ")
+    assert(got(2L) == ((36, 16, expect2)), s"got ${got(2L)}")
+  }
+
+  test("spanRewrite: within-document repeats are kept (cross-doc only)") {
+    val phrase = (0 until 10).map(i => s"p$i")
+    val text = (phrase ++ Seq("mid") ++ phrase).mkString(" ")
+    val docs = Seq((1L, text), (2L, "totally unrelated other words here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanRewrite(docs, width = 10).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got(1L) == text, "an intra-doc repeat must not drop tokens")
+  }
+
+  test("spanRewrite: hash-window implementation ≡ string-window reference on the corpus") {
+    // the q95 precedent: the engine runs on 64-bit positional window
+    // hashes, the oracle on string windows — prove equality on real data
+    val w = 10
+    val docs = Tables.documents(spark, sf)
+    val winsS = docs.select($"doc_id",
+      posexplode(TextOps.shingles($"text", w)).as(Seq("p", "g")))
+    val keeper = winsS.groupBy($"g").agg(min($"doc_id").as("k_doc"))
+    val covRef = winsS.join(keeper, Seq("g")).filter($"doc_id" > $"k_doc")
+      .select($"doc_id", explode(sequence($"p", $"p" + (w - 1))).as("t"))
+      .distinct().collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getInt(1)).toSet }
+    val words = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val got = Dedup.spanRewrite(docs, w).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got.keySet == words.keySet)
+    words.foreach { case (id, ws) =>
+      val cov = covRef.getOrElse(id, Set.empty)
+      val expected = ws.indices.filterNot(cov).map(ws).mkString(" ")
+      withClue(s"doc $id: ") {
+        assert(got(id) == ((ws.length, cov.size, expected)))
+      }
+    }
+  }
 }
