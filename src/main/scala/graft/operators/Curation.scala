@@ -602,6 +602,113 @@ object Curation extends QueryPack {
                     ELSE 'ok' END AS drop_reason
         FROM m
       """.stripMargin),
-      doc = "composite quality filter: keep/drop + first-failing rule")
+      doc = "composite quality filter: keep/drop + first-failing rule"),
+
+    // ---- end-to-end curation pipeline: one disposition per document ----
+    // The whole raw-crawl → training-mix decision chain as ONE Catalyst
+    // plan: eval-set carve-out → quality keep/drop chain (q89's rules) →
+    // exact-dedup keeper election (q54) → benchmark decontamination
+    // (q85's gram rule) → deterministic split (q91). This disposition
+    // table is what a real pipeline materializes per batch; declaring the
+    // whole chain in one plan lets Catalyst share the documents scan
+    // across the signal families instead of five separate pipeline jobs
+    // re-reading the corpus. Precedence is documented and auditable:
+    // eval > quality > duplicate > contaminated > kept. Dedup elects over
+    // ALL docs — an eval doc can be the keeper; its training-side twin is
+    // then 'duplicate' (it would fall to 'contaminated' anyway, sharing
+    // every gram).
+    // Scale: quality signals are a scan projection; keeper election one
+    // hash aggregate on the text fingerprint; contamination is gram
+    // explode → broadcast semi-join → doc-keyed distinct (q85's shape —
+    // benchmarks are small by nature); the split is a pure projection.
+    // Nothing concentrates; the only corpus-wide exchanges are the
+    // fingerprint aggregate/join (32-byte keys) and the doc-keyed
+    // contamination flag.
+    "q109_curation_pipeline" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = T.documents(s, d)
+        val ws = TextOps.words($"text")
+        val nWords = size(ws)
+        val dupRatio =
+          lit(1.0) - size(TextOps.distinctWords($"text")).cast("double") / nWords
+        val stopRatio =
+          TextOps.vocabHits($"text", Seq("the", "a", "of", "and", "or"))
+            .cast("double") / nWords
+        val qReason = when(nWords < 20, "too_short")
+          .when(dupRatio > 0.6, "repetitive")
+          .when(stopRatio < 0.01, "low_stopword")
+        val keeper = docs.groupBy(md5($"text").as("fp"))
+          .agg(min($"doc_id").as("k_doc"))
+        // 5-grams, not q85's 3-grams: the binary contaminated/clean flag
+        // needs specific overlap — on the ~30-word fixture vocabulary a
+        // shared 3-gram taints half the corpus (degenerate: zero docs
+        // would reach 'kept'), while a shared 5-gram marks ~3% (the
+        // production 8–13-gram rule scaled to fixture doc lengths)
+        val grams = docs.select($"doc_id",
+          explode(NGramHash64.ngramHashes(TextOps.words($"text"), 5)).as("g"))
+        val evalGrams = grams.filter($"doc_id" % 19 === 0).select($"g").distinct()
+        val tainted = grams.filter($"doc_id" % 19 =!= 0)
+          .join(broadcast(evalGrams), "g").select($"doc_id").distinct()
+          .withColumn("tainted", lit(true))
+        val bucket = pmod(mixed($"doc_id"), lit(100L))
+        val disposition = when($"doc_id" % 19 === 0, "eval")
+          .otherwise(coalesce(qReason,
+            when($"doc_id" =!= $"k_doc", "duplicate"),
+            when($"tainted", "contaminated"),
+            lit("kept")))
+        docs.withColumn("fp", md5($"text"))
+          .join(keeper, Seq("fp"))
+          .join(tainted, Seq("doc_id"), "left")
+          .select($"doc_id", nWords.as("n_words"),
+            disposition.as("disposition"),
+            when(disposition === "kept",
+              when(bucket < 98, "train").when(bucket === 98, "val")
+                .otherwise("test")).as("split"))
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT doc_id, text,
+                 len(string_split(text, ' ')) AS n_words,
+                 1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS dup_ratio,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> list_contains(['the','a','of','and','or'], w))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stop_ratio
+          FROM documents
+        ), k AS (
+          SELECT md5(text) AS fp, min(doc_id) AS k_doc
+          FROM documents GROUP BY 1
+        ), w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(ws) - 3),
+            i -> array_to_string(ws[i:i+4], ' ')))) AS g
+          FROM w
+        ), ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 19 = 0
+        ), c AS (
+          SELECT DISTINCT g.doc_id FROM g JOIN ev USING (g)
+          WHERE doc_id % 19 <> 0
+        ), base AS (
+          SELECT m.doc_id, m.n_words,
+                 CASE WHEN m.doc_id % 19 = 0 THEN 'eval'
+                      WHEN m.n_words < 20 THEN 'too_short'
+                      WHEN m.dup_ratio > 0.6 THEN 'repetitive'
+                      WHEN m.stop_ratio < 0.01 THEN 'low_stopword'
+                      WHEN m.doc_id <> k.k_doc THEN 'duplicate'
+                      WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                      ELSE 'kept' END AS disposition
+          FROM m JOIN k ON md5(m.text) = k.fp
+          LEFT JOIN c ON m.doc_id = c.doc_id
+        )
+        SELECT doc_id, CAST(n_words AS INT) AS n_words, disposition,
+               CASE WHEN disposition = 'kept' THEN
+                 CASE WHEN $MixSql % 100 < 98 THEN 'train'
+                      WHEN $MixSql % 100 = 98 THEN 'val'
+                      ELSE 'test' END END AS split
+        FROM base
+      """.stripMargin),
+      doc = "end-to-end curation pipeline: eval/quality/dedup/decontaminate/split disposition per doc")
   )
 }

@@ -211,4 +211,24 @@ class CurationSpec extends SparkSpec {
         assert(k == n, s"smallest source $src must be kept whole (rate 1)")
     }
   }
+
+  test("q109: one disposition per doc; split iff kept; eval carve-out exact") {
+    val rows = q("q109_curation_pipeline").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val allowed = Set("eval", "too_short", "repetitive", "low_stopword",
+      "duplicate", "contaminated", "kept")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val disp = r.getAs[String]("disposition")
+      val split = Option(r.getAs[String]("split"))
+      assert(allowed(disp), s"doc $id: unknown disposition $disp")
+      assert((id % 19 == 0) == (disp == "eval"),
+        s"doc $id: eval carve-out must be exactly doc_id % 19 == 0")
+      if (disp == "kept")
+        assert(split.exists(Set("train", "val", "test")),
+          s"doc $id: kept doc needs a split, got $split")
+      else
+        assert(split.isEmpty, s"doc $id: non-kept doc carries split $split")
+    }
+  }
 }
