@@ -531,7 +531,92 @@ object TextAnalysis extends QueryPack {
         ORDER BY bm25 DESC, doc_id ASC
         LIMIT ${Bm25TopK}
       """.stripMargin),
-      doc = "Okapi BM25 top-k retrieval for a fixed keyword query (RAG lexical search)")
+      doc = "Okapi BM25 top-k retrieval for a fixed keyword query (RAG lexical search)"),
+
+    // ---- batch BM25: a QUERY TABLE against the corpus ----
+    // The other retrieval regime: q105 compiles ONE query into per-term
+    // tf columns (no join fan-out — right when queries are few and known
+    // at plan time); here the queries are DATA, so the plan is the
+    // inverted-index shape a batch retrieval service runs: token stream
+    // semi-joined against the (broadcast) query-term set BEFORE any
+    // aggregate — non-matching tokens die in the scan stage — then one
+    // (doc, term) tf aggregate over survivors, per-term dfs reduced from
+    // that match table (query-term-sized → broadcast), corpus stats
+    // (N, avgdl) from a pure dl projection (no token explode), scoring a
+    // projection, and per-query top-k over MATCHED docs only
+    // (rank window partitioned by query_id — each query's partition
+    // sorts its own match set, never the corpus). Per-term contributions
+    // are round(6)'d then decimal-summed per (query, doc) so the
+    // accumulation order (Spark partitions vs DuckDB sequential) cannot
+    // drift the hash; ranks tie-break on doc_id.
+    "q110_bm25_batch" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = T.documents(s, d)
+        val qterms = Bm25Batch.toDF("query_id", "term")
+        val dl = docs.select($"doc_id",
+          size(TextOps.words($"text")).as("dl"))
+        val g = dl.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))
+        val matches = docs
+          .select($"doc_id", explode(TextOps.words($"text")).as("term"))
+          .join(broadcast(qterms.select($"term").distinct()), "term")
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val dfT = matches.groupBy($"term").agg(count(lit(1)).as("df"))
+        val contrib = {
+          val tf = $"tf".cast("double")
+          val idf = log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+          val denom = tf + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            lit(Bm25B) * $"dl" / $"avgdl")
+          round(idf * (tf * lit(Bm25K1 + 1.0)) / denom, 6)
+        }
+        val scored = matches
+          .join(broadcast(qterms), "term")
+          .join(dl, "doc_id")
+          .join(broadcast(dfT), "term")
+          .crossJoin(broadcast(g))
+          .groupBy($"query_id", $"doc_id")
+          .agg(round(sum(contrib.cast("decimal(28,6)")).cast("double"), 6)
+            .as("bm25"))
+        scored
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+              .orderBy($"bm25".desc, $"doc_id".asc)).cast("int"))
+          .filter($"rk" <= Bm25TopK)
+      },
+      Some(s"""
+        WITH q(query_id, term) AS (VALUES ${Bm25Batch.map {
+          case (id, t) => s"($id, '$t')" }.mkString(", ")}),
+        dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        g AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+        m AS (SELECT doc_id, term, count(*) AS tf
+              FROM toks JOIN (SELECT DISTINCT term FROM q) USING (term)
+              GROUP BY 1, 2),
+        dfT AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
+        sc AS (
+          SELECT q.query_id, m.doc_id,
+                 round(CAST(sum(CAST(round(
+                   ln(1 + (g.n - dfT.df + 0.5) / (dfT.df + 0.5))
+                     * (CAST(m.tf AS DOUBLE) * ${Bm25K1 + 1.0})
+                     / (CAST(m.tf AS DOUBLE) + $Bm25K1 * (${1.0 - Bm25B}
+                        + $Bm25B * dl.dl / g.avgdl)), 6)
+                   AS DECIMAL(28,6))) AS DOUBLE), 6) AS bm25
+          FROM m
+          JOIN q USING (term)
+          JOIN dl USING (doc_id)
+          JOIN dfT ON m.term = dfT.term
+          CROSS JOIN g
+          GROUP BY 1, 2
+        )
+        SELECT * FROM (
+          SELECT query_id, doc_id, bm25,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rk
+          FROM sc)
+        WHERE rk <= $Bm25TopK
+      """.stripMargin),
+      doc = "batch BM25: query table vs corpus via inverted-index join, per-query top-k")
   )
 
   /** BM25 catalog constants: the fixed query terms and the standard
@@ -540,4 +625,12 @@ object TextAnalysis extends QueryPack {
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25TopK = 10
+
+  /** q110's query table: (query_id, term) rows — queries-as-data for the
+    * inverted-index batch-retrieval plan. */
+  val Bm25Batch: Seq[(Int, String)] = Seq(
+    1 -> "spark", 1 -> "join",
+    2 -> "window", 2 -> "stream", 2 -> "batch",
+    3 -> "vector", 3 -> "query",
+    4 -> "hash", 4 -> "table", 4 -> "scan")
 }

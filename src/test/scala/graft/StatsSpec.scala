@@ -107,4 +107,25 @@ class StatsSpec extends SparkSpec {
       assert(r.getAs[Long]("l1_q") > 0)
     }
   }
+
+  test("q110: per-query top-k is contiguously ranked with non-increasing scores") {
+    val rows = operators.TextAnalysis.queries("q110_bm25_batch")
+      .fn(spark, sf).collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Double]("bm25"), r.getAs[Long]("doc_id")))
+    val queryIds = operators.TextAnalysis.Bm25Batch.map(_._1).distinct.toSet
+    assert(rows.map(_._1).toSet == queryIds, "every query must return hits")
+    rows.groupBy(_._1).foreach { case (qid, hits) =>
+      val sorted = hits.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to hits.length),
+        s"query $qid: ranks must be 1..k")
+      assert(hits.length <= operators.TextAnalysis.Bm25TopK)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._4 < b._4),
+            s"query $qid: order must be score desc, doc_id asc")
+        case _ =>
+      }
+    }
+  }
 }
