@@ -47,13 +47,20 @@ object Clean {
     .withColumn("loan_status_BK", element_at(typedLit(loanStatusBk), col("loan_status")))
     .withColumn("loan_type_BK", element_at(typedLit(loanTypeBk), col("loan_type")))
 
-  /** Full clean stage: raw 33-col page → staged 29-col LoanData. */
-  def stage(raw: DataFrame): DataFrame = {
+  /** The projection-only prefix of [[stage]] (everything before the
+    * forward fill's exchange): filter → drops → lower → recodes →
+    * overwrite → sentinel fill → BK encode. One codegen'd scan stage. */
+  def stageNoFill(raw: DataFrame): DataFrame = {
     val filtered = snapshotFilter(raw).drop(Model.earlyDrops: _*)
     val lowered = Exprs.lowerAllStrings(filtered)
     val recoded = borrowerOverwrite(recodes(lowered))
       .na.fill("not_specified", Seq("borrower", "guarantor"))
-    val encoded = encodeBks(recoded)
+    encodeBks(recoded)
+  }
+
+  /** Full clean stage: raw 33-col page → staged 29-col LoanData. */
+  def stage(raw: DataFrame): DataFrame = {
+    val encoded = stageNoFill(raw)
     // W1 forward fill — deterministic tie-break on board_approval_date
     // added to the reference's ORDER BY loan_number (declared divergence:
     // ties are nondeterministic in the reference's single-partition window)

@@ -89,42 +89,41 @@ object IbrdWarehouse {
   def build(spark: SparkSession, stagedIn: DataFrame, asOf: String = "2024-07-01",
             scope: CacheScope = CacheScope.untracked): Star = {
     val staged = stagedIn.localCheckpoint()
-    val dimRegion = dimOf(staged, regionSpec, asOf, scope)
-    // snowflake: country carries the region SK resolved from the current
-    // region rows (J3, `country_dimension.dtsx:1264-1287`)
-    val regionCurrent = dimRegion.filter(col("is_current"))
-      .select(col("region_BK"), col("PK_region_SK"))
-    val dimCountry = dimOf(
-      staged.join(broadcast(regionCurrent), Seq("region_BK"), "left"),
-      countrySpec.copy(fixed = Seq("PK_region_SK")), asOf, scope)
-    val dimBorrower = dimOf(staged, borrowerSpec, asOf, scope)
-    val dimGuarantor = dimOf(staged, guarantorSpec, asOf, scope)
-    val dimStatus = dimOf(staged, statusSpec, asOf, scope)
-    val dimType = dimOf(staged, typeSpec, asOf, scope)
-    val dimProject = dimOf(staged, projectSpec, asOf, scope)
+    // Construct AND materialize the seven dim pipelines CONCURRENTLY.
+    // Construction is eager, not just declaration: SurrogateKeys' small-
+    // dim fast path decides its plan shape from a count() of the deduped
+    // attrs, so each dimOf runs that full-width distinct over the staged
+    // batch at declaration time — serialized, the seven counts were a
+    // multi-second job tail ahead of a by-then-trivial "concurrent
+    // materialize" block (measured on q103: ~5 s declaring, 0.6 s
+    // materializing). Country chains on region (snowflake: it carries
+    // the region SK resolved from region's current rows — J3,
+    // `country_dimension.dtsx:1264-1287`); the other five are
+    // independent. Spark job submission is thread-safe; dims are
+    // persisted, so every later reader hits the cache.
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    def loaded(in: DataFrame, spec: graft.warehouse.ScdSpec): Future[DataFrame] =
+      Future { val d = dimOf(in, spec, asOf, scope); d.count(); d }
+    val fRegion = loaded(staged, regionSpec)
+    val fCountry = fRegion.flatMap { dimRegion =>
+      val regionCurrent = dimRegion.filter(col("is_current"))
+        .select(col("region_BK"), col("PK_region_SK"))
+      loaded(staged.join(broadcast(regionCurrent), Seq("region_BK"), "left"),
+        countrySpec.copy(fixed = Seq("PK_region_SK")))
+    }
+    val fOthers = Seq(borrowerSpec, guarantorSpec, statusSpec, typeSpec,
+      projectSpec).map(loaded(staged, _))
+    val all = Await.result(Future.sequence(fRegion +: fCountry +: fOthers),
+      scala.concurrent.duration.Duration.Inf)
+    val Seq(dimRegion, dimCountry, dimBorrower, dimGuarantor,
+      dimStatus, dimType, dimProject) = all
     // range covers observed fixture dates plus future snapshots
     // (incremental batches land after the initial load's year)
     val dd = ibrdDimDate(spark, 1990, 2026)
-
     val dims = Star(dimRegion, dimCountry, dimBorrower, dimGuarantor,
       dimStatus, dimType, dimProject, dd, null)
-    // Materialize the seven dim pipelines CONCURRENTLY — they are
-    // independent (country's region-SK broadcast just reads region's
-    // cache; Spark's cache manager serializes the one shared block).
-    // Each chain is latency-bound (range sampling + offsets broadcast +
-    // cache write), and the fact probes otherwise materialize them one
-    // broadcast at a time — a serialized ~30-job tail in the scaled
-    // build (q103). Actions are thread-safe; dims are persisted, so
-    // every later reader hits the cache.
-    locally {
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.global
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.traverse(Seq(dimRegion, dimCountry,
-          dimBorrower, dimGuarantor, dimStatus, dimType, dimProject))(d =>
-          scala.concurrent.Future(d.count())),
-        scala.concurrent.duration.Duration.Inf)
-    }
     dims.copy(fact = factRows(nonDangling(staged), factLookups(dims), scope))
   }
 
@@ -262,43 +261,52 @@ object IbrdWarehouse {
     // The fact is keyed on (loan_number, end_of_period) by declaration
     // (SURVEY §7 risk 5): deterministic within-batch keep-first dedup,
     // same policy as the SCD dims, plus an order-stable SK over the key.
-    // Both ride ONE range exchange (the old shape paid two full-width
-    // fact shuffles: a hash-partitioned dedup window, then the SK range
-    // pass): range partitioning colocates equal keys, so within a
-    // partition one sort by (key, all columns) yields the keep-first
-    // flag (key differs from the previous row's) AND the survivor
-    // ordinal; per-partition survivor counts (driver-sized) become the
-    // global SK offsets, as in SurrogateKeys.assign. Persisted before
-    // its three readers (offsets aggregate, dangling probe, lookup
-    // chain) — range bounds are sampled and spark_partition_id() is
-    // execution-dependent, so one materialization is a correctness
-    // requirement under task retries, not a cache optimization.
+    // Both ride ONE key-bucketed window (the old shape paid two
+    // full-width fact shuffles: a hash-partitioned dedup window, then
+    // the SK range pass): bucketing colocates equal keys, so within a
+    // bucket one sort by (key, all columns) yields the keep-first flag
+    // (key differs from the previous row's) AND the survivor ordinal.
+    // Bucket ids come from DRIVER-PINNED bounds (RangeBuckets): pid is a
+    // pure function of the key, so the per-bucket survivor counts — the
+    // global SK offsets — reduce in a NARROW key-only aggregate straight
+    // off the unmaterialized input (two 16-byte-row shuffles) instead of
+    // forcing a full-width persist as a determinism guard; task retries
+    // agree by construction.
     import org.apache.spark.sql.expressions.Window
-    val keys = Seq(col("loan_number"), col("end_of_period"))
+    val keyNames = Seq("loan_number", "end_of_period")
+    val keys = keyNames.map(col)
     val n = math.max(factIn.rdd.getNumPartitions, 1)
+    val (pidX, nBuckets) = graft.warehouse.RangeBuckets.pidExpr(factIn, keyNames, n)
     val pid = "__f_pid"
     val w = Window.partitionBy(col(pid))
       .orderBy((keys ++ factIn.columns.map(col)).toIndexedSeq: _*)
     val keyStruct = struct(keys: _*)
-    val marked = scope.persist(factIn.repartitionByRange(n, keys: _*)
-      .withColumn(pid, spark_partition_id())
+    val marked = factIn
+      .withColumn(pid, pidX)
       .withColumn("__f_first",
         coalesce(lag(keyStruct, 1).over(w) =!= keyStruct, lit(true)))
       .withColumn("__f_ord",
         sum(when(col("__f_first"), 1L).otherwise(0L)).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
-    val offsets = marked.groupBy(col(pid))
-      .agg(sum(when(col("__f_first"), 1L).otherwise(0L)).as("__f_cnt"))
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // per-bucket DISTINCT-key counts (≡ the keep-first survivor count),
+    // two narrow key-only shuffles; spine covers sample-empty buckets
+    val counts = factIn.select(pidX.as(pid), keyStruct.as("__f_key"))
+      .distinct().groupBy(col(pid)).agg(count(lit(1)).as("__f_cnt"))
+    val spine = factIn.sparkSession.range(nBuckets)
+      .select(col("id").cast("int").as(pid))
+    val offsets = spine.join(counts, Seq(pid), "left")
       .withColumn("__f_off",
         coalesce(sum(col("__f_cnt")).over(
           Window.partitionBy(pmod(col(pid), lit(1))).orderBy(col(pid))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(pid), col("__f_off"))
-    val unique = marked.filter(col("__f_first"))
+    // persisted: read by the dangling probe AND the lookup chain — a
+    // cache this time, not a determinism guard (pid is pinned)
+    val unique = scope.persist(marked.filter(col("__f_first"))
       .join(broadcast(offsets), pid)
       .withColumn("PK_loan_number_SK",
         (col("__f_off") + col("__f_ord")).cast("long"))
-      .drop(pid, "__f_first", "__f_ord", "__f_off")
+      .drop(pid, "__f_first", "__f_ord", "__f_off"))
     FactBuilder.assertNoDangling(unique, lookups)
     FactBuilder.build(unique, lookups)
       .select(

@@ -2,24 +2,34 @@ package graft.warehouse
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
 
 /** Globally-ordered forward fill without a single-partition window.
   *
   * The reference runs `last(col, ignorenulls) OVER (ORDER BY loan_number)`
   * unpartitioned — Spark warns and collapses to ONE task
   * (`pyspark_dag2.py:371-379`, warning in `spark_airflow.ipynb cell 8`;
-  * SURVEY.md §2.7 W1, §7 risk 2). Scale fix (two-pass):
+  * SURVEY.md §2.7 W1, §7 risk 2). Scale fix (pinned-bounds two-pass):
   *
-  *  1. range-repartition by the order key → partitions are globally ordered
-  *     ranges; fill within each partition (parallel windows);
-  *  2. take each partition's last non-null (one row per partition, tiny),
-  *     compute the running carry-in per partition on that driver-sized
-  *     frame, broadcast-join it back, and coalesce.
+  *  1. sample the ORDER KEYS once and pin n−1 range bounds as plan
+  *     literals — the partition id becomes a PURE FUNCTION of the key
+  *     (a fold of tuple comparisons against the pinned bounds), so every
+  *     evaluation — and every task retry — agrees on it with nothing
+  *     materialized;
+  *  2. fill within each pid bucket (parallel windows, one hash exchange);
+  *  3. per-bucket last non-null values reduce in a COLUMN-PRUNED narrow
+  *     aggregate straight off the input (no persist — pid is
+  *     deterministic), the running carry-in per bucket is computed on
+  *     that driver-sized frame and broadcast-joined back.
   *
-  * Equivalent to the global window for a total order key; at 100 TB it is
-  * two parallel passes + one broadcast instead of one task sorting
-  * everything.
+  * Equivalent to the global window for a total order key. Versus the
+  * earlier sampled-`repartitionByRange` + persist formulation this drops
+  * the full-width materialization and one full-width read: the only
+  * full-width pass left is the fill window itself; bounds sampling and
+  * the carries aggregate are pruned to the key/target columns. Bucket
+  * balance depends on the sample like any range exchange; a skewed
+  * sample degrades parallelism, never correctness (equal keys can never
+  * straddle a strict `>` bound).
   */
 object Ffill {
 
@@ -27,34 +37,36 @@ object Ffill {
                   numPartitions: Option[Int] = None,
                   scope: CacheScope = CacheScope.untracked): DataFrame = {
     val keys = orderCols.map(col)
-    // partition count tracks the input size (see SurrogateKeys.assign)
     val n = numPartitions.getOrElse(math.max(df.rdd.getNumPartitions, 1))
-    val ranged = df.repartitionByRange(n, keys: _*)
-    val pid = "__ff_pid"
+    val (pid, nBuckets) = RangeBuckets.pidExpr(df, orderCols, n)
     val local = "__ff_local"
-    // MATERIALIZED before use: read by both the carries aggregate and the
-    // final join; range-bound sampling + spark_partition_id() are
-    // execution-dependent, so independent evaluations could disagree on
-    // pid assignment (see SurrogateKeys.assign)
-    val withLocal = scope.persist(ranged
-      .withColumn(pid, spark_partition_id())
+    val filled = df
+      .withColumn("__ff_pid", pid)
       .withColumn(local, last(col(target), ignoreNulls = true).over(
-        Window.partitionBy(col(pid)).orderBy(keys: _*)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
-    // per-partition last filled value (max_by is order-insensitive under
-    // the shuffle, unlike last()) → running carry from earlier partitions.
-    // Single-partition window on a one-row-per-partition frame is
-    // intentional; the constant-VALUED but non-foldable partition key
-    // (pmod of the pid) silences the WindowExec warning — a literal gets
-    // constant-folded out of the partition spec and the warning returns.
-    val carries = withLocal.groupBy(col(pid))
-      .agg(max_by(col(local), struct(keys: _*)).as("__ff_part_last"))
+        Window.partitionBy(col("__ff_pid")).orderBy(keys: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // per-bucket last non-null target (max_by over the non-null rows —
+    // order-insensitive, column-pruned, and pid is deterministic so this
+    // independent evaluation CANNOT disagree with the fill pass), spread
+    // over the FULL bucket spine (a bucket whose every target is null
+    // still inherits earlier buckets' carry) → running carry from
+    // earlier buckets. The single-partition window is intentional on
+    // this one-row-per-bucket frame; the constant-VALUED but
+    // non-foldable partition key silences the WindowExec warning.
+    val present = df
+      .filter(col(target).isNotNull)
+      .groupBy(pid.as("__ff_pid"))
+      .agg(max_by(col(target), struct(keys: _*)).as("__ff_part_last"))
+    val spine = df.sparkSession.range(nBuckets)
+      .select(col("id").cast("int").as("__ff_pid"))
+    val carries = spine.join(present, Seq("__ff_pid"), "left")
       .withColumn("__ff_carry", last(col("__ff_part_last"), ignoreNulls = true)
-        .over(Window.partitionBy(pmod(col(pid), lit(1))).orderBy(col(pid))
+        .over(Window.partitionBy(pmod(col("__ff_pid"), lit(1)))
+          .orderBy(col("__ff_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col(pid), col("__ff_carry"))
-    withLocal.join(broadcast(carries), pid)
+      .select(col("__ff_pid"), col("__ff_carry"))
+    filled.join(broadcast(carries), Seq("__ff_pid"), "left")
       .withColumn(target, coalesce(col(local), col("__ff_carry")))
-      .drop(pid, local, "__ff_carry")
+      .drop("__ff_pid", local, "__ff_carry")
   }
 }

@@ -138,9 +138,12 @@ class ScaleSpec extends SparkSpec {
     // 9 (functions/CdcBlocksExpr.scala) — its exchange discipline is now
     // identical to q99's: hash keys and doc_id only, never block text,
     // never per-word position keys
+    // q108's exchanges may key only on the 8-byte window hash (g) or
+    // doc_id — token text and word arrays must stay in the scan stage
     val allowedByQuery = Map(
       "q99_paragraph_dedup_hashed" -> Set("h_lo", "h_hi", "doc_id"),
-      "q102_paragraph_dedup_cdc_hashed" -> Set("h_lo", "h_hi", "doc_id"))
+      "q102_paragraph_dedup_cdc_hashed" -> Set("h_lo", "h_hi", "doc_id"),
+      "q108_span_rewrite" -> Set("g", "doc_id"))
     allowedByQuery.foreach { case (q, allowed) =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect() // finalize AQE on THIS plan
