@@ -82,6 +82,27 @@ class IbrdSpec extends SparkSpec {
     assert(ref.sameElements(scalable))
   }
 
+  test("forward fill: all-null buckets inherit the carry; null keys sort first") {
+    // stress the pinned-bounds carry spine: a long all-null run must span
+    // MULTIPLE buckets (bounds land inside it) and still inherit the last
+    // non-null from before the run; a null order key sorts first
+    val rows = (1 to 2000).map { i =>
+      val k = if (i == 1) null else f"k$i%05d"
+      val v = if (i == 100) "anchor" else if (i > 100) null else s"v$i"
+      (k, v)
+    }
+    val df = rows.toDF("k", "v").repartition(16)
+    val got = Ffill.forwardFill(df, Seq("k"), "v", numPartitions = Some(16))
+      .orderBy(asc_nulls_first("k")).select("v").collect().map(_.getString(0))
+    // rows after the anchor (positions 100..2000 in key order) are all
+    // "anchor": the 1900-row null tail crosses many pinned bounds
+    assert(got.length == 2000)
+    assert(got(99) == "anchor")
+    (100 until 2000).foreach(i => assert(got(i) == "anchor", s"row $i"))
+    // the null-key row is first and keeps its own non-null value
+    assert(got(0) == "v1")
+  }
+
   test("DimDate carries the full reference column set (SURVEY §1.3)") {
     val cols = star.dimDate.columns.toSet
     val required = Set("DateSK", "Date", "day", "DaySuffix", "DayOfWeekName",
