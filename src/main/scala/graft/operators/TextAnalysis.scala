@@ -616,7 +616,51 @@ object TextAnalysis extends QueryPack {
           FROM sc)
         WHERE rk <= $Bm25TopK
       """.stripMargin),
-      doc = "batch BM25: query table vs corpus via inverted-index join, per-query top-k")
+      doc = "batch BM25: query table vs corpus via inverted-index join, per-query top-k"),
+
+    // ---- cross-source overlap matrix (corpus provenance analysis) ----
+    // How much do the corpus's SOURCES copy from each other? For every
+    // source pair, the number of distinct 5-grams both contain — the
+    // aggregate view of contamination/mirroring between crawl sources
+    // (the per-document complement is q85/q107). Plan: distinct
+    // (source, gram-hash) pairs — one hash aggregate, grams travel as
+    // 8 bytes — then the sources sharing each gram reduce to ONE sorted
+    // set per gram (|sources| is small by nature) and pairs are emitted
+    // GRAM-LOCALLY from that array (the q56 bucket-local pair idea; no
+    // gram-keyed self-join, which would square the hot boilerplate
+    // grams). The pair aggregate is |sources|²-bounded — a broadcast-
+    // sized result at any corpus scale.
+    "q111_source_overlap" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val sg = T.documents(s, d)
+          .select($"source", explode(graft.functions.NGramHash64
+            .ngramHashes(TextOps.words($"text"), 5)).as("g"))
+          .distinct()
+        val sets = sg.groupBy($"g")
+          .agg(sort_array(collect_set($"source")).as("ss"))
+          .filter(size($"ss") >= 2)
+        sets.select(explode(flatten(transform($"ss", (x, i) =>
+            transform(slice($"ss", i + 2, size($"ss")), y =>
+              struct(x.as("source_a"), y.as("source_b")))))).as("p"))
+          .groupBy($"p.source_a".as("source_a"), $"p.source_b".as("source_b"))
+          .agg(count(lit(1)).as("n_shared_grams"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT source, string_split(text, ' ') AS ws FROM documents
+        ), g AS (
+          SELECT DISTINCT source, unnest(list_distinct(list_transform(
+            range(1, len(ws) - 3),
+            i -> array_to_string(ws[i:i+4], ' ')))) AS g
+          FROM w
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared_grams
+        FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
+      """.stripMargin),
+      doc = "cross-source shared-5-gram matrix (provenance/mirroring analysis)")
   )
 
   /** BM25 catalog constants: the fixed query terms and the standard

@@ -47,6 +47,59 @@ object Warehouse extends QueryPack {
       |  FROM customer
       |)""".stripMargin
 
+  /** The q21 merge result as a reusable CTE chain (`merged` is the final
+    * relation) — shared by q21's oracle and q112's as-of lookup oracle. */
+  private val mergedSql =
+    s"""$dim0Sql,
+      |batch AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 7 = 0 THEN 'PROMO' ELSE c_mktsegment END AS c_mktsegment,
+      |         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+      |         c_name, c_nationkey
+      |  FROM customer WHERE c_custkey % 11 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEW', 0.0, 'new customer', CAST(0 AS INT)
+      |  FROM customer WHERE c_custkey % 13 = 0
+      |),
+      |untouched AS (
+      |  SELECT sk, c_custkey, c_mktsegment, c_acctbal, c_name, c_nationkey,
+      |         CAST(1 AS INT) AS source_system_code,
+      |         DATE '2024-01-01' AS start_date,
+      |         CAST(NULL AS DATE) AS end_date, TRUE AS is_current
+      |  FROM dim0 WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
+      |),
+      |kept AS (
+      |  SELECT d.sk, d.c_custkey, d.c_mktsegment, b.c_acctbal, d.c_name,
+      |         d.c_nationkey, CAST(1 AS INT), DATE '2024-01-01',
+      |         CAST(NULL AS DATE), TRUE
+      |  FROM dim0 d JOIN batch b USING (c_custkey)
+      |  WHERE b.c_mktsegment = d.c_mktsegment
+      |),
+      |expired AS (
+      |  SELECT d.sk, d.c_custkey, d.c_mktsegment, d.c_acctbal, d.c_name,
+      |         d.c_nationkey, CAST(1 AS INT), DATE '2024-01-01',
+      |         DATE '2024-02-01', FALSE
+      |  FROM dim0 d JOIN batch b USING (c_custkey)
+      |  WHERE b.c_mktsegment <> d.c_mktsegment
+      |),
+      |ins AS (
+      |  SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal, b.c_name, b.c_nationkey
+      |  FROM batch b LEFT JOIN dim0 d USING (c_custkey)
+      |  WHERE d.c_custkey IS NULL OR d.c_mktsegment <> b.c_mktsegment
+      |),
+      |inserted AS (
+      |  SELECT (SELECT count(*) FROM customer) + row_number() OVER (ORDER BY c_custkey) AS sk,
+      |         c_custkey, c_mktsegment, c_acctbal, c_name, c_nationkey,
+      |         CAST(1 AS INT), DATE '2024-02-01', CAST(NULL AS DATE), TRUE
+      |  FROM ins
+      |),
+      |merged AS (
+      |  SELECT * FROM untouched
+      |  UNION ALL SELECT * FROM kept
+      |  UNION ALL SELECT * FROM expired
+      |  UNION ALL SELECT * FROM inserted
+      |)""".stripMargin
+
   def queries: Map[String, Q] = Map(
     // ---- SCD initial load: dedup + deterministic surrogate keys ----
     "q20_scd_init" -> Q(
@@ -71,55 +124,55 @@ object Warehouse extends QueryPack {
         Scd.merge(dim0, batch2(s, d), custSpec, "2024-02-01")
       },
       Some(s"""
-        WITH $dim0Sql,
-        batch AS (
-          SELECT c_custkey,
-                 CASE WHEN c_custkey % 7 = 0 THEN 'PROMO' ELSE c_mktsegment END AS c_mktsegment,
-                 CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
-                 c_name, c_nationkey
-          FROM customer WHERE c_custkey % 11 <> 0
-          UNION ALL
-          SELECT c_custkey + 1000000, 'NEW', 0.0, 'new customer', CAST(0 AS INT)
-          FROM customer WHERE c_custkey % 13 = 0
-        ),
-        untouched AS (
-          SELECT sk, c_custkey, c_mktsegment, c_acctbal, c_name, c_nationkey,
-                 CAST(1 AS INT) AS source_system_code,
-                 DATE '2024-01-01' AS start_date,
-                 CAST(NULL AS DATE) AS end_date, TRUE AS is_current
-          FROM dim0 WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
-        ),
-        kept AS (
-          SELECT d.sk, d.c_custkey, d.c_mktsegment, b.c_acctbal, d.c_name,
-                 d.c_nationkey, CAST(1 AS INT), DATE '2024-01-01',
-                 CAST(NULL AS DATE), TRUE
-          FROM dim0 d JOIN batch b USING (c_custkey)
-          WHERE b.c_mktsegment = d.c_mktsegment
-        ),
-        expired AS (
-          SELECT d.sk, d.c_custkey, d.c_mktsegment, d.c_acctbal, d.c_name,
-                 d.c_nationkey, CAST(1 AS INT), DATE '2024-01-01',
-                 DATE '2024-02-01', FALSE
-          FROM dim0 d JOIN batch b USING (c_custkey)
-          WHERE b.c_mktsegment <> d.c_mktsegment
-        ),
-        ins AS (
-          SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal, b.c_name, b.c_nationkey
-          FROM batch b LEFT JOIN dim0 d USING (c_custkey)
-          WHERE d.c_custkey IS NULL OR d.c_mktsegment <> b.c_mktsegment
-        ),
-        inserted AS (
-          SELECT (SELECT count(*) FROM customer) + row_number() OVER (ORDER BY c_custkey) AS sk,
-                 c_custkey, c_mktsegment, c_acctbal, c_name, c_nationkey,
-                 CAST(1 AS INT), DATE '2024-02-01', CAST(NULL AS DATE), TRUE
-          FROM ins
-        )
-        SELECT * FROM untouched
-        UNION ALL SELECT * FROM kept
-        UNION ALL SELECT * FROM expired
-        UNION ALL SELECT * FROM inserted
+        WITH $mergedSql
+        SELECT * FROM merged
       """.stripMargin),
       doc = "set-based SCD merge, full row routing (SURVEY §2.5)"),
+
+    // ---- point-in-time SCD2 lookup: the query side of slowly-changing
+    // dimensions ----
+    // Every SCD2 warehouse eventually asks "which version was valid on
+    // date D?" — an equi-join on the BK with the validity range as a
+    // residual predicate. At scale the join shuffles on the BK alone
+    // (versions per BK are SCD-bounded — a handful — so the residual
+    // scan per key is constant work, never a range-join blowup); probes
+    // that predate every version keep their row with null attributes
+    // (the LEFT join is part of the contract: "no version valid" is an
+    // answer). Probed at one date inside v1's validity and one after the
+    // merge, so expired, current, inserted-later and never-valid rows
+    // all appear in the output.
+    "q112_dim_asof" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val dim0 = Scd.initialLoad(T.customer(s, d), custSpec, "2024-01-01").cache()
+        val dim = Scd.merge(dim0, batch2(s, d), custSpec, "2024-02-01")
+        val probes = dim.select($"c_custkey").distinct()
+          .select($"c_custkey", explode(array(
+            lit("2024-01-15"), lit("2024-03-01"))).as("asof"))
+          .withColumn("asof", $"asof".cast("date"))
+        val dimv = dim.select($"c_custkey".as("d_key"), $"sk",
+          $"c_mktsegment", $"start_date", $"end_date")
+        probes.join(dimv,
+            probes("c_custkey") === dimv("d_key") &&
+              dimv("start_date") <= probes("asof") &&
+              (dimv("end_date").isNull || probes("asof") < dimv("end_date")),
+            "left")
+          .select($"c_custkey", $"asof",
+            $"sk".as("sk_at"), $"c_mktsegment".as("segment_at"))
+      },
+      Some(s"""
+        WITH $mergedSql,
+        probes AS (
+          SELECT DISTINCT c_custkey, CAST(d AS DATE) AS asof
+          FROM merged, unnest(['2024-01-15', '2024-03-01']) t(d)
+        )
+        SELECT p.c_custkey, p.asof, m.sk AS sk_at,
+               m.c_mktsegment AS segment_at
+        FROM probes p LEFT JOIN merged m
+          ON p.c_custkey = m.c_custkey AND m.start_date <= p.asof
+         AND (m.end_date IS NULL OR p.asof < m.end_date)
+      """.stripMargin),
+      doc = "point-in-time SCD2 lookup: BK equi-join + validity-range residual (as-of dimension query)"),
 
     // ---- fact assembly: lookup chain + role-playing date dim ----
     "q22_fact_build" -> Q(

@@ -108,6 +108,22 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q111: gram-local pair generation equals the naive self-join") {
+    val sg = Tables.documents(spark, sf)
+      .select($"source", explode(graft.functions.NGramHash64
+        .ngramHashes(graft.functions.TextOps.words($"text"), 5)).as("g"))
+      .distinct()
+    val naive = sg.as("a").join(sg.as("b"),
+        $"a.g" === $"b.g" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("sa"), $"b.source".as("sb"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val fast = operators.TextAnalysis.queries("q111_source_overlap")
+      .fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(fast == naive)
+  }
+
   test("q110: per-query top-k is contiguously ranked with non-increasing scores") {
     val rows = operators.TextAnalysis.queries("q110_bm25_batch")
       .fn(spark, sf).collect()

@@ -83,4 +83,28 @@ class WarehouseSpec extends SparkSpec {
     val bals = loaded.join(dup.select($"c_custkey", $"c_acctbal".as("orig")), "c_custkey")
     assert(bals.filter($"c_acctbal" =!= least($"orig", $"orig" + 1)).count() == 0)
   }
+
+  test("q112 as-of lookup: at most one version per probe; SCD routing visible") {
+    val rows = Warehouse.queries("q112_dim_asof").fn(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getDate(1).toString),
+        Option(r.get(2)).map(_ => r.getLong(2))))
+    // every (bk, asof) probe appears exactly once — the validity ranges
+    // are disjoint, so the range-residual join can never fan out
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val byProbe = rows.toMap
+    val merged = this.merged.collect()
+    merged.groupBy(_.getAs[Long]("c_custkey")).foreach { case (bk, vs) =>
+      // the 2024-03-01 probe always resolves to the current version
+      val current = vs.find(_.getAs[Boolean]("is_current")).get
+      assert(byProbe((bk, "2024-03-01")).contains(current.getAs[Long]("sk")))
+      // keys born in the merge (start 2024-02-01 only) have no valid
+      // version at 2024-01-15 — the probe row survives with a null sk
+      if (vs.forall(_.getAs[java.sql.Date]("start_date").toString == "2024-02-01"))
+        assert(byProbe((bk, "2024-01-15")).isEmpty, s"bk $bk")
+      // SCD2-expired keys resolve the early probe to the EXPIRED version
+      vs.find(v => !v.getAs[Boolean]("is_current")).foreach { old =>
+        assert(byProbe((bk, "2024-01-15")).contains(old.getAs[Long]("sk")), s"bk $bk")
+      }
+    }
+  }
 }
