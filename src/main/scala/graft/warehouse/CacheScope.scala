@@ -24,10 +24,10 @@ import org.apache.spark.sql.DataFrame
   * }}}
   *
   * Releasing before materialization is safe (readers recompute) but forfeits
-  * the cache benefit — and for [[SurrogateKeys.assign]]'s scale-out range
-  * path the persist is also a determinism guard, so release only after the
-  * output is on storage. ([[Ffill]] and the fact key exchange pin their
-  * bucket bounds via [[RangeBuckets]] and need no guard.)
+  * the cache benefit. (The total-order machines — [[SurrogateKeys.assign]],
+  * [[Ffill]], the fact key exchange — pin their bucket bounds via
+  * [[RangeBuckets]], so none of them needs a persist as a determinism
+  * guard.)
   */
 final class CacheScope private (track: Boolean) {
   def this() = this(true)

@@ -15,10 +15,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * Scale: a naive `row_number` over an un-partitioned window collapses to a
   * single task (the reference's own known hazard, SURVEY §2.7 W1). Instead
-  * we range-repartition by the key (global order across partitions), take
-  * `row_number` *within* each partition, and add per-partition offsets
-  * computed from a tiny count aggregate — every stage is fully parallel and
-  * the only driver-sized data is one row per partition.
+  * the key space is range-bucketed against DRIVER-PINNED bounds
+  * ([[RangeBuckets]] — bucket id is a pure function of the key), rows take
+  * `row_number` *within* each bucket, and per-bucket offsets come from a
+  * narrow key-only count aggregate — every stage is fully parallel, nothing
+  * needs materializing for determinism, and the only driver-sized data is
+  * one row per bucket.
   */
 object SurrogateKeys {
 
@@ -51,26 +53,31 @@ object SurrogateKeys {
           Window.partitionBy(pmod(spark_partition_id(), lit(1)))
             .orderBy(keys: _*)) + lit(offset)).cast("long"))
     }
-    val ranged = df.repartitionByRange(n, keys: _*)
     val pid = "__sk_pid"
     val rn = "__sk_rn"
-    // MATERIALIZED before use: the frame below is read twice (offsets
-    // aggregate + final join). `repartitionByRange` samples its bounds
-    // and `spark_partition_id()` is execution-dependent, so two
-    // independent evaluations (or a task retry at scale) could disagree
-    // on pid assignment and collide/skip SKs. One cached evaluation makes
-    // both readers see the same pids — and skips recomputing the shuffle.
-    val withRn = scope.persist(ranged
-      .withColumn(pid, spark_partition_id())
+    // Bucket ids come from DRIVER-PINNED bounds (RangeBuckets): pid is a
+    // pure function of the key, so the per-bucket counts — the global SK
+    // offsets — reduce in a NARROW key-only aggregate straight off the
+    // unmaterialized input, and task retries agree by construction (the
+    // earlier sampled-`repartitionByRange` + `spark_partition_id()`
+    // formulation had to persist the full ranged frame purely so two
+    // evaluations would see the same execution-dependent pids).
+    val (pidX, nBuckets) = RangeBuckets.pidExpr(df, keyCols, n)
+    val withRn = df
+      .withColumn(pid, pidX)
       .withColumn(rn, row_number().over(
-        Window.partitionBy(col(pid)).orderBy(keys: _*))))
-    // partition sizes → cumulative offsets (one row per partition; tiny).
-    // The single-partition window is INTENTIONAL on this driver-sized
-    // frame; the constant-VALUED but non-foldable partition key (pmod of
-    // the pid — a literal gets constant-folded out of the spec) silences
-    // Spark's "No Partition Defined" warning so real single-partition
+        Window.partitionBy(col(pid)).orderBy(keys: _*)))
+    // per-bucket sizes → cumulative offsets (one row per bucket; tiny;
+    // the spine covers sample-empty buckets). The single-partition
+    // window is INTENTIONAL on this driver-sized frame; the
+    // constant-VALUED but non-foldable partition key (pmod of the pid —
+    // a literal gets constant-folded out of the spec) silences Spark's
+    // "No Partition Defined" warning so real single-partition
     // regressions stay visible.
-    val offsets = withRn.groupBy(col(pid)).agg(count(lit(1)).as("__sk_cnt"))
+    val counts = df.groupBy(pidX.as(pid)).agg(count(lit(1)).as("__sk_cnt"))
+    val spine = df.sparkSession.range(nBuckets)
+      .select(col("id").cast("int").as(pid))
+    val offsets = spine.join(counts, Seq(pid), "left")
       .withColumn("__sk_off",
         coalesce(sum(col("__sk_cnt")).over(
           Window.partitionBy(pmod(col(pid), lit(1))).orderBy(col(pid))
