@@ -24,6 +24,7 @@ object SparkEntry {
     operators.Dedup,
     operators.Similarity,
     operators.Multimodal,
+    operators.Quality,
     operators.Ibrd
   )
 

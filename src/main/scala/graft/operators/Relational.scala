@@ -188,6 +188,54 @@ object Relational extends QueryPack {
       None,
       doc = "approx_count_distinct — the at-scale variant of A7 (SURVEY §2.6)"),
 
+    // ---- per-group top-k (salted two-stage) ----
+    // "top 3 customers by spend per nation": the report staple that, done
+    // naively, is one window over everything partitioned by a LOW-cardinality
+    // group (25 nations) — at 100 TB each nation's whole customer set lands
+    // on one reducer for the sort. Two fixes compose here: (1) rank over the
+    // PRE-AGGREGATED (nation, customer) spend table, never the fact table;
+    // (2) salt the first ranking pass by pmod(custkey, 64) so each reducer
+    // sorts 1/64 of a nation, then re-rank only the ≤64·k survivors — exact,
+    // because a global top-k row is necessarily in its salt-slice's top-k.
+    // Deterministic tiebreak (spend DESC, custkey ASC) end-to-end.
+    "q116_group_topk" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val spend = T.orders(s, d)
+          .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+          .join(broadcast(T.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name", $"o_custkey")
+          .agg(sum($"o_totalprice".cast("decimal(28,2)")).cast("double")
+            .as("spend"))
+        val salted = Window
+          .partitionBy($"n_name", pmod($"o_custkey", lit(64)))
+          .orderBy($"spend".desc, $"o_custkey".asc)
+        val survivors = spend
+          .withColumn("srk", row_number().over(salted))
+          .filter($"srk" <= 3).drop("srk")
+        val perGroup = Window.partitionBy($"n_name")
+          .orderBy($"spend".desc, $"o_custkey".asc)
+        survivors.withColumn("rnk", row_number().over(perGroup))
+          .filter($"rnk" <= 3)
+      },
+      Some("""
+        WITH spend AS (
+          SELECT n_name, o_custkey,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS spend
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          GROUP BY n_name, o_custkey
+        )
+        SELECT n_name, o_custkey, spend, rnk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY n_name
+                   ORDER BY spend DESC, o_custkey ASC) AS INT) AS rnk
+          FROM spend)
+        WHERE rnk <= 3
+      """.stripMargin),
+      doc = "per-group top-k: pre-agg + salted two-stage rank (no one-reducer-per-group sort)"),
+
     // ---- union of disjoint splits (page-accumulate shape) ----
     "q08_union" -> Q(
       (s, d) => {

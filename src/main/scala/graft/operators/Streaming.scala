@@ -130,6 +130,56 @@ object Streaming extends QueryPack {
       """.stripMargin),
       doc = "JSON column extraction + agg (semi-structured ingest shape)"),
 
+    // ---- changelog (CDC) compaction: latest state per key ----
+    // The incremental-load primitive upstream of MERGE (q113 consumes a
+    // compacted batch): a change stream keyed by user with
+    // insert/update/delete ops collapses to current state. Implemented as
+    // ONE hash aggregate — max_by(row, event_id) — not a window:
+    // map-side partial aggregation compacts each input split down to one
+    // row per key BEFORE the exchange, so at 100 TB the shuffle carries
+    // ~|keys| rows, while the row_number()-window formulation would
+    // shuffle + sort the whole changelog (the oracle uses the window form
+    // precisely because it is implementation-independent). Keys whose
+    // latest op is a tombstone disappear from the compacted state.
+    // event_id is unique (asserted in StreamingSpec), so max_by is
+    // deterministic.
+    "q114_cdc_compact" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val log = T.events(s, d).select(
+          $"user_id", $"event_id",
+          when($"event_type" === "signup", "I")
+            .when($"event_type" === "error", "D")
+            .otherwise("U").as("op"),
+          $"value")
+        log.groupBy($"user_id")
+          .agg(
+            max($"event_id").as("last_event_id"),
+            max_by($"op", $"event_id").as("last_op"),
+            max_by($"value", $"event_id").as("last_value"),
+            count(lit(1)).as("n_changes"))
+          .filter($"last_op" =!= "D")
+      },
+      Some("""
+        WITH log AS (
+          SELECT user_id, event_id,
+                 CASE WHEN event_type = 'signup' THEN 'I'
+                      WHEN event_type = 'error'  THEN 'D'
+                      ELSE 'U' END AS op,
+                 "value"
+          FROM events
+        ), latest AS (
+          SELECT user_id, event_id AS last_event_id, op AS last_op,
+                 "value" AS last_value,
+                 count(*) OVER (PARTITION BY user_id) AS n_changes,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM log
+        )
+        SELECT user_id, last_event_id, last_op, last_value, n_changes
+        FROM latest WHERE rn = 1 AND last_op <> 'D'
+      """.stripMargin),
+      doc = "changelog compaction to current state: hash-agg max_by, tombstone drop (CDC / incremental load)"),
+
     // ---- streaming dedup (batch twin) ----
     // the dedup family's streaming leg: first occurrence per content key
     // in event-time order. The true streaming run (watermark +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.warehouse.{DimDate, FactBuilder, Scd, ScdSpec}
+import graft.warehouse.{DimDate, FactBuilder, Merge, Scd, ScdSpec}
 import graft.{Q, QueryPack, Tables => T}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -173,6 +173,50 @@ object Warehouse extends QueryPack {
          AND (m.end_date IS NULL OR p.asof < m.end_date)
       """.stripMargin),
       doc = "point-in-time SCD2 lookup: BK equi-join + validity-range residual (as-of dimension query)"),
+
+    // ---- generic MERGE INTO: the lakehouse upsert primitive ----
+    // Delta-style MERGE as ONE full-outer shuffle join + routing
+    // projection (warehouse.Merge) — the set-based form of the
+    // reference's per-row UPDATE side-channel (SURVEY §2.1 S9). The
+    // change batch is deterministic so DuckDB can rebuild the exact
+    // post-merge table state: %11 keys tombstone (delete), %7 (minus
+    // the tombstoned) reprice (update), %13 spawn new keys (insert).
+    "q113_merge_upsert" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val o = T.orders(s, d).select(
+          $"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+        val del = o.filter($"o_orderkey" % 11 === 0)
+          .withColumn("op", lit("D"))
+        val upd = o.filter($"o_orderkey" % 7 === 0 && $"o_orderkey" % 11 =!= 0)
+          .withColumn("o_totalprice", $"o_totalprice" + 50.0)
+          .withColumn("op", lit("U"))
+        val ins = o.filter($"o_orderkey" % 13 === 0).select(
+          ($"o_orderkey" + 10000000L).as("o_orderkey"), $"o_custkey",
+          lit("N").as("o_orderstatus"),
+          lit(0.0).as("o_totalprice"), lit("I").as("op"))
+        val batch = del.unionByName(upd).unionByName(ins)
+        Merge.upsert(o, batch, "o_orderkey", deleteWhen = col("op") === "D")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        ),
+        upd AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice + 50.0 AS o_totalprice
+          FROM o WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+        )
+        SELECT * FROM o
+        WHERE o_orderkey % 11 <> 0
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        UNION ALL SELECT * FROM upd
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N',
+               CAST(0.0 AS DOUBLE)
+        FROM o WHERE o_orderkey % 13 = 0
+      """.stripMargin),
+      doc = "generic MERGE INTO: update/delete/insert routing in one full-outer join (warehouse.Merge)"),
 
     // ---- fact assembly: lookup chain + role-playing date dim ----
     "q22_fact_build" -> Q(

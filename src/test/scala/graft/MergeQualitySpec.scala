@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.Quality
+import graft.warehouse.Merge
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Properties for the round-9 additions: generic MERGE upsert routing,
+  * the single-scan DQ rules engine, salted per-group top-k ≡ plain
+  * window, and changelog compaction ≡ its window formulation. */
+class MergeQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+  ).toDF("k", "name", "amt")
+
+  test("Merge.upsert routes update/delete/insert/keep correctly") {
+    val batch = Seq(
+      (2L, "b2", 25.0, "U"),  // matched update
+      (3L, "c", 30.0, "D"),   // matched delete
+      (9L, "x", 0.0, "D"),    // unmatched delete -> no-op
+      (5L, "e", 50.0, "I")    // unmatched insert
+    ).toDF("k", "name", "amt", "op")
+    val out = Merge.upsert(target, batch, "k", deleteWhen = col("op") === "D")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "a", 10.0), (2L, "b2", 25.0), (4L, "d", 40.0), (5L, "e", 50.0)))
+  }
+
+  test("Merge.upsert preserves target schema and is idempotent for upsert-only batches") {
+    val batch = Seq((2L, "b2", 25.0), (5L, "e", 50.0)).toDF("k", "name", "amt")
+    val once = Merge.upsert(target, batch, "k")
+    // full-outer padding widens nullability; names and types must hold
+    assert(once.schema.map(f => (f.name, f.dataType)) ==
+      target.schema.map(f => (f.name, f.dataType)))
+    val twice = Merge.upsert(once, batch, "k")
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("Merge.upsert rejects a source missing target columns") {
+    intercept[IllegalArgumentException] {
+      Merge.upsert(target, Seq((1L, "a")).toDF("k", "name"), "k")
+    }
+  }
+
+  test("Quality.report counts violations and runs all rules in ONE scan") {
+    val df = Seq(
+      (1L, 5.0, "ok"), (2L, -1.0, "ok"), (3L, 0.0, "bad"), (4L, 2.0, "ok")
+    ).toDF("id", "v", "status")
+    // dotted rule names are display strings, not identifiers (q115 uses
+    // "table.rule" names — they must not hit column resolution)
+    val rep = Quality.report(df, Seq(
+      Quality.Rule("t.nonpositive_v", $"v" <= 0.0),
+      Quality.Rule("t.bad_status", $"status" === "bad")))
+    val m = rep.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("t.nonpositive_v" -> 2L, "t.bad_status" -> 1L))
+    // one scan: a single scan node in the executed plan (QueryStageExec
+    // markers are childless but aren't scans — count real scan leaves)
+    rep.collect()
+    val scans = graft.plans.PlanWalk.walk(rep.queryExecution.executedPlan)
+      .count(_.nodeName.toLowerCase.contains("scan"))
+    assert(scans == 1, s"predicate rules must share one scan, saw $scans")
+  }
+
+  test("Quality.duplicateCount and orphanCount") {
+    val child = Seq((1L, 1), (1L, 1), (2L, 1), (7L, 1)).toDF("fk", "x")
+    val parent = Seq(Tuple1(1L), Tuple1(2L)).toDF("pk")
+    val dup = Quality.duplicateCount(child, "dup", Seq("fk", "x")).head
+    assert(dup.getString(0) == "dup" && dup.getLong(1) == 1L)
+    val orph = Quality.orphanCount(child, "fk", parent, "pk", "orphan").head
+    assert(orph.getString(0) == "orphan" && orph.getLong(1) == 1L)
+  }
+
+  test("q116 salted two-stage top-k equals the plain single-window ranking") {
+    val salted = SparkEntry.queries("q116_group_topk")(spark, sf)
+    val spend = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(spark, sf), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(28,2)")).cast("double").as("spend"))
+    val w = Window.partitionBy($"n_name").orderBy($"spend".desc, $"o_custkey".asc)
+    val plain = spend.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("q114 hash-agg compaction equals the window formulation; tombstoned keys dropped") {
+    val compacted = SparkEntry.queries("q114_cdc_compact")(spark, sf)
+    val log = Tables.events(spark, sf).select(
+      $"user_id", $"event_id",
+      when($"event_type" === "signup", "I")
+        .when($"event_type" === "error", "D").otherwise("U").as("op"),
+      $"value")
+    val w = Window.partitionBy($"user_id").orderBy($"event_id".desc)
+    val ref = log
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(
+        Window.partitionBy($"user_id")))
+      .filter($"rn" === 1 && $"op" =!= "D")
+      .select($"user_id", $"event_id".as("last_event_id"),
+        $"op".as("last_op"), $"value".as("last_value"), $"n_changes")
+    assert(compacted.exceptAll(ref).isEmpty && ref.exceptAll(compacted).isEmpty)
+    // every tombstone-latest key is absent
+    val latestOps = log.groupBy($"user_id")
+      .agg(max_by($"op", $"event_id").as("lo"))
+    val deadKeys = latestOps.filter($"lo" === "D").select($"user_id")
+    assert(compacted.join(deadKeys, Seq("user_id"), "left_semi").count() == 0)
+  }
+
+  test("q113 merge result: tombstoned keys gone, inserts present, updates applied") {
+    val out = SparkEntry.queries("q113_merge_upsert")(spark, sf).cache()
+    assert(out.filter($"o_orderkey" % 11 === 0 && $"o_orderkey" < 10000000L).count() == 0)
+    val o = Tables.orders(spark, sf)
+    val nIns = o.filter($"o_orderkey" % 13 === 0).count()
+    assert(out.filter($"o_orderkey" >= 10000000L).count() == nIns)
+    val updated = out.filter($"o_orderkey" % 7 === 0 &&
+      $"o_orderkey" % 11 =!= 0 && $"o_orderkey" < 10000000L)
+      .select($"o_orderkey", $"o_totalprice")
+    val expect = o.filter($"o_orderkey" % 7 === 0 && $"o_orderkey" % 11 =!= 0)
+      .select($"o_orderkey", ($"o_totalprice" + 50.0).as("o_totalprice"))
+    assert(updated.exceptAll(expect).isEmpty && expect.exceptAll(updated).isEmpty)
+    out.unpersist()
+  }
+}
