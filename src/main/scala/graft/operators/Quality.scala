@@ -53,7 +53,38 @@ object Quality extends QueryPack {
       .agg(count(lit(1)).as("n_violations"))
       .select(lit(name).as("rule"), col("n_violations"))
 
+  /** Key-distribution profile: the heaviest `topN` keys with their row
+    * counts and corpus share — the diagnostic that decides when a join
+    * needs `Skew.saltedJoin`/AQE skew handling BEFORE it falls over at
+    * scale. One map-side-combined count aggregate + a
+    * TakeOrderedAndProject (never a full sort); the total rides the same
+    * pass output via a broadcast scalar. */
+  def keyProfile(df: DataFrame, key: String, topN: Int): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts
+      .orderBy(col("n").desc, col(key).asc)
+      .limit(topN)
+      .crossJoin(broadcast(total))
+      .select(col(key), col("n"),
+        (col("n").cast("double") / col("__total").cast("double")).as("share"))
+  }
+
   def queries: Map[String, Q] = Map(
+    // ---- key-skew diagnostic over the stream's natural join key ----
+    "q119_key_skew" -> Q(
+      (s, d) => keyProfile(T.events(s, d), "user_id", topN = 10),
+      Some("""
+        SELECT user_id, count(*) AS n,
+               CAST(count(*) AS DOUBLE) /
+                 (SELECT CAST(count(*) AS DOUBLE) FROM events) AS share
+        FROM events
+        GROUP BY user_id
+        ORDER BY n DESC, user_id ASC
+        LIMIT 10
+      """.stripMargin),
+      doc = "top-N heaviest keys + share: the salting/skew-join decision input (operators.Quality)"),
+
     // ---- DQ audit report over the staged star ----
     // 6 predicate rules = exactly 2 table scans (one per table), plus the
     // one-join orphan probe and the same-scan-shape duplicate check.

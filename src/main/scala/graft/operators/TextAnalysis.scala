@@ -660,8 +660,82 @@ object TextAnalysis extends QueryPack {
         FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
         GROUP BY 1, 2
       """.stripMargin),
-      doc = "cross-source shared-5-gram matrix (provenance/mirroring analysis)")
+      doc = "cross-source shared-5-gram matrix (provenance/mirroring analysis)"),
+
+    // ---- vocabulary build + document numericalization ----
+    // The tokenize-for-training step: a frequency-ranked vocab (min-count
+    // floor, top-V cap, deterministic (count DESC, token ASC) tie-break;
+    // id 0 reserved for OOV) and every document re-expressed as its id
+    // sequence. Encoding is the native `vocab_encode` expression — one
+    // hash probe per token inside the scan projection, ZERO corpus
+    // shuffle (the join formulation the oracle uses would shuffle the
+    // whole token stream twice: once keyed by token for the lookup, once
+    // keyed by doc to restore order). The vocab build's corpus pass is
+    // one map-side-combined count aggregate; top-V election is a
+    // TakeOrderedAndProject and the ≤V-row collect is bounded by the cap
+    // parameter, not the data. ids_csv (not array<int>) keeps the output
+    // in check.py's hashable domain.
+    "q117_vocab_encode" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = T.documents(s, d)
+        val vocab = buildVocab(docs, minCount = 2, maxSize = VocabMax)
+        docs
+          .select($"doc_id", TextOps.words($"text").as("ws"))
+          .select($"doc_id", size($"ws").as("n_tokens"),
+            graft.functions.VocabEncode.vocabEncode($"ws", vocab).as("ids"))
+          .select($"doc_id", $"n_tokens",
+            array_join($"ids".cast("array<string>"), ",").as("ids_csv"),
+            (size($"ids") - size(array_remove($"ids", 0))).as("n_oov"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, i AS ord, ws[i] AS w
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents))
+        ),
+        vocab AS (
+          SELECT w, CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS INT) AS id
+          FROM (SELECT w, count(*) AS cnt FROM tok GROUP BY w
+                HAVING count(*) >= 2)
+          QUALIFY id <= $VocabMax
+        ),
+        enc AS (
+          SELECT t.doc_id, t.ord, COALESCE(v.id, 0) AS id
+          FROM tok t LEFT JOIN vocab v USING (w)
+        )
+        SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+               array_to_string(array_agg(id ORDER BY ord), ',') AS ids_csv,
+               CAST(count(*) FILTER (WHERE id = 0) AS INT) AS n_oov
+        FROM enc GROUP BY doc_id
+      """.stripMargin),
+      doc = "vocab build (min-count, top-V, ranked) + zero-shuffle doc numericalization (native vocab_encode)")
   )
+
+  /** Vocab cap for q117 (a parameter in production; the cap is what makes
+    * the driver-side collect bounded-by-construction). */
+  val VocabMax = 1000
+
+  /** Frequency-ranked vocabulary: tokens with ≥ `minCount` occurrences,
+    * top `maxSize` by (count DESC, token ASC), ids 1..maxSize (0 = OOV).
+    * One corpus count-aggregate + a TakeOrderedAndProject; the collect is
+    * ≤ maxSize rows BY CONSTRUCTION (the cap is the contract, like the
+    * dict loads SCALE.md §Ground-rules documents). */
+  def buildVocab(docs: org.apache.spark.sql.DataFrame, minCount: Long,
+      maxSize: Int): Seq[(String, Int)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(explode(TextOps.words($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= minCount)
+      .orderBy($"cnt".desc, $"w".asc)
+      .limit(maxSize)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (r.getString(0), i + 1) }
+      .toSeq
+  }
 
   /** BM25 catalog constants: the fixed query terms and the standard
     * Okapi parameters. */

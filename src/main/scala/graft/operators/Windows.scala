@@ -43,6 +43,43 @@ object Windows extends QueryPack {
       """.stripMargin),
       doc = "forward fill, partitioned (SURVEY §2.7 W1 + scale fix §7)"),
 
+    // ---- trailing time-RANGE frame per key (feature engineering) ----
+    // "events and value volume in the hour BEFORE each event, per user" —
+    // the rolling-feature op (fraud velocity counts, rate limits,
+    // trailing engagement). A RANGE frame on the µs timestamp, not a ROWS
+    // frame: the window widens and narrows with event density, which is
+    // the semantics feature stores actually need. Partitioned by user —
+    // each key's history sorts inside its own shuffle partition (the
+    // usual W1 scale argument); frame evaluation is streaming two-pointer
+    // work per partition, no re-scan per row. The value sum runs through
+    // DECIMAL: sliding-frame double sums are computed subtract-on-evict
+    // by one engine and segment-tree by the other — exact integer
+    // accumulation is the only bit-stable contract. µs domain (ts div
+    // 1000) because DuckDB truncates ns parquet to µs.
+    "q118_trailing_range" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+          .rangeBetween(-3600L * 1000 * 1000, Window.currentRow)
+        T.events(s, d)
+          .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"),
+            $"value")
+          .select($"event_id", $"user_id", $"ts_us",
+            count(lit(1)).over(w).as("trail_1h_n"),
+            sum($"value".cast("decimal(28,10)")).over(w).cast("double")
+              .as("trail_1h_value"))
+      },
+      Some("""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               count(*) OVER w AS trail_1h_n,
+               CAST(sum(CAST("value" AS DECIMAL(28,10))) OVER w AS DOUBLE)
+                 AS trail_1h_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      """.stripMargin),
+      doc = "trailing 1h RANGE-frame count/sum per key (rolling feature op; density-adaptive frame)"),
+
     // ---- W2: ranking + running aggregate ----
     "q26_running_rank" -> Q(
       (s, d) => {

@@ -108,6 +108,53 @@ class MergeQualitySpec extends SparkSpec {
     assert(compacted.join(deadKeys, Seq("user_id"), "left_semi").count() == 0)
   }
 
+  test("vocab_encode matches the join-based reference; OOV encodes 0; ids dense 1..V") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val vocab = TextAnalysis.buildVocab(docs, minCount = 2, maxSize = 100)
+    assert(vocab.map(_._2) == (1 to vocab.size), "ids must be dense 1..V")
+    // ranking contract: counts non-increasing, ties broken by token asc
+    val counts = docs.select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vc = vocab.map { case (w, _) => counts(w) }
+    assert(vc.zip(vc.tail).forall { case (a, b) => a >= b })
+    vocab.zip(vocab.tail).foreach { case ((w1, _), (w2, _)) =>
+      if (counts(w1) == counts(w2)) assert(w1 < w2) }
+    // native expression ≡ explode-join-regroup reference
+    val enc = docs.select($"doc_id",
+      graft.functions.VocabEncode.vocabEncode(split($"text", " "), vocab).as("ids"))
+      .select($"doc_id", $"ids".cast("array<string>").as("ids"))
+      .withColumn("ids", array_join($"ids", ","))
+    val vdf = vocab.toDF("w", "id")
+    val ref = docs.select($"doc_id", posexplode(split($"text", " ")).as(Seq("p", "w")))
+      .join(vdf, Seq("w"), "left")
+      .withColumn("id", coalesce($"id", lit(0)))
+      .groupBy($"doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct($"p", $"id"))),
+        x => x.getField("id").cast("string")), ",").as("ids"))
+    assert(enc.exceptAll(ref).isEmpty && ref.exceptAll(enc).isEmpty)
+  }
+
+  test("q118 trailing RANGE frame equals the self-join formulation") {
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"), $"value")
+    val out = SparkEntry.queries("q118_trailing_range")(spark, sf)
+    val f = ev.select($"user_id".as("f_uid"), $"ts_us".as("f_ts"), $"value".as("f_v"))
+    val ref = ev.join(f, $"user_id" === $"f_uid" &&
+        $"f_ts" >= $"ts_us" - 3600L * 1000 * 1000 && $"f_ts" <= $"ts_us")
+      .groupBy($"event_id", $"user_id", $"ts_us")
+      .agg(count(lit(1)).as("trail_1h_n"),
+        sum($"f_v".cast("decimal(28,10)")).cast("double").as("trail_1h_value"))
+    assert(out.exceptAll(ref).isEmpty && ref.exceptAll(out).isEmpty)
+  }
+
+  test("Quality.keyProfile: heaviest keys, exact shares, bounded output") {
+    val df = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).toDF("k")
+    val prof = Quality.keyProfile(df, "k", topN = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(prof.toSeq == Seq((1L, 6L, 0.6), (2L, 3L, 0.3)))
+  }
+
   test("q113 merge result: tombstoned keys gone, inserts present, updates applied") {
     val out = SparkEntry.queries("q113_merge_upsert")(spark, sf).cache()
     assert(out.filter($"o_orderkey" % 11 === 0 && $"o_orderkey" < 10000000L).count() == 0)
