@@ -16,7 +16,105 @@ import org.apache.spark.sql.functions._
   */
 object Stats extends QueryPack {
 
+  /** µs per week (cohort bucketing). */
+  val WeekUs: Long = 7L * 86400 * 1000 * 1000
+
   def queries: Map[String, Q] = Map(
+    // ---- ordered-funnel analysis (signup → click → purchase) ----
+    // The event-sequence staple: how many users performed stage k only
+    // counting occurrences AFTER their stage-(k−1) event. Strict order
+    // is enforced with running flags over ONE partitioned window pass
+    // (seen_signup, then click-qualified-by-signup, then
+    // purchase-qualified-by-that-click) — never a per-stage self-join
+    // (k-stage funnels as joins are k−1 shuffles of the event table) and
+    // never a per-user collect_list (unbounded state per key). At 100 TB:
+    // one shuffle on user_id, streaming window evaluation, two partial
+    // aggregates down to a single row. event_id is the order key
+    // (unique, time-correlated — the q26 reasoning).
+    "q120_funnel" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val staged = T.events(s, d)
+          .select($"user_id", $"event_id", $"event_type")
+          .withColumn("seen_signup",
+            max(when($"event_type" === "signup", 1).otherwise(0)).over(w))
+          .withColumn("q_click",
+            when($"event_type" === "click" && $"seen_signup" === 1, 1)
+              .otherwise(0))
+          .withColumn("seen_qclick", max($"q_click").over(w))
+          .withColumn("conv",
+            when($"event_type" === "purchase" && $"seen_qclick" === 1, 1)
+              .otherwise(0))
+        staged.groupBy($"user_id")
+          .agg(max($"seen_signup").as("s1"), max($"q_click").as("s2"),
+            max($"conv").as("s3"))
+          .agg(sum($"s1").cast("long").as("n_signup"),
+            sum($"s2").cast("long").as("n_click_after_signup"),
+            sum($"s3").cast("long").as("n_purchase_after_click"))
+      },
+      Some("""
+        WITH staged AS (
+          SELECT user_id, event_id, event_type,
+                 max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   OVER w AS seen_signup
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), staged2 AS (
+          SELECT *,
+                 CASE WHEN event_type = 'click' AND seen_signup = 1
+                      THEN 1 ELSE 0 END AS q_click,
+                 max(CASE WHEN event_type = 'click' AND seen_signup = 1
+                          THEN 1 ELSE 0 END) OVER w AS seen_qclick
+          FROM staged
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), per_user AS (
+          SELECT user_id, max(seen_signup) AS s1, max(q_click) AS s2,
+                 max(CASE WHEN event_type = 'purchase' AND seen_qclick = 1
+                          THEN 1 ELSE 0 END) AS s3
+          FROM staged2 GROUP BY user_id
+        )
+        SELECT CAST(sum(s1) AS BIGINT) AS n_signup,
+               CAST(sum(s2) AS BIGINT) AS n_click_after_signup,
+               CAST(sum(s3) AS BIGINT) AS n_purchase_after_click
+        FROM per_user
+      """.stripMargin),
+      doc = "strict-order 3-stage funnel via running window flags (one window pass, no per-stage self-joins)"),
+
+    // ---- cohort retention grid ----
+    // Users bucketed by first-activity week; the (cohort, week-offset)
+    // grid counts distinct active users. Two user-keyed hash aggregates
+    // + one shuffle join on user_id (cohort table is |users|-sized — no
+    // broadcast assumed; AQE may choose one) + the grid aggregate whose
+    // output is |cohorts × offsets| — tiny. µs domain, integer floor
+    // division (exact on both engines).
+    "q121_cohort_retention" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ev = T.events(s, d)
+          .select($"user_id", expr(s"(ts div 1000) div $WeekUs").as("week"))
+        val cohort = ev.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+        ev.join(cohort, "user_id")
+          .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+          .agg(countDistinct($"user_id").as("n_users"))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) // $WeekUs AS week FROM events
+        ), cohort AS (
+          SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+        )
+        SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM ev e JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+      """.stripMargin),
+      doc = "cohort retention grid: first-activity-week cohorts x week offset, distinct active users"),
+
     // ---- exact per-group percentiles (linear interpolation) ----
     "q47_group_percentiles" -> Q(
       (s, d) => {

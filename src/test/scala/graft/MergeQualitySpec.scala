@@ -155,6 +155,42 @@ class MergeQualitySpec extends SparkSpec {
     assert(prof.toSeq == Seq((1L, 6L, 0.6), (2L, 3L, 0.3)))
   }
 
+  test("q120 funnel equals a per-user brute-force replay; stages monotone") {
+    val out = SparkEntry.queries("q120_funnel")(spark, sf).head
+    val (n1, n2, n3) = (out.getLong(0), out.getLong(1), out.getLong(2))
+    assert(n1 >= n2 && n2 >= n3)
+    val rows = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    var (b1, b2, b3) = (0L, 0L, 0L)
+    rows.groupBy(_._1).foreach { case (_, evs) =>
+      var (s1, s2, s3) = (false, false, false)
+      evs.sortBy(_._2).map(_._3).foreach {
+        case "signup" => s1 = true
+        case "click" if s1 => s2 = true
+        case "purchase" if s2 => s3 = true
+        case _ =>
+      }
+      if (s1) b1 += 1; if (s2) b2 += 1; if (s3) b3 += 1
+    }
+    assert((n1, n2, n3) == ((b1, b2, b3)))
+  }
+
+  test("q121 cohort grid: offset-0 covers every user; retention never exceeds cohort size") {
+    val grid = SparkEntry.queries("q121_cohort_retention")(spark, sf).cache()
+    assert(grid.filter($"week_offset" < 0).count() == 0)
+    val users = Tables.events(spark, sf).select($"user_id").distinct().count()
+    val offset0 = grid.filter($"week_offset" === 0)
+      .agg(sum($"n_users")).head.getLong(0)
+    assert(offset0 == users, "every user is active in their cohort week")
+    val bad = grid.as("g").join(
+        grid.filter($"week_offset" === 0)
+          .select($"cohort_week", $"n_users".as("size0")), Seq("cohort_week"))
+      .filter($"n_users" > $"size0")
+    assert(bad.count() == 0)
+    grid.unpersist()
+  }
+
   test("q113 merge result: tombstoned keys gone, inserts present, updates applied") {
     val out = SparkEntry.queries("q113_merge_upsert")(spark, sf).cache()
     assert(out.filter($"o_orderkey" % 11 === 0 && $"o_orderkey" < 10000000L).count() == 0)
