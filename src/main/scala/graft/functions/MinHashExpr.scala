@@ -2,24 +2,29 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Native Catalyst expression computing a k-long MinHash signature of an
-  * `array<string>` in ONE pass: one xxHash64 per element, then k affine
-  * transforms (h·Aᵢ+Bᵢ, a standard universal-hash family) with running
-  * minima.
+  * `array<string>` in ONE pass: one md5-derived 60-bit base hash per
+  * element ([[PortableHash.base60]]), then k affine transforms over the
+  * Mersenne prime 2^61 − 1 with running minima.
   *
   * Why not higher-order functions: the `transform(seq(k), i →
-  * array_min(transform(set, s → xxhash64(i,s))))` formulation evaluates
+  * array_min(transform(set, s → hash(i,s))))` formulation evaluates
   * k×|set| interpreted lambdas per row (HOFs never enter codegen) — it
   * measured ~23 ms/doc at k=96; this expression does the same math in a
-  * tight generated loop (O(|set|·k) long ops, zero allocation beyond the
-  * signature array). Spark-first preference order (b): a custom
-  * `Expression` with `doGenCode`, not a UDF.
+  * tight JVM loop (O(|set|·k) long ops, zero allocation beyond the
+  * signature array and one 16-byte digest per element). Spark-first
+  * preference order (b): a custom `Expression` with `doGenCode`, not a
+  * UDF.
   *
-  * The affine constants derive from a fixed SplitMix64 stream, so
+  * The hash family is DELIBERATELY SQL-replayable (see [[PortableHash]]):
+  * a DuckDB oracle reproduces every signature value bit-for-bit from
+  * `md5(token)` + HUGEINT affine arithmetic, so the LSH queries built on
+  * this signature are hash-compared against an oracle rather than
+  * golden-pinned. Constants derive from a fixed SplitMix64 stream, so
   * signatures are deterministic across runs/partitions.
   */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
@@ -39,60 +44,17 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
   // computed once per (deserialized) instance; lazy val init is
   // synchronized, so concurrent executor task threads are safe
-  @transient private lazy val ab: (Array[Long], Array[Long]) = MinHashSig.consts(k)
+  @transient private lazy val ab: (Array[Long], Array[Long]) =
+    PortableHash.consts61(k)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val (a, b) = ab
-    val mins = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      // null elements hash to the shared sentinel (NGramHash64's rule):
-      // the declared input admits containsNull=true and
-      // XxHash64Function.hash NPEs on null
-      val u = arr.getUTF8String(i)
-      val h = if (u == null) NGramHash64.NullElementHash
-              else XxHash64Function.hash(u, StringType, 42L)
-      var j = 0
-      while (j < k) {
-        val hj = h * a(j) + b(j)
-        if (hj < mins(j)) mins(j) = hj
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], ab._1, ab._2)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("mhA", ab._1, "long[]")
     val bRef = ctx.addReferenceObj("mhB", ab._2, "long[]")
-    nullSafeCodeGen(ctx, ev, arr => {
-      val mins = ctx.freshName("mins")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val h = ctx.freshName("h")
-      val hj = ctx.freshName("hj")
-      val u = ctx.freshName("u")
-      s"""
-         |long[] $mins = new long[$k];
-         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |for (int $i = 0; $i < $arr.numElements(); $i++) {
-         |  org.apache.spark.unsafe.types.UTF8String $u = $arr.getUTF8String($i);
-         |  long $h = ($u == null)
-         |    ? ${NGramHash64.NullElementHash}L
-         |    : org.apache.spark.sql.catalyst.expressions.XxHash64Function$$.MODULE$$
-         |    .hash($u,
-         |      org.apache.spark.sql.types.StringType$$.MODULE$$, 42L);
-         |  for (int $j = 0; $j < $k; $j++) {
-         |    long $hj = $h * $aRef[$j] + $bRef[$j];
-         |    if ($hj < $mins[$j]) $mins[$j] = $hj;
-         |  }
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.MinHashSig$$.MODULE$$.compute($arr, $aRef, $bRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -101,20 +63,25 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
 object MinHashSig {
 
-  /** Deterministic affine constants (SplitMix64 stream; A forced odd).
-    * Pure function — each expression instance caches its own copy. */
-  private[functions] def consts(k: Int): (Array[Long], Array[Long]) = {
-    var x = 0x9E3779B97F4A7C15L
-    def next(): Long = {
-      x += 0x9E3779B97F4A7C15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
+  /** One base hash per element, k running minima — called from both the
+    * interpreted and the generated path (the md5 digest dominates, so a
+    * JVM method call per ROW costs nothing measurable). */
+  def compute(arr: ArrayData, a: Array[Long], b: Array[Long]): GenericArrayData = {
+    val k = a.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = PortableHash.base60(arr.getUTF8String(i))
+      var j = 0
+      while (j < k) {
+        val hj = PortableHash.affine61(a(j), h, b(j))
+        if (hj < mins(j)) mins(j) = hj
+        j += 1
+      }
+      i += 1
     }
-    val a = Array.fill(k)(next() | 1L)
-    val b = Array.fill(k)(next())
-    (a, b)
+    new GenericArrayData(mins)
   }
 
   def minhashSig(words: Column, k: Int): Column =

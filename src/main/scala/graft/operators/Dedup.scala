@@ -826,12 +826,16 @@ object Dedup extends QueryPack {
       doc = "2-gram shingle Jaccard near-dup pairs (order-sensitive)"),
 
     // ---- MinHash + LSH banded candidates, exact-verified ----
-    // No SQL oracle (hash family is xxhash64-seeded, not reproducible in
-    // ANSI SQL) — rows-only check here; LlmOpsSpec property-tests recall
-    // against the exact-Jaccard baseline.
+    // Fully oracled since the hash-family swap onto the portable
+    // md5-base + affine-mod-(2^61−1) family (PortableHash): DuckDB
+    // replays every signature value, re-bands by the raw 8-value
+    // vectors (bucket identity is the band CONTENT; Spark's xxhash64
+    // band key is only a compressed join key for the same grouping),
+    // and re-verifies exact Jaccard. LlmOpsSpec additionally
+    // property-tests recall against the exact-Jaccard baseline.
     "q56_minhash_lsh" -> Q(
       (s, d) => minhashCandidates(T.documents(s, d), verifyThreshold = 0.8),
-      None,
+      Some(minhashLshOracle),
       doc = "MinHash(96)+LSH(12x8 bands) near-dup candidates, exact-verified"),
 
     // ---- end-to-end dedup: the cleaned corpus a pipeline user consumes ----
@@ -1088,6 +1092,8 @@ object Dedup extends QueryPack {
       doc = "connected-component cluster id per document (min reachable id)"),
 
     // ---- SimHash signature buckets over the duplicated corpus ----
+    // Oracled since the portable-hash swap: DuckDB rebuilds every
+    // 64-bit signature from md5 bit votes (see simhashShCte).
     "q57_simhash" -> Q(
       (s, d) => {
         import s.implicits._
@@ -1096,19 +1102,115 @@ object Dedup extends QueryPack {
           .groupBy($"simhash")
           .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("kept_doc_id"))
       },
-      None,
-      doc = "64-bit SimHash buckets (rows-only; hash not SQL-expressible)"),
+      Some(s"""
+        $simhashShCte
+        SELECT simhash, count(*) AS n_docs, min(doc_id) AS kept_doc_id
+        FROM sh GROUP BY simhash
+      """.stripMargin),
+      doc = "64-bit SimHash buckets (portable md5-vote hash, oracled)"),
 
     // ---- SimHash banded near-dup pairs (hamming-bounded) ----
     // classic 64-bit simhash near-dup detection at its published operating
     // point: hamming ≤ 3 via 4×16-bit bands — the banding is exact for
     // that radius (pigeonhole: ≤3 differing bits cannot touch all 4
-    // bands). Rows-only; properties in LlmOpsSpec.
+    // bands), so the oracle can skip the banding entirely and emit ALL
+    // pairs within the radius: identical output by the exactness
+    // argument (no bucket approaches the cap at oracle scale).
     "q65_simhash_neardup" -> Q(
       (s, d) => simhashNearDups(withRecrawl(s, d), maxHamming = 3),
-      None,
+      Some(s"""
+        $simhashShCte
+        SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+        FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+      """.stripMargin),
       doc = "SimHash banded near-dup pairs, hamming<=3 exact recall")
   )
+
+  /** DuckDB replay of [[graft.functions.SimHash64]] over the recrawl
+    * corpus (q57/q65's input): md5 per word occurrence, the two 60-bit
+    * hex-prefix ints, ±1 votes per bit, signed 64-bit reassembly (bit 63
+    * contributes −2^63 — DuckDB BIGINT cannot hold +2^63, and the signed
+    * decomposition is exactly what Spark's `|=` on a long produces). */
+  private lazy val simhashShCte: String = {
+    import graft.functions.PortableHash
+    s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents
+        ), sw AS (
+          SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+          FROM corpus
+        ), shh AS (
+          SELECT doc_id, (${PortableHash.hi60Sql("m")}) AS h1,
+                 (${PortableHash.lo60Sql("m")}) AS h2
+          FROM (SELECT doc_id, md5(word) AS m FROM sw)
+        ), sv AS (
+          SELECT doc_id, bb.b AS b,
+                 sum(CASE WHEN ((CASE WHEN bb.b < 60 THEN h1 >> bb.b
+                                      ELSE h2 >> (bb.b - 60) END) & 1) = 1
+                          THEN 1 ELSE -1 END) AS vote
+          FROM shh CROSS JOIN range(0, 64) bb(b)
+          GROUP BY doc_id, bb.b
+        ), sh AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN vote > 0
+                               THEN (CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                                          ELSE (1::BIGINT << b) END)
+                               ELSE 0 END) AS BIGINT) AS simhash
+          FROM sv GROUP BY doc_id
+        )"""
+  }
+
+  /** DuckDB replay of the full q56 pipeline: per-word portable base
+    * hash → 96 affine minima ([[graft.functions.MinHashSig]]'s exact
+    * arithmetic via HUGEINT) → 12 bands of 8 raw signature values →
+    * bucket self-join (band content IS the bucket identity; Spark's
+    * xxhash64 band key only compresses the same grouping to 8 bytes) →
+    * DISTINCT candidate pairs (Spark's first-shared-band rule emits each
+    * pair exactly once — same set) → exact word-set Jaccard ≥ 0.8. */
+  private lazy val minhashLshOracle: String = {
+    import graft.functions.PortableHash
+    s"""
+        WITH w AS (
+          SELECT doc_id, lang,
+                 unnest(list_distinct(string_split(coalesce(text, ''), ' '))) AS word
+          FROM documents
+        ), hh AS (
+          SELECT doc_id, lang, (${PortableHash.hi60Sql("m")}) AS h
+          FROM (SELECT doc_id, lang, md5(word) AS m FROM w)
+        ), perm AS (
+          SELECT * FROM (VALUES ${PortableHash.affineConstsValuesSql(96)}) t(j, a, b)
+        ), sig AS (
+          SELECT doc_id, lang, perm.j AS j,
+                 min(${PortableHash.affine61Sql("perm.a", "hh.h", "perm.b")}) AS m
+          FROM hh CROSS JOIN perm
+          GROUP BY doc_id, lang, perm.j
+        ), band AS (
+          SELECT doc_id, lang, j // 8 AS band_no, list(m ORDER BY j) AS bl
+          FROM sig GROUP BY doc_id, lang, band_no
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+          FROM band x JOIN band y
+            ON x.lang = y.lang AND x.band_no = y.band_no AND x.bl = y.bl
+           AND x.doc_id < y.doc_id
+        ), ws AS (
+          SELECT doc_id,
+                 list_distinct(string_split(coalesce(text, ''), ' ')) AS s
+          FROM documents
+        ), v AS (
+          SELECT a_id, b_id,
+                 CAST(len(list_intersect(wa.s, wb.s)) AS DOUBLE)
+                   / (len(wa.s) + len(wb.s) - len(list_intersect(wa.s, wb.s))) AS jac
+          FROM cand
+          JOIN ws wa ON wa.doc_id = cand.a_id
+          JOIN ws wb ON wb.doc_id = cand.b_id
+        )
+        SELECT a_id, b_id, round(jac, 6) AS jaccard_r FROM v WHERE jac >= 0.8
+      """
+  }
 
   /** Connected components over the near-dup pair graph: every document
     * gets the MINIMUM doc_id reachable through near-dup pairs as its
