@@ -25,10 +25,16 @@ object Quality extends QueryPack {
   /** All rules in one scan → (rule, n_violations) rows. */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules")
+    // duplicate names would collide as map keys below (CreateMap's
+    // duplicate-key policy is a runtime EXCEPTION, not last-wins)
+    require(rules.map(_.name).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.map(_.name).diff(rules.map(_.name).distinct).distinct.mkString(", ")}")
     // positional internal aliases: rule names are display strings (dots,
-    // spaces — anything), not identifiers to round-trip through resolution
+    // spaces — anything), not identifiers to round-trip through resolution.
+    // coalesce: sum over ZERO rows is NULL — an empty table has 0
+    // violations, not unknown.
     val aggs = rules.zipWithIndex.map { case (r, i) =>
-      sum(when(r.violated, 1L).otherwise(0L)).as(s"__r$i") }
+      coalesce(sum(when(r.violated, 1L).otherwise(0L)), lit(0L)).as(s"__r$i") }
     df.agg(aggs.head, aggs.tail: _*)
       // unpivot the single agg row to (rule, n_violations); map-explode
       // keeps it one codegen'd projection
@@ -38,10 +44,16 @@ object Quality extends QueryPack {
         .as(Seq("rule", "n_violations")))
   }
 
-  /** Uniqueness rule as one scan: rows beyond the first per key tuple. */
+  /** Uniqueness rule as one scan: rows beyond the first per key tuple.
+    * Null-safe: `countDistinct` DROPS any row with a null key component
+    * (SQL distinct-aggregate semantics), which would report every
+    * null-key row — even a singleton — as a duplicate and diverge from
+    * the `count(DISTINCT (a, b))` struct idiom the oracle uses. Counting
+    * distinct STRUCTS keeps null components as ordinary values, so both
+    * engines agree on nullable keys. Still one hash-aggregate scan. */
   def duplicateCount(df: DataFrame, name: String, keys: Seq[String]): DataFrame =
     df.agg((count(lit(1)) -
-        countDistinct(col(keys.head), keys.tail.map(col): _*))
+        countDistinct(struct(keys.map(col): _*)))
       .as("n_violations"))
       .select(lit(name).as("rule"), col("n_violations"))
 

@@ -90,8 +90,11 @@ object Stats extends QueryPack {
     // grid counts distinct active users. Two user-keyed hash aggregates
     // + one shuffle join on user_id (cohort table is |users|-sized — no
     // broadcast assumed; AQE may choose one) + the grid aggregate whose
-    // output is |cohorts × offsets| — tiny. µs domain, integer floor
-    // division (exact on both engines).
+    // output is |cohorts × offsets| — tiny. µs domain. NOTE: Spark `div`
+    // truncates toward zero while DuckDB `//` floors, so the week
+    // buckets agree ONLY because event timestamps are positive-epoch
+    // (1970+, guaranteed by the generator) — a pre-1970 corpus would
+    // need an explicit floor on the Spark side.
     "q121_cohort_retention" -> Q(
       (s, d) => {
         import s.implicits._

@@ -191,8 +191,14 @@ object Warehouse extends QueryPack {
         val upd = o.filter($"o_orderkey" % 7 === 0 && $"o_orderkey" % 11 =!= 0)
           .withColumn("o_totalprice", $"o_totalprice" + 50.0)
           .withColumn("op", lit("U"))
+        // insert keys are −k−1: source orderkeys are ≥ 0 at every SF
+        // (this corpus includes key 0), so the inserted keyspace is
+        // strictly negative and can never collide with existing target
+        // keys (a fixed "+10M" offset collided from SF ~1.7, silently
+        // turning inserts into matched updates and violating Merge's
+        // one-row-per-key contract — ADVICE r9)
         val ins = o.filter($"o_orderkey" % 13 === 0).select(
-          ($"o_orderkey" + 10000000L).as("o_orderkey"), $"o_custkey",
+          (-$"o_orderkey" - 1L).as("o_orderkey"), $"o_custkey",
           lit("N").as("o_orderstatus"),
           lit(0.0).as("o_totalprice"), lit("I").as("op"))
         val batch = del.unionByName(upd).unionByName(ins)
@@ -212,7 +218,7 @@ object Warehouse extends QueryPack {
           AND o_orderkey NOT IN (SELECT o_orderkey FROM upd)
         UNION ALL SELECT * FROM upd
         UNION ALL
-        SELECT o_orderkey + 10000000, o_custkey, 'N',
+        SELECT -o_orderkey - 1, o_custkey, 'N',
                CAST(0.0 AS DOUBLE)
         FROM o WHERE o_orderkey % 13 = 0
       """.stripMargin),

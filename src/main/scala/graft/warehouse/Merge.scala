@@ -46,15 +46,17 @@ object Merge {
     val missing = tCols.filterNot(source.columns.contains)
     require(missing.isEmpty, s"source lacks target columns: $missing")
 
-    // presence flags instead of key-null probes: a legitimately-null key
-    // column can't be confused with "no match" (full-outer pads with nulls)
-    val t = target.withColumn("__t_present", lit(true))
+    // a source-side presence flag instead of key-null probes: a
+    // legitimately-null key column can't be confused with "no match"
+    // (full-outer pads with nulls). Only the SOURCE side needs a flag —
+    // routing keeps the target row exactly when no source row matched,
+    // which `__s_present IS NULL` already encodes.
     val srcRouted = source
       .withColumn("__del", coalesce(deleteWhen, lit(false)))
       .select(tCols.map(c => col(c).as(s"__s_$c")) ++
         Seq(col("__del"), lit(true).as("__s_present")): _*)
 
-    t.join(srcRouted, t(key) === srcRouted(s"__s_$key"), "full_outer")
+    target.join(srcRouted, target(key) === srcRouted(s"__s_$key"), "full_outer")
       // drop every delete-flagged source row (matched → removes the target
       // row, unmatched → no-op: either way nothing survives routing)
       .filter(!coalesce(col("__del"), lit(false)))

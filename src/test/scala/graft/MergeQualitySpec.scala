@@ -192,13 +192,15 @@ class MergeQualitySpec extends SparkSpec {
   }
 
   test("q113 merge result: tombstoned keys gone, inserts present, updates applied") {
+    // inserts live in the NEGATED keyspace (disjoint from TPC-H's
+    // strictly-positive orderkeys at every SF — ADVICE r9)
     val out = SparkEntry.queries("q113_merge_upsert")(spark, sf).cache()
-    assert(out.filter($"o_orderkey" % 11 === 0 && $"o_orderkey" < 10000000L).count() == 0)
+    assert(out.filter($"o_orderkey" % 11 === 0 && $"o_orderkey" > 0L).count() == 0)
     val o = Tables.orders(spark, sf)
     val nIns = o.filter($"o_orderkey" % 13 === 0).count()
-    assert(out.filter($"o_orderkey" >= 10000000L).count() == nIns)
+    assert(out.filter($"o_orderkey" < 0L).count() == nIns)
     val updated = out.filter($"o_orderkey" % 7 === 0 &&
-      $"o_orderkey" % 11 =!= 0 && $"o_orderkey" < 10000000L)
+      $"o_orderkey" % 11 =!= 0 && $"o_orderkey" > 0L)
       .select($"o_orderkey", $"o_totalprice")
     val expect = o.filter($"o_orderkey" % 7 === 0 && $"o_orderkey" % 11 =!= 0)
       .select($"o_orderkey", ($"o_totalprice" + 50.0).as("o_totalprice"))
