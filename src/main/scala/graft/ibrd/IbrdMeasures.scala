@@ -1,6 +1,6 @@
 package graft.ibrd
 
-import graft.semantic.{Relationship, SemanticModel, Visual}
+import graft.semantic.{FieldParameter, Relationship, SemanticModel, Visual}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
@@ -22,7 +22,8 @@ object IbrdMeasures {
         Relationship(star.dimType.filter(col("is_current")), "FK_loan_type", "PK_loan_type_SK"),
         Relationship(star.dimBorrower.filter(col("is_current")), "FK_borrower", "PK_borrower_SK"),
         Relationship(star.dimGuarantor.filter(col("is_current")), "FK_guarantor", "PK_guarantor_SK"),
-        Relationship(star.dimDate.select(col("DateSK"), col("year").as("period_year")),
+        Relationship(star.dimDate.select(col("DateSK"),
+          col("Date").as("period_date"), col("year").as("period_year")),
           "End_period", "DateSK")),
       Map(
         "Loans" -> count(lit(1)),
@@ -34,7 +35,27 @@ object IbrdMeasures {
         "Average Inerest Rate" -> avg(col("interest_rate")), // sic, reference name
         "Interest Income" -> sum(col("disbursed_amount") * col("interest_rate") / 100.0),
         "Guarantors" -> countDistinct(col("FK_guarantor")),
-        "Borrowers" -> countDistinct(col("FK_borrower"))))
+        "Borrowers" -> countDistinct(col("FK_borrower"))),
+      parameters = parameters)
+
+  /** The BI model's 3 field-parameter tables (SURVEY §1.3/§3.3). The
+    * tables themselves live in the unrecoverable Vertipaq blob; the
+    * option lists are reconstructed from the Layout's slicer-selection
+    * filters, which reference `'_Measures'[Repaid]`,
+    * `'_Measures'[Loan Amount]`, `'Dimension_Borrower'[borrower_name]`,
+    * `'Dimension_Guarantor'[guarantor]`, `'Dimension_LoanStatus'
+    * [loan_status]` (`Loans Dashboard.pbix!Report/Layout`). Options are
+    * OUR model's field names (the reference's `borrower_name` is this
+    * star's `borrower` column) so a selection resolves to a real field. */
+  val parameters: Map[String, FieldParameter] = Map(
+    "PrmStatus&Type" -> FieldParameter(Seq("loan_status", "loan_type")),
+    "PrmAmount&Repiad&Due" ->
+      FieldParameter(Seq("Loan Amount", "Repaid", "Due1")),
+    "PrmDorrower&Guarantor" ->
+      FieldParameter(Seq("borrower", "guarantor")))
+
+  /** Option list of one parameter, star-free (oracle generation). */
+  def parameterOptions(name: String): Seq[String] = parameters(name).options
 
   /** The Layout's flagship clusteredColumnChart: Loans by loan_status,
     * ordered by measure desc (SURVEY §3.3). */

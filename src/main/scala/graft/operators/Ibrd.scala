@@ -228,6 +228,18 @@ object Ibrd extends QueryPack {
       """.stripMargin),
       doc = "sf-scaled IBRD parity build: clean → SCD dims → fact → loans-by-status visual"),
 
+    // ---- the EXHAUSTIVE Layout replay (VERDICT r9 §next-2): all 27
+    // distinct prototypeQuery ASTs of the reference report compiled
+    // through the semantic layer and unioned into one long-format
+    // result; the oracle regenerates every AST's data points from the
+    // staged CTE (measures over fact_in, slicer enumerations from the
+    // staged attributes / the calendar / the parameter declarations).
+    // One row = one data point some dashboard visual renders. ----
+    "q122_layout_replay" -> Q(
+      (s, _) => graft.semantic.Layout.replay(star(s)),
+      Some(layoutReplayOracle),
+      doc = "all 27 Layout prototypeQuery ASTs compiled + oracled (serving-parity completeness)"),
+
     "q76_ibrd_incremental_fact" -> Q(
       (s, _) => incrementalStar(s).fact
         .select(
@@ -315,6 +327,81 @@ object Ibrd extends QueryPack {
       // live for the queries' own materialization (untracked default)
       IbrdWarehouse.incremental(
         IbrdWarehouse.load(session, sink2), b2, "2025-07-01")
+  }
+
+  /** DuckDB replay of [[graft.semantic.Layout.replay]]: one UNION ALL
+    * block per (AST, measure) data point / slicer enumeration, generated
+    * from the SAME transcription (`Layout.all`) so the oracle can never
+    * drift from the Scala compile. Measures follow the q71 oracle's
+    * formulations; dim-attribute groupings read the staged columns (SK ↔
+    * BK bijection on the initial load, same argument as q70); DimDate
+    * enumerations regenerate the 1990–2026 calendar. */
+  private lazy val layoutReplayOracle: String = {
+    import graft.semantic.Layout
+    val measureSql = Map(
+      "Loans" -> "CAST(count(*) AS DOUBLE)",
+      "Loan Amount" ->
+        "sum(CAST(CAST(original_principal_amount AS DECIMAL(18,2)) AS DOUBLE))",
+      "Repaid" -> "sum(Repaid)",
+      "Due1" -> "sum(Due)",
+      "Disbursed Amount" -> "sum(disbursed_amount)",
+      "Undisbursed Amount" -> "sum(undisbursed_amount)",
+      "Average Inerest Rate" -> "avg(interest_rate)",
+      "Interest Income" -> "sum(disbursed_amount * interest_rate / 100.0)",
+      "Guarantors" -> "CAST(count(DISTINCT guarantor_BK) AS DOUBLE)",
+      "Borrowers" -> "CAST(count(DISTINCT borrower_BK) AS DOUBLE)")
+    val groupSql = Map(
+      "loan_status" -> "loan_status",
+      "loan_type" -> "loan_type",
+      "borrower" -> "borrower",
+      "guarantor" -> "guarantor",
+      "period_year" -> "CAST(CAST(substring(end_of_period, 8, 4) AS INT) AS VARCHAR)",
+      "period_date" -> "end_of_period")
+    def q(v: String) = "'" + v.replace("'", "''") + "'"
+    val blocks: Seq[String] = Layout.all.flatMap { p =>
+      (p.slicerDim, p.slicerParam) match {
+        case (Some((_, "period_year")), _) => Seq(
+          s"""SELECT ${p.idx} AS ast, 'period_year' AS item,
+             |       CAST(y AS VARCHAR) AS grp, CAST(NULL AS DOUBLE) AS value_num,
+             |       CAST(y AS VARCHAR) AS value_str
+             |FROM range(1990, 2027) t(y)""".stripMargin)
+        case (Some((_, "period_date")), _) => Seq(
+          s"""SELECT ${p.idx}, 'period_date', d, CAST(NULL AS DOUBLE), d
+             |FROM (SELECT lower(strftime(dd, '%d-%b-%Y')) AS d
+             |      FROM (SELECT unnest(generate_series(DATE '1990-01-01',
+             |             DATE '2026-12-31', INTERVAL 1 DAY))::DATE AS dd))""".stripMargin)
+        case (Some((_, column)), _) =>
+          // SCD dim attribute enumeration; attrs are 1:1 with their
+          // dictionary-derived BKs, so the staged distinct is the dim's
+          val bk = column match {
+            case "region" => "region_BK"
+            case "country" => "country_BK"
+            case other => sys.error(s"no BK for slicer column '$other'")
+          }
+          Seq(
+            s"""SELECT ${p.idx}, ${q(column)}, $column, CAST(NULL AS DOUBLE), $column
+               |FROM (SELECT DISTINCT $column FROM staged WHERE $bk IS NOT NULL)""".stripMargin)
+        case (_, Some(param)) =>
+          val opts = graft.ibrd.IbrdMeasures.parameterOptions(param)
+          opts.map(o =>
+            s"SELECT ${p.idx}, ${q(param)}, ${q(o)}, CAST(NULL AS DOUBLE), ${q(o)}")
+        case _ =>
+          val (grpExpr, grpBy) = p.groupBy match {
+            case Some(g) => (s"coalesce(${groupSql(g)}, '')", s" GROUP BY ${groupSql(g)}")
+            case None => ("''", "")
+          }
+          p.measures.map { m =>
+            s"""SELECT ${p.idx} AS ast, ${q(m)} AS item, $grpExpr AS grp,
+               |       ${measureSql(m)} AS value_num,
+               |       CAST(NULL AS VARCHAR) AS value_str
+               |FROM fact_in$grpBy""".stripMargin
+          }
+      }
+    }
+    s"""
+       |WITH $factInSql
+       |${blocks.mkString("\n", "\nUNION ALL\n", "\n")}
+     """.stripMargin
   }
 
   private def stagedOracleSql: String = {

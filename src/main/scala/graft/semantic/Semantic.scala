@@ -60,6 +60,11 @@ final class SemanticModel(fact: DataFrame, rels: Seq[Relationship],
   def measure(name: String): Column =
     measures.getOrElse(name, sys.error(s"unknown measure '$name'"))
 
+  /** The declared field parameter — a parameter SLICER enumerates these
+    * options as its rows (the Layout replay's Prm* visuals). */
+  def parameter(name: String): FieldParameter =
+    parameters.getOrElse(name, sys.error(s"unknown field parameter '$name'"))
+
   /** `"@name"` → the selected (or default) option; anything else passes
     * through. Selections outside the parameter's options are rejected —
     * a slicer can only choose what the parameter table declares. */

@@ -1,0 +1,80 @@
+package graft
+
+import graft.ibrd.{Clean, Fixture, IbrdMeasures, IbrdWarehouse}
+import graft.semantic.Layout
+import org.apache.spark.sql.functions._
+
+/** The exhaustive Layout-replay walk (VERDICT r9 §next-2): every one of
+  * the reference report's 27 distinct `prototypeQuery` ASTs compiles
+  * through the semantic layer and produces a sane result; the
+  * consolidated q122 long format carries all of them. Content parity is
+  * the q122 DuckDB oracle's job — this spec proves per-AST
+  * compilability and the structural invariants the oracle can't see
+  * (one frame per AST, schema, kind coverage). */
+class SemanticLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val star =
+    IbrdWarehouse.build(spark, Clean.stage(Fixture.raw(spark)).cache())
+
+  test("transcription covers the Layout: 27 distinct ASTs, every kind present") {
+    assert(Layout.all.size == 27)
+    assert(Layout.all.map(_.idx) == (0 until 27))
+    // the Layout's AST kind census (pbix!Report/Layout): 3 cards,
+    // 13 column/bar/line measure visuals, 3 parameter slicers,
+    // 5 field slicers (region, country, Year, Date x2 pages... Date+Year)
+    val dataVisuals = Layout.all.filter(p => p.measures.nonEmpty)
+    val paramSlicers = Layout.all.filter(_.slicerParam.isDefined)
+    val dimSlicers = Layout.all.filter(_.slicerDim.isDefined)
+    assert(dataVisuals.size == 20 && paramSlicers.size == 3 && dimSlicers.size == 4)
+    assert(dataVisuals.count(_.groupBy.isEmpty) == 3) // the 3 cards
+    // every one of the reference's 10 measures is exercised by some AST
+    val used = dataVisuals.flatMap(_.measures).toSet
+    assert(used == Set("Loans", "Loan Amount", "Repaid", "Due1",
+      "Disbursed Amount", "Undisbursed Amount", "Average Inerest Rate",
+      "Interest Income", "Guarantors", "Borrowers"))
+    // and every grouping attribute the report uses
+    assert(dataVisuals.flatMap(_.groupBy).toSet ==
+      Set("loan_status", "loan_type", "borrower", "guarantor",
+        "period_year", "period_date"))
+  }
+
+  test("each of the 27 ASTs compiles individually and returns rows") {
+    Layout.all.foreach { p =>
+      val out = Layout.compile(star, p)
+      val n = out.count()
+      assert(n > 0, s"AST ${p.idx} (${p.page}/${p.visualType}) returned 0 rows")
+      // cards collapse to one row; grouped visuals one row per attr value
+      if (p.measures.nonEmpty && p.groupBy.isEmpty)
+        assert(n == 1, s"card AST ${p.idx} must yield exactly 1 row")
+    }
+  }
+
+  test("consolidated replay: one frame per AST, stable long schema") {
+    val out = Layout.replay(star).cache()
+    assert(out.columns.toSeq ==
+      Seq("ast", "item", "grp", "value_num", "value_str"))
+    val asts = out.select($"ast").distinct().as[Int].collect().sorted
+    assert(asts.toSeq == (0 until 27))
+    // measure rows carry numbers, slicer rows carry strings — never both
+    assert(out.filter($"value_num".isNotNull && $"value_str".isNotNull).count() == 0)
+    assert(out.filter($"value_num".isNull && $"value_str".isNull).count() == 0)
+    // duplicate ASTs in the Layout (e.g. 2 vs 12, Loans x loan_status on
+    // two pages) must replay to identical data points
+    val a2 = out.filter($"ast" === 2).select($"item", $"grp", $"value_num")
+    val a12 = out.filter($"ast" === 12).select($"item", $"grp", $"value_num")
+    assert(a2.exceptAll(a12).isEmpty && a12.exceptAll(a2).isEmpty)
+    // the card AST 0's Loans data point equals the fact row count
+    val loans = out.filter($"ast" === 0 && $"item" === "Loans")
+      .select($"value_num").as[Double].head()
+    assert(loans == star.fact.count().toDouble)
+    out.unpersist()
+  }
+
+  test("parameter slicers enumerate the declared option lists") {
+    val out = Layout.replay(star)
+    val opts = out.filter($"ast" === 3).select($"value_str")
+      .as[String].collect().toSet
+    assert(opts == IbrdMeasures.parameterOptions("PrmAmount&Repiad&Due").toSet)
+  }
+}
