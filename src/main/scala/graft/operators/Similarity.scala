@@ -278,8 +278,10 @@ object Similarity extends QueryPack {
     * `max_by(cent_id, struct(sim_c, -cent_id))` rule (strict `>` against a
     * cent_id-ascending array keeps the first, i.e. lowest, id on ties; a
     * NaN similarity wins under Spark's NaN-is-largest ordering, matching
-    * max_by). Zero shuffle: one codegen'd projection per corpus row. */
-  private def nearestCell(v: Column, n: Column, cb: Column): Column =
+    * max_by). Zero shuffle: one codegen'd projection per corpus row.
+    * Returns the (s, id) struct; [[nearestCell]] extracts the id,
+    * [[assignBatch]] keeps both. */
+  private def nearestCellStruct(v: Column, n: Column, cb: Column): Column =
     aggregate(cb,
       struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("id")),
       (acc, e) => {
@@ -288,8 +290,49 @@ object Similarity extends QueryPack {
         when(sim > acc.getField("s"),
           struct(sim.as("s"), e.getField("cent_id").cast("long").as("id")))
           .otherwise(acc)
-      },
-      acc => acc.getField("id"))
+      })
+
+  private def nearestCell(v: Column, n: Column, cb: Column): Column =
+    nearestCellStruct(v, n, cb).getField("id")
+
+  /** Incremental index maintenance (VERDICT r9 §next-3): assign a NEW
+    * batch of vectors to an EXISTING codebook without touching the
+    * indexed corpus — the crawl-loop shape the dedup side already has
+    * (q100's registry): broadcast the codebook, fused-argmax each batch
+    * vector ([[nearestCellStruct]]), zero shuffle, cost linear in the
+    * batch (never the corpus). The assignment rule is BIT-IDENTICAL to
+    * the full-rebuild rule in [[ivfTopKWith]]/[[trainCodebook]] — cell
+    * choice is a pure per-row function of (vector, codebook) — so
+    * incremental ≡ rebuild for an unchanged codebook (property-tested in
+    * LlmOpsSpec) and the incrementally-assigned rows can be appended to
+    * the index verbatim. Output: (vec_id, cell, sim_r). */
+  def assignBatch(codebook: DataFrame, batch: DataFrame): DataFrame = {
+    val cents = codebook.select(col("cent_id"),
+      transform(col("centv"), _.cast("double")).as("centv"))
+      .withColumn("cent_n", VectorOps.norm(col("centv")))
+    val cb = codebookRow(cents)
+    batch.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("vn", VectorOps.norm(col("v")))
+      .crossJoin(broadcast(cb))
+      .withColumn("__a", nearestCellStruct(col("v"), col("vn"), col("__cb")))
+      .select(col("vec_id"), col("__a.id").as("cell"),
+        col("__a.s").as("sim_r"))
+  }
+
+  /** Per-cell drift of a vector set against a codebook: member count and
+    * mean residual (1 − cosine-to-centroid), the retrain signal — a cell
+    * whose incoming vectors sit far from its centroid (rising residual
+    * vs the indexed population's) is stale. Residuals fold through
+    * DECIMAL (the Dashboard.dsum rule) so the metric is bit-stable under
+    * partitioning and SQL-replayable. One broadcast + one small hash
+    * aggregate; the vectors never shuffle. */
+  def cellDrift(codebook: DataFrame, vectors: DataFrame): DataFrame =
+    assignBatch(codebook, vectors)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(lit(1.0) - col("sim_r"), 6).cast("decimal(28,6)"))
+          .cast("double") / count(lit(1)), 6).as("mean_resid"))
 
   /** The query's `nProbe` nearest cells as a sorted array — same
     * (sim desc, cent_id asc) order the former per-query window produced,
@@ -626,6 +669,52 @@ object Similarity extends QueryPack {
       },
       Some(trainedIvfSql(IvfIters)),
       doc = "IVF ANN with Lloyd-trained codebook (2 deterministic iterations)"),
+
+    // ---- incremental index maintenance: assign a new batch to the
+    // EXISTING codebook (broadcast + argmax projection, zero shuffle,
+    // cost ∝ batch) and report per-cell drift — the retrain signal.
+    // Batch = odd vec_ids (a deterministic "today's crawl"); codebook =
+    // the q66 seed cells. ----
+    "q123_ann_assign_incremental" -> Q(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val cb = emb.filter(col("vec_id") < IvfCentroids)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        val batch = emb.filter(col("vec_id") % 2 === 1)
+        assignBatch(cb, batch)
+          .join(cellDrift(cb, batch), Seq("cell"))
+          .select(col("vec_id"), col("cell"), col("sim_r"),
+            col("n").as("cell_n"), col("mean_resid").as("cell_mean_resid"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        cents AS (
+          SELECT vec_id AS cent_id, v AS centv FROM e WHERE vec_id < $IvfCentroids
+        ),
+        batch AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+        scored AS (
+          SELECT b.vec_id, c.cent_id, ${cosSql("b.v", "c.centv")} AS sim
+          FROM batch b CROSS JOIN cents c
+        ),
+        assigned AS (
+          SELECT vec_id, cent_id AS cell, sim AS sim_r FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, cent_id ASC) AS rn
+            FROM scored) WHERE rn = 1
+        ),
+        drift AS (
+          SELECT cell, count(*) AS cell_n,
+                 round(CAST(sum(CAST(round(1.0 - sim_r, 6) AS DECIMAL(28,6)))
+                       AS DOUBLE) / count(*), 6) AS cell_mean_resid
+          FROM assigned GROUP BY cell
+        )
+        SELECT a.vec_id, a.cell, a.sim_r, d.cell_n, d.cell_mean_resid
+        FROM assigned a JOIN drift d USING (cell)
+      """.stripMargin),
+      doc = "incremental ANN maintenance: batch->codebook assignment + per-cell drift (zero corpus shuffle)"),
 
     // ---- embedding-cosine near-dup pairs (dedup family, vector flavor) ----
     "q61_embedding_neardup" -> Q(

@@ -584,6 +584,34 @@ class LlmOpsSpec extends SparkSpec {
     withClue(s"ivf recall=$recall") { assert(recall >= 0.8) }
   }
 
+  test("incremental ANN assign == full-rebuild assignment; seeds self-assign at sim 1") {
+    // the VERDICT r9 §next-3 contract: for an UNCHANGED codebook, cell
+    // choice is a pure per-row function of (vector, codebook), so
+    // assigning a batch incrementally must equal the batch's slice of a
+    // full-corpus rebuild — the property that makes append-only index
+    // maintenance sound (no corpus re-assignment per crawl batch)
+    val emb = Tables.embeddings(spark, sf)
+    val cb = emb.filter($"vec_id" < Similarity.IvfCentroids)
+      .select($"vec_id".as("cent_id"), $"embedding".as("centv"))
+    val batch = emb.filter($"vec_id" % 2 === 1)
+    val incr = Similarity.assignBatch(cb, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Similarity.assignBatch(cb, emb)
+      .filter($"vec_id" % 2 === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr == full, "incremental assignment diverged from full rebuild")
+    // a codebook seed vector assigns to its own cell at cosine exactly 1
+    incr.filter(_._1 < Similarity.IvfCentroids).foreach { case (id, cell, s) =>
+      assert(cell == id && s == 1.0, s"seed $id assigned to $cell at $s")
+    }
+    // drift: every batch cell is populated, residuals in [0, 2]
+    val drift = Similarity.cellDrift(cb, batch).collect()
+    assert(drift.nonEmpty)
+    drift.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getDouble(2) >= 0.0 && r.getDouble(2) <= 2.0)
+    }
+  }
+
   test("PQ ANN: codes are 4-bit, codebook vectors self-encode, recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val codes = Similarity.pqCodes(emb).collect()
