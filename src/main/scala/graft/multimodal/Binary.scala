@@ -8,12 +8,21 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
   * `binary` columns with a typed metadata struct, plus batch
   * decode/feature-extract operators.
   *
-  * The real decode (image/audio codecs) is STUBBED — this container has no
-  * media libraries — behind [[FakeCodec]], a deterministic stand-in keyed
-  * on the payload bytes. Everything Spark-side is real and tested: the
-  * schema contract, the `mapPartitions` batch shape (one codec init per
-  * partition, the same shape a Pandas-UDF/`mapInPandas` pipeline uses),
-  * partitioning, and the feature-extraction projection.
+  * The IMAGE path is REAL since round 10: [[Bmp]] encodes genuine 24-bit
+  * BMP payloads and [[decodeImageStats]] decodes them with the JDK's
+  * `javax.imageio.ImageIO` (a true codec, no external deps) inside the
+  * `mapPartitions` batch seam, deriving pixel-level features — decoded
+  * dimensions, per-channel means, an 8-bin luma histogram. q124 oracles
+  * those features end-to-end: the synthetic pixels are deterministic
+  * integer arithmetic of (asset_id, x, y), so DuckDB recomputes the
+  * expected statistics WITHOUT decoding — any defect in the encoder OR
+  * the decode path breaks the hash match.
+  *
+  * Audio/video codecs remain stubbed behind [[FakeCodec]] (this
+  * container has no media libraries); their Spark-side plumbing — the
+  * schema contract, the one-codec-init-per-partition batch shape
+  * (mapInPandas-equivalent), partitioning, the feature projection — is
+  * real and tested.
   */
 object Binary {
 
@@ -87,6 +96,131 @@ object Binary {
     assets.select(
       col("asset_id"),
       explode(sequence(lit(0), nFrames - 1, lit(every))).as("frame_idx"))
+  }
+
+  /** Minimal 24-bit uncompressed BMP (BITMAPINFOHEADER) encoder — enough
+    * of the real format for the JDK's ImageIO BMP reader to round-trip
+    * losslessly: bottom-up rows, BGR byte order, 4-byte row padding.
+    * Pixels come from `rgb(x, y)` (packed 0xRRGGBB, (0,0) = top-left). */
+  object Bmp {
+    def encode(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dims ${width}x$height")
+      val rowSize = ((3 * width + 3) / 4) * 4
+      val imageSize = rowSize * height
+      val fileSize = 54 + imageSize
+      val b = java.nio.ByteBuffer.allocate(fileSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+        .putShort(0).putShort(0).putInt(54) // reserved, pixel-data offset
+      b.putInt(40).putInt(width).putInt(height) // positive height = bottom-up
+        .putShort(1).putShort(24).putInt(0)     // planes, bpp, BI_RGB
+        .putInt(imageSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var y = height - 1 // bottom-up storage, top-down generator coords
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val p = rgb(x, y)
+          b.put((p & 0xff).toByte)          // B
+            .put(((p >> 8) & 0xff).toByte)  // G
+            .put(((p >> 16) & 0xff).toByte) // R
+          x += 1
+        }
+        var pad = rowSize - 3 * width
+        while (pad > 0) { b.put(0.toByte); pad -= 1 }
+        y -= 1
+      }
+      b.array()
+    }
+  }
+
+  /** The q124 synthetic corpus: one genuine BMP per document, geometry
+    * and pixels pure integer arithmetic of (asset_id, x, y) — the
+    * IbrdScale trick, letting DuckDB compute the expected DECODED
+    * statistics without a codec. Encoding runs in `mapPartitions` (the
+    * batch seam a real transcode job uses). */
+  def syntheticBmpAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = (syntheticWidth(id), syntheticHeight(id))
+        val bytes = Bmp.encode(w, h, (x, y) => {
+          val red = ((id + 3L * x + 7L * y) % 256).toInt
+          val green = ((5L * id + 11L * x + y) % 256).toInt
+          val blue = ((2L * id + x + 13L * y) % 256).toInt
+          (red << 16) | (green << 8) | blue
+        })
+        Row(id, "image/bmp", bytes)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  def syntheticWidth(id: Long): Int = (16 + id % 16).toInt
+  def syntheticHeight(id: Long): Int = (8 + id % 8).toInt
+
+  /** REAL image decode + pixel feature extraction: ImageIO-decode each
+    * payload once (per-partition iterator — the batch codec seam),
+    * derive decoded width/height, per-channel means (exact integer sums,
+    * divided once — bit-stable in any engine) and an 8-bin integer-luma
+    * histogram (ITU-R BT.709 integer weights, `luma/32` binning). All
+    * arithmetic on decoded bytes is integer-exact, so the only way to
+    * match the generator-arithmetic oracle is for encode→decode to
+    * round-trip every pixel. */
+  def decodeImageStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(
+      StructField("asset_id", LongType, nullable = false) +:
+      StructField("width", IntegerType, nullable = false) +:
+      StructField("height", IntegerType, nullable = false) +:
+      StructField("sum_r", LongType, nullable = false) +:
+      StructField("sum_g", LongType, nullable = false) +:
+      StructField("sum_b", LongType, nullable = false) +:
+      (0 until 8).map(i => StructField(s"h$i", LongType, nullable = false)))
+    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        require(img != null, s"asset $id: ImageIO found no decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        val hist = new Array[Long](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val red = (p >> 16) & 0xff
+            val green = (p >> 8) & 0xff
+            val blue = p & 0xff
+            sr += red; sg += green; sb += blue
+            val luma = (red * 2126 + green * 7152 + blue * 722) / 10000
+            hist(luma / 32) += 1
+            x += 1
+          }
+          y += 1
+        }
+        // Seq[Any]: an untyped Seq would numerically WIDEN the Int
+        // dims to Long and break the Row↔schema type contract
+        Row.fromSeq(Seq[Any](id, w, h, sr, sg, sb) ++ hist)
+      }
+    }
+    // channel sums leave the decoder as EXACT integers; the means divide
+    // once and round(6) in the engine (HALF_UP on identical doubles in
+    // Spark and DuckDB — no per-row float accumulation anywhere)
+    val n = col("width").cast("long") * col("height").cast("long")
+    spark.createDataFrame(rdd, outSchema)
+      .select(Seq(
+        col("asset_id"), col("width"), col("height"),
+        round(col("sum_r").cast("double") / n, 6).as("mean_r"),
+        round(col("sum_g").cast("double") / n, 6).as("mean_g"),
+        round(col("sum_b").cast("double") / n, 6).as("mean_b")) ++
+        (0 until 8).map(i => col(s"h$i")): _*)
   }
 
   /** Batch "decode": mapPartitions so a real codec would be initialized

@@ -681,6 +681,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.getString(3) == "fake")
   }
 
+  test("BMP encode -> ImageIO decode round-trips every pixel (the REAL codec path)") {
+    // driverside single-image check of the exact path q124 runs
+    // distributed: ImageIO must see our encoder's bytes as a valid BMP
+    // and return bit-identical pixels, including non-multiple-of-4 row
+    // widths (padding) and the bottom-up row order
+    for (id <- Seq(0L, 7L, 13L)) {
+      val w = Binary.syntheticWidth(id)
+      val h = Binary.syntheticHeight(id)
+      def rgb(x: Int, y: Int): Int = {
+        val r = ((id + 3L * x + 7L * y) % 256).toInt
+        val g = ((5L * id + 11L * x + y) % 256).toInt
+        val b = ((2L * id + x + 13L * y) % 256).toInt
+        (r << 16) | (g << 8) | b
+      }
+      val bytes = Binary.Bmp.encode(w, h, rgb)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected the encoded BMP for id=$id")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xffffff) == rgb(x, y),
+          s"pixel ($x,$y) of id=$id did not round-trip")
+    }
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on hashed word sets") {
     import graft.functions.SortedIntersectCount
     val sets = Tables.documents(spark, sf).limit(300)
