@@ -66,9 +66,39 @@ object Clean {
     // ties are nondeterministic in the reference's single-partition window)
     val filled = Ffill.forwardFill(encoded,
       Seq("loan_number", "board_approval_date"), "project_name_")
+    derive(filled)
+  }
+
+  /** The landed staging's bucket-id column name (see [[stageKeyed]]). */
+  val FactPid = "__f_pid"
+
+  /** [[stage]] plus a RETAINED fact-key range-bucket id (VERDICT r9
+    * §next-6, the q103 landing fusion): ONE driver-pinned bounds sample
+    * over `loan_number` buckets BOTH full-width exchanges of the scaled
+    * build — the forward fill's window here, and the fact dedup/SK
+    * window downstream ([[graft.ibrd.IbrdWarehouse.factRows]] reuses the
+    * landed column AND its hash partitioning, adding ZERO exchanges
+    * after the landing). Bucketing on `loan_number` alone is
+    * order-consistent for both: it is the MAJOR key of the fill order
+    * (loan_number, board_approval_date) and of the fact key
+    * (loan_number, end_of_period), and range buckets colocate equal
+    * loan_numbers, so within-bucket windows + cross-bucket carries /
+    * cumulative offsets see exactly the global order either way.
+    * Returns (staged + pid column, pid column name, bucket count);
+    * output minus the pid column ≡ [[stage]] bit-for-bit. */
+  def stageKeyed(raw: DataFrame): (DataFrame, String, Int) = {
+    val encoded = stageNoFill(raw)
+    val n = math.max(encoded.rdd.getNumPartitions, 1)
+    val spec = graft.warehouse.RangeBuckets.pidExpr(encoded, Seq("loan_number"), n)
+    val filled = Ffill.forwardFill(encoded,
+      Seq("loan_number", "board_approval_date"), "project_name_",
+      pidSpec = Some(spec), keepPidAs = Some(FactPid))
+    (derive(filled), FactPid, spec._2)
+  }
+
+  private def derive(filled: DataFrame): DataFrame =
     filled
       .withColumn("Repaid", col("repaid_to_ibrd") + col("repaid_3rd_party"))
       .withColumn("Due", col("due_to_ibrd") + col("due_3rd_party"))
       .drop(Model.lateDrops: _*)
-  }
 }

@@ -119,7 +119,13 @@ object IbrdScale {
     * Built FRESH on every call (no memo) — q103 exists to TIME this
     * pipeline at sf; the star's internal dim caches are per-call and
     * unreferenced after the returned visual materializes (ContextCleaner
-    * reclaims them post-GC, which Bench forces between reps). */
-  def star(s: SparkSession, dir: String): IbrdWarehouse.Star =
-    IbrdWarehouse.build(s, Clean.stage(rawScaled(s, dir)))
+    * reclaims them post-GC, which Bench forces between reps).
+    * Uses the KEYED stage (Clean.stageKeyed): one bounds sample buckets
+    * both the fill window and the fact dedup/SK window, and the landing
+    * itself carries the partitioning — the fact path adds zero
+    * exchanges after the checkpoint (VERDICT r9 §next-6). */
+  def star(s: SparkSession, dir: String): IbrdWarehouse.Star = {
+    val (staged, pidName, nBuckets) = Clean.stageKeyed(rawScaled(s, dir))
+    IbrdWarehouse.build(s, staged, factPid = Some((pidName, nBuckets)))
+  }
 }

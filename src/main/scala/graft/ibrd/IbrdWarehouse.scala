@@ -86,9 +86,30 @@ object IbrdWarehouse {
     * warehouse's "land the staging table" step made explicit; a
     * cluster deployment with executor-loss concerns passes data through
     * a reliable `checkpoint()` instead (same shape, durable storage). */
+  /** `factPid`: a (column name, bucket count) already carried by
+    * `stagedIn` (from [[Clean.stageKeyed]]) — the fact dedup/SK window
+    * then reuses the LANDED bucket id and its hash partitioning instead
+    * of sampling its own bounds and exchanging the full-width batch a
+    * second time (VERDICT r9 §next-6). */
   def build(spark: SparkSession, stagedIn: DataFrame, asOf: String = "2024-07-01",
-            scope: CacheScope = CacheScope.untracked): Star = {
-    val staged = stagedIn.localCheckpoint()
+            scope: CacheScope = CacheScope.untracked,
+            factPid: Option[(String, Int)] = None): Star = {
+    // The keyed landing must RETAIN its hash partitioning through the
+    // checkpoint: under AQE the checkpoint's LogicalRDD is built while
+    // the adaptive plan still reports Unknown partitioning (measured:
+    // the downstream window then re-exchanges the full batch — exactly
+    // the exchange this path exists to delete), so the landing job runs
+    // with AQE off. One fixed-shape job (fill window + broadcast join);
+    // nothing adaptive to win there, and every later consumer still
+    // runs adaptively.
+    val staged = factPid match {
+      case Some(_) =>
+        val key = "spark.sql.adaptive.enabled"
+        val prev = spark.conf.get(key, "true")
+        spark.conf.set(key, "false")
+        try stagedIn.localCheckpoint() finally spark.conf.set(key, prev)
+      case None => stagedIn.localCheckpoint()
+    }
     // Construct AND materialize the seven dim pipelines CONCURRENTLY.
     // Construction is eager, not just declaration: SurrogateKeys' small-
     // dim fast path decides its plan shape from a count() of the deduped
@@ -124,7 +145,7 @@ object IbrdWarehouse {
     val dd = ibrdDimDate(spark, 1990, 2026)
     val dims = Star(dimRegion, dimCountry, dimBorrower, dimGuarantor,
       dimStatus, dimType, dimProject, dd, null)
-    dims.copy(fact = factRows(nonDangling(staged), factLookups(dims), scope))
+    dims.copy(fact = factRows(nonDangling(staged), factLookups(dims), scope, factPid))
   }
 
   /** Incremental load: merge a new staged batch into every dimension
@@ -257,7 +278,8 @@ object IbrdWarehouse {
 
   private def factRows(factIn: DataFrame,
                        lookups: Seq[FactBuilder.Lookup],
-                       scope: CacheScope): DataFrame = {
+                       scope: CacheScope,
+                       factPid: Option[(String, Int)] = None): DataFrame = {
     // The fact is keyed on (loan_number, end_of_period) by declaration
     // (SURVEY §7 risk 5): deterministic within-batch keep-first dedup,
     // same policy as the SCD dims, plus an order-stable SK over the key.
@@ -275,9 +297,19 @@ object IbrdWarehouse {
     import org.apache.spark.sql.expressions.Window
     val keyNames = Seq("loan_number", "end_of_period")
     val keys = keyNames.map(col)
-    val n = math.max(factIn.rdd.getNumPartitions, 1)
-    val (pidX, nBuckets) = graft.warehouse.RangeBuckets.pidExpr(factIn, keyNames, n)
-    val pid = "__f_pid"
+    // a landed bucket id (Clean.stageKeyed) short-circuits both the
+    // bounds sample AND the window's exchange — the localCheckpoint
+    // preserved the fill exchange's HashPartitioning on this column, so
+    // EnsureRequirements inserts nothing; bucketing by loan_number alone
+    // is order-consistent for the composite key (major-key argument in
+    // stageKeyed's scaladoc)
+    val (pid, pidX, nBuckets) = factPid match {
+      case Some((name, nB)) => (name, col(name), nB)
+      case None =>
+        val n = math.max(factIn.rdd.getNumPartitions, 1)
+        val (x, nB) = graft.warehouse.RangeBuckets.pidExpr(factIn, keyNames, n)
+        ("__f_pid", x, nB)
+    }
     val w = Window.partitionBy(col(pid))
       .orderBy((keys ++ factIn.columns.map(col)).toIndexedSeq: _*)
     val keyStruct = struct(keys: _*)
@@ -307,8 +339,10 @@ object IbrdWarehouse {
       .withColumn("PK_loan_number_SK",
         (col("__f_off") + col("__f_ord")).cast("long"))
       .drop(pid, "__f_first", "__f_ord", "__f_off"))
-    FactBuilder.assertNoDangling(unique, lookups)
-    FactBuilder.build(unique, lookups)
+    // probe FUSED into the lookup pass (left joins + non-prunable
+    // assert): one pass over `unique` instead of probe-then-build —
+    // the RI failure now raises at the fact's first action
+    FactBuilder.buildChecked(unique, lookups)
       .select(
         col("PK_loan_number_SK"),
         col("FK_borrower"), col("FK_guarantor"), col("FK_country"),

@@ -33,12 +33,24 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
   */
 object Ffill {
 
+  /** `pidSpec`: an externally-pinned (bucket expression, bucket count)
+    * replacing the internal bounds sample — MUST range-bucket a PREFIX of
+    * `orderCols`' total order (equal prefix values colocated, bucket ids
+    * ascending with the order), which keeps both the within-bucket fill
+    * and the cross-bucket carry exact. Lets one sample drive SEVERAL
+    * exchanges over the same key domain (the q103 landing shares its
+    * bucket id between this fill and the fact dedup/SK window).
+    * `keepPidAs`: retain the bucket id under that name in the output (so
+    * a downstream window can reuse the exchange's partitioning) instead
+    * of dropping it. */
   def forwardFill(df: DataFrame, orderCols: Seq[String], target: String,
                   numPartitions: Option[Int] = None,
-                  scope: CacheScope = CacheScope.untracked): DataFrame = {
+                  scope: CacheScope = CacheScope.untracked,
+                  pidSpec: Option[(Column, Int)] = None,
+                  keepPidAs: Option[String] = None): DataFrame = {
     val keys = orderCols.map(col)
     val n = numPartitions.getOrElse(math.max(df.rdd.getNumPartitions, 1))
-    val (pid, nBuckets) = RangeBuckets.pidExpr(df, orderCols, n)
+    val (pid, nBuckets) = pidSpec.getOrElse(RangeBuckets.pidExpr(df, orderCols, n))
     val local = "__ff_local"
     val filled = df
       .withColumn("__ff_pid", pid)
@@ -65,8 +77,12 @@ object Ffill {
           .orderBy(col("__ff_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("__ff_pid"), col("__ff_carry"))
-    filled.join(broadcast(carries), Seq("__ff_pid"), "left")
+    val out = filled.join(broadcast(carries), Seq("__ff_pid"), "left")
       .withColumn(target, coalesce(col(local), col("__ff_carry")))
-      .drop("__ff_pid", local, "__ff_carry")
+      .drop(local, "__ff_carry")
+    keepPidAs match {
+      case Some(name) => out.withColumnRenamed("__ff_pid", name)
+      case None => out.drop("__ff_pid")
+    }
   }
 }

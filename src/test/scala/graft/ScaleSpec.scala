@@ -126,6 +126,42 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q103 keyed landing: the fact window reuses the landed partitioning (no exchange)") {
+    // VERDICT r9 §next-6 fusion pin: with Clean.stageKeyed the fact
+    // dedup/SK window partitions by the LANDED __f_pid column, and the
+    // localCheckpoint preserved the fill exchange's HashPartitioning —
+    // so between the checkpoint scan and the window there must be NO
+    // shuffle (a regression reintroduces the second full-width exchange
+    // of the 600k-row staged batch)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.SparkPlan
+    val star = graft.ibrd.IbrdScale.star(spark, sf)
+    star.fact.count()
+    // the dedup/SK window lives inside the persisted `unique` relation —
+    // descend through InMemoryTableScan into the cached plan
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        walk(im.relation.cachedPlan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case _ => p.children.flatMap(walk)
+    })
+    val plan = star.fact.queryExecution.executedPlan
+    val factWindows = walk(plan).collect {
+      case w: WindowExec if w.partitionSpec.exists(_.toString.contains("__f_pid")) => w
+    }
+    assert(factWindows.nonEmpty, "fact dedup window not found:\n" +
+      plan.toString.take(2000))
+    factWindows.foreach { w =>
+      val shufflesBelow = walk(w).collect { case e: ShuffleExchangeExec => e }
+      assert(shufflesBelow.isEmpty,
+        "fact window re-exchanged the landed batch:\n" + w.toString.take(2000))
+    }
+  }
+
   test("q99 plan: every exchange keys on hashes or doc_id — block text never shuffles") {
     // the at-scale contract of paragraphDedupHashed (SCALE.md): the two
     // corpus-wide exchanges carry 16-byte hash keys (h_lo, h_hi) or
