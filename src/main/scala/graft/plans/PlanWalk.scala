@@ -15,6 +15,10 @@ object PlanWalk {
   def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
     case q: QueryStageExec => p +: walk(q.plan)
+    // a persisted relation hides ITS plan (where the interesting window
+    // or exchange may live) behind the cached plan
+    case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      p +: walk(im.relation.cachedPlan)
     case _ => p +: (p.children ++ p.subqueries).flatMap(walk)
   }
 }

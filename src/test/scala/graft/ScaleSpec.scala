@@ -133,22 +133,13 @@ class ScaleSpec extends SparkSpec {
     // so between the checkpoint scan and the window there must be NO
     // shuffle (a regression reintroduces the second full-width exchange
     // of the 600k-row staged batch)
+    import graft.plans.PlanWalk.walk
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.window.WindowExec
-    import org.apache.spark.sql.execution.SparkPlan
     val star = graft.ibrd.IbrdScale.star(spark, sf)
     star.fact.count()
     // the dedup/SK window lives inside the persisted `unique` relation —
-    // descend through InMemoryTableScan into the cached plan
-    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        walk(im.relation.cachedPlan)
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        walk(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        walk(q.plan)
-      case _ => p.children.flatMap(walk)
-    })
+    // PlanWalk descends through InMemoryTableScan into the cached plan
     val plan = star.fact.queryExecution.executedPlan
     val factWindows = walk(plan).collect {
       case w: WindowExec if w.partitionSpec.exists(_.toString.contains("__f_pid")) => w

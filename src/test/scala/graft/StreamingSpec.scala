@@ -100,6 +100,87 @@ class StreamingSpec extends SparkSpec {
     assert(out.toMap == expected)
   }
 
+  test("crawl loop with periodic registry compaction: output exact, bucketed anti-join layout survives") {
+    // VERDICT r9 §next-8: the production crawl loop with the registry
+    // LIFECYCLE wired in — every 2nd micro-batch the registry state is
+    // compacted (Dedup.compactedRegistry) and LANDED bucketed on the
+    // 128-bit hash key; later batches read the stored table. Contracts:
+    // (1) the N-batch union still equals the all-at-once q99 run
+    //     exactly (compaction changes representation, never content);
+    // (2) after the loop, the stored registry still serves the q100
+    //     knockout anti-join with NO registry-side exchange — the
+    //     at-scale layout survives the compaction rounds.
+    import org.apache.spark.sql.{DataFrame, Dataset}
+    import graft.sources.TableSink
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").cache()
+    val expected = operators.Dedup.paragraphDedupHashed(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val ids = docs.select($"doc_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 4), ids(ids.length / 2), ids(3 * ids.length / 4))
+    val schema = docs.schema
+    @volatile var registry: DataFrame =
+      Seq.empty[(Long, Long)].toDF("h_lo", "h_hi")
+    @volatile var batchNo = 0
+    val out = scala.collection.mutable.Map[Long, (Long, Long, String)]()
+    val input = MemoryStream[String](spark)
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: Dataset[String], _: Long) =>
+        if (!batch.isEmpty) {
+          val newDocs = spark.read.schema(schema).json(batch).cache()
+          val cleaned = operators.Dedup.paragraphDedupIncremental(registry, newDocs)
+          out ++= cleaned.collect()
+            .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+          batchNo += 1
+          val folded = operators.Dedup.compactedRegistry(registry, newDocs)
+          registry =
+            if (batchNo % 2 == 0) {
+              // compaction round: land the registry bucketed and read the
+              // STORED table back — the loop's durable state handoff
+              TableSink.writeBucketed(folded, "b_stream_registry", 8,
+                Seq("h_lo", "h_hi"))
+              spark.table("b_stream_registry")
+            } else folded.localCheckpoint()
+        }
+      }
+      .start()
+    val slices = Seq(
+      docs.filter($"doc_id" <= cuts(0)),
+      docs.filter($"doc_id" > cuts(0) && $"doc_id" <= cuts(1)),
+      docs.filter($"doc_id" > cuts(1) && $"doc_id" <= cuts(2)),
+      docs.filter($"doc_id" > cuts(2)))
+    slices.foreach { s =>
+      input.addData(s.toJSON.collect().toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(batchNo == 4)
+    assert(out.size == expected.size, s"${out.size} vs ${expected.size}")
+    assert(out.toMap == expected)
+    // (2) the landed registry still serves a new batch exchange-free
+    import graft.plans.PlanWalk.walk
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = operators.Dedup.paragraphDedupIncremental(
+        spark.table("b_stream_registry"),
+        docs.filter($"doc_id" % 3 === 0)
+          .withColumn("doc_id", $"doc_id" + 5000000L))
+      probe.collect()
+      val antiJoins = walk(probe.queryExecution.executedPlan).collect {
+        case j: BaseJoinExec if j.joinType.sql == "LEFT ANTI" => j
+      }
+      assert(antiJoins.nonEmpty, "expected the registry knockout anti-join")
+      antiJoins.foreach { j =>
+        val rightShuffles = walk(j.right)
+          .collect { case e: ShuffleExchangeExec => e }
+        withClue(j.simpleString(10)) { assert(rightShuffles.isEmpty) }
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("foreachBatch streaming drive of the incremental warehouse equals the batch run") {
     // the reference's hourly production shape (pyspark_dag2.py:447-448 —
     // per-snapshot batch loads) in streaming clothes: raw JSON rows arrive
