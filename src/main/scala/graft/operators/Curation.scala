@@ -312,6 +312,67 @@ object Curation extends QueryPack {
       """.stripMargin),
       doc = "deterministic 98/1/1 train/val/test split with per-split audit counts"),
 
+    // ---- cross-split leakage audit ----
+    // The check every eval split needs AFTER splitting: near-duplicate
+    // pairs whose endpoints landed in DIFFERENT splits (a test doc
+    // near-duplicating a train doc silently inflates eval scores even
+    // when exact-match decontamination passes). Composes the q91 split
+    // rule with the q55 exact-Jaccard pair engine (PPJoin-pruned,
+    // blocked by (lang, source) — leakage across blocks is invisible to
+    // this detector by the same blocking contract q55 declares; run the
+    // LSH tier for unblocked audits). Output is the leaking pair list —
+    // the actionable artifact (re-assign or drop) — not just a count.
+    // Scale: pair generation is the bounded q55 engine; the split join
+    // is a pure projection on each side (no extra table).
+    "q125_split_leakage" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val bucket = pmod(mixed($"doc_id"), lit(100L))
+        val splits = T.documents(s, d).select($"doc_id",
+          when(bucket < 98, "train").when(bucket === 98, "val")
+            .otherwise("test").as("split"))
+        Dedup.jaccardPairs(T.documents(s, d), threshold = 0.8)
+          .join(splits.toDF("a_id", "a_split"), "a_id")
+          .join(splits.toDF("b_id", "b_split"), "b_id")
+          .filter($"a_split" =!= $"b_split")
+          .select($"a_id", $"b_id", $"a_split", $"b_split", $"jaccard_r")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, lang, source,
+                 list_distinct(string_split(text, ' ')) AS wset
+          FROM documents
+        ), exploded AS (
+          SELECT doc_id, lang, source, len(wset) AS wsize,
+                 unnest(wset) AS word
+          FROM base
+        ), pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 round(CAST(count(*) AS DOUBLE)
+                   / (any_value(a.wsize) + any_value(b.wsize) - count(*)), 6) AS jaccard_r
+          FROM exploded a
+          JOIN exploded b
+            ON a.lang = b.lang AND a.source = b.source AND a.word = b.word
+           AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING CAST(count(*) AS DOUBLE)
+                   / (any_value(a.wsize) + any_value(b.wsize) - count(*)) >= 0.8
+        ), sp AS (
+          SELECT doc_id,
+                 CASE WHEN $MixSql % 100 < 98 THEN 'train'
+                      WHEN $MixSql % 100 = 98 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        )
+        SELECT p.a_id, p.b_id, sa.split AS a_split, sb.split AS b_split,
+               p.jaccard_r
+        FROM pairs p
+        JOIN sp sa ON sa.doc_id = p.a_id
+        JOIN sp sb ON sb.doc_id = p.b_id
+        WHERE sa.split <> sb.split
+      """.stripMargin),
+      doc = "cross-split near-dup leakage audit: q91 split x q55 pairs, endpoints in different splits"),
+
     // ---- temperature-scaled source mixing ----
     // The training-mix construction step after quotas: sample each source
     // proportionally to n^α (α < 1 up-weights small sources relative to
