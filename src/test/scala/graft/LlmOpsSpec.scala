@@ -681,6 +681,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.getString(3) == "fake")
   }
 
+  test("PortableHash: affine61 == BigInt reference; base60 == md5-hex prefix parse") {
+    // the contract the q56/q57/q65 oracles stand on: the JVM's folded
+    // 128-bit arithmetic must equal exact big-integer math for every
+    // (a, h, b) in the family's domain, and the digest-byte extraction
+    // must equal parsing the md5 HEX string — the exact form the DuckDB
+    // side computes
+    import graft.functions.PortableHash._
+    val rnd = new scala.util.Random(7)
+    (1 to 20000).foreach { _ =>
+      val a = (rnd.nextLong() >>> 3) % P61
+      val h = rnd.nextLong() >>> 4 // [0, 2^60)
+      val b = (rnd.nextLong() >>> 3) % P61
+      val want = ((BigInt(a) * BigInt(h) + BigInt(b)) mod BigInt(P61)).toLong
+      assert(affine61(a, h, b) == want, s"affine61($a, $h, $b)")
+    }
+    (1 to 200).foreach { i =>
+      val s = org.apache.spark.unsafe.types.UTF8String.fromString(s"tok$i-é")
+      val hex = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(s.getBytes).map("%02x".format(_)).mkString
+      }
+      assert(base60(s) == java.lang.Long.parseLong(hex.substring(0, 15), 16))
+      assert(lo60(md5Of(s)) == java.lang.Long.parseLong(hex.substring(15, 30), 16))
+    }
+    // consts are in-domain: a ∈ [1, P61), b ∈ [0, P61)
+    val (ca, cb) = consts61(96)
+    assert(ca.forall(a => a >= 1 && a < P61) && cb.forall(b => b >= 0 && b < P61))
+  }
+
   test("BMP encode -> ImageIO decode round-trips every pixel (the REAL codec path)") {
     // driverside single-image check of the exact path q124 runs
     // distributed: ImageIO must see our encoder's bytes as a valid BMP
