@@ -1,6 +1,7 @@
 package graft.plans
 
-import graft.functions.{MinHashSig, VectorDot}
+import graft.functions.{CdcBlocks, CdcSelect, FirstSharedBand, MinHashSig,
+  NGramHash64, NGramStrings, SimHash64, SortedIntersectCount, VectorDot}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -21,8 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => WhenChainToMap)
-    ext.injectFunction(GraftExtensions.minhashSigDescriptor)
-    ext.injectFunction(GraftExtensions.vectorDotDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
   }
 }
 
@@ -47,9 +47,49 @@ object GraftExtensions {
         "vector_dot(a: array<float|double>, b: array<float|double>)")
     })
 
+  private def descriptor(name: String, clazz: Class[_])(
+      builder: PartialFunction[Seq[Expression], Expression])(usage: String):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
+    (args: Seq[Expression]) => builder.applyOrElse(args,
+      (_: Seq[Expression]) => throw new IllegalArgumentException(usage)))
+
+  /** The full native-function surface for `spark.sql` users — every
+    * config-free codegen'd expression the DataFrame API exposes through
+    * TextOps/Dedup. (Expressions needing non-literal state — a CMS
+    * sketch blob, a vocabulary — stay DataFrame-only: SQL literals can't
+    * carry them.) */
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    minhashSigDescriptor,
+    vectorDotDescriptor,
+    descriptor("simhash64", classOf[SimHash64]) {
+      case Seq(arr) => SimHash64(arr)
+    }("simhash64(tokens: array<string>)"),
+    descriptor("ngram_hash64", classOf[NGramHash64]) {
+      case Seq(arr, Literal(n: Int, _)) => NGramHash64(arr, n)
+      case Seq(arr, Literal(n: Int, _), Literal(d: Boolean, _)) =>
+        NGramHash64(arr, n, distinct = d)
+    }("ngram_hash64(words: array<string>, n: int literal[, distinct: bool literal])"),
+    descriptor("ngram_strings", classOf[NGramStrings]) {
+      case Seq(arr, Literal(n: Int, _)) => NGramStrings(arr, n)
+    }("ngram_strings(words: array<string>, n: int literal)"),
+    descriptor("sorted_intersect_count", classOf[SortedIntersectCount]) {
+      case Seq(a, b) => SortedIntersectCount(a, b)
+    }("sorted_intersect_count(a: array<bigint> sorted, b: array<bigint> sorted)"),
+    descriptor("first_shared_band", classOf[FirstSharedBand]) {
+      case Seq(a, b) => FirstSharedBand(a, b)
+    }("first_shared_band(a: array<bigint>, b: array<bigint>)"),
+    descriptor("cdc_blocks", classOf[CdcBlocks]) {
+      case Seq(arr) => CdcBlocks(arr)
+    }("cdc_blocks(words: array<string>)"),
+    descriptor("cdc_select", classOf[CdcSelect]) {
+      case Seq(a, b) => CdcSelect(a, b)
+    }("cdc_select(words: array<string>, kept_segs: array<int>)"))
+
   /** Register into an existing session's function registry. */
   def registerFunctions(registry: FunctionRegistry): Unit =
-    Seq(minhashSigDescriptor, vectorDotDescriptor).foreach {
+    descriptors.foreach {
       case (id, info, builder) => registry.registerFunction(id, info, builder)
     }
 }

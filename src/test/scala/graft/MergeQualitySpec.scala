@@ -73,6 +73,28 @@ class MergeQualitySpec extends SparkSpec {
     assert(orph.getString(0) == "orphan" && orph.getLong(1) == 1L)
   }
 
+  test("Quality edge cases: empty table -> 0 not NULL; null keys count as values; dup rule names rejected") {
+    // ADVICE r9: sum over zero rows is NULL — report must coalesce to 0
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    val rep = Quality.report(empty, Seq(Quality.Rule("r.neg", $"v" < 0))).head
+    assert(rep.getLong(1) == 0L, "empty table must report 0 violations")
+    // ADVICE r9: countDistinct over bare columns DROPS null-key rows —
+    // a null-key singleton must NOT be reported as a duplicate, and a
+    // null-key PAIR must count exactly one duplicate (struct semantics,
+    // the same as DuckDB's count(DISTINCT (a, b)))
+    val nullable = Seq(
+      (Some(1L), 1), (None, 1), (None, 2), (None, 2), (Some(2L), 1)
+    ).toDF("k", "x")
+    val d = Quality.duplicateCount(nullable, "d", Seq("k", "x")).head
+    assert(d.getLong(1) == 1L,
+      "exactly the (null, 2) pair duplicates; null singletons are not dups")
+    // duplicate rule names fail fast, not at CreateMap runtime
+    intercept[IllegalArgumentException] {
+      Quality.report(nullable, Seq(
+        Quality.Rule("same", $"x" < 0), Quality.Rule("same", $"x" > 9)))
+    }
+  }
+
   test("q116 salted two-stage top-k equals the plain single-window ranking") {
     val salted = SparkEntry.queries("q116_group_topk")(spark, sf)
     val spend = Tables.orders(spark, sf)

@@ -63,4 +63,31 @@ class PlansSpec extends SparkSpec {
     assert(r.getInt(0) == 8)
     assert(r.getBoolean(1))
   }
+
+  test("the full native-function surface is callable from SQL") {
+    // every config-free codegen'd expression must be reachable by a
+    // plain spark.sql user — the library-completeness contract of the
+    // extensions entry point
+    GraftExtensions.registerFunctions(spark.sessionState.functionRegistry)
+    val r = spark.sql("""
+      SELECT simhash64(array('a','b','a')) AS sh,
+             size(ngram_hash64(array('a','b','c'), 2)) AS ng,
+             ngram_strings(array('a','b','c'), 2) AS ns,
+             sorted_intersect_count(array(1L, 3L, 7L), array(3L, 7L, 9L)) AS ic,
+             size(cdc_blocks(array('a','b','c'))) AS cb
+    """).head
+    assert(r.getLong(0) != 0L)
+    assert(r.getInt(1) == 2)
+    assert(r.getSeq[String](2) == Seq("a b", "b c"))
+    assert(r.getInt(3) == 2)
+    assert(r.getInt(4) >= 1)
+    // SQL and DataFrame paths must produce IDENTICAL values (one
+    // implementation behind both surfaces)
+    import graft.functions.TextOps
+    val viaSql = spark.sql("SELECT simhash64(array('x','y'))").head.getLong(0)
+    val viaDf = spark.range(1)
+      .select(TextOps.simhash(org.apache.spark.sql.functions.lit("x y")))
+      .head.getLong(0)
+    assert(viaSql == viaDf)
+  }
 }
