@@ -39,6 +39,74 @@ class SemanticLayoutSpec extends SparkSpec {
         "period_year", "period_date"))
   }
 
+  test("transcription matches the pbix Report/Layout artifact itself") {
+    // parse the REAL reference artifact (read-only) and prove the
+    // hand-transcribed `Layout.all` is exactly its distinct
+    // prototypeQuery set — the transcription cannot drift from the
+    // artifact. Signatures are ORDER-INSENSITIVE select multisets (two
+    // Layout ASTs may differ only in select order — e.g. the
+    // Loans×loan_status chart appears select-flipped on two pages — so
+    // the comparison is a MULTISET of sorted signatures on both sides).
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import scala.jdk.CollectionConverters._
+    val pbix = new java.util.zip.ZipFile("/root/reference/Loans Dashboard.pbix")
+    val layoutStr = try {
+      new String(
+        pbix.getInputStream(pbix.getEntry("Report/Layout")).readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_16LE)
+    } finally pbix.close()
+    val om = new ObjectMapper()
+    val root = om.readTree(layoutStr)
+    val distinctPqs = new java.util.LinkedHashSet[JsonNode]()
+    for {
+      s <- root.get("sections").elements().asScala
+      vc <- Option(s.get("visualContainers")).toSeq.flatMap(_.elements().asScala)
+      cfg = om.readTree(vc.get("config").asText)
+      pq = cfg.path("singleVisual").path("prototypeQuery")
+      if !pq.isMissingNode
+    } distinctPqs.add(pq)
+    assert(distinctPqs.size == 27, s"artifact has ${distinctPqs.size} distinct ASTs")
+    def artifactSig(pq: JsonNode): String = {
+      val froms = pq.get("From").elements().asScala
+        .map(f => f.get("Name").asText -> f.get("Entity").asText).toMap
+      pq.get("Select").elements().asScala.map { sel =>
+        if (sel.has("Measure")) "M:" + sel.get("Measure").get("Property").asText
+        else if (sel.has("HierarchyLevel"))
+          "H:" + sel.get("HierarchyLevel").get("Level").asText
+        else {
+          val c = sel.get("Column")
+          val src = c.get("Expression").get("SourceRef").get("Source").asText
+          s"C:${froms(src)}.${c.get("Property").asText}"
+        }
+      }.toSeq.sorted.mkString("|")
+    }
+    // transcribed side: the same signature from each Proto's fields,
+    // mapping OUR model columns back to the reference's entity.attribute
+    val colSig = Map(
+      "loan_status" -> "C:Dimension_LoanStatus.loan_status",
+      "loan_type" -> "C:Dimension_LoanType.loan_type",
+      "borrower" -> "C:Dimension_Borrower.borrower_name",
+      "guarantor" -> "C:Dimension_Guarantor.guarantor",
+      "region" -> "C:Dimension_Region.region",
+      "country" -> "C:Dimension_Country.country",
+      "period_year" -> "H:Year",
+      "period_date" -> "C:DimDate.Date")
+    def protoSig(p: Layout.Proto): String = {
+      val parts =
+        p.measures.map("M:" + _) ++
+        p.groupBy.map(colSig).toSeq ++
+        p.slicerDim.map { case (_, c) => colSig(c) }.toSeq ++
+        p.slicerParam.map(pr => s"C:$pr.$pr").toSeq
+      parts.sorted.mkString("|")
+    }
+    def multiset(xs: Seq[String]) = xs.groupBy(identity).view.mapValues(_.size).toMap
+    val artifact = multiset(distinctPqs.asScala.toSeq.map(artifactSig))
+    val transcribed = multiset(Layout.all.map(protoSig))
+    assert(transcribed == artifact,
+      s"transcription drift:\nonly in artifact: ${artifact.toSet -- transcribed.toSet}\n" +
+        s"only transcribed: ${transcribed.toSet -- artifact.toSet}")
+  }
+
   test("each of the 27 ASTs compiles individually and returns rows") {
     Layout.all.foreach { p =>
       val out = Layout.compile(star, p)
