@@ -838,6 +838,26 @@ object Dedup extends QueryPack {
       Some(minhashLshOracle),
       doc = "MinHash(96)+LSH(12x8 bands) near-dup candidates, exact-verified"),
 
+    // ---- incremental LSH: the crawl-ingest form of q56 ----
+    // corpus = even ids (indexed; band registry carried between
+    // batches), batch = odd ids. Oracle = the full q56 replay over
+    // corpus∪batch restricted to pairs with ≥1 batch endpoint — the
+    // exact equivalence the incremental plan guarantees (bucket
+    // populations are identical wherever a batch member lands).
+    "q126_minhash_lsh_incremental" -> Q(
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val sets = docs.select(col("doc_id"),
+          graft.functions.NGramHash64
+            .ngramHashes(TextOps.words(col("text")), 1).as("wset"))
+        minhashCandidatesIncremental(
+          minhashBandRegistry(docs.filter(col("doc_id") % 2 === 0)),
+          sets, docs.filter(col("doc_id") % 2 === 1), verifyThreshold = 0.8)
+      },
+      Some(minhashLshOracle +
+        "\n          AND NOT (a_id % 2 = 0 AND b_id % 2 = 0)"),
+      doc = "incremental MinHash LSH: batch vs band registry, cost linear in the batch"),
+
     // ---- end-to-end dedup: the cleaned corpus a pipeline user consumes ----
     // near-dup pairs (blocked exact Jaccard) → connected components →
     // keep each cluster's minimum doc_id. Cluster-based keeping is
@@ -1506,6 +1526,84 @@ object Dedup extends QueryPack {
     candIds
       .join(sets.toDF("a_id", "a_set").hint("SHUFFLE_HASH"), "a_id")
       .join(sets.toDF("b_id", "b_set").hint("SHUFFLE_HASH"), "b_id")
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.count(col("a_set"), col("b_set")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("a_set")) + size(col("b_set")) - col("inter")))
+      .filter(col("jaccard") >= verifyThreshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard_r"))
+  }
+
+  /** LSH band registry: one row per indexed document carrying its
+    * 12-band vector (~100 B/doc) — the near-dup family's analogue of
+    * [[blockRegistry]]. Persist it (bucketed on `lang` + a band column
+    * after explode, or as-is for the semi-join plan) and each crawl
+    * batch pairs ONLY against the registry slice sharing its buckets. */
+  def minhashBandRegistry(docs: DataFrame,
+                          bands: Int = 12, rowsPer: Int = 8): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      TextOps.lshBands(
+        TextOps.minhashSignature(col("text"), n = 1, k = 96),
+        bands, rowsPer).as("bands"))
+
+  /** Incremental MinHash LSH (VERDICT r9's remaining near-dup cell —
+    * the at-scale tier of the crawl-ingest shape [[jaccardPairsIncremental]]
+    * serves at the exact tier): candidate near-dup pairs of `batch`
+    * against the corpus REGISTRY plus batch-internal pairs, exact-verified.
+    *
+    * Cost ∝ batch, never corpus: the batch's band keys semi-join the
+    * registry first, so only registry rows in buckets a batch member
+    * touches ever move; those bucket populations are IDENTICAL to the
+    * full corpus∪batch run's (a bucket enters consideration exactly when
+    * a batch member lands in it, and then all its indexed members are in
+    * the slice), so output ≡ the full [[minhashCandidates]] run
+    * restricted to pairs with ≥1 batch endpoint — which is what the
+    * DuckDB oracle replays (q126). Pair generation is the same
+    * bucket-local exactly-once combo generator (first-shared-band rule;
+    * registry×registry pairs are dropped — the corpus was already
+    * deduped when indexed). `sets` carries the sorted word-hash sets of
+    * corpus∪batch for the verify joins (id-keyed shuffle joins; in
+    * production a bucketed store on doc_id — never broadcast). */
+  def minhashCandidatesIncremental(registry: DataFrame, sets: DataFrame,
+                                   batch: DataFrame, verifyThreshold: Double,
+                                   maxBucket: Int = 100000): DataFrame = {
+    val batchRel = minhashBandRegistry(batch)
+    val bBand = batchRel.select(col("doc_id"), col("lang"), col("bands"),
+      explode(col("bands")).as("band"), lit(true).as("is_batch"))
+    val batchKeys = bBand.select(col("lang"), col("band")).distinct()
+    val rBand = registry.select(col("doc_id"), col("lang"), col("bands"),
+      explode(col("bands")).as("band"), lit(false).as("is_batch"))
+      .join(batchKeys, Seq("lang", "band"))
+    val members = rBand.unionByName(bBand)
+    val keptBuckets = members.groupBy(col("lang"), col("band"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+      .select(col("lang"), col("band"))
+    val buckets = members.join(keptBuckets, Seq("lang", "band"))
+      .groupBy(col("lang"), col("band"))
+      .agg(collect_list(struct(col("doc_id"), col("bands"), col("is_batch")))
+        .as("ms"))
+    val withA = buckets.select(col("band"), col("ms"),
+      posexplode(col("ms")).as(Seq("i", "a")))
+    val rawPairs = withA.select(col("band"), col("a"),
+      explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("b"))
+    val candIds = rawPairs
+      .filter(col("a.is_batch") || col("b.is_batch"))
+      .filter(graft.functions.FirstSharedBand.first(
+        col("a.bands"), col("b.bands")) === col("band"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+    // verify WITHOUT the full-run's SHUFFLE_HASH hint: for a small crawl
+    // batch the candidate set is tiny relative to the corpus-sized sets
+    // store, and forcing a shuffle join would exchange the WHOLE sets
+    // relation twice — the one non-batch-proportional cost in the loop.
+    // Left to AQE, the candidate side broadcasts into a plain scan of
+    // the (stored, bucketed) sets table: zero sets-side exchange; a
+    // large batch degrades gracefully back to a shuffle join.
+    candIds
+      .join(sets.toDF("a_id", "a_set"), "a_id")
+      .join(sets.toDF("b_id", "b_set"), "b_id")
       .withColumn("inter",
         graft.functions.SortedIntersectCount.count(col("a_set"), col("b_set")))
       .withColumn("jaccard", col("inter").cast("double") /

@@ -176,6 +176,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(2L, 5L, Long.MinValue))
   }
 
+  test("incremental minhash LSH == full run restricted to batch-endpoint pairs") {
+    // the crawl-loop contract (q126): pairing a batch against the band
+    // registry must find EXACTLY the pairs the full corpus∪batch run
+    // finds that touch the batch — no bucket the batch lands in may be
+    // seen with a different population than the full run's
+    val docs = Tables.documents(spark, sf)
+    val full = Dedup.minhashCandidates(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filter { case (a, b, _) => a % 2 == 1 || b % 2 == 1 }
+    val sets = docs.select($"doc_id",
+      graft.functions.NGramHash64.ngramHashes(TextOps.words($"text"), 1).as("wset"))
+    val incr = Dedup.minhashCandidatesIncremental(
+      Dedup.minhashBandRegistry(docs.filter($"doc_id" % 2 === 0)),
+      sets, docs.filter($"doc_id" % 2 === 1), 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr == expected,
+      s"incr ${incr.size} vs expected ${expected.size} (full ${full.size})")
+    assert(expected.nonEmpty, "fixture must yield cross/batch pairs")
+  }
+
   test("minhash candidate pairs are emitted exactly once (first-shared-band rule)") {
     // the bucket-local generator replaces the pair dropDuplicates shuffle;
     // a pair sharing several bands must still appear exactly once
