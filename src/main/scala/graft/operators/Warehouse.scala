@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.warehouse.{DimDate, FactBuilder, Merge, Scd, ScdSpec}
+import graft.warehouse.{DimDate, FactBuilder, Merge, Scd, ScdSpec, Summary}
 import graft.{Q, QueryPack, Tables => T}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -223,6 +223,55 @@ object Warehouse extends QueryPack {
         FROM o WHERE o_orderkey % 13 = 0
       """.stripMargin),
       doc = "generic MERGE INTO: update/delete/insert routing in one full-outer join (warehouse.Merge)"),
+
+    // ---- incremental materialized-aggregate maintenance ----
+    // the summary-table half of the lakehouse loop: q113 merges the
+    // batch into the base, THIS keeps the grouped rollup current from
+    // the batch alone (warehouse.Summary — retract before-images,
+    // assert after-images, one batch-keyed join + a |groups| aggregate;
+    // the base is never rescanned). The batch deliberately migrates
+    // rows BETWEEN groups (updates flip status to 'P') so the
+    // retract/assert pair is exercised, and the oracle recomputes the
+    // summary from the post-merge table — incremental must equal
+    // recompute exactly (decimal-folded measures).
+    "q127_agg_maintain" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val o = T.orders(s, d)
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        val del = o.filter($"o_orderkey" % 11 === 0).withColumn("op", lit("D"))
+        val upd = o.filter($"o_orderkey" % 7 === 0 && $"o_orderkey" % 11 =!= 0)
+          .withColumn("o_orderstatus", lit("P"))
+          .withColumn("o_totalprice", $"o_totalprice" + 50.0)
+          .withColumn("op", lit("U"))
+        val ins = o.filter($"o_orderkey" % 13 === 0).select(
+          (-$"o_orderkey" - 1L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"),
+          lit(1000.0).as("o_totalprice"), lit("I").as("op"))
+        val batch = del.unionByName(upd).unionByName(ins)
+        val summary = Summary.summarize(o, $"o_orderstatus", $"o_totalprice")
+        Summary.maintain(summary, o, batch, "o_orderkey",
+          $"o_orderstatus", $"o_totalprice", deleteWhen = $"op" === "D")
+          .withColumnRenamed("grp", "o_orderstatus")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ),
+        merged AS (
+          SELECT o_orderstatus, o_totalprice FROM o
+          WHERE o_orderkey % 11 <> 0 AND o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT 'P', o_totalprice + 50.0 FROM o
+          WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+          UNION ALL
+          SELECT 'N', 1000.0 FROM o WHERE o_orderkey % 13 = 0
+        )
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM merged GROUP BY o_orderstatus
+      """.stripMargin),
+      doc = "incremental summary maintenance: delta retract/assert vs full recompute (warehouse.Summary)"),
 
     // ---- fact assembly: lookup chain + role-playing date dim ----
     "q22_fact_build" -> Q(

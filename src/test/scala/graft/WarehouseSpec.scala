@@ -107,4 +107,33 @@ class WarehouseSpec extends SparkSpec {
       }
     }
   }
+
+  test("Summary.maintain == summarize of the Merge.upsert result (incremental == recompute)") {
+    // the summary-table contract behind q127: applying the batch's
+    // deltas to the old summary must equal rebuilding the summary from
+    // the merged base — exactly, because measures fold through DECIMAL
+    import graft.warehouse.{Merge, Summary}
+    val o = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val del = o.filter($"o_orderkey" % 11 === 0).withColumn("op", lit("D"))
+    val upd = o.filter($"o_orderkey" % 7 === 0 && $"o_orderkey" % 11 =!= 0)
+      .withColumn("o_orderstatus", lit("P"))
+      .withColumn("o_totalprice", $"o_totalprice" + 50.0)
+      .withColumn("op", lit("U"))
+    val ins = o.filter($"o_orderkey" % 13 === 0).select(
+      (-$"o_orderkey" - 1L).as("o_orderkey"), lit("N").as("o_orderstatus"),
+      lit(1000.0).as("o_totalprice"), lit("I").as("op"))
+    val batch = del.unionByName(upd).unionByName(ins)
+    val incr = Summary.maintain(
+      Summary.summarize(o, $"o_orderstatus", $"o_totalprice"),
+      o, batch, "o_orderkey", $"o_orderstatus", $"o_totalprice",
+      deleteWhen = $"op" === "D")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val merged = Merge.upsert(o, batch, "o_orderkey", deleteWhen = col("op") === "D")
+    val scratch = Summary.summarize(merged, $"o_orderstatus", $"o_totalprice")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr == scratch)
+    assert(incr.exists(_._1 == "N") && incr.exists(_._1 == "P"),
+      "batch must exercise inserts and group migration")
+  }
 }
