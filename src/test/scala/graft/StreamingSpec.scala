@@ -100,6 +100,53 @@ class StreamingSpec extends SparkSpec {
     assert(out.toMap == expected)
   }
 
+  test("foreachBatch streaming drive of incremental LSH equals the full-run pair set") {
+    // q126's production loop: batches arrive, each pairs against the
+    // BAND registry so far (plus itself), then folds its own bands in.
+    // Every pair is found exactly when its LATER endpoint arrives (the
+    // earlier endpoint is already in the registry, and the bucket the
+    // pair shares is touched by the new batch), so the union of
+    // per-batch outputs must equal the all-at-once q56 run exactly.
+    import org.apache.spark.sql.{DataFrame, Dataset}
+    val docs = Tables.documents(spark, sf).cache()
+    val expected = operators.Dedup.minhashCandidates(docs, 0.8)
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val schema = docs.schema
+    @volatile var registry: Option[DataFrame] = None
+    @volatile var corpus: Option[DataFrame] = None
+    val found = scala.collection.mutable.Set[(Long, Long)]()
+    val input = MemoryStream[String](spark)
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: Dataset[String], _: Long) =>
+        if (!batch.isEmpty) {
+          val newDocs = spark.read.schema(schema).json(batch).cache()
+          val all = corpus.map(_.unionByName(newDocs)).getOrElse(newDocs).cache()
+          val sets = all.select($"doc_id",
+            graft.functions.NGramHash64
+              .ngramHashes(graft.functions.TextOps.words($"text"), 1).as("wset"))
+          val reg = registry.getOrElse(
+            operators.Dedup.minhashBandRegistry(all.limit(0)))
+          val pairs = operators.Dedup.minhashCandidatesIncremental(
+            reg, sets, newDocs, 0.8)
+          found ++= pairs.select($"a_id", $"b_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          registry = Some(reg.unionByName(
+            operators.Dedup.minhashBandRegistry(newDocs)).localCheckpoint())
+          corpus = Some(all)
+        }
+      }
+      .start()
+    (0 until 3).foreach { k =>
+      input.addData(docs.filter($"doc_id" % 3 === k).toJSON.collect().toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(found.toSet == expected,
+      s"streamed ${found.size} vs full-run ${expected.size}")
+    assert(expected.nonEmpty)
+  }
+
   test("crawl loop with periodic registry compaction: output exact, bucketed anti-join layout survives") {
     // VERDICT r9 §next-8: the production crawl loop with the registry
     // LIFECYCLE wired in — every 2nd micro-batch the registry state is
