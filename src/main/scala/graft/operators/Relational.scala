@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Relational extends QueryPack {
 
+  /** Portable-HLL shape (q128): m = 2^8 registers over the 60-bit
+    * PortableHash domain. `HllAlphaNum` = α_m·m²·2^60 precomputed ONCE —
+    * the identical double literal lands in both the Spark plan and the
+    * generated oracle SQL (Double.toString round-trips exactly), so the
+    * single float division runs on bit-identical inputs in both engines. */
+  val HllM = 256
+  val HllAlphaNum: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM.toDouble * HllM.toDouble *
+      (1L << 60).toDouble
+
   def queries: Map[String, Q] = Map(
     // ---- pricing summary: filter + groupBy + multi-agg (TPC-H Q1 shape) ----
     "q01_pricing_summary" -> Q(
@@ -175,7 +185,11 @@ object Relational extends QueryPack {
 
     // ---- approx distinct count (A7 scale path; HLL sketch) ----
     // rows-only: DuckDB's approx_count_distinct uses a different sketch;
-    // RelationalSpec bounds the relative error against the exact count
+    // ApproxSpec bounds the relative error against the exact count and
+    // GoldenSpec pins the output. q128 below is the fully-ORACLED twin
+    // (portable register hash, exact-integer harmonic fold) — the proof
+    // that only the engine-specific builtin, not the sketch idea, is
+    // un-oracle-able.
     "q09_approx_distinct" -> Q(
       (s, d) => {
         import s.implicits._
@@ -187,6 +201,74 @@ object Relational extends QueryPack {
       },
       None,
       doc = "approx_count_distinct — the at-scale variant of A7 (SURVEY §2.6)"),
+
+    // ---- PORTABLE HyperLogLog (q09's fully-oracled twin, r10) ----
+    // The same sketch idea as q09 but every step is deterministic
+    // arithmetic both engines compute identically, so even the
+    // APPROXIMATE answer hash-matches a DuckDB oracle: register = low 8
+    // bits of the md5-derived 60-bit hash (PortableHash's domain),
+    // rho = leading-zero rank of the remaining 52 bits via length(bin(w))
+    // (both engines have bin()), per-register max, and the raw HLL
+    // harmonic estimate with the register sum folded EXACTLY — each
+    // register contributes 2^(60-M) as an integer, summed in
+    // DECIMAL(38,0)/HUGEINT, so no float accumulation anywhere; the one
+    // double division happens once on identical inputs. Deliberately
+    // the RAW estimate (no small-range linear counting — that needs ln(),
+    // whose last-ulp is libm-dependent); accuracy at HLL's operating
+    // range is property-tested in ApproxSpec. Shuffle is ≤ groups×256
+    // register rows — the sketch property that makes it the at-scale
+    // distinct-count (one narrow aggregate, no distinct expansion).
+    "q128_hll_portable" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val h = conv(substring(md5($"l_partkey".cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        val w = shiftrightunsigned(h, 8) // integer shift — h/256.0 would
+                                         // lose bits past double's mantissa
+        val rho = when(w === 0L, lit(53L))
+          .otherwise(lit(53L) - length(bin(w)))
+        val regs = T.lineitem(s, d)
+          .select($"l_returnflag", pmod(h, lit(HllM.toLong)).as("j"),
+            rho.as("rho"))
+          .groupBy($"l_returnflag", $"j")
+          .agg(max($"rho").as("m"))
+        regs.groupBy($"l_returnflag")
+          // column-valued shift amount: the Scala shiftleft() helper only
+          // takes a literal Int, the SQL form takes expressions
+          .agg(sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(60 - m AS INT)) AS DECIMAL(38,0))"))
+              .as("s_obs"),
+            count(lit(1)).as("n_regs"))
+          .select($"l_returnflag",
+            round(lit(HllAlphaNum) /
+              ($"s_obs" + (lit(HllM.toLong) - $"n_regs") *
+                lit(java.math.BigDecimal.valueOf(1L << 60))).cast("double"), 2)
+              .as("est_parts"))
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT l_returnflag,
+                 (${graft.functions.PortableHash.hi60Sql("m")}) AS h
+          FROM (SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS m
+                FROM lineitem)
+        ),
+        r AS (
+          SELECT l_returnflag, h % $HllM AS j,
+                 CASE WHEN h // $HllM = 0 THEN 53
+                      ELSE 53 - length(bin(h // $HllM)) END AS rho
+          FROM h
+        ),
+        regs AS (
+          SELECT l_returnflag, j, max(rho) AS m FROM r GROUP BY l_returnflag, j
+        )
+        SELECT l_returnflag,
+               round($HllAlphaNum /
+                 CAST(sum(CAST((1::BIGINT << (60 - m)) AS DECIMAL(38,0)))
+                      + ($HllM - count(*)) * CAST((1::BIGINT << 60) AS DECIMAL(38,0))
+                   AS DOUBLE), 2) AS est_parts
+        FROM regs
+        GROUP BY l_returnflag
+      """.stripMargin),
+      doc = "portable HLL distinct estimate — the sketch itself hash-matches the oracle"),
 
     // ---- per-group top-k (salted two-stage) ----
     // "top 3 customers by spend per nation": the report staple that, done

@@ -77,4 +77,26 @@ class ApproxSpec extends SparkSpec {
       }
     }
   }
+
+  test("portable HLL (q128) within 15% of exact per group") {
+    // raw harmonic estimate, m=256 (sigma ~ 1.04/sqrt(m) = 6.5%), no
+    // bias correction — 15% is a generous 2-sigma-plus bound; the VALUE
+    // itself is pinned exactly by the DuckDB oracle, this guards the
+    // sketch's statistical sanity. Checked at sf0.01: HLL's raw
+    // estimate is only meaningful ABOVE the ~2.5m linear-counting
+    // threshold (640 here) and sf0.001's ~200 distinct keys sit below
+    // it by design — the documented sketch regime, not a defect.
+    val sf01 = "/root/testdata/sf0.01"
+    val est = SparkEntry.queries("q128_hll_portable")(spark, sf01)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Tables.lineitem(spark, sf01)
+      .groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = est(k)
+      withClue(s"$k est=$a exact=$e") {
+        assert(math.abs(a - e) / e < 0.15)
+      }
+    }
+  }
 }
