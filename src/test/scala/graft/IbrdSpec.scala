@@ -18,6 +18,24 @@ class IbrdSpec extends SparkSpec {
     assert(raw.schema == Model.rawSchema)
   }
 
+  test("stageKeyed equals stage minus the pid column (the r10 fusion's contract)") {
+    // Clean.stageKeyed claims its output (minus __f_pid) is bit-for-bit
+    // Clean.stage — the q103 fusion must never change staged CONTENT,
+    // only carry the bucket id; includes the forward fill under the
+    // externally-pinned loan_number-only bucketing
+    val (keyed, pidName, nBuckets) = Clean.stageKeyed(raw)
+    assert(nBuckets >= 1)
+    val a = Clean.stage(raw).collect().map(_.toSeq).toSet
+    val b = keyed.drop(pidName).collect().map(_.toSeq).toSet
+    assert(a == b, s"stageKeyed diverged from stage (${a.size} vs ${b.size} rows)")
+    // and the pid respects the major-key order contract: equal
+    // loan_numbers share a bucket
+    val perKey = keyed.groupBy(col("loan_number"))
+      .agg(countDistinct(col(pidName)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(perKey == 0, "a loan_number straddled two buckets")
+  }
+
   test("committed fixture files match the in-code fixture (no drift)") {
     val fromFile = graft.ibrd.FixtureFiles.readRaw(spark, "/root/repo")
       .orderBy("loan_number", "end_of_period").collect()
