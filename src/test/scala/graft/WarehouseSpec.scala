@@ -136,4 +136,28 @@ class WarehouseSpec extends SparkSpec {
     assert(incr.exists(_._1 == "N") && incr.exists(_._1 == "P"),
       "batch must exercise inserts and group migration")
   }
+
+  test("buildChecked raises on dangling keys at first action, naming the dim") {
+    // the r10 probe fusion turned the eager assertNoDangling pass into a
+    // per-row guard inside the lookup pass — the fail-on-no-match
+    // contract (SURVEY S9/NoMatchBehavior=0) must still hold, now at the
+    // fact's first action, and must name the offending dim key
+    import graft.warehouse.FactBuilder
+    val fact = Seq((1L, 10L), (2L, 20L), (3L, 99L)).toDF("k", "dim_key")
+    val dim = Seq((10L, "a"), (20L, "b")).toDF("d_key", "attr")
+    val lookups = Seq(FactBuilder.Lookup(dim, col("dim_key"), "d_key",
+      Seq("attr" -> "attr")))
+    val checked = FactBuilder.buildChecked(fact, lookups) // lazy: no raise yet
+    val e = intercept[Exception] { checked.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("d_key")),
+      s"error must name the dangling dim key: ${msgs(e).mkString(" | ")}")
+    // and the happy path equals probe+build
+    val ok = fact.filter($"dim_key" =!= 99L)
+    val a = FactBuilder.buildChecked(ok, lookups).collect().map(_.toSeq).toSet
+    FactBuilder.assertNoDangling(ok, lookups)
+    val b = FactBuilder.build(ok, lookups).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
