@@ -101,13 +101,21 @@ object IbrdWarehouse {
     // the exchange this path exists to delete), so the landing job runs
     // with AQE off. One fixed-shape job (fill window + broadcast join);
     // nothing adaptive to win there, and every later consumer still
-    // runs adaptively.
+    // runs adaptively. The override is SCOPED to a cloned session
+    // (advisor r10): toggling the session-global conf would race
+    // concurrent builds and silently plan unrelated concurrent queries
+    // with AQE off. The landing plan is re-bound into the clone, the
+    // checkpoint executes under the clone's conf, and the resulting
+    // LogicalRDD (session-free: just an RDD + partitioning) is re-bound
+    // to the caller's session for every downstream consumer.
     val staged = factPid match {
       case Some(_) =>
-        val key = "spark.sql.adaptive.enabled"
-        val prev = spark.conf.get(key, "true")
-        spark.conf.set(key, "false")
-        try stagedIn.localCheckpoint() finally spark.conf.set(key, prev)
+        import org.apache.spark.sql.graft.Bridge
+        val isolated = Bridge.isolatedSession(spark)
+        isolated.conf.set("spark.sql.adaptive.enabled", "false")
+        val ck = Bridge.ofRows(isolated, stagedIn.queryExecution.logical)
+          .localCheckpoint()
+        Bridge.ofRows(spark, ck.queryExecution.logical)
       case None => stagedIn.localCheckpoint()
     }
     // Construct AND materialize the seven dim pipelines CONCURRENTLY.

@@ -252,6 +252,8 @@ object Warehouse extends QueryPack {
         val summary = Summary.summarize(o, $"o_orderstatus", $"o_totalprice")
         Summary.maintain(summary, o, batch, "o_orderkey",
           $"o_orderstatus", $"o_totalprice", deleteWhen = $"op" === "D")
+          // the exact decimal accumulator is carried state, not output
+          .drop("__t")
           .withColumnRenamed("grp", "o_orderstatus")
       },
       Some("""

@@ -53,7 +53,19 @@ object FactBuilder {
     * (inner ≡ left when nothing dangles) in ONE pass over the fact: the
     * probe's separate materialization disappears. The failure fires at
     * the fact's first ACTION instead of declaration time — same batch,
-    * same message, one fewer full pass. */
+    * same message, one fewer full pass.
+    *
+    * Spark-4.x dependency (advisor r10): correctness here requires the
+    * optimizer's `EliminateOuterJoin` to NOT treat the `assert_true`
+    * filter as null-filtering on the lookup aliases — if it did, the
+    * LEFT joins would convert to INNER and dangling rows would be
+    * DROPPED before the assert ever fired. On 4.1.2 this holds because
+    * `canFilterOutNull` eval-probes the predicate with a null row and
+    * its NonFatal catch bails on the throwing assert (it cannot prove
+    * null-filtering, so the join stays LeftOuter). WarehouseSpec pins
+    * the optimized-plan shape ("buildChecked keeps its joins
+    * LeftOuter…"), so a Spark upgrade that changes the rule's behavior
+    * fails the suite instead of silently dropping rows. */
   def buildChecked(fact: DataFrame, lookups: Seq[Lookup]): DataFrame = {
     def keyAlias(i: Int) = s"__lk${i}_${lookups(i).dimKey}"
     val joined = lookups.zipWithIndex.foldLeft(fact) { case (acc, (lk, i)) =>

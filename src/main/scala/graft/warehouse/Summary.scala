@@ -19,23 +19,29 @@ import org.apache.spark.sql.{Column, DataFrame}
   * group, assertion in the new.
   *
   * Correctness is EXACT, not approximate: measures fold through
-  * DECIMAL, so delta-then-sum equals recompute-from-scratch
-  * bit-for-bit under any partitioning — which is what lets q127's
-  * oracle recompute the maintained summary from the post-merge table.
-  * At 100 TB the win is the whole point of summary tables: the base is
-  * never rescanned; cost is one batch-sized join + a |groups|-sized
-  * aggregate.
+  * DECIMAL, and the summary schema CARRIES the exact decimal
+  * accumulator (`__t`) alongside the display double (`total`) — each
+  * maintain cycle folds deltas into `__t`, never into the double, so
+  * delta-then-sum equals recompute-from-scratch bit-for-bit under any
+  * partitioning AND any number of maintain cycles. (Re-deriving the
+  * accumulator from the double would silently lose cents once a
+  * group's |total| passes ~2^52/100 ≈ 4.5e13 — exactly the regime a
+  * 100 TB summary table lives in.) At 100 TB the win is the whole
+  * point of summary tables: the base is never rescanned; cost is one
+  * batch-sized join + a |groups|-sized aggregate.
   */
 object Summary {
 
-  /** (group, n, total) summary of `base`; `measure` folds through
-    * DECIMAL(28,2) (exact for 2-dp money at any partitioning) and lands
-    * as DOUBLE. */
+  /** (group, n, __t, total) summary of `base`; `measure` folds through
+    * DECIMAL(28,2) (exact for 2-dp money at any partitioning). `__t`
+    * is the exact decimal accumulator [[maintain]] folds into; `total`
+    * is its DOUBLE display projection. */
   def summarize(base: DataFrame, group: Column, measure: Column): DataFrame =
     base.groupBy(group.as("grp"))
       .agg(count(lit(1)).as("n"),
         sum(measure.cast("decimal(28,2)")).as("__t"))
-      .select(col("grp"), col("n"), col("__t").cast("double").as("total"))
+      .select(col("grp"), col("n"), col("__t"),
+        col("__t").cast("double").as("total"))
 
   /** Apply `batch` (carrying `key`, the group/measure columns, and an
     * op consumed by `deleteWhen`) to `summary` over base table `base`.
@@ -56,12 +62,14 @@ object Summary {
       .select(group.as("grp"), lit(1L).as("dn"),
         measure.cast("decimal(28,2)").as("dm"))
     summary
-      .select(col("grp"), col("n").as("dn"),
-        col("total").cast("decimal(28,2)").as("dm"))
+      // fold into the EXACT accumulator, never the display double
+      .select(col("grp"), col("n").as("dn"), col("__t").as("dm"))
       .unionByName(before).unionByName(after)
       .groupBy(col("grp"))
-      .agg(sum(col("dn")).as("n"), sum(col("dm")).as("__t"))
+      .agg(sum(col("dn")).as("n"),
+        sum(col("dm")).cast("decimal(38,2)").as("__t"))
       .filter(col("n") > 0)
-      .select(col("grp"), col("n"), col("__t").cast("double").as("total"))
+      .select(col("grp"), col("n"), col("__t"),
+        col("__t").cast("double").as("total"))
   }
 }

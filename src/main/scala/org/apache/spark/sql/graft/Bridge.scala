@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Column⇄Expression bridge for custom Catalyst expressions.
   *
@@ -14,4 +15,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** A full conf/state copy of `spark` whose SQL confs can be mutated
+    * without touching the parent — the scoped alternative to toggling a
+    * session-global conf around one job (`cloneSession` is
+    * `private[sql]`, hence exposed here). Shares SparkContext, shared
+    * state, and the cache manager with the parent. */
+  def isolatedSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
+  /** Re-bind a logical plan to (an isolated clone of) a session —
+    * execution then reads THAT session's SQL confs. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit, sum, xxhash64}
 
 /** Frozen goldens for the sketch-family catalog entries. q09 (HLL) has
   * NO DuckDB oracle — this pin is its only content check. q56/q57/q65
@@ -40,8 +40,22 @@ class GoldenSpec extends SparkSpec {
     (n, h)
   }
 
+  /** q09's CATALOG entry became a bounded-error verdict in round 11
+    * (driver-oracled, VERDICT r10 §next-7); the golden keeps pinning
+    * the RAW sketch values — recomputed here in the entry's pre-r11
+    * shape — so a sketch behavior change still trips this test even
+    * though it stays inside the 15% verdict bound. */
+  private def rawQ09: DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+        count(lit(1)).as("n_lines"))
+  }
+
   private def fingerprint(name: String): (Long, String) =
-    fingerprintDf(SparkEntry.queries(name)(spark, sf))
+    fingerprintDf(if (name == "q09_approx_distinct") rawQ09
+                  else SparkEntry.queries(name)(spark, sf))
 
   private val recordMode: Boolean =
     sys.props.contains("GRAFT_RECORD_GOLDENS") ||

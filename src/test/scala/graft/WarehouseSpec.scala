@@ -124,14 +124,21 @@ class WarehouseSpec extends SparkSpec {
       (-$"o_orderkey" - 1L).as("o_orderkey"), lit("N").as("o_orderstatus"),
       lit(1000.0).as("o_totalprice"), lit("I").as("op"))
     val batch = del.unionByName(upd).unionByName(ins)
+    // compare the EXACT decimal accumulator, not just the display double:
+    // maintain must fold deltas into __t (the advisor's 100 TB exactness
+    // contract), so incremental __t equals recomputed __t bit-for-bit
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("grp"), r.getAs[Long]("n"),
+        r.getAs[java.math.BigDecimal]("__t"),
+        r.getAs[Double]("total"))
     val incr = Summary.maintain(
       Summary.summarize(o, $"o_orderstatus", $"o_totalprice"),
       o, batch, "o_orderkey", $"o_orderstatus", $"o_totalprice",
       deleteWhen = $"op" === "D")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      .collect().map(key).toSet
     val merged = Merge.upsert(o, batch, "o_orderkey", deleteWhen = col("op") === "D")
     val scratch = Summary.summarize(merged, $"o_orderstatus", $"o_totalprice")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      .collect().map(key).toSet
     assert(incr == scratch)
     assert(incr.exists(_._1 == "N") && incr.exists(_._1 == "P"),
       "batch must exercise inserts and group migration")
@@ -159,5 +166,26 @@ class WarehouseSpec extends SparkSpec {
     FactBuilder.assertNoDangling(ok, lookups)
     val b = FactBuilder.build(ok, lookups).collect().map(_.toSeq).toSet
     assert(a == b)
+  }
+
+  test("buildChecked keeps its joins LeftOuter through the optimizer (assert_true not treated as null-filtering)") {
+    // pin the Spark-4.x EliminateOuterJoin behavior buildChecked leans
+    // on (advisor r10): if a Spark upgrade ever lets the rule classify
+    // the throwing assert_true filter as null-filtering, the LEFT joins
+    // become INNER and dangling rows are dropped BEFORE the guard fires
+    // — this plan-shape pin turns that silent data loss into a red test
+    import graft.warehouse.FactBuilder
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val fact = Seq((1L, 10L), (2L, 20L)).toDF("k", "dim_key")
+    val dimA = Seq((10L, "a"), (20L, "b")).toDF("da_key", "attr_a")
+    val dimB = Seq((10L, "x"), (20L, "y")).toDF("db_key", "attr_b")
+    val checked = FactBuilder.buildChecked(fact, Seq(
+      FactBuilder.Lookup(dimA, col("dim_key"), "da_key", Seq("attr_a" -> "attr_a")),
+      FactBuilder.Lookup(dimB, col("dim_key"), "db_key", Seq("attr_b" -> "attr_b"))))
+    val joinTypes = checked.queryExecution.optimizedPlan.collect {
+      case j: Join => j.joinType }
+    assert(joinTypes.nonEmpty && joinTypes.forall(_ == LeftOuter),
+      s"lookup joins must survive as LeftOuter, got $joinTypes")
   }
 }
