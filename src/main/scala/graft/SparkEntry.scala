@@ -51,7 +51,8 @@ object SparkEntry {
     queries.removedAll(Seq("q70_ibrd_e2e_loans_by_status",
       "q71_ibrd_measures_card", "q72_ibrd_staged", "q73_ibrd_trend_by_year",
       "q74_ibrd_dim_country", "q75_ibrd_incremental_dim",
-      "q76_ibrd_incremental_fact", "q122_layout_replay"))
+      "q76_ibrd_incremental_fact", "q122_layout_replay",
+      "q131_page_crossfilter"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted entries get a rows-only check. */

@@ -38,6 +38,24 @@ object IbrdMeasures {
         "Borrowers" -> countDistinct(col("FK_borrower"))),
       parameters = parameters)
 
+  /** [[model]] plus the country→region snowflake hops: `region` lives
+    * two joins from the fact (fact.FK_country → Dimension_Country →
+    * Dimension_Region, `country_dimension.dtsx:1264-1287`), and no
+    * visual GROUPS by it — only the page-level region slicer filters
+    * through it — so the base model omits the hops and the cross-filter
+    * path (q131) adds them. Both dims join current rows on unique SKs:
+    * no fact row is dropped or duplicated, so every measure of every
+    * visual is unchanged when unfiltered. */
+  def geoModel(star: IbrdWarehouse.Star): SemanticModel =
+    model(star).withRelationships(
+      Relationship(star.dimCountry.filter(col("is_current"))
+        .select(col("PK_country_SK"), col("PK_region_SK").as("__geo_region_SK"),
+          col("country")),
+        "FK_country", "PK_country_SK"),
+      Relationship(star.dimRegion.filter(col("is_current"))
+        .select(col("PK_region_SK").as("__geo_region_SK_r"), col("region")),
+        "__geo_region_SK", "__geo_region_SK_r"))
+
   /** The BI model's 3 field-parameter tables (SURVEY §1.3/§3.3). The
     * tables themselves live in the unrecoverable Vertipaq blob; the
     * option lists are reconstructed from the Layout's slicer-selection

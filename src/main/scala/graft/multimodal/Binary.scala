@@ -18,11 +18,19 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
   * expected statistics WITHOUT decoding — any defect in the encoder OR
   * the decode path breaks the hash match.
   *
-  * Audio/video codecs remain stubbed behind [[FakeCodec]] (this
-  * container has no media libraries); their Spark-side plumbing — the
-  * schema contract, the one-codec-init-per-partition batch shape
-  * (mapInPandas-equivalent), partitioning, the feature projection — is
-  * real and tested.
+  * The AUDIO path is REAL since round 11: [[Wav]] encodes genuine
+  * RIFF/WAV 16-bit PCM containers and [[decodeAudioStats]] decodes
+  * them with the JDK's `javax.sound.sampled.AudioSystem` (a true WAV
+  * parser, no external deps), deriving per-channel frame counts, peak,
+  * zero crossings, energy, RMS and duration — q129 oracles those
+  * against the sample generator's integer arithmetic, same trick.
+  *
+  * VIDEO remains the one declared stub behind [[FakeCodec]]: the JDK
+  * ships no video container codec and this container has no media
+  * libraries, so only its Spark-side plumbing — the schema contract,
+  * the one-codec-init-per-partition batch shape (mapInPandas-
+  * equivalent), partitioning, the feature projection — is real and
+  * tested.
   */
 object Binary {
 
@@ -221,6 +229,140 @@ object Binary {
         round(col("sum_g").cast("double") / n, 6).as("mean_g"),
         round(col("sum_b").cast("double") / n, 6).as("mean_b")) ++
         (0 until 8).map(i => col(s"h$i")): _*)
+  }
+
+  /** Minimal RIFF/WAVE container around 16-bit little-endian signed PCM
+    * — the real format, enough for the JDK's `javax.sound.sampled` WAV
+    * reader to parse the header and hand back the frames. `samples` is
+    * channel-interleaved (frame-major), the canonical WAV layout. */
+  object Wav {
+    def encode(sampleRate: Int, channels: Int,
+               samples: Array[Short]): Array[Byte] = {
+      require(channels > 0 && samples.length % channels == 0,
+        s"${samples.length} samples not a multiple of $channels channels")
+      val blockAlign = 2 * channels
+      val dataSize = 2 * samples.length
+      val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)                       // PCM
+        .putShort(channels.toShort)
+        .putInt(sampleRate)
+        .putInt(sampleRate * blockAlign)   // byte rate
+        .putShort(blockAlign.toShort)
+        .putShort(16)                      // bits per sample
+      b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      var i = 0
+      while (i < samples.length) { b.putShort(samples(i)); i += 1 }
+      b.array()
+    }
+  }
+
+  /** The q129 synthetic corpus (VERDICT r10 §next-2, the q124 recipe
+    * for audio): one genuine RIFF/WAV asset per document — 16-bit PCM,
+    * 8 kHz, mono or stereo — whose every sample is integer arithmetic
+    * of (asset_id, frame, channel), so DuckDB recomputes the expected
+    * DECODED statistics without any codec. */
+  def syntheticWavAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = syntheticFrames(id)
+        val ch = syntheticChannels(id)
+        val samples = new Array[Short](n * ch)
+        var t = 0
+        while (t < n) {
+          var c = 0
+          while (c < ch) {
+            samples(t * ch + c) = syntheticSample(id, t, c)
+            c += 1
+          }
+          t += 1
+        }
+        Row(id, "audio/wav", Wav.encode(AudioRate, ch, samples))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  val AudioRate = 8000
+  def syntheticFrames(id: Long): Int = (800 + id % 400).toInt
+  def syntheticChannels(id: Long): Int = (1 + id % 2).toInt
+  /** All-positive before the mod so Spark, JVM `%`, and DuckDB `%`
+    * agree. The frame stride (4093, odd) makes the wave a full-range
+    * sawtooth that wraps every ~16 frames — every asset genuinely
+    * exercises the zero-crossing and peak logic (a small stride never
+    * left the negative half-range and degenerated zc to 0). */
+  def syntheticSample(id: Long, t: Long, c: Long): Short =
+    (((31L * id + 4093L * t + 7919L * c) % 65536L) - 32768L).toShort
+
+  /** REAL audio decode + per-channel feature extraction: each payload
+    * runs through `javax.sound.sampled.AudioSystem`'s WAV parser once
+    * (per-partition iterator — the batch codec seam, where a real codec
+    * binding would be initialized once per partition), then the decoded
+    * frames yield per-channel features in EXACT integer arithmetic —
+    * frame count, peak |amplitude|, zero crossings (sign flips between
+    * consecutive frames), sum of squares — plus RMS and duration, each
+    * a single division/sqrt on exact integers (bit-identical in any
+    * engine). One output row per (asset, channel). The only way to
+    * match the generator-arithmetic oracle is for encode →
+    * AudioSystem → sample walk to round-trip every frame. */
+  def decodeAudioStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("channel", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("peak_abs", IntegerType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false),
+      StructField("sumsq", LongType, nullable = false)))
+    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"asset $id: unexpected decoded format $fmt")
+        val ch = fmt.getChannels
+        val rate = fmt.getSampleRate.toInt
+        val bytes = in.readAllBytes(); in.close()
+        val frames = bytes.length / (2 * ch)
+        val peak = new Array[Int](ch)
+        val zc = new Array[Long](ch)
+        val sumsq = new Array[Long](ch)
+        val prev = new Array[Int](ch)
+        var t = 0
+        while (t < frames) {
+          var c = 0
+          while (c < ch) {
+            val o = 2 * (t * ch + c)
+            val s = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+            if (math.abs(s) > peak(c)) peak(c) = math.abs(s)
+            sumsq(c) += s.toLong * s
+            if (t > 0 && ((s >= 0) != (prev(c) >= 0))) zc(c) += 1
+            prev(c) = s
+            c += 1
+          }
+          t += 1
+        }
+        (0 until ch).map(c => Row(id, c, frames, rate, peak(c), zc(c), sumsq(c)))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+      .select(col("asset_id"), col("channel"), col("n_frames"),
+        col("peak_abs"), col("zero_crossings"), col("sumsq"),
+        round(sqrt(col("sumsq").cast("double") / col("n_frames")), 6).as("rms"),
+        round(col("n_frames").cast("double") / col("sample_rate"), 6)
+          .as("duration_sec"))
   }
 
   /** Batch "decode": mapPartitions so a real codec would be initialized

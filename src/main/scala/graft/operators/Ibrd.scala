@@ -240,6 +240,24 @@ object Ibrd extends QueryPack {
       Some(layoutReplayOracle),
       doc = "all 27 Layout prototypeQuery ASTs compiled + oracled (serving-parity completeness)"),
 
+    // ---- page-wide cross-filter (VERDICT r10 §next-8) ----
+    // the region slicer's selection applied to EVERY visual on "Loan
+    // Portfolio Overview" at once: one crossFiltered model, the filter
+    // declared ONCE and propagated through the shared expanded table
+    // (region reaches the fact through the country→region snowflake —
+    // IbrdMeasures.geoModel). Slicer enumerations stay unfiltered (PBI's
+    // default slicer interaction); the oracle applies the same selection
+    // to each data visual's fact scan (region attr ≡ dim filter by the
+    // SK↔BK bijection, q70's argument).
+    "q131_page_crossfilter" -> Q(
+      (s, _) => graft.semantic.Layout.replayPage(
+        star(s), "LPO", col("region") === "africa",
+        graft.ibrd.IbrdMeasures.geoModel),
+      Some(replayOracle(
+        graft.semantic.Layout.all.filter(_.page == "LPO"),
+        Some("region = 'africa'"))),
+      doc = "page-wide slicer cross-filter: every LPO visual under a region selection (PBI interaction contract)"),
+
     "q76_ibrd_incremental_fact" -> Q(
       (s, _) => incrementalStar(s).fact
         .select(
@@ -336,7 +354,15 @@ object Ibrd extends QueryPack {
     * formulations; dim-attribute groupings read the staged columns (SK ↔
     * BK bijection on the initial load, same argument as q70); DimDate
     * enumerations regenerate the 1990–2026 calendar. */
-  private lazy val layoutReplayOracle: String = {
+  private lazy val layoutReplayOracle: String =
+    replayOracle(graft.semantic.Layout.all, None)
+
+  /** Oracle generator shared by q122 (full replay) and q131 (one page
+    * under a page-wide cross-filter): `dataWhere` restricts the DATA
+    * visuals' fact scan — slicer enumerations stay unfiltered, matching
+    * [[graft.semantic.Layout.replayPage]]'s PBI interaction contract. */
+  private def replayOracle(protos: Seq[graft.semantic.Layout.Proto],
+                           dataWhere: Option[String]): String = {
     import graft.semantic.Layout
     val measureSql = Map(
       "Loans" -> "CAST(count(*) AS DOUBLE)",
@@ -358,7 +384,8 @@ object Ibrd extends QueryPack {
       "period_year" -> "CAST(CAST(substring(end_of_period, 8, 4) AS INT) AS VARCHAR)",
       "period_date" -> "end_of_period")
     def q(v: String) = "'" + v.replace("'", "''") + "'"
-    val blocks: Seq[String] = Layout.all.flatMap { p =>
+    val whereSql = dataWhere.map(" WHERE " + _).getOrElse("")
+    val blocks: Seq[String] = protos.flatMap { p =>
       (p.slicerDim, p.slicerParam) match {
         case (Some((_, "period_year")), _) => Seq(
           s"""SELECT ${p.idx} AS ast, 'period_year' AS item,
@@ -394,7 +421,7 @@ object Ibrd extends QueryPack {
             s"""SELECT ${p.idx} AS ast, ${q(m)} AS item, $grpExpr AS grp,
                |       ${measureSql(m)} AS value_num,
                |       CAST(NULL AS VARCHAR) AS value_str
-               |FROM fact_in$grpBy""".stripMargin
+               |FROM fact_in$whereSql$grpBy""".stripMargin
           }
       }
     }

@@ -114,6 +114,52 @@ object Multimodal extends QueryPack {
       """.stripMargin),
       doc = "REAL BMP decode via ImageIO: pixel means + luma histogram vs generator-arithmetic oracle"),
 
+    // ---- REAL audio decode (VERDICT r10 §next-2): genuine RIFF/WAV
+    // 16-bit PCM payloads (mono and stereo) decoded with the JDK's
+    // javax.sound.sampled WAV parser inside the mapPartitions batch
+    // seam; per-channel peak, zero crossings, energy, RMS and duration
+    // from the ACTUAL decoded frames. The oracle recomputes every
+    // statistic from the sample generator's integer arithmetic — it
+    // never decodes — so a defect anywhere in encode→AudioSystem→frame
+    // walk breaks the hash match (the q124 recipe, applied to audio).
+    "q129_audio_decode" -> Q(
+      (s, d) => Binary.decodeAudioStats(
+        Binary.syntheticWavAssets(T.documents(s, d))),
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS asset_id,
+                 800 + doc_id % 400 AS n, 1 + doc_id % 2 AS nch
+          FROM documents
+        ),
+        ac AS (
+          SELECT asset_id, n, unnest(range(0, nch)) AS c FROM a
+        ),
+        s AS (
+          SELECT asset_id, c, n, unnest(range(0, n)) AS t FROM ac
+        ),
+        v AS (
+          SELECT asset_id, c, n,  t,
+                 ((31 * asset_id + 4093 * t + 7919 * c) % 65536) - 32768 AS amp
+          FROM s
+        ),
+        w AS (
+          SELECT asset_id, c, n, amp,
+                 lag(amp) OVER (PARTITION BY asset_id, c ORDER BY t) AS prev
+          FROM v
+        )
+        SELECT asset_id,
+               CAST(c AS INT) AS channel,
+               CAST(any_value(n) AS INT) AS n_frames,
+               CAST(max(abs(amp)) AS INT) AS peak_abs,
+               CAST(count(*) FILTER (WHERE prev IS NOT NULL
+                     AND ((amp >= 0) <> (prev >= 0))) AS BIGINT) AS zero_crossings,
+               CAST(sum(amp * amp) AS BIGINT) AS sumsq,
+               round(sqrt(CAST(sum(amp * amp) AS DOUBLE) / any_value(n)), 6) AS rms,
+               round(CAST(any_value(n) AS DOUBLE) / 8000.0, 6) AS duration_sec
+        FROM w GROUP BY asset_id, c
+      """.stripMargin),
+      doc = "REAL WAV decode via javax.sound.sampled: per-channel PCM stats vs generator-arithmetic oracle"),
+
     // ---- frame sampling fan-out ----
     "q64_frame_sample" -> Q(
       (s, d) => Binary.frameSample(

@@ -171,11 +171,34 @@ object Layout {
     * for cards), `value_num` the measure value and `value_str` the
     * enumerated slicer value. One row of this output is one data point
     * some visual on the reference dashboard renders. */
-  def replay(star: IbrdWarehouse.Star): DataFrame = {
-    val model = IbrdMeasures.model(star)
+  def replay(star: IbrdWarehouse.Star): DataFrame =
+    frames(star, IbrdMeasures.model(star), all).reduce(_.unionByName(_))
+
+  /** Cross-filter interaction replay (VERDICT r10 §next-8): a slicer
+    * SELECTION applied PAGE-WIDE — every data visual of `page`
+    * re-evaluated under `selection`, compiled through ONE
+    * [[SemanticModel.crossFiltered]] model (the filter is declared once
+    * and reaches each visual through the shared expanded table, the
+    * Power BI interaction contract). Slicer visuals still enumerate
+    * their full declared sources: PBI's default interaction leaves a
+    * slicer's own item list unfiltered by selections (its own or other
+    * slicers') — only data visuals cross-filter. */
+  def replayPage(star: IbrdWarehouse.Star, page: String,
+                 selection: org.apache.spark.sql.Column,
+                 base: IbrdWarehouse.Star => SemanticModel =
+                   IbrdMeasures.model): DataFrame =
+    frames(star, base(star).crossFiltered(selection),
+      all.filter(_.page == page)).reduce(_.unionByName(_))
+
+  /** One long-format frame per AST: data visuals compile through
+    * `model` (which may carry page filters); slicers enumerate from the
+    * UNFILTERED star/parameter tables. */
+  private def frames(star: IbrdWarehouse.Star, model: SemanticModel,
+                     protos: Seq[Proto]): Seq[DataFrame] = {
+    require(protos.nonEmpty, "no ASTs to replay")
     val nullNum = lit(null).cast("double")
     val nullStr = lit(null).cast("string")
-    val frames: Seq[DataFrame] = all.map { p =>
+    protos.map { p =>
       (p.slicerDim, p.slicerParam) match {
         case (Some((_, column)), _) =>
           slicerSource(star, column)
@@ -203,6 +226,5 @@ object Layout {
           }.reduce(_.unionByName(_))
       }
     }
-    frames.reduce(_.unionByName(_))
   }
 }

@@ -49,13 +49,35 @@ final case class FieldParameter(options: Seq[String]) {
 final class SemanticModel(fact: DataFrame, rels: Seq[Relationship],
                           measures: Map[String, Column],
                           parameters: Map[String, FieldParameter] = Map.empty,
-                          hierarchy: Seq[(String, Column)] = Nil) {
+                          hierarchy: Seq[(String, Column)] = Nil,
+                          pageFilters: Seq[Column] = Nil) {
 
-  /** fact joined through its relationships (the Vertipaq "expanded table"). */
-  lazy val expanded: DataFrame = rels.foldLeft(fact) { (acc, r) =>
-    val d = if (r.broadcastDim) broadcast(r.dim) else r.dim
-    acc.join(d, acc(r.factKey) === d(r.dimKey), "inner")
-  }
+  /** fact joined through its relationships (the Vertipaq "expanded
+    * table"), with any page-level cross-filters applied once. */
+  lazy val expanded: DataFrame = pageFilters.foldLeft(
+    rels.foldLeft(fact) { (acc, r) =>
+      val d = if (r.broadcastDim) broadcast(r.dim) else r.dim
+      acc.join(d, acc(r.factKey) === d(r.dimKey), "inner")
+    })(_.filter(_))
+
+  /** Page-level cross-filter (the Power BI interaction contract: a
+    * slicer SELECTION filters every other visual on its page): a model
+    * whose expanded table is pre-filtered ONCE, so every visual
+    * compiled from it sees the selection. Catalyst pushes the filter
+    * through the dim joins into the scans, exactly as if each visual
+    * had declared it — [[graft.semantic.Layout.replayPage]] and
+    * SemanticLayoutSpec assert that equivalence. */
+  def crossFiltered(selection: Column*): SemanticModel =
+    new SemanticModel(fact, rels, measures, parameters, hierarchy,
+      pageFilters ++ selection)
+
+  /** The model plus extra relationship hops — snowflake paths a
+    * cross-filter needs that no visual groups by (e.g. region two joins
+    * from the fact). Hops join in declaration order, so a later hop may
+    * key on a column a former hop retrieved. */
+  def withRelationships(extra: Relationship*): SemanticModel =
+    new SemanticModel(fact, rels ++ extra, measures, parameters,
+      hierarchy, pageFilters)
 
   def measure(name: String): Column =
     measures.getOrElse(name, sys.error(s"unknown measure '$name'"))

@@ -754,6 +754,36 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("WAV encode -> AudioSystem decode round-trips every frame (the REAL audio codec path)") {
+    // driverside single-asset check of the exact path q129 runs
+    // distributed: javax.sound.sampled must parse our RIFF/WAV bytes
+    // and return bit-identical 16-bit PCM frames, mono AND stereo
+    // (interleaving), including the -32768 edge of the sample range
+    for (id <- Seq(0L, 1L, 7L)) {
+      val n = Binary.syntheticFrames(id)
+      val ch = Binary.syntheticChannels(id)
+      val samples = Array.tabulate[Short](n * ch) { i =>
+        Binary.syntheticSample(id, i / ch, i % ch)
+      }
+      val bytes = Binary.Wav.encode(Binary.AudioRate, ch, samples)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      assert(fmt.getChannels == ch && fmt.getSampleRate.toInt == Binary.AudioRate
+        && fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+      val decoded = in.readAllBytes(); in.close()
+      assert(decoded.length == 2 * n * ch, s"id=$id: frame count")
+      for (i <- 0 until n * ch) {
+        val s = ((decoded(2 * i) & 0xff) | (decoded(2 * i + 1) << 8)).toShort
+        assert(s == samples(i), s"sample $i of id=$id did not round-trip")
+      }
+    }
+    // the generator really hits the full signed range somewhere
+    val all = for (id <- 0L to 3L; t <- 0 until 100; c <- 0 until 2)
+      yield Binary.syntheticSample(id, t, c).toInt
+    assert(all.min < -30000 && all.max > 30000)
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on hashed word sets") {
     import graft.functions.SortedIntersectCount
     val sets = Tables.documents(spark, sf).limit(300)

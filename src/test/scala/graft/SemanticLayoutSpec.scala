@@ -145,4 +145,54 @@ class SemanticLayoutSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(opts == IbrdMeasures.parameterOptions("PrmAmount&Repiad&Due").toSet)
   }
+
+  test("page-wide cross-filter: selection propagation equals per-visual filtered recomputation (q131)") {
+    // the q131 contract (VERDICT r10 §next-8): ONE crossFiltered model —
+    // the slicer selection declared once, page-wide — must produce, for
+    // every data visual of the page, exactly what that visual computes
+    // when the filter is declared on it individually; slicer
+    // enumerations must stay UNFILTERED (PBI's default interaction)
+    val sel = col("region") === "africa"
+    val page = Layout.all.filter(_.page == "LPO")
+    val byAst = Layout.replayPage(star, "LPO", sel, IbrdMeasures.geoModel)
+      .collect().groupBy(_.getAs[Int]("ast"))
+    assert(byAst.keySet == page.map(_.idx).toSet, "every page AST replays")
+    val model = IbrdMeasures.geoModel(star)
+    def close(a: Option[Any], b: Option[Any]): Boolean = (a, b) match {
+      case (Some(x: Double), Some(y: Double)) =>
+        math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y))
+      case _ => a == b
+    }
+    page.filter(p => p.slicerDim.isEmpty && p.slicerParam.isEmpty).foreach { p =>
+      val res = model.visual(graft.semantic.Visual(
+        p.measures, p.groupBy.toSeq, filters = Seq(sel)))
+      val key = p.groupBy
+        .map(g => coalesce(col(g).cast("string"), lit("")))
+        .getOrElse(lit(""))
+      val expected = p.measures.flatMap { m =>
+        res.select(key.as("grp"), col(m).cast("double").as("v")).collect()
+          .map(r => (m, r.getString(0)) -> Option(r.get(1)))
+      }.toMap
+      val got = byAst(p.idx).map(r =>
+        (r.getAs[String]("item"), r.getAs[String]("grp")) ->
+          Option(r.get(r.fieldIndex("value_num")))).toMap
+      assert(got.keySet == expected.keySet, s"ast ${p.idx} keys")
+      got.foreach { case (k, v) =>
+        assert(close(v, expected(k)), s"ast ${p.idx} $k: $v vs ${expected(k)}")
+      }
+      // the selection actually bites: fewer loans than unfiltered
+      if (p.measures.contains("Loans") && p.groupBy.isEmpty) {
+        val filtered = got(("Loans", "")).get.asInstanceOf[Double]
+        assert(filtered > 0 && filtered < star.fact.count().toDouble)
+      }
+    }
+    // slicers keep their FULL enumerations — the region slicer (ast 5)
+    // still lists every region, not just the selected one
+    val regionRows = byAst(5).map(_.getAs[String]("value_str")).toSet
+    val allRegions = star.dimRegion.filter(col("is_current"))
+      .select(col("region").cast("string")).distinct()
+      .as[String].collect().toSet
+    assert(regionRows == allRegions && allRegions.size > 1,
+      "slicer enumeration must be unfiltered by its own selection")
+  }
 }
