@@ -1203,10 +1203,13 @@ object Dedup extends QueryPack {
     * xxhash64 band key only compresses the same grouping to 8 bytes) →
     * DISTINCT candidate pairs (Spark's first-shared-band rule emits each
     * pair exactly once — same set) → exact word-set Jaccard ≥ 0.8. */
-  private lazy val minhashLshOracle: String = {
+  /** The WITH-clause body deriving the verified LSH pair relation
+    * `lshv(a_id, b_id, jac)` over `documents` — shared by the q56/q126
+    * final selects and q130's kept-set closure (the crawl loop's
+    * near-dup drop rule is defined BY this pair set). */
+  private[operators] lazy val minhashLshPairsCte: String = {
     import graft.functions.PortableHash
-    s"""
-        WITH w AS (
+    s"""w AS (
           SELECT doc_id, lang,
                  unnest(list_distinct(string_split(coalesce(text, ''), ' '))) AS word
           FROM documents
@@ -1232,17 +1235,21 @@ object Dedup extends QueryPack {
           SELECT doc_id,
                  list_distinct(string_split(coalesce(text, ''), ' ')) AS s
           FROM documents
-        ), v AS (
+        ), lshv AS (
           SELECT a_id, b_id,
                  CAST(len(list_intersect(wa.s, wb.s)) AS DOUBLE)
                    / (len(wa.s) + len(wb.s) - len(list_intersect(wa.s, wb.s))) AS jac
           FROM cand
           JOIN ws wa ON wa.doc_id = cand.a_id
           JOIN ws wb ON wb.doc_id = cand.b_id
-        )
-        SELECT a_id, b_id, round(jac, 6) AS jaccard_r FROM v WHERE jac >= 0.8
-      """
+        )"""
   }
+
+  private lazy val minhashLshOracle: String =
+    s"""
+        WITH $minhashLshPairsCte
+        SELECT a_id, b_id, round(jac, 6) AS jaccard_r FROM lshv WHERE jac >= 0.8
+      """
 
   /** Connected components over the near-dup pair graph: every document
     * gets the MINIMUM doc_id reachable through near-dup pairs as its

@@ -468,7 +468,7 @@ object Similarity extends QueryPack {
 
   private val rawVSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
-  private def cosSql(a: String, b: String): String =
+  private[operators] def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
   /** q78 oracle: the Lloyd iterations unrolled as CTE chains — one

@@ -228,6 +228,115 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("composed crawl loop (q130): streamed drive equals closed-form recompute; flat RDD profile; no-exchange registry pin survives") {
+    // VERDICT r10 §next-3: the incremental pieces COMPOSED — per
+    // micro-batch exact dedup + LSH near-dedup + ANN assignment +
+    // summary maintenance, with registry compaction every 2 batches —
+    // must land on exactly the closed-form final state, keep the
+    // persistent-RDD profile flat (state lives on storage, not executor
+    // memory), and keep the bucketed no-exchange knockout layout after
+    // the compaction rounds.
+    import org.apache.spark.sql.{DataFrame, Dataset}
+    val docs = Tables.documents(spark, sf).cache()
+    val emb = Tables.embeddings(spark, sf).cache()
+    val codebook = emb.filter($"vec_id" < operators.Similarity.IvfCentroids)
+      .select($"vec_id".as("cent_id"), $"embedding".as("centv"))
+    val root = java.nio.file.Files.createTempDirectory("graft_crawl").toString
+    val loop = new operators.Crawl.Loop(spark, codebook, emb, root,
+      tag = "t_crawl", template = docs.schema)
+    val schema = docs.schema
+    // force the test's own caches before baselining: the profile under
+    // test is the LOOP's, and a lazy .cache() materializing inside
+    // batch 1 would read as growth
+    docs.count(); emb.count()
+    val rddBase = spark.sparkContext.getPersistentRDDs.size
+    val rddCounts = scala.collection.mutable.ArrayBuffer[Int]()
+    val input = MemoryStream[String](spark)
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: Dataset[String], _: Long) =>
+        if (!batch.isEmpty) {
+          loop.ingest(spark.read.schema(schema).json(batch))
+          rddCounts += spark.sparkContext.getPersistentRDDs.size
+          ()
+        }
+      }
+      .start()
+    val hi = docs.agg(max($"doc_id")).head.getLong(0) + 1
+    (0 until 4).foreach { k =>
+      val lo = hi * k / 4
+      val up = if (k == 3) hi else hi * (k + 1) / 4
+      input.addData(docs.filter($"doc_id" >= lo && $"doc_id" < up)
+        .toJSON.collect().toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // (1) kept set == the closed form: no exact/near match to a smaller id
+    val st = loop.state()
+    val exactDrop = docs.as("a").join(docs.as("b"),
+      coalesce($"a.text", lit("")) === coalesce($"b.text", lit("")) &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"b.doc_id").distinct()
+    val nearDrop = operators.Dedup.minhashCandidates(docs, 0.8)
+      .select($"b_id".as("doc_id")).distinct()
+    val expectedKept = docs
+      .join(exactDrop, Seq("doc_id"), "left_anti")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+    val keptIds = st.kept.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == expectedKept.select($"doc_id")
+      .collect().map(_.getLong(0)).toSet)
+    assert(keptIds.nonEmpty && keptIds.size < docs.count(),
+      "the corpus must actually dedup")
+
+    // (2) the MAINTAINED summary equals recompute, exact decimal included
+    val gotSum = st.summary
+      .select($"grp", $"n", $"__t".cast("string"), $"total")
+      .collect().map(_.toSeq).toSet
+    val wantSum = graft.warehouse.Summary
+      .summarize(expectedKept, $"lang", $"n_chars")
+      .select($"grp", $"n", $"__t".cast("string"), $"total")
+      .collect().map(_.toSeq).toSet
+    assert(gotSum == wantSum)
+
+    // (3) assignments equal a from-scratch assignment of the kept docs
+    val gotAssign = st.assigned.select($"vec_id", $"cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantAssign = operators.Similarity.assignBatch(codebook,
+      expectedKept.select($"doc_id".as("vec_id")).join(emb, Seq("vec_id")))
+      .select($"vec_id", $"cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotAssign == wantAssign)
+
+    // (4) flat storage profile: durable handoff keeps state off the
+    // executors — no batch may grow the persistent-RDD census
+    assert(rddCounts.size == 4)
+    assert(rddCounts.forall(_ <= rddBase),
+      s"persistent RDDs grew across batches: base=$rddBase counts=$rddCounts")
+
+    // (5) the compacted seen-registry still serves the exact-knockout
+    // anti-join with NO registry-side exchange (bucketed layout pin)
+    import graft.plans.PlanWalk.walk
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = operators.Crawl.docHashes(
+        docs.limit(50).withColumn("doc_id", $"doc_id" + 7000000L))
+        .join(spark.table("t_crawl_seen"), Seq("h_lo", "h_hi"), "left_anti")
+      probe.collect()
+      val antiJoins = walk(probe.queryExecution.executedPlan).collect {
+        case j: BaseJoinExec if j.joinType.sql == "LEFT ANTI" => j
+      }
+      assert(antiJoins.nonEmpty)
+      antiJoins.foreach { j =>
+        val rightShuffles = walk(j.right)
+          .collect { case e: ShuffleExchangeExec => e }
+        withClue(j.simpleString(10)) { assert(rightShuffles.isEmpty) }
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("foreachBatch streaming drive of the incremental warehouse equals the batch run") {
     // the reference's hourly production shape (pyspark_dag2.py:447-448 —
     // per-snapshot batch loads) in streaming clothes: raw JSON rows arrive
