@@ -63,10 +63,14 @@ class SemanticParamSpec extends SparkSpec {
 
 class ApproxSpec extends SparkSpec {
   import spark.implicits._
-  test("approx_count_distinct within 5% of exact per group") {
-    val approx = SparkEntry.queries("q09_approx_distinct")(spark, sf)
-      .select("l_returnflag", "approx_parts").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("approx_count_distinct within 5% of exact per group; q09 verdict true everywhere") {
+    // r11: the q09 CATALOG entry now emits the bounded-error verdict
+    // itself (driver-oracled); this spec keeps the tighter 5% bound on
+    // the raw sketch, recomputed in the entry's pre-r11 shape
+    val approx = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables.lineitem(spark, sf)
       .groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("x"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -76,6 +80,10 @@ class ApproxSpec extends SparkSpec {
         assert(math.abs(a - e).toDouble / e < 0.05)
       }
     }
+    // and the catalog entry's own verdict column holds
+    val verdicts = SparkEntry.queries("q09_approx_distinct")(spark, sf)
+      .select("within_bound").collect().map(_.getBoolean(0))
+    assert(verdicts.nonEmpty && verdicts.forall(identity))
   }
 
   test("portable HLL (q128) within 15% of exact per group") {
