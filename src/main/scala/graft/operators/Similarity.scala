@@ -139,6 +139,47 @@ object Similarity extends QueryPack {
       .select("a_id", "b_id", "sim_r")
   }
 
+  /** Sign-bucket registry of a vector corpus: (vec_id, embedding,
+    * bucket) — the embedding near-dup family's carried index (the
+    * vector-space analogue of [[Dedup.minhashBandRegistry]]). Persist
+    * it bucketed on `bucket` and each crawl batch pairs only against
+    * the cells its members probe. */
+  def signBucketRegistry(emb: DataFrame, bits: Int): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      VectorOps.signBucket(col("embedding"), bits, EmbeddingDim).as("bucket"))
+
+  /** Incremental [[embeddingNearDups]] — the crawl-ingest form (q132):
+    * near-dup pairs of `batch` against the corpus REGISTRY plus
+    * batch-internal pairs. Under the ascending-ingest contract (batch
+    * ids exceed every registry id), every hamming-≤1 pair whose later
+    * endpoint is in the batch is generated exactly once: the a-side
+    * (registry ∪ batch) explodes its hamming-1 probe set, only probe
+    * rows landing in a cell some batch member OCCUPIES survive the
+    * broadcast semi-join (cost ∝ batch, the q126 shape — the registry
+    * is scanned, never reshuffled), and the b-side is the batch alone.
+    * Output ≡ the full [[embeddingNearDups]] run over corpus∪batch
+    * restricted to pairs with their larger endpoint in the batch —
+    * which, for a suffix batch, is exactly "≥1 batch endpoint". */
+  def embeddingNearDupsIncremental(registry: DataFrame, batch: DataFrame,
+                                   bits: Int, minSim: Double): DataFrame = {
+    val bSide = signBucketRegistry(batch, bits)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        VectorOps.norm(col("embedding")).as("b_n"), col("bucket"))
+    val batchKeys = bSide.select(col("bucket")).distinct()
+    val aSide = registry.select(col("vec_id"), col("embedding"), col("bucket"))
+      .unionByName(signBucketRegistry(batch, bits))
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        VectorOps.norm(col("embedding")).as("a_n"),
+        explode(probeBuckets(col("bucket"), bits)).as("bucket"))
+      .join(batchKeys, Seq("bucket"))
+    aSide.join(bSide, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim_r",
+        round(VectorOps.dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")), 6))
+      .filter(col("sim_r") >= minSim)
+      .select("a_id", "b_id", "sim_r")
+  }
+
   val IvfCentroids = 16
   val IvfProbes = 4
 
@@ -468,6 +509,28 @@ object Similarity extends QueryPack {
 
   private val rawVSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
+  /** q132's stored corpus index — the q126Store recipe for vectors:
+    * the sign-bucket registry of the first-90% corpus lands once per
+    * (JVM, sf dir) as a bucket-keyed bucketed table (external, fresh
+    * temp dir: the in-memory catalog dies with the JVM, so a managed
+    * spark-warehouse location would orphan and block the next run);
+    * the first call per JVM rebuilds unconditionally so regenerated
+    * testdata can never serve a stale index. */
+  private val q132Built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q132Store(s: org.apache.spark.sql.SparkSession, d: String,
+                        cutoff: Long): String =
+    q132Built.computeIfAbsent(d, _ => {
+      val t = s"q132_registry_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val root = java.nio.file.Files.createTempDirectory("graft_q132").toString
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.TableSink.writeBucketed(
+        signBucketRegistry(T.embeddings(s, d)
+          .filter(col("vec_id") < cutoff), SignBits),
+        t, 32, Seq("bucket"), path = Some(s"$root/$t"))
+      t
+    })
+
   private[operators] def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
@@ -715,6 +778,39 @@ object Similarity extends QueryPack {
         FROM assigned a JOIN drift d USING (cell)
       """.stripMargin),
       doc = "incremental ANN maintenance: batch->codebook assignment + per-cell drift (zero corpus shuffle)"),
+
+    // ---- incremental embedding near-dup: the crawl-ingest form of q61
+    // (the vector-space q126). Corpus = the first 70% of vec_ids, landed
+    // once per JVM as a bucket-keyed sign-bucket registry; batch = the
+    // id SUFFIX (the ascending-ingest contract), so "pairs whose larger
+    // endpoint is in the batch" is exactly "pairs with >=1 batch
+    // endpoint" and the oracle is the full q61 replay restricted by
+    // b_id >= cutoff. ----
+    "q132_embedding_neardup_incremental" -> Q(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val cutoff = (emb.agg(max(col("vec_id"))).head.getLong(0) + 1) * 7 / 10
+        embeddingNearDupsIncremental(s.table(q132Store(s, d, cutoff)),
+          emb.filter(col("vec_id") >= cutoff), SignBits, minSim = 0.4)
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 ${bucketExprSql(rawVSql)} AS bucket
+          FROM embeddings
+        ),
+        m AS (SELECT (max(vec_id) + 1) * 7 // 10 AS cutoff FROM embeddings)
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim_r
+        FROM e a JOIN e b
+          ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id
+        WHERE b.vec_id >= (SELECT cutoff FROM m)
+          AND round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+      """.stripMargin),
+      doc = "incremental embedding near-dup: suffix crawl batch vs stored sign-bucket registry"),
 
     // ---- embedding-cosine near-dup pairs (dedup family, vector flavor) ----
     "q61_embedding_neardup" -> Q(

@@ -196,6 +196,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture must yield cross/batch pairs")
   }
 
+  test("incremental embedding near-dup == full run restricted to suffix-batch endpoints (q132)") {
+    // the crawl contract in vector space: under ascending ingest the
+    // batch is an id SUFFIX, so every hamming-<=1 pair whose LARGER
+    // endpoint is in the batch must be found — exactly the full
+    // q61-run restriction — and nothing else
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val hi = emb.agg(max($"vec_id")).head.getLong(0) + 1
+    val cutoff = hi * 7 / 10
+    val full = Similarity.embeddingNearDups(emb, Similarity.SignBits, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filter(_._2 >= cutoff)
+    val incr = Similarity.embeddingNearDupsIncremental(
+      Similarity.signBucketRegistry(
+        emb.filter($"vec_id" < cutoff), Similarity.SignBits),
+      emb.filter($"vec_id" >= cutoff), Similarity.SignBits, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr == expected,
+      s"incr ${incr.size} vs expected ${expected.size} (full ${full.size})")
+    // empty registry: the incremental run over the whole corpus as one
+    // batch IS the full run
+    val coldStart = Similarity.embeddingNearDupsIncremental(
+      Similarity.signBucketRegistry(emb.limit(0), Similarity.SignBits),
+      emb, Similarity.SignBits, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(coldStart == full)
+    assert(full.nonEmpty, "fixture must yield embedding near-dups")
+  }
+
   test("minhash candidate pairs are emitted exactly once (first-shared-band rule)") {
     // the bucket-local generator replaces the pair dropDuplicates shuffle;
     // a pair sharing several bands must still appear exactly once
