@@ -225,6 +225,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(full.nonEmpty, "fixture must yield embedding near-dups")
   }
 
+  test("crawl loop final state is invariant to the ascending batch split (q130)") {
+    // the composition contract behind q130's closed-form oracle: ANY
+    // ascending partition of the ingest stream must land on the same
+    // final state — kept set, maintained summary (exact accumulator
+    // included), and ANN assignments. Drive the loop under two very
+    // different splits (2 uneven batches vs 4) and compare everything.
+    import graft.operators.{Crawl, Similarity}
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val codebook = emb.filter($"vec_id" < Similarity.IvfCentroids)
+      .select($"vec_id".as("cent_id"), $"embedding".as("centv"))
+    val hi = docs.agg(max($"doc_id")).head.getLong(0) + 1
+    def run(cuts: Seq[Long], tag: String) = {
+      val bounds = (0L +: cuts :+ hi).sliding(2).map { w =>
+        docs.filter($"doc_id" >= w.head && $"doc_id" < w.last) }.toSeq
+      val root = java.nio.file.Files.createTempDirectory("graft_split").toString
+      val st = Crawl.drive(spark, bounds, codebook, emb, root, tag)
+      (st.kept.collect().map(_.toSeq).toSet,
+        st.summary.select($"grp", $"n", $"__t".cast("string"), $"total")
+          .collect().map(_.toSeq).toSet,
+        st.assigned.select($"vec_id", $"cell").collect().map(_.toSeq).toSet)
+    }
+    val a = run(Seq(hi / 5), "split_a")
+    val b = run(Seq(hi / 4, hi / 2, 3 * hi / 4), "split_b")
+    assert(a._1 == b._1, "kept manifest differs across splits")
+    assert(a._2 == b._2, "maintained summary differs across splits")
+    assert(a._3 == b._3, "ANN assignments differ across splits")
+    assert(a._1.nonEmpty && a._1.size < docs.count())
+  }
+
   test("minhash candidate pairs are emitted exactly once (first-shared-band rule)") {
     // the bucket-local generator replaces the pair dropDuplicates shuffle;
     // a pair sharing several bands must still appear exactly once
