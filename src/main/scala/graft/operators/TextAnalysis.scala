@@ -459,79 +459,41 @@ object TextAnalysis extends QueryPack {
       (s, d) => {
         import s.implicits._
         val terms = Bm25Query
-        val perDoc = T.documents(s, d)
-          .select($"doc_id", explode(TextOps.words($"text")).as("term"))
-          .groupBy($"doc_id")
-          .agg(
-            count(lit(1)).as("dl"),
-            terms.zipWithIndex.map { case (t, i) =>
-              count(when($"term" === t, 1)).as(s"tf${i + 1}")
-            }: _*)
+        val perDoc = bm25PerDoc(T.documents(s, d), terms)
         val g = perDoc.agg(
           count(lit(1)).as("n"),
           (avg($"dl").as("avgdl") +:
             terms.indices.map { i =>
               count(when(col(s"tf${i + 1}") > 0, 1)).as(s"df${i + 1}")
             }): _*)
-        val w: Seq[org.apache.spark.sql.Column] = terms.indices.map { i =>
-          val tf = col(s"tf${i + 1}").cast("double")
-          val df = col(s"df${i + 1}")
-          val idf = log(lit(1.0) + ($"n" - df + lit(0.5)) / (df + lit(0.5)))
-          val denom = tf + lit(Bm25K1) * (lit(1.0 - Bm25B) +
-            lit(Bm25B) * $"dl" / $"avgdl")
-          round(when(tf === 0, 0.0)
-            .otherwise(idf * (tf * lit(Bm25K1 + 1.0)) / denom), 6)
-        }
-        perDoc.crossJoin(broadcast(g))
-          .select($"doc_id", w.reduceLeft(_ + _).as("bm25"))
-          .orderBy($"bm25".desc, $"doc_id".asc)
-          .limit(Bm25TopK)
-          // rank the ≤k survivors; pmod(doc_id,1) keeps the partition spec
-          // non-empty (house idiom) so the bounded single-partition window
-          // doesn't trip the WindowExec warning
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(pmod($"doc_id", lit(1)))
-              .orderBy($"bm25".desc, $"doc_id".asc)).cast("int"))
+        bm25TopKFromIndex(perDoc, g, terms)
       },
-      Some(s"""
-        WITH toks AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-        ), d AS (
-          SELECT doc_id, count(*) AS dl,
-                 count(*) FILTER (term = '${Bm25Query(0)}') AS tf1,
-                 count(*) FILTER (term = '${Bm25Query(1)}') AS tf2,
-                 count(*) FILTER (term = '${Bm25Query(2)}') AS tf3
-          FROM toks GROUP BY doc_id
-        ), g AS (
-          SELECT count(*) AS n, avg(dl) AS avgdl,
-                 count(*) FILTER (tf1 > 0) AS df1,
-                 count(*) FILTER (tf2 > 0) AS df2,
-                 count(*) FILTER (tf3 > 0) AS df3
-          FROM d
-        ), s AS (
-          SELECT doc_id,
-            round(CASE WHEN tf1 = 0 THEN 0.0 ELSE
-              ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
-                * (CAST(tf1 AS DOUBLE) * ${Bm25K1 + 1.0})
-                / (CAST(tf1 AS DOUBLE) + ${Bm25K1} * (${1.0 - Bm25B} + ${Bm25B} * dl / avgdl)) END, 6)
-          + round(CASE WHEN tf2 = 0 THEN 0.0 ELSE
-              ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
-                * (CAST(tf2 AS DOUBLE) * ${Bm25K1 + 1.0})
-                / (CAST(tf2 AS DOUBLE) + ${Bm25K1} * (${1.0 - Bm25B} + ${Bm25B} * dl / avgdl)) END, 6)
-          + round(CASE WHEN tf3 = 0 THEN 0.0 ELSE
-              ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5))
-                * (CAST(tf3 AS DOUBLE) * ${Bm25K1 + 1.0})
-                / (CAST(tf3 AS DOUBLE) + ${Bm25K1} * (${1.0 - Bm25B} + ${Bm25B} * dl / avgdl)) END, 6)
-            AS bm25
-          FROM d CROSS JOIN g
-        )
-        SELECT doc_id, bm25, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rk
-        FROM s
-        ORDER BY bm25 DESC, doc_id ASC
-        LIMIT ${Bm25TopK}
-      """.stripMargin),
+      Some(bm25FullOracle),
       doc = "Okapi BM25 top-k retrieval for a fixed keyword query (RAG lexical search)"),
+
+    // ---- incrementally MAINTAINED BM25 index (retrieval's crawl form) ----
+    // The index is the doc-sized perDoc relation plus one exact-integer
+    // stats row; a crawl batch costs ONE token aggregate over the batch,
+    // an append, and a 1-row stats fold — the corpus token stream is
+    // never re-scanned. BM25 scores of OLD docs legitimately change as
+    // N/avgdl/df move, which is why the index stores raw integers and
+    // derives idf/avgdl at query time: the maintained index's top-k must
+    // equal the full rebuild EXACTLY, and the oracle (q105's full-corpus
+    // replay, verbatim) enforces it.
+    "q133_bm25_index_incremental" -> Q(
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val cutoff = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 7 / 10
+        val (pdT, statsPath) = q133Store(s, d, cutoff)
+        val batchPd = bm25PerDoc(
+          docs.filter(col("doc_id") >= cutoff), Bm25Query)
+        val stats = bm25IndexMaintain(
+          s.read.parquet(statsPath), batchPd, Bm25Query)
+          .withColumn("avgdl", col("sumdl").cast("double") / col("n"))
+        bm25TopKFromIndex(s.table(pdT).unionByName(batchPd), stats, Bm25Query)
+      },
+      Some(bm25FullOracle),
+      doc = "incrementally maintained BM25 index: batch-only token scan + stats fold == full rebuild"),
 
     // ---- batch BM25: a QUERY TABLE against the corpus ----
     // The other retrieval regime: q105 compiles ONE query into per-term
@@ -743,6 +705,143 @@ object TextAnalysis extends QueryPack {
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25TopK = 10
+
+  /** The compact per-doc index row for `terms`: (doc_id, dl, tf1..tfk)
+    * — ONE aggregate over the exploded token stream. This IS the stored
+    * relation of the maintained BM25 index (q133): doc-sized, not
+    * token-sized, and append-only under crawl ingest (new docs only). */
+  def bm25PerDoc(docs: org.apache.spark.sql.DataFrame,
+                 terms: Seq[String]): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        terms.zipWithIndex.map { case (t, i) =>
+          count(when(col("term") === t, 1)).as(s"tf${i + 1}")
+        }: _*)
+
+  /** Corpus stats in MAINTAINABLE form — exact integer totals (n,
+    * sumdl, df1..dfk), all distributive: a batch's stats ADD. (avgdl is
+    * derived at query time; q105's `avg(dl)` equals sumdl/n exactly
+    * here because integer doubles accumulate exactly below 2^53.) */
+  def bm25IndexStats(perDoc: org.apache.spark.sql.DataFrame,
+                     terms: Seq[String]): org.apache.spark.sql.DataFrame =
+    perDoc.agg(count(lit(1)).as("n"),
+      (coalesce(sum(col("dl")), lit(0L)).as("sumdl") +:
+        terms.indices.map { i =>
+          count(when(col(s"tf${i + 1}") > 0, 1)).as(s"df${i + 1}")
+        }): _*)
+
+  /** Fold a new-doc batch's stats into the maintained stats row — one
+    * broadcast of two 1-row relations; the index itself takes a
+    * batch-sized APPEND of [[bm25PerDoc]] rows. Exact because every
+    * total is a distributive integer and crawl docs are NEW (a doc
+    * contributes to exactly one side). */
+  def bm25IndexMaintain(stats: org.apache.spark.sql.DataFrame,
+                        batchPerDoc: org.apache.spark.sql.DataFrame,
+                        terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val deltas = bm25IndexStats(batchPerDoc, terms).select(
+      (col("n").as("dn") +: col("sumdl").as("dsumdl") +:
+        terms.indices.map(i => col(s"df${i + 1}").as(s"ddf${i + 1}"))): _*)
+    stats.crossJoin(broadcast(deltas)).select(
+      ((col("n") + col("dn")).as("n") +:
+        (col("sumdl") + col("dsumdl")).as("sumdl") +:
+        terms.indices.map(i =>
+          (col(s"df${i + 1}") + col(s"ddf${i + 1}")).as(s"df${i + 1}"))): _*)
+  }
+
+  /** Score + top-k from an index: perDoc rows × a broadcast one-row
+    * stats relation carrying (n, avgdl, df1..dfk). Pure projection +
+    * TakeOrderedAndProject — the steady-state query path never touches
+    * the token stream. Per-term contributions round(·,6) before the
+    * fixed-order sum (bit-stable cross-engine; the q90/dsum rule). */
+  def bm25TopKFromIndex(perDoc: org.apache.spark.sql.DataFrame,
+                        stats: org.apache.spark.sql.DataFrame,
+                        terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val w: Seq[org.apache.spark.sql.Column] = terms.indices.map { i =>
+      val tf = col(s"tf${i + 1}").cast("double")
+      val df = col(s"df${i + 1}")
+      val idf = log(lit(1.0) + (col("n") - df + lit(0.5)) / (df + lit(0.5)))
+      val denom = tf + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+        lit(Bm25B) * col("dl") / col("avgdl"))
+      round(when(tf === 0, 0.0)
+        .otherwise(idf * (tf * lit(Bm25K1 + 1.0)) / denom), 6)
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), w.reduceLeft(_ + _).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+      // rank the ≤k survivors; pmod(doc_id,1) keeps the partition spec
+      // non-empty (house idiom) so the bounded single-partition window
+      // doesn't trip the WindowExec warning
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("doc_id"), lit(1)))
+          .orderBy(col("bm25").desc, col("doc_id").asc)).cast("int"))
+  }
+
+  /** q133's stored index — the q126Store recipe for retrieval: the
+    * prefix corpus's [[bm25PerDoc]] rows land once per (JVM, sf dir) as
+    * a doc_id-bucketed table and its [[bm25IndexStats]] row as parquet
+    * beside it; the first call per JVM rebuilds unconditionally so
+    * regenerated testdata can never serve a stale index. */
+  private val q133Built =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q133Store(s: org.apache.spark.sql.SparkSession, d: String,
+                        cutoff: Long): (String, String) =
+    q133Built.computeIfAbsent(d, _ => {
+      val t = s"q133_index_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val root = java.nio.file.Files.createTempDirectory("graft_q133").toString
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val prefix = bm25PerDoc(
+        T.documents(s, d).filter(col("doc_id") < cutoff), Bm25Query)
+      graft.sources.TableSink.writeBucketed(prefix, t, 32,
+        Seq("doc_id"), path = Some(s"$root/$t"))
+      // stats derive from the STORED rows, so they can never drift from
+      // the landed index
+      bm25IndexStats(s.table(t), Bm25Query)
+        .write.mode("overwrite").parquet(s"$root/stats")
+      (t, s"$root/stats")
+    })
+
+  /** The full-corpus BM25 top-k replay — q105's oracle, and (because a
+    * maintained index must equal the full rebuild exactly) q133's too. */
+  private lazy val bm25FullOracle: String = s"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ), d AS (
+          SELECT doc_id, count(*) AS dl,
+                 count(*) FILTER (term = '${Bm25Query(0)}') AS tf1,
+                 count(*) FILTER (term = '${Bm25Query(1)}') AS tf2,
+                 count(*) FILTER (term = '${Bm25Query(2)}') AS tf3
+          FROM toks GROUP BY doc_id
+        ), g AS (
+          SELECT count(*) AS n, avg(dl) AS avgdl,
+                 count(*) FILTER (tf1 > 0) AS df1,
+                 count(*) FILTER (tf2 > 0) AS df2,
+                 count(*) FILTER (tf3 > 0) AS df3
+          FROM d
+        ), s AS (
+          SELECT doc_id,
+            round(CASE WHEN tf1 = 0 THEN 0.0 ELSE
+              ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                * (CAST(tf1 AS DOUBLE) * ${Bm25K1 + 1.0})
+                / (CAST(tf1 AS DOUBLE) + ${Bm25K1} * (${1.0 - Bm25B} + ${Bm25B} * dl / avgdl)) END, 6)
+          + round(CASE WHEN tf2 = 0 THEN 0.0 ELSE
+              ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                * (CAST(tf2 AS DOUBLE) * ${Bm25K1 + 1.0})
+                / (CAST(tf2 AS DOUBLE) + ${Bm25K1} * (${1.0 - Bm25B} + ${Bm25B} * dl / avgdl)) END, 6)
+          + round(CASE WHEN tf3 = 0 THEN 0.0 ELSE
+              ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5))
+                * (CAST(tf3 AS DOUBLE) * ${Bm25K1 + 1.0})
+                / (CAST(tf3 AS DOUBLE) + ${Bm25K1} * (${1.0 - Bm25B} + ${Bm25B} * dl / avgdl)) END, 6)
+            AS bm25
+          FROM d CROSS JOIN g
+        )
+        SELECT doc_id, bm25, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rk
+        FROM s
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT ${Bm25TopK}
+      """.stripMargin
 
   /** q110's query table: (query_id, term) rows — queries-as-data for the
     * inverted-index batch-retrieval plan. */

@@ -144,4 +144,31 @@ class StatsSpec extends SparkSpec {
       }
     }
   }
+
+  test("maintained BM25 index stats == full-rebuild stats, and the indexed top-k == q105 (q133)") {
+    // the retrieval crawl contract: folding a batch's exact-integer
+    // deltas into the stats row must land on EXACTLY the full corpus's
+    // stats (n, sumdl, dfs are distributive over a new-doc partition),
+    // and scoring from the maintained index must reproduce q105
+    import operators.TextAnalysis._
+    val docs = Tables.documents(spark, sf)
+    val cutoff = (docs.agg(max($"doc_id")).head.getLong(0) + 1) * 7 / 10
+    val prefixPd = bm25PerDoc(docs.filter($"doc_id" < cutoff), Bm25Query)
+    val batchPd = bm25PerDoc(docs.filter($"doc_id" >= cutoff), Bm25Query)
+    val maintained = bm25IndexMaintain(
+      bm25IndexStats(prefixPd, Bm25Query), batchPd, Bm25Query)
+      .collect()(0).toSeq
+    val rebuilt = bm25IndexStats(bm25PerDoc(docs, Bm25Query), Bm25Query)
+      .collect()(0).toSeq
+    assert(maintained == rebuilt)
+    val fromIndex = bm25TopKFromIndex(
+      prefixPd.unionByName(batchPd),
+      bm25IndexMaintain(bm25IndexStats(prefixPd, Bm25Query), batchPd, Bm25Query)
+        .withColumn("avgdl", $"sumdl".cast("double") / $"n"),
+      Bm25Query)
+      .collect().map(_.toSeq).toSet
+    val full = SparkEntry.queries("q105_bm25_topk")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(fromIndex == full && full.nonEmpty)
+  }
 }
