@@ -82,10 +82,18 @@ object Crawl extends QueryPack {
     val exactSurvivors = batch.join(survivorIds, Seq("doc_id"))
     // 2. near knockout: verified LSH pairs vs the band registry of all
     //    seen docs plus batch-internal pairs; ascending ingest makes the
-    //    larger endpoint the batch member, so pairs.b_id is the drop set
+    //    larger endpoint the batch member, so pairs.b_id is the drop set.
+    //    The candidate batch is ALL batch docs, not just exact survivors:
+    //    an exact-dropped batch doc can still be the SMALLER endpoint of
+    //    a same-batch near pair, and its registry twin cannot stand in
+    //    for it when the twin's lang differs (near-dup pairs are
+    //    lang-scoped, exact dedup is not — measured at sf0.1: doc 1641,
+    //    text-identical to an earlier doc of another lang, had to
+    //    witness the (1641, 1673) pair itself). Its bands only reach the
+    //    registry at the NEXT batch, so it must participate here.
     val allSets = state.sets.unionByName(wordSets(batch))
     val pairs = Dedup.minhashCandidatesIncremental(
-      state.bands, allSets, exactSurvivors, verifyThreshold)
+      state.bands, allSets, batch, verifyThreshold)
     exactSurvivors.join(
       pairs.select(col("b_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
