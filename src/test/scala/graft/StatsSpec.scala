@@ -161,6 +161,12 @@ class StatsSpec extends SparkSpec {
     val rebuilt = bm25IndexStats(bm25PerDoc(docs, Bm25Query), Bm25Query)
       .collect()(0).toSeq
     assert(maintained == rebuilt)
+    // empty crawl batch: the stats fold must be the exact identity
+    val empty = bm25PerDoc(docs.limit(0), Bm25Query)
+    val identity = bm25IndexMaintain(
+      bm25IndexStats(bm25PerDoc(docs, Bm25Query), Bm25Query), empty, Bm25Query)
+      .collect()(0).toSeq
+    assert(identity == rebuilt)
     val fromIndex = bm25TopKFromIndex(
       prefixPd.unionByName(batchPd),
       bm25IndexMaintain(bm25IndexStats(prefixPd, Bm25Query), batchPd, Bm25Query)

@@ -142,6 +142,13 @@ class WarehouseSpec extends SparkSpec {
     assert(incr == scratch)
     assert(incr.exists(_._1 == "N") && incr.exists(_._1 == "P"),
       "batch must exercise inserts and group migration")
+    // empty batch: maintain must be the exact identity (including the
+    // decimal accumulator — a lossy re-derivation would drift here)
+    val base = Summary.summarize(o, $"o_orderstatus", $"o_totalprice")
+    val same = Summary.maintain(base, o, batch.limit(0), "o_orderkey",
+      $"o_orderstatus", $"o_totalprice", deleteWhen = $"op" === "D")
+      .collect().map(key).toSet
+    assert(same == base.collect().map(key).toSet)
   }
 
   test("buildChecked raises on dangling keys at first action, naming the dim") {
