@@ -206,4 +206,41 @@ class ScaleSpec extends SparkSpec {
     assert(shufflesUnderJoin.isEmpty,
       df.queryExecution.executedPlan.toString.take(2000))
   }
+
+  test("q132 plan: the registry's probe explosion semi-joins the batch cells by BROADCAST — no registry-side exchange") {
+    // the q132 scale claim (SCALE.md §Sign-LSH): only probe rows landing
+    // in a cell the batch occupies survive, and they must be filtered by
+    // a broadcast of the (small) batch-cell set — a shuffle there would
+    // exchange the exploded REGISTRY (corpus × (bits+1) rows) every
+    // batch, exactly the cost the stored index exists to avoid
+    import graft.operators.Similarity
+    import graft.plans.PlanWalk.walk
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.GenerateExec
+    val emb = Tables.embeddings(spark, sf)
+    val cutoff = (emb.agg(max($"vec_id")).head.getLong(0) + 1) * 7 / 10
+    val out = Similarity.embeddingNearDupsIncremental(
+      Similarity.signBucketRegistry(
+        emb.filter($"vec_id" < cutoff), Similarity.SignBits),
+      emb.filter($"vec_id" >= cutoff), Similarity.SignBits, 0.4)
+    out.collect() // finalize AQE on THIS plan
+    val nodes = walk(out.queryExecution.executedPlan)
+    // the probe explosion exists and feeds a broadcast join somewhere
+    assert(nodes.exists(_.isInstanceOf[GenerateExec]),
+      "expected the probe-set explosion")
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "expected broadcast joins over the probe explosion")
+    // the registry scan (the side pruned by vec_id < cutoff — its pushed
+    // filter is the plan's unique LessThan marker) must never sit under
+    // a ShuffleExchange: every exchange in this plan may carry only
+    // batch-derived rows (the batch-cell distinct, the batch side)
+    val registryMarker = "LessThan(vec_id"
+    assert(nodes.exists(_.toString.contains(registryMarker)),
+      "expected the registry-side scan")
+    nodes.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      val carriesRegistry = walk(e).exists(_.toString.contains(registryMarker))
+      withClue(e.simpleString(10)) { assert(!carriesRegistry) }
+    }
+  }
 }
