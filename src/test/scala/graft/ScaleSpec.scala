@@ -218,6 +218,9 @@ class ScaleSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.execution.GenerateExec
+    // a cached embeddings relation (another suite's .cache()) would
+    // replace the FileScan and hide the pushed-filter marker below
+    spark.catalog.clearCache()
     val emb = Tables.embeddings(spark, sf)
     val cutoff = (emb.agg(max($"vec_id")).head.getLong(0) + 1) * 7 / 10
     val out = Similarity.embeddingNearDupsIncremental(
