@@ -253,9 +253,11 @@ class StreamingSpec extends SparkSpec {
     val rddCounts = scala.collection.mutable.ArrayBuffer[Int]()
     val input = MemoryStream[String](spark)
     val q = input.toDS().writeStream
-      .foreachBatch { (batch: Dataset[String], _: Long) =>
+      .foreachBatch { (batch: Dataset[String], id: Long) =>
         if (!batch.isEmpty) {
-          loop.ingest(spark.read.schema(schema).json(batch))
+          // the real foreachBatch contract: pass the streaming batch id so
+          // an at-least-once replay is skipped against the manifest
+          loop.ingest(spark.read.schema(schema).json(batch), id)
           rddCounts += spark.sparkContext.getPersistentRDDs.size
           ()
         }
@@ -323,7 +325,192 @@ class StreamingSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val probe = operators.Crawl.docHashes(
         docs.limit(50).withColumn("doc_id", $"doc_id" + 7000000L))
-        .join(spark.table("t_crawl_seen"), Seq("h_lo", "h_hi"), "left_anti")
+        .join(spark.table(loop.registryTable("seen").get),
+          Seq("h_lo", "h_hi"), "left_anti")
+      probe.collect()
+      val antiJoins = walk(probe.queryExecution.executedPlan).collect {
+        case j: BaseJoinExec if j.joinType.sql == "LEFT ANTI" => j
+      }
+      assert(antiJoins.nonEmpty)
+      antiJoins.foreach { j =>
+        val rightShuffles = walk(j.right)
+          .collect { case e: ShuffleExchangeExec => e }
+        withClue(j.simpleString(10)) { assert(rightShuffles.isEmpty) }
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("crawl soak: 16 small batches with compactEvery=4 — append files never accumulate past a cycle, knockout plan no-exchange at every cycle, final state exact") {
+    // VERDICT r11 §next-6: q130 stresses a 4×25% drive; steady state at
+    // 100 TB is many small batches over many compaction cycles. Drive 16
+    // ~6% batches, compacting every 4, and assert the STRUCTURAL
+    // flatness wall-clock flatness follows from: (a) the seen registry's
+    // input-file census resets to the bucketed base at every compaction
+    // and never exceeds base + one cycle's appends in between (no
+    // small-file creep), (b) the post-compaction exact-knockout
+    // anti-join serves with NO registry-side exchange at EVERY cycle,
+    // not just the last, (c) the committed manifests record the same
+    // bounded append lists (the durable view agrees with the in-memory
+    // one), (d) the final kept set equals the closed form. Per-batch
+    // wall at sf0.1 is measured by tools/ProfileCrawlSoak → SCALE.md.
+    import graft.operators.Crawl
+    import graft.plans.PlanWalk.walk
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val docs = Tables.documents(spark, sf).cache()
+    val emb = Tables.embeddings(spark, sf).cache()
+    val codebook = emb.filter($"vec_id" < operators.Similarity.IvfCentroids)
+      .select($"vec_id".as("cent_id"), $"embedding".as("centv"))
+    val hi = docs.agg(max($"doc_id")).head.getLong(0) + 1
+    val nBatches = 16
+    val compactEvery = 4
+    val buckets = 8
+    val batches = (0 until nBatches).map { k =>
+      val lo = hi * k / nBatches
+      val up = if (k == nBatches - 1) hi else hi * (k + 1) / nBatches
+      docs.filter($"doc_id" >= lo && $"doc_id" < up)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_soak").toString
+    val loop = new Crawl.Loop(spark, codebook, emb, root, tag = "t_soak",
+      compactEvery = compactEvery, buckets = buckets, template = docs.schema)
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // base (≤ buckets files) + one cycle's appends (≤ compactEvery dirs ×
+    // (partitions + a possible _SUCCESS-free straggler))
+    val fileCap = buckets + compactEvery * (shufflePartitions + 1)
+    (0 until nBatches).foreach { k =>
+      loop.ingest(batches(k), k)
+      val seenFiles = loop.state().seen.inputFiles.length
+      assert(seenFiles <= fileCap,
+        s"batch $k: seen registry reads $seenFiles files (> $fileCap) — append accumulation")
+      if ((k + 1) % compactEvery == 0) {
+        // (a) census resets to the bucketed base alone
+        assert(loop.state().seen.inputFiles.length <= buckets,
+          s"cycle at batch $k: compaction did not reset the append census")
+        // (b) knockout plan pin at THIS cycle
+        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val probe = Crawl.docHashes(
+            docs.limit(20).withColumn("doc_id", $"doc_id" + 8000000L))
+            .join(spark.table(loop.registryTable("seen").get),
+              Seq("h_lo", "h_hi"), "left_anti")
+          probe.collect()
+          val antiJoins = walk(probe.queryExecution.executedPlan).collect {
+            case j: BaseJoinExec if j.joinType.sql == "LEFT ANTI" => j
+          }
+          assert(antiJoins.nonEmpty)
+          antiJoins.foreach { j =>
+            val rightShuffles = walk(j.right)
+              .collect { case e: ShuffleExchangeExec => e }
+            withClue(s"cycle at batch $k: ${j.simpleString(10)}") {
+              assert(rightShuffles.isEmpty)
+            }
+          }
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
+    }
+    // (c) the DURABLE manifests saw the same bounded lifecycle
+    (0 until nBatches).foreach { k =>
+      val m = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/manifest/m$k")), "UTF-8")
+      val seenBatches = m.linesIterator
+        .find(_.startsWith("store.seen.batches=")).get
+        .stripPrefix("store.seen.batches=").split(',').count(_.nonEmpty)
+      assert(seenBatches <= compactEvery, s"manifest m$k: $seenBatches appends")
+      if ((k + 1) % compactEvery == 0)
+        assert(seenBatches == 0, s"manifest m$k: compaction not recorded")
+    }
+    // (d) final kept set equals the closed form
+    val exactDrop = docs.as("a").join(docs.as("b"),
+      coalesce($"a.text", lit("")) === coalesce($"b.text", lit("")) &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"b.doc_id").distinct()
+    val nearDrop = operators.Dedup.minhashCandidates(docs, 0.8)
+      .select($"b_id".as("doc_id")).distinct()
+    val expectedKept = docs
+      .join(exactDrop, Seq("doc_id"), "left_anti")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val keptIds = loop.state().kept.select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds == expectedKept)
+  }
+
+  test("crawl loop kill-and-resume: a loop rebuilt from the durable manifest alone reaches the uninterrupted drive's exact final state") {
+    // VERDICT r11 §next-1 + advisor: the loop's lifecycle pointers must
+    // live on storage, not in driver memory. Drive 2 of 4 batches
+    // (crossing one compaction), DISCARD the loop, plant crash remnants
+    // of an uncommitted batch 2 (data dirs written, no manifest), drop
+    // the compacted catalog entries (a restarted driver has a fresh
+    // metastore), then Loop.resume from root alone and finish the
+    // drive. Final state must be bit-equal to an uninterrupted drive,
+    // and a replayed already-committed batch must be a no-op.
+    import graft.operators.Crawl
+    val docs = Tables.documents(spark, sf).cache()
+    val emb = Tables.embeddings(spark, sf).cache()
+    val codebook = emb.filter($"vec_id" < operators.Similarity.IvfCentroids)
+      .select($"vec_id".as("cent_id"), $"embedding".as("centv"))
+    val hi = docs.agg(max($"doc_id")).head.getLong(0) + 1
+    val batches = (0 until 4).map { k =>
+      val lo = hi * k / 4
+      val up = if (k == 3) hi else hi * (k + 1) / 4
+      docs.filter($"doc_id" >= lo && $"doc_id" < up)
+    }
+    def snap(st: Crawl.State): Seq[Set[Seq[Any]]] = Seq(
+      st.kept.collect().map(_.toSeq).toSet,
+      st.summary.select($"grp", $"n", $"__t".cast("string"), $"total")
+        .collect().map(_.toSeq).toSet,
+      st.assigned.select($"vec_id", $"cell").collect().map(_.toSeq).toSet,
+      st.seen.collect().map(_.toSeq).toSet,
+      st.bands.select($"doc_id").distinct().collect().map(_.toSeq).toSet)
+
+    val rootRef = java.nio.file.Files.createTempDirectory("graft_res_ref").toString
+    val ref = snap(Crawl.drive(spark, batches, codebook, emb, rootRef,
+      tag = "t_res_ref"))
+
+    val root = java.nio.file.Files.createTempDirectory("graft_res").toString
+    val loop1 = new Crawl.Loop(spark, codebook, emb, root,
+      tag = "t_res", template = docs.schema)
+    loop1.ingest(batches(0), 0)
+    loop1.ingest(batches(1), 1) // compactEvery=2 → compaction landed here
+    assert(loop1.registryTable("seen").nonEmpty, "expected a compaction")
+    // crash remnants: batch 2 started landing data but never committed a
+    // manifest — the resumed loop must overwrite these dirs in place
+    Crawl.docHashes(batches(0))
+      .write.mode("overwrite").parquet(s"$root/seen/append1/b2")
+    batches(0).select($"doc_id", $"lang", $"n_chars")
+      .write.mode("overwrite").parquet(s"$root/batch_kept/v2")
+    // fresh-metastore simulation: external tables dropped from the
+    // catalog (data stays under root); resume must re-register them
+    Seq("seen", "bands", "sets").foreach { s =>
+      spark.sql(s"DROP TABLE IF EXISTS t_res_${s}_e1")
+    }
+    // loop1 is gone; rebuild from root ALONE
+    val loop2 = Crawl.Loop.resume(spark, codebook, emb, root,
+      tag = "t_res", template = docs.schema)
+    assert(loop2.nextBatchId == 2L,
+      s"resume must continue at batch 2, got ${loop2.nextBatchId}")
+    loop2.ingest(batches(2), 2)
+    loop2.ingest(batches(3), 3)
+    val fin = snap(loop2.state())
+    assert(fin == ref, "resumed drive diverged from the uninterrupted drive")
+    // at-least-once replay of a COMMITTED batch: skipped whole
+    loop2.ingest(batches(3), 3)
+    loop2.ingest(batches(1), 1)
+    assert(snap(loop2.state()) == ref, "replayed committed batch mutated state")
+    // and the re-registered bucketed registry still serves the knockout
+    // anti-join with no registry-side exchange (the resume must not cost
+    // the bucketed layout)
+    import graft.plans.PlanWalk.walk
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Crawl.docHashes(
+        docs.limit(50).withColumn("doc_id", $"doc_id" + 9000000L))
+        .join(spark.table(loop2.registryTable("seen").get),
+          Seq("h_lo", "h_hi"), "left_anti")
       probe.collect()
       val antiJoins = walk(probe.queryExecution.executedPlan).collect {
         case j: BaseJoinExec if j.joinType.sql == "LEFT ANTI" => j
