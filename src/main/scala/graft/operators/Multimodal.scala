@@ -18,14 +18,12 @@ object Multimodal extends QueryPack {
         Binary.assetsFromDocuments(T.documents(s, d))
           .select(
             $"asset_id", $"media_type",
-            length($"payload").as("byte_len"),
-            Binary.FakeCodec.widthCol(length($"payload")).as("fake_width"),
-            Binary.FakeCodec.heightCol(length($"payload")).as("fake_height"))
+            length($"payload").as("byte_len"))
           .groupBy($"media_type")
           .agg(count(lit(1)).as("n_assets"),
             sum($"byte_len").as("total_bytes"),
-            avg($"fake_width").as("avg_width"),
-            avg($"fake_height").as("avg_height"))
+            min($"byte_len").as("min_bytes"),
+            max($"byte_len").as("max_bytes"))
       },
       Some("""
         WITH assets AS (
@@ -35,8 +33,8 @@ object Multimodal extends QueryPack {
         )
         SELECT media_type, count(*) AS n_assets,
                CAST(sum(byte_len) AS BIGINT) AS total_bytes,
-               avg(320 + byte_len % 640) AS avg_width,
-               avg(240 + (byte_len * 7) % 480) AS avg_height
+               CAST(min(byte_len) AS INT) AS min_bytes,
+               CAST(max(byte_len) AS INT) AS max_bytes
         FROM assets
         GROUP BY media_type
       """.stripMargin),
@@ -160,19 +158,63 @@ object Multimodal extends QueryPack {
       """.stripMargin),
       doc = "REAL WAV decode via javax.sound.sampled: per-channel PCM stats vs generator-arithmetic oracle"),
 
-    // ---- frame sampling fan-out ----
+    // ---- REAL video decode (VERDICT r11 §next-4, retiring the last
+    // FakeCodec stub): genuine RIFF/AVI containers — hdrl/avih/strh/
+    // strf headers, movi list of uncompressed 00db DIB frames, idx1
+    // frame index — parsed chunk-by-chunk, the index verified against
+    // the declared count, every frame rehydrated into a BMP and decoded
+    // through ImageIO inside the mapPartitions batch seam. Per-frame
+    // channel means from the ACTUAL decoded pixels; the oracle
+    // recomputes them from the pixel generator's integer arithmetic —
+    // it never decodes — so a defect anywhere in container write →
+    // RIFF walk → frame index → BMP rehydrate → ImageIO pixel walk
+    // breaks the hash match (the q124/q129 recipe, applied to video).
+    "q134_video_decode" -> Q(
+      (s, d) => Binary.decodeVideoStats(
+        Binary.syntheticAviAssets(T.documents(s, d))),
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS asset_id,
+                 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,
+                 2 + doc_id % 4 AS n
+          FROM documents
+        ),
+        af AS (
+          SELECT asset_id, w, h, n, unnest(range(0, n)) AS f FROM a
+        ),
+        px AS (
+          SELECT asset_id, w, h, n, f, unnest(range(0, w * h)) AS p FROM af
+        ),
+        c AS (
+          SELECT asset_id, w, h, n, f,
+                 (asset_id + 3 * (p % w) + 7 * (p // w) + 11 * f) % 256 AS r,
+                 (5 * asset_id + 11 * (p % w) + (p // w) + 3 * f) % 256 AS g,
+                 (2 * asset_id + (p % w) + 13 * (p // w) + 17 * f) % 256 AS b
+          FROM px
+        )
+        SELECT asset_id, CAST(f AS INT) AS frame_idx,
+               CAST(any_value(n) AS INT) AS n_frames,
+               CAST(any_value(w) AS INT) AS width,
+               CAST(any_value(h) AS INT) AS height,
+               round(CAST(sum(r) AS DOUBLE) / (any_value(w) * any_value(h)), 6) AS mean_r,
+               round(CAST(sum(g) AS DOUBLE) / (any_value(w) * any_value(h)), 6) AS mean_g,
+               round(CAST(sum(b) AS DOUBLE) / (any_value(w) * any_value(h)), 6) AS mean_b
+        FROM c GROUP BY asset_id, f
+      """.stripMargin),
+      doc = "REAL RIFF/AVI decode: container parse + frame index check + per-frame ImageIO decode vs generator-arithmetic oracle"),
+
+    // ---- frame sampling fan-out over REAL container frame counts ----
     "q64_frame_sample" -> Q(
       (s, d) => Binary.frameSample(
-        Binary.assetsFromDocuments(T.documents(s, d)), every = 5),
+        Binary.syntheticAviAssets(T.documents(s, d)), every = 2),
       Some("""
         WITH assets AS (
-          SELECT doc_id AS asset_id,
-                 1 + octet_length(encode(text)) % 30 AS n_frames
+          SELECT doc_id AS asset_id, 2 + doc_id % 4 AS n_frames
           FROM documents
         )
-        SELECT asset_id, CAST(unnest(range(0, n_frames, 5)) AS INT) AS frame_idx
+        SELECT asset_id, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx
         FROM assets
       """.stripMargin),
-      doc = "every-kth frame fan-out per media asset")
+      doc = "every-kth frame fan-out per media asset, counts probed from the real AVI header")
   )
 }

@@ -749,15 +749,43 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal probe: schema contract + deterministic fake codec") {
-    val assets = Binary.assetsFromDocuments(Tables.documents(spark, sf).limit(20))
-    val probed = Binary.probeMetadata(assets)
+  test("multimodal probe: real container sniffing (BMP/WAV/AVI) matches each generator's geometry") {
+    // a mixed dirty-crawl media table: every asset is a GENUINE container
+    // and the probe must read its actual header — BMP dims, WAV frame
+    // count (fmt blockAlign + data size), AVI dims + declared frames —
+    // plus degrade to codec=unknown on garbage instead of failing
+    val docs = Tables.documents(spark, sf).limit(30).cache()
+    val mixed = Binary.syntheticBmpAssets(docs.filter($"doc_id" % 3 === 0))
+      .unionByName(Binary.syntheticWavAssets(docs.filter($"doc_id" % 3 === 1)))
+      .unionByName(Binary.syntheticAviAssets(docs.filter($"doc_id" % 3 === 2)))
+      .unionByName(Binary.assetsFromDocuments(docs.filter($"doc_id" === 4))
+        .withColumn("payload", coalesce($"payload", lit(Array.empty[Byte]))))
+    val probed = Binary.probeMetadata(mixed)
     assert(probed.schema == Binary.assetSchema)
-    val r = probed.filter($"asset_id" === 0).select(
-      $"meta.byte_len", length($"payload"), $"meta.width", $"meta.codec").head
-    assert(r.getInt(0) == r.getInt(1))
-    assert(r.getInt(2) == 320 + r.getInt(0) % 640)
-    assert(r.getString(3) == "fake")
+    probed.collect().foreach { r =>
+      val id = r.getLong(0)
+      val m = r.getStruct(3)
+      assert(m.getInt(0) == r.getAs[Array[Byte]]("payload").length)
+      m.getString(1) match {
+        case "bmp" =>
+          assert(m.getInt(2) == Binary.syntheticWidth(id))
+          assert(m.getInt(3) == Binary.syntheticHeight(id))
+          assert(m.getInt(4) == 1)
+        case "wav" =>
+          assert(m.isNullAt(2) && m.isNullAt(3))
+          assert(m.getInt(4) == Binary.syntheticFrames(id))
+        case "avi" =>
+          assert(m.getInt(2) == Binary.videoWidth(id))
+          assert(m.getInt(3) == Binary.videoHeight(id))
+          assert(m.getInt(4) == Binary.videoFrames(id))
+        case "unknown" =>
+          assert(id == 4 && m.isNullAt(2) && m.isNullAt(3) && m.isNullAt(4))
+        case other => fail(s"unexpected codec $other for asset $id")
+      }
+    }
+    val codecs = probed.select($"meta.codec").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(codecs == Set("bmp", "wav", "avi", "unknown"))
   }
 
   test("PortableHash: affine61 == BigInt reference; base60 == md5-hex prefix parse") {
