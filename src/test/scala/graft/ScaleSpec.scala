@@ -221,14 +221,23 @@ class ScaleSpec extends SparkSpec {
     // a cached embeddings relation (another suite's .cache()) would
     // replace the FileScan and hide the pushed-filter marker below
     spark.catalog.clearCache()
-    val emb = Tables.embeddings(spark, sf)
-    val cutoff = (emb.agg(max($"vec_id")).head.getLong(0) + 1) * 7 / 10
-    val out = Similarity.embeddingNearDupsIncremental(
-      Similarity.signBucketRegistry(
-        emb.filter($"vec_id" < cutoff), Similarity.SignBits),
-      emb.filter($"vec_id" >= cutoff), Similarity.SignBits, 0.4)
-    out.collect() // finalize AQE on THIS plan
-    val nodes = walk(out.queryExecution.executedPlan)
+    // pin the broadcast threshold (advisor r11): the assertion tests the
+    // PLAN SHAPE — that the batch-cell set reaches the registry side as
+    // a broadcast — not whether this sf's cell set happens to sit under
+    // the environment's default 10 MB cutoff
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val nodes = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (256L * 1024 * 1024).toString)
+      val emb = Tables.embeddings(spark, sf)
+      val cutoff = (emb.agg(max($"vec_id")).head.getLong(0) + 1) * 7 / 10
+      val out = Similarity.embeddingNearDupsIncremental(
+        Similarity.signBucketRegistry(
+          emb.filter($"vec_id" < cutoff), Similarity.SignBits),
+        emb.filter($"vec_id" >= cutoff), Similarity.SignBits, 0.4)
+      out.collect() // finalize AQE on THIS plan
+      walk(out.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     // the probe explosion exists and feeds a broadcast join somewhere
     assert(nodes.exists(_.isInstanceOf[GenerateExec]),
       "expected the probe-set explosion")
