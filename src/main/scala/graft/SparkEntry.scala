@@ -47,19 +47,22 @@ object SparkEntry {
     * on a fixed 220-row fixture regardless of sfDir — constant-cost rows,
     * excluded so BENCH measures data-scaled throughput. The parity
     * pipeline IS benched at sf through q103_ibrd_scaled_build (IbrdScale:
-    * ~600k staged rows at sf0.1). q130 is the crawl-loop INTEGRATION
-    * entry: it re-processes the whole corpus through 4 quarter-batches
-    * end-to-end (~17 s at sf0.1, ProfileQ130), and every steady-state
-    * step it composes is already benched individually (q126 LSH step,
-    * q123 assignment, q127 maintenance, q100 knockout) — benching the
-    * full reprocess drive would double-count those operators, so it is
-    * correctness-gated (oracled final state + StreamingSpec) instead. */
+    * ~600k staged rows at sf0.1). q122/q131 also replay against the
+    * fixture star, but they ARE benched (VERDICT r11 §next-7): their cost
+    * is the SERVING path — Layout compile + the 27-AST union plan — which
+    * is plan-weight, not data-weight, and tracking it round-over-round is
+    * the point. q130 is the crawl-loop INTEGRATION entry: it re-processes
+    * the whole corpus through 4 quarter-batches end-to-end (~17 s at
+    * sf0.1, ProfileQ130), and every steady-state step it composes is
+    * already benched individually (q126 LSH step, q123 assignment, q127
+    * maintenance, q100 knockout) — benching the full reprocess drive
+    * would double-count those operators, so it is correctness-gated
+    * (oracled final state + StreamingSpec) instead. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries.removedAll(Seq("q70_ibrd_e2e_loans_by_status",
       "q71_ibrd_measures_card", "q72_ibrd_staged", "q73_ibrd_trend_by_year",
       "q74_ibrd_dim_country", "q75_ibrd_incremental_dim",
-      "q76_ibrd_incremental_fact", "q122_layout_replay",
-      "q131_page_crossfilter", "q130_crawl_pipeline"))
+      "q76_ibrd_incremental_fact", "q130_crawl_pipeline"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted entries get a rows-only check. */
