@@ -940,6 +940,31 @@ object Dedup extends QueryPack {
       """.stripMargin),
       doc = "incremental dedup: new-batch near-dups vs corpus-so-far (batch-bounded)"),
 
+    // ---- incremental cluster-id maintenance: the crawl form of q79 ----
+    // corpus = doc_id % 97 != 0 (cluster mapping carried between batches
+    // as a bucketed store, landed once per JVM — the q126 split/shape),
+    // batch = the ~1% % 97 == 0 slice; new edges come from the
+    // incremental exact-Jaccard pair source (q82's engine). The oracle
+    // is the FULL q79 recompute over the whole corpus — unlike
+    // q82/q126's endpoint-restricted outputs, cluster maintenance
+    // rewrites corpus rows, so every (doc_id, cluster_id) row is pinned.
+    "q135_clusters_incremental" -> Q(
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val mapT = q135Store(s, d)
+        val batchIds = docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"))
+        componentsIncremental(
+          s.table(mapT),
+          jaccardPairsIncremental(docs, batchIds, threshold = 0.8),
+          batchIds)
+      },
+      Some(s"""
+        $clusterCteSql
+        SELECT doc_id, cluster_id FROM clusters
+      """.stripMargin),
+      doc = "incremental cluster-id maintenance: batch pairs merge stored clusters, full mapping oracled"),
+
     // ---- span-level dedup: duplicated 10-gram windows across documents ----
     // The sub-document complement of doc-level dedup (the "deduplicating
     // training data" operating point: repeated SPANS inflate memorization
@@ -1383,6 +1408,88 @@ object Dedup extends QueryPack {
         coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Incremental connected-component maintenance — the crawl-loop form
+    * of [[componentsFromEdges]], closing the one dedup steady-state step
+    * that still required a full-corpus recompute (every other step —
+    * exact registry, LSH bands, ANN assign, BM25 stats, sign-buckets —
+    * already has an incremental twin). The corpus carries its cluster
+    * MAPPING (one (doc_id, cluster_id) row per doc, ~16 B — corpus-
+    * linear, the same object q79 materializes) between batches; a new
+    * batch contributes only pairs with ≥1 batch endpoint (any
+    * incremental pair source: [[jaccardPairsIncremental]],
+    * [[minhashCandidatesIncremental]]).
+    *
+    * EXACTNESS: the stored mapping encodes the components of the
+    * corpus-internal pair set, and the full corpus∪batch pair set is
+    * exactly (corpus-internal pairs) ∪ (≥1-batch-endpoint pairs) —
+    * contracting each old component to its representative (= its min
+    * id, by [[componentsFromEdges]]'s invariant) preserves
+    * connectivity, and the contracted graph's nodes are old-component
+    * minima plus batch ids, so each merged component's contracted
+    * minimum IS its global minimum. Output ≡ the full recompute, which
+    * is what the q135 oracle replays (DuckDB recursive CC over the
+    * whole corpus — no endpoint restriction, unlike q82/q126: cluster
+    * maintenance rewrites corpus rows, so the WHOLE mapping is the
+    * contract).
+    *
+    * 100 TB plan shape: batch pairs translate to old roots through one
+    * endpoint-sized lookup against the (bucketed) mapping store — the
+    * mapping side SCANS, only the endpoint side exchanges; the root
+    * graph (≤ one node per endpoint) is contracted by the shared CC
+    * engine in O(affected clusters); relabeling is a broadcast of that
+    * tiny root→root map over a scan of the stored mapping — the corpus-
+    * sized side never shuffles anywhere in the operator. Per-batch cost
+    * is pair generation + affected-cluster contraction; the only
+    * corpus-sized work is the storage scan a rewrite inherently costs
+    * (a delta-output variant would drop even that — emit `corpusOut`
+    * filtered to changed roots — but the catalog entry keeps the full
+    * rewrite so the oracle pins every row). */
+  def componentsIncremental(mapping: DataFrame, newPairsIn: DataFrame,
+                            batchIds: DataFrame): DataFrame = {
+    val rounds = Rounds(None)
+    // the pair pipeline (the operator's dominant cost) feeds endpoint
+    // extraction AND both translation joins — land it once
+    val newPairs = rounds.mark(newPairsIn.select(col("a_id"), col("b_id")))
+    val endpoints = newPairs.select(col("a_id").as("doc_id"))
+      .union(newPairs.select(col("b_id").as("doc_id"))).distinct()
+    // endpoint → old root: batch docs are absent from the mapping and
+    // root to themselves. Endpoint side is batch-proportional; the
+    // mapping side scans (bucketed store) or at worst shuffles once.
+    val epRoot = rounds.mark(endpoints
+      .join(mapping, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("root")))
+    val aRoot = epRoot.select(col("doc_id").as("a_id"), col("root").as("a_root"))
+    val bRoot = epRoot.select(col("doc_id").as("b_id"), col("root").as("b_root"))
+    // translate pairs to root-graph edges; intra-cluster pairs vanish
+    val rootEdges = newPairs
+      .join(broadcast(aRoot), Seq("a_id"))
+      .join(broadcast(bRoot), Seq("b_id"))
+      .select(col("a_root").as("a_id"), col("b_root").as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .distinct()
+    val nodes = epRoot.select(col("root").as("doc_id")).distinct()
+    // contract the affected-roots graph: (root, new_root = merged min)
+    val mini = componentsFromEdges(nodes, rootEdges)
+    val relabel = mini.select(col("doc_id").as("old_root"),
+      col("cluster_id").as("new_root"))
+    // rewrite the corpus mapping through the tiny root→root map: scan +
+    // broadcast join, zero corpus-side exchange
+    val corpusOut = mapping
+      .join(broadcast(relabel),
+        mapping("cluster_id") === relabel("old_root"), "left")
+      .select(mapping("doc_id"),
+        coalesce(col("new_root"), mapping("cluster_id")).as("cluster_id"))
+    // batch docs: own root (self) → merged root; pairless docs are
+    // absent from epRoot and stand alone
+    val batchOut = batchIds.select(col("doc_id"))
+      .join(broadcast(epRoot), Seq("doc_id"), "left")
+      .join(broadcast(relabel), col("root") === col("old_root"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_root"), col("root"), col("doc_id")).as("cluster_id"))
+    corpusOut.unionByName(batchOut)
+  }
+
   /** SimHash near-dup pairs with EXACT recall at the requested radius:
     * `maxHamming + 1` bands over the 64-bit signature guarantee (by
     * pigeonhole) that any pair within the radius shares at least one
@@ -1584,6 +1691,27 @@ object Dedup extends QueryPack {
           .ngramHashes(TextOps.words(col("text")), 1).as("wset")),
         setsT, 32, Seq("doc_id"), path = Some(s"$root/$setsT"))
       (regT, setsT)
+    })
+
+  /** One-time landing of the q135 corpus cluster mapping — q79's
+    * pipeline over the indexed (`doc_id % 97 != 0`) corpus, stored as a
+    * doc_id-bucketed table (32 buckets: the endpoint→root lookup keys
+    * on doc_id, so the stored mapping side scans with no exchange).
+    * Same memo discipline as [[q126Store]]: first call per (JVM, dir)
+    * rebuilds unconditionally, later calls return the landed table —
+    * the steady-state shape a crawl loop carries between batches. */
+  private val q135Built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q135Store(s: SparkSession, d: String): String =
+    q135Built.computeIfAbsent(d, _ => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val mapT = s"q135_mapping_$tag"
+      val root = java.nio.file.Files.createTempDirectory("graft_q135").toString
+      s.sql(s"DROP TABLE IF EXISTS $mapT")
+      graft.sources.TableSink.writeBucketed(
+        clusterIds(T.documents(s, d).filter(col("doc_id") % 97 =!= 0), 0.8),
+        mapT, 32, Seq("doc_id"), path = Some(s"$root/$mapT"))
+      mapT
     })
 
   /** LSH band registry: one row per indexed document carrying its
