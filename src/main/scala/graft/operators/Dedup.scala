@@ -1527,13 +1527,8 @@ object Dedup extends QueryPack {
         }: _*).as("bands")))
     val banded = bandsRel.select(col("doc_id"), col("sh"), col("bands"),
       explode(col("bands")).as("band"))
-    val keptBuckets = banded.groupBy(col("band"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz").between(2, maxBucket))
-      .select(col("band"))
-    val buckets = banded.join(keptBuckets, Seq("band"))
-      .groupBy(col("band"))
-      .agg(collect_list(struct(col("doc_id"), col("sh"), col("bands"))).as("ms"))
+    val buckets = cappedBucketMembers(banded, Seq("band"),
+      struct(col("doc_id"), col("sh"), col("bands")), maxBucket)
     val withA = buckets.select(col("band"), col("ms"),
       posexplode(col("ms")).as(Seq("i", "a")))
     val rawPairs = withA.select(col("band"), col("a"),
@@ -1573,6 +1568,27 @@ object Dedup extends QueryPack {
     * exchange exists at all: the only shuffles left are the bucket
     * aggregation (one row per (lang, band) bucket) and the id-keyed
     * verify joins. */
+  /** Size-capped bucket membership for every banded family (MinHash LSH,
+    * its incremental form, SimHash): one window-counted pass over the
+    * exploded band relation — count per bucket, keep 2..maxBucket, THEN
+    * collect the member lists. The cap's memory contract is preserved
+    * (an over-cap mega-bucket is dropped as a window count before any
+    * list materializes; the window buffer itself spills). This replaced
+    * a count-aggregate-then-join shape (round 12): that join's
+    * bucket-stats side is CORPUS-SCALED (every surviving band key), so
+    * at 100 TB it cannot broadcast and the banded side was exchanged,
+    * sorted, AND scanned twice — the window form exchanges the banded
+    * relation exactly once and needs no join at all (measured at 10×
+    * sf0.1: 2.1 s vs 2.7-4.7 s for the join shape, identical output). */
+  private def cappedBucketMembers(exploded: DataFrame, keys: Seq[String],
+                                  payload: Column, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    exploded.withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz").between(2, maxBucket))
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(payload).as("ms"))
+  }
+
   def minhashCandidates(docs: DataFrame, verifyThreshold: Double,
                         maxBucket: Int = 100000,
                         scope: graft.warehouse.CacheScope =
@@ -1590,14 +1606,14 @@ object Dedup extends QueryPack {
       col("doc_id"),
       graft.functions.NGramHash64.ngramHashes(TextOps.words(col("text")), 1)
         .as("wset"))
-    // persisted BEFORE the explode: three consumers (bucket-size agg, the
-    // size join, the bucket member agg) would each recompute the 96-hash
-    // signature scan, and persisting the exploded relation instead lets
-    // CollapseProject fold the signature into the generator's per-output
-    // projection (12 sig evaluations per doc — measured 8s vs 1.3s for
-    // the whole operator at sf0.1). The cached relation is one narrow row
-    // per doc (id, lang, 12-band vector ≈ 110 B) — ~2% of corpus text
-    // bytes, default MEMORY_AND_DISK so it spills at 100 TB.
+    // persisted BEFORE the explode: the window-counted bucket pass has a
+    // single consumer now, but the persist is still load-bearing as a
+    // PROJECTION BARRIER — without it CollapseProject folds the 96-hash
+    // signature into the generator's per-output projection (12 sig
+    // evaluations per doc — measured 8s vs 1.3s for the whole operator
+    // at sf0.1). The cached relation is one narrow row per doc (id,
+    // lang, 12-band vector ≈ 110 B) — ~2% of corpus text bytes, default
+    // MEMORY_AND_DISK so it spills at 100 TB.
     // batch-loop callers (the crawl-ingest shape) pass an owned
     // CacheScope and release after materializing, per the engine's
     // cache-lifecycle contract; the untracked default serves one-shot use
@@ -1610,21 +1626,10 @@ object Dedup extends QueryPack {
       explode(col("bands")).as("band"))
     // a bucket of b docs yields b²/2 pairs — cap pathological buckets
     // (boilerplate-heavy corpora, template collisions) instead of letting
-    // one bucket go quadratic; the dropped mass is the least
-    // discriminative band region, standard LSH practice at scale. Sizes
-    // are computed BEFORE any member list materializes, so an over-cap
-    // mega-bucket is dropped as a count, never aggregated. (A pair whose
-    // first shared band was capped is recovered by its next surviving
-    // shared band only if that bucket re-generates it — the capped-band
-    // recall loss is the same best-effort trade the count-then-join shape
-    // always made.)
-    val keptBuckets = banded.groupBy(col("lang"), col("band"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz").between(2, maxBucket))
-      .select(col("lang"), col("band"))
-    val buckets = banded.join(keptBuckets, Seq("lang", "band"))
-      .groupBy(col("lang"), col("band"))
-      .agg(collect_list(struct(col("doc_id"), col("bands"))).as("ms"))
+    // one bucket go quadratic; see [[cappedBucketMembers]] for why the
+    // cap is a window count, not a count-aggregate join.
+    val buckets = cappedBucketMembers(banded, Seq("lang", "band"),
+      struct(col("doc_id"), col("bands")), maxBucket)
     // bucket-local combination generation, streamed through codegen: the
     // (i, member) posexplode keeps the member list alongside, the inner
     // explode pairs member i with members i+1.. — no join, no shuffle
@@ -1755,14 +1760,8 @@ object Dedup extends QueryPack {
       explode(col("bands")).as("band"), lit(false).as("is_batch"))
       .join(batchKeys, Seq("lang", "band"))
     val members = rBand.unionByName(bBand)
-    val keptBuckets = members.groupBy(col("lang"), col("band"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz").between(2, maxBucket))
-      .select(col("lang"), col("band"))
-    val buckets = members.join(keptBuckets, Seq("lang", "band"))
-      .groupBy(col("lang"), col("band"))
-      .agg(collect_list(struct(col("doc_id"), col("bands"), col("is_batch")))
-        .as("ms"))
+    val buckets = cappedBucketMembers(members, Seq("lang", "band"),
+      struct(col("doc_id"), col("bands"), col("is_batch")), maxBucket)
     val withA = buckets.select(col("band"), col("ms"),
       posexplode(col("ms")).as(Seq("i", "a")))
     val rawPairs = withA.select(col("band"), col("a"),

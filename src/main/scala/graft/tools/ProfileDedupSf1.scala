@@ -1,0 +1,264 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch: the sf1 SCALE REHEARSAL of the dedup flagship family
+  * (VERDICT r11 §next-2). q103's linearity claim was measured in round
+  * 11 (ProfileQ103Sf1); the dedup claims — "q56's banded+capped LSH is
+  * linear by construction", "q126/q100 steady-state cost ∝ batch, not
+  * corpus" — were sf0.1-only. This runs the identical operators on a
+  * faithful 10× documents corpus and measures wall / shuffle / spill.
+  *
+  * 10× synthesis: ten id-shifted copies of the sf0.1 documents, with
+  * every WORD of copy k>0 suffixed `_k` — an isomorphic token rename.
+  * Each copy's token-df profile, set sizes, and intra-copy near-dup
+  * geometry are EXACTLY the original's, while cross-copy similarity is
+  * zero: ten disjoint shards each isomorphic to sf0.1, which is the
+  * composition a 10× crawl actually has (new content, same statistics).
+  * Plain id-shifted copies with unchanged text would instead make every
+  * LSH bucket 10× deep and the pair count 100× — a corpus no real crawl
+  * produces, and one that measures bucket pathology, not scale-up.
+  *
+  * Three operating points per incremental op:
+  *   base  — sf0.1 registry + sf0.1 batch  (round-11 operating point)
+  *   sf1   — 10× registry + 10× batch      (expect ≈10× cost: linear)
+  *   fixed — 10× registry + sf0.1-sized batch (expect ≈base cost: the
+  *           "cost ∝ batch, never corpus" claim — the money row)
+  * Not product surface. */
+object ProfileDedupSf1 {
+
+  private class Acc extends SparkListener {
+    @volatile var read = 0L
+    @volatile var written = 0L
+    @volatile var spilled = 0L
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        read += m.shuffleReadMetrics.totalBytesRead
+        written += m.shuffleWriteMetrics.bytesWritten
+        spilled += m.diskBytesSpilled
+      }
+    }
+    def reset(): Unit = { read = 0L; written = 0L; spilled = 0L }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      // diagnostic dial: listener shuffle bytes are POST-compression, and
+      // near-dup verify rows (identical word sets on consecutive pairs)
+      // compress far better when bucket-adjacent — turning compression
+      // off separates raw-byte growth (the plan) from compression-ratio
+      // drift (the codec) across scale points
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val acc = new Acc
+    spark.sparkContext.addSparkListener(acc)
+    // section filter for one-off diagnostic reruns: q56 | q126 | q100
+    val sections = sys.env.get("SPARK_GRAFT_SECTIONS")
+      .map(_.split(',').toSet).getOrElse(Set("q56", "q126", "q100"))
+    import graft.operators.Dedup
+
+    // ---- synthesize the 10× corpus ----
+    val synDir = java.nio.file.Files.createTempDirectory("graft_dedup_sf1").toString
+    val docs0 = graft.Tables.documents(spark, base)
+    val maxId = docs0.agg(max(col("doc_id"))).head.getLong(0) + 1
+    (0 until 10).map { k =>
+      val text =
+        if (k == 0) col("text")
+        // isomorphic rename: suffix every word; null text stays null
+        else when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "), w => concat(w, lit(s"_$k"))),
+            " "))
+      docs0.select((col("doc_id") + lit(k * maxId)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"))
+        .withColumn("n_chars", length(coalesce(col("text"), lit(""))))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$synDir/documents.parquet")
+    val synDocs = graft.Tables.documents(spark, synDir)
+    println(s"[prof] syn corpus rows: ${synDocs.count()} (base ${docs0.count()})")
+
+    def run(label: String)(f: => Long): Unit = {
+      spark.catalog.clearCache(); System.gc()
+      acc.reset()
+      val t0 = System.nanoTime()
+      val n = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // local-mode listener events settle
+      println(f"[prof] $label%-24s rows=$n%-8d wall=$wall%.2f s " +
+        f"shuffle_read=${acc.read / 1048576.0}%.1f MiB " +
+        f"shuffle_write=${acc.written / 1048576.0}%.1f MiB " +
+        f"spill=${acc.spilled / 1048576.0}%.1f MiB")
+    }
+
+    // ---- q56: the full-corpus banded+capped LSH ----
+    // ORDER-REVERSED variant: fresh-JVM first measurement is the forced-
+    // shuffle sf1 run, to separate regime cost from in-JVM block
+    // pressure accumulated by earlier runs
+    if (sections("q56rev")) {
+      graft.SparkEntry.queries("q56_minhash_lsh")(spark, "/root/testdata/sf0.01").count()
+      def noBcastR[T](f: => T): T = {
+        val p = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try { spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1"); f }
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", p)
+      }
+      run("q56 sf1 noBcast FIRST")(noBcastR(
+        graft.SparkEntry.queries("q56_minhash_lsh")(spark, synDir).count()))
+      run("q56 sf1 bcast")(
+        graft.SparkEntry.queries("q56_minhash_lsh")(spark, synDir).count())
+      run("q56 sf1 noBcast again")(noBcastR(
+        graft.SparkEntry.queries("q56_minhash_lsh")(spark, synDir).count()))
+    }
+    if (sections("q56")) {
+    // warm-up at sf0.01 compiles every codegen class the timed runs need
+    graft.SparkEntry.queries("q56_minhash_lsh")(spark, "/root/testdata/sf0.01").count()
+    run("q56 base")(graft.SparkEntry.queries("q56_minhash_lsh")(spark, base).count())
+    run("q56 sf1")(graft.SparkEntry.queries("q56_minhash_lsh")(spark, synDir).count())
+    // the same two runs with broadcasts disabled: at sf0.1 the verify
+    // join's sets side fits under the 10 MB broadcast cutoff, at 10× it
+    // degrades to a shuffle join — comparing shuffle bytes across that
+    // TRANSITION overstates growth. Forcing the shuffle regime at both
+    // scales isolates the real at-scale exponent (both sides shuffle at
+    // 100 TB regardless).
+    def noBcast[T](f: => T): T = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try { spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1"); f }
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    run("q56 base noBcast")(noBcast(
+      graft.SparkEntry.queries("q56_minhash_lsh")(spark, base).count()))
+    run("q56 sf1 noBcast")(noBcast(
+      graft.SparkEntry.queries("q56_minhash_lsh")(spark, synDir).count()))
+    }
+
+    // diag: where does the forced-shuffle regime spend its wall? Print
+    // the AQE-finalized plans of both regimes at sf1 side by side.
+    if (sections("diag")) {
+      def finalPlan(label: String, f: => org.apache.spark.sql.DataFrame): Unit = {
+        val df = f
+        df.count()
+        println(s"==== $label ====")
+        println(df.queryExecution.executedPlan.toString.take(12000))
+      }
+      graft.SparkEntry.queries("q56_minhash_lsh")(spark, "/root/testdata/sf0.01").count()
+      finalPlan("sf1 bcast",
+        graft.SparkEntry.queries("q56_minhash_lsh")(spark, synDir))
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        finalPlan("sf1 noBcast",
+          graft.SparkEntry.queries("q56_minhash_lsh")(spark, synDir))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // isolate the bucket-stage cost in both shapes: count-then-join
+      // (current) vs window-count (join-free candidate replacement)
+      import org.apache.spark.sql.expressions.Window
+      val bandsRel = graft.Tables.documents(spark, synDir).select(
+        col("doc_id"), col("lang"),
+        graft.functions.TextOps.lshBands(
+          graft.functions.TextOps.minhashSignature(col("text"), n = 1, k = 96),
+          bands = 12, rowsPer = 8).as("bands")).persist()
+      bandsRel.count()
+      val banded = bandsRel.select(col("doc_id"), col("lang"), col("bands"),
+        explode(col("bands")).as("band"))
+      def noBcast2[T](f: => T): T = {
+        val p = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try { spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1"); f }
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", p)
+      }
+      def joinShape(): Long = {
+        val kept = banded.groupBy(col("lang"), col("band"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz").between(2, 100000))
+          .select(col("lang"), col("band"))
+        banded.join(kept, Seq("lang", "band"))
+          .groupBy(col("lang"), col("band"))
+          .agg(collect_list(struct(col("doc_id"), col("bands"))).as("ms"))
+          .select(sum(size(col("ms")))).head.getLong(0)
+      }
+      def windowShape(): Long = {
+        val w = Window.partitionBy(col("lang"), col("band"))
+        banded.withColumn("bsz", count(lit(1)).over(w))
+          .filter(col("bsz").between(2, 100000))
+          .groupBy(col("lang"), col("band"))
+          .agg(collect_list(struct(col("doc_id"), col("bands"))).as("ms"))
+          .select(sum(size(col("ms")))).head.getLong(0)
+      }
+      joinShape(); windowShape() // warm
+      run("bucket join bcast")(joinShape())
+      run("bucket join noBcast")(noBcast2(joinShape()))
+      run("bucket window")(windowShape())
+      run("bucket window noBcast")(noBcast2(windowShape()))
+      bandsRel.unpersist()
+    }
+
+    // ---- q126 steady step: batch vs STORED band registry + sets ----
+    // index build (one-time, production carries it on storage) is untimed
+    if (sections("q126")) {
+    def landQ126(tag: String, docs: DataFrame): (String, String) = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_idx_$tag").toString
+      val regT = s"pdsf1_reg_$tag"; val setsT = s"pdsf1_sets_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $regT")
+      spark.sql(s"DROP TABLE IF EXISTS $setsT")
+      graft.sources.TableSink.writeBucketed(
+        Dedup.minhashBandRegistry(docs.filter(col("doc_id") % 97 =!= 0)),
+        regT, 32, Seq("doc_id"), path = Some(s"$root/$regT"))
+      graft.sources.TableSink.writeBucketed(
+        docs.select(col("doc_id"), graft.functions.NGramHash64
+          .ngramHashes(graft.functions.TextOps.words(col("text")), 1).as("wset")),
+        setsT, 32, Seq("doc_id"), path = Some(s"$root/$setsT"))
+      (regT, setsT)
+    }
+    val (regB, setsB) = landQ126("base", docs0)
+    val (regS, setsS) = landQ126("syn", synDocs)
+    def q126Step(reg: String, sets: String, batch: DataFrame): Long =
+      Dedup.minhashCandidatesIncremental(
+        spark.table(reg), spark.table(sets), batch, 0.8).count()
+    val batchBase = docs0.filter(col("doc_id") % 97 === 0)
+    val batchSyn = synDocs.filter(col("doc_id") % 97 === 0)
+    val batchFixed = synDocs.filter(col("doc_id") % 97 === 0 &&
+      col("doc_id") < maxId) // copy-0's batch: sf0.1-sized, vs the 10× index
+    q126Step(regB, setsB, batchBase) // warm the incremental path's codegen
+    run("q126 base")(q126Step(regB, setsB, batchBase))
+    run("q126 sf1")(q126Step(regS, setsS, batchSyn))
+    run("q126 fixed-batch")(q126Step(regS, setsS, batchFixed))
+    }
+
+    // ---- q100 steady step: block knockout vs STORED block registry ----
+    if (sections("q100")) {
+    def landReg(tag: String, docs: DataFrame): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_breg_$tag").toString
+      val t = s"pdsf1_blocks_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.TableSink.writeBucketed(
+        Dedup.blockRegistry(docs.filter(col("doc_id") % 2 === 0)),
+        t, 32, Seq("h_lo", "h_hi"), path = Some(s"$root/$t"))
+      t
+    }
+    val bregB = landReg("base", docs0)
+    val bregS = landReg("syn", synDocs)
+    def q100Step(reg: String, batch: DataFrame): Long =
+      Dedup.paragraphDedupIncremental(spark.table(reg), batch).count()
+    val shift = lit(100000000L)
+    val bBatchBase = docs0.withColumn("doc_id", col("doc_id") + shift)
+    val bBatchSyn = synDocs.withColumn("doc_id", col("doc_id") + shift)
+    val bBatchFixed = synDocs.filter(col("doc_id") < maxId)
+      .withColumn("doc_id", col("doc_id") + shift)
+    q100Step(bregB, bBatchBase) // warm
+    run("q100 base")(q100Step(bregB, bBatchBase))
+    run("q100 sf1")(q100Step(bregS, bBatchSyn))
+    run("q100 fixed-batch")(q100Step(bregS, bBatchFixed))
+    }
+    spark.stop()
+  }
+}

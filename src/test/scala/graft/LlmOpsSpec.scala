@@ -282,6 +282,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => clusters(a) == a && clusters(b) == b })
   }
 
+  test("incremental cluster maintenance equals the full recompute (q135 property, off-catalog operating point)") {
+    // different split (20% batch) and threshold (0.5 — denser pair graph,
+    // more multi-cluster merges) than the catalog entry, so this pins the
+    // ALGEBRA (stored-mapping contraction ≡ full CC), not one operating
+    // point. The catalog entry's own (0.8, %97) point is DuckDB-oracled.
+    val docs = Tables.documents(spark, sf)
+    val batchIds = docs.filter($"doc_id" % 5 === 0).select($"doc_id")
+    val mapping = Dedup.clusterIds(docs.filter($"doc_id" % 5 =!= 0), 0.5)
+    val inc = Dedup.componentsIncremental(
+      mapping, Dedup.jaccardPairsIncremental(docs, batchIds, 0.5), batchIds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted
+    val full = Dedup.clusterIds(docs, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted
+    assert(inc.length == docs.count())
+    assert(inc.sameElements(full))
+    // empty-batch identity: no pairs, no batch docs → mapping unchanged
+    val empty = batchIds.limit(0)
+    val idem = Dedup.componentsIncremental(
+      mapping, Dedup.jaccardPairsIncremental(docs, empty, 0.5).limit(0), empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted
+    val stored = mapping.collect().map(r => r.getLong(0) -> r.getLong(1)).sorted
+    assert(idem.sameElements(stored))
+  }
+
   test("q95: hash-span dup counts equal string-span counts; dups are cross-doc") {
     // recompute with STRING 10-grams (position-preserving shingles) — the
     // hashed form must agree exactly on this corpus (q85's parity rule,

@@ -255,4 +255,37 @@ class ScaleSpec extends SparkSpec {
       withClue(e.simpleString(10)) { assert(!carriesRegistry) }
     }
   }
+
+  test("q135 plan: the stored cluster mapping is rewritten by BROADCAST relabel — no mapping-side exchange") {
+    // the q135 scale claim (SCALE.md §dedup): the corpus-sized mapping
+    // SCANS through the relabel but never shuffles — every exchange in
+    // the rewrite plan may carry only batch-derived rows. The explicit
+    // broadcast() hint makes the shape threshold-independent.
+    import graft.operators.Dedup
+    import graft.plans.PlanWalk.walk
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf)
+    TableSink.writeBucketed(
+      Dedup.clusterIds(docs.filter($"doc_id" % 7 =!= 0), 0.8),
+      "q135pin_mapping", 8, Seq("doc_id"))
+    val mapping = spark.table("q135pin_mapping")
+    val batchIds = docs.filter($"doc_id" % 7 === 0).select($"doc_id")
+    val out = Dedup.componentsIncremental(
+      mapping, Dedup.jaccardPairsIncremental(docs, batchIds, 0.8), batchIds)
+    out.collect() // finalize AQE on THIS plan
+    val nodes = walk(out.queryExecution.executedPlan)
+    val marker = "q135pin_mapping"
+    assert(nodes.exists(n =>
+      n.getClass.getSimpleName.startsWith("FileSourceScan") &&
+        n.toString.contains(marker)),
+      "expected the stored-mapping scan in the rewrite plan")
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "expected the broadcast root->root relabel join")
+    nodes.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      val carriesMapping = walk(e).exists(_.toString.contains(marker))
+      withClue(e.simpleString(10)) { assert(!carriesMapping) }
+    }
+  }
 }
