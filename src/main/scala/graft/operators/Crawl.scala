@@ -11,10 +11,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** The continuous-crawl ingest loop COMPOSED (VERDICT r10 §next-3): the
   * incremental pieces that each ship alone — exact-dup knockout against
   * a hash registry (q100's shape), near-dup knockout against the
-  * MinHash band registry (q126), ANN codebook assignment (q123), and
-  * materialized-summary maintenance (q127) — driven together per
-  * micro-batch, with the registry-compaction lifecycle (r9 §8) landing
-  * the stores bucketed every k batches.
+  * MinHash band registry (q126), incremental cluster-id maintenance
+  * (q135's contraction algebra, store-backed since round 12), ANN
+  * codebook assignment (q123), and materialized-summary maintenance
+  * (q127) — driven together per micro-batch, with the
+  * registry-compaction lifecycle (r9 §8) landing the stores bucketed
+  * every k batches.
+  *
+  * The CLUSTER view labels every SEEN doc with its near-dup component's
+  * minimum id under the loop's pair relation (verified LSH pairs, the
+  * q56 relation): because each batch emits exactly the full pair set's
+  * ≥1-batch-endpoint restriction, the union over an ascending drive is
+  * the full pair set, and per-batch contraction of the affected-roots
+  * graph (q135's exactness argument) makes the final mapping EQUAL to a
+  * full-corpus q56+CC recompute — the closed form the q130 oracle
+  * replays with a recursive CTE. The store is append-only MIN-FOLD:
+  * cluster ids only decrease, so current state = min per doc, appends
+  * are batch-sized deltas, and compaction squashes history.
   *
   * Per-batch semantics (the drop rule the q130 oracle replays): a batch
   * document is DROPPED iff
@@ -71,7 +84,8 @@ object Crawl extends QueryPack {
       sets: DataFrame,     // (doc_id, wset) word-hash sets of every seen doc
       kept: DataFrame,     // kept manifest: (doc_id, lang, n_chars)
       summary: DataFrame,  // maintained per-lang summary (grp, n, __t, total)
-      assigned: DataFrame) // (vec_id, cell, sim_r) of kept docs
+      assigned: DataFrame, // (vec_id, cell, sim_r) of kept docs
+      clusters: DataFrame = null) // (doc_id, cluster_id) of every SEEN doc
 
   /** 128-bit whole-document content hash — the exact-dup registry key
     * (the q98/q99 block-hash scheme applied at document granularity). */
@@ -84,12 +98,34 @@ object Crawl extends QueryPack {
     docs.select(col("doc_id"),
       NGramHash64.ngramHashes(TextOps.words(col("text")), 1).as("wset"))
 
-  /** The batch DEDUP verdict — exact then near knockout; the loop's one
-    * expensive plan. Pure plan construction: the caller materializes it
-    * exactly once (to its store) and derives assignment/summary from
-    * the stored slice, not from this plan. */
-  def dedupBatch(state: State, batch: DataFrame,
-                 verifyThreshold: Double): DataFrame = {
+  /** The batch's verified near-dup pairs vs everything seen — the
+    * loop's one expensive plan (LSH verify). The candidate batch is ALL
+    * batch docs, not just exact survivors: an exact-dropped batch doc
+    * can still be the SMALLER endpoint of a same-batch near pair, and
+    * its registry twin cannot stand in for it when the twin's lang
+    * differs (near-dup pairs are lang-scoped, exact dedup is not —
+    * measured at sf0.1: doc 1641, text-identical to an earlier doc of
+    * another lang, had to witness the (1641, 1673) pair itself). Its
+    * bands only reach the registry at the NEXT batch, so it must
+    * participate here. Union over an ascending drive = EXACTLY the full
+    * [[Dedup.minhashCandidates]] pair set, each pair emitted at its
+    * larger endpoint's batch (the q126 restriction property, summed) —
+    * which is what makes both the kept set AND the cluster mapping
+    * closed-form oracled. */
+  def nearPairs(state: State, batch: DataFrame,
+                verifyThreshold: Double): DataFrame =
+    Dedup.minhashCandidatesIncremental(
+      state.bands, state.sets.unionByName(wordSets(batch)),
+      batch, verifyThreshold)
+
+  /** The batch DEDUP verdict — exact then near knockout. Pure plan
+    * construction: the caller materializes it exactly once (to its
+    * store) and derives assignment/summary from the stored slice, not
+    * from this plan. The loop itself lands [[nearPairs]] first and
+    * passes the stored slice as `pairs` so the LSH verify also feeds
+    * cluster maintenance without re-running. */
+  def dedupBatch(state: State, batch: DataFrame, verifyThreshold: Double,
+                 pairs: Option[DataFrame] = None): DataFrame = {
     // 1. exact knockout: registry hit, then batch-internal min-id keeper
     val h = docHashes(batch)
     val survivorIds = h
@@ -98,23 +134,28 @@ object Crawl extends QueryPack {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val exactSurvivors = batch.join(survivorIds, Seq("doc_id"))
-    // 2. near knockout: verified LSH pairs vs the band registry of all
-    //    seen docs plus batch-internal pairs; ascending ingest makes the
-    //    larger endpoint the batch member, so pairs.b_id is the drop set.
-    //    The candidate batch is ALL batch docs, not just exact survivors:
-    //    an exact-dropped batch doc can still be the SMALLER endpoint of
-    //    a same-batch near pair, and its registry twin cannot stand in
-    //    for it when the twin's lang differs (near-dup pairs are
-    //    lang-scoped, exact dedup is not — measured at sf0.1: doc 1641,
-    //    text-identical to an earlier doc of another lang, had to
-    //    witness the (1641, 1673) pair itself). Its bands only reach the
-    //    registry at the NEXT batch, so it must participate here.
-    val allSets = state.sets.unionByName(wordSets(batch))
-    val pairs = Dedup.minhashCandidatesIncremental(
-      state.bands, allSets, batch, verifyThreshold)
+    // 2. near knockout: ascending ingest makes the larger endpoint the
+    //    batch member, so pairs.b_id is the drop set.
+    val p = pairs.getOrElse(nearPairs(state, batch, verifyThreshold))
     exactSurvivors.join(
-      pairs.select(col("b_id").as("doc_id")).distinct(),
+      p.select(col("b_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
+  }
+
+  /** Current roots of `endpoints` under the raw min-fold cluster store:
+    * probe the store with the BROADCAST endpoint set (inner + broadcast
+    * ⇒ the corpus-sized store is streamed-scanned, never exchanged — a
+    * left join the other way around would build on the corpus side and
+    * shuffle it every batch), min-fold the endpoint-sized hit set, and
+    * default unseen endpoints to their own id (a doc's labels never
+    * exceed its id, so the coalesce order is exact). StreamingSpec pins
+    * the no-store-exchange plan shape. */
+  def endpointRoots(rawClusters: DataFrame, endpoints: DataFrame): DataFrame = {
+    val epHits = rawClusters.join(broadcast(endpoints), Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("cluster_id")).as("c"))
+    endpoints.join(epHits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("root"))
   }
 
   /** Hadoop-FS helpers: `root` may be any Hadoop-supported filesystem
@@ -188,12 +229,17 @@ object Crawl extends QueryPack {
             .emptyRDD[org.apache.spark.sql.Row], template)
       }
     }
-    def compact(tablePrefix: String, buckets: Int, keys: Seq[String]): Unit = {
+    /** `squash` folds history at consolidation time (identity for the
+      * monotone registries; the cluster store collapses each doc's
+      * relabel history to its current minimum) — the once-per-cycle
+      * registry-sized job the compaction cadence already pays for. */
+    def compact(tablePrefix: String, buckets: Int, keys: Seq[String],
+                squash: DataFrame => DataFrame = identity): Unit = {
       // align the write partitioning with the bucketing (same murmur3
       // hash family) so each task holds exactly one bucket and the table
       // lands in ~`buckets` files — without this, a bucketed write emits
       // one file per (task × bucket) and compaction stops compacting
-      val consolidated = read().repartition(buckets, keys.map(col): _*)
+      val consolidated = squash(read()).repartition(buckets, keys.map(col): _*)
       // epoch-versioned table name: a crash between this write and the
       // manifest commit leaves the OLD epoch's table (the one the old
       // manifest names) untouched — resume stays consistent
@@ -255,6 +301,20 @@ object Crawl extends QueryPack {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("sim_r",
           org.apache.spark.sql.types.DoubleType))))
+    // cluster mapping as an append-only MIN-FOLD store: a doc's cluster
+    // id only ever DECREASES (components merge toward their minimum), so
+    // the current mapping is min(cluster_id) over each doc's appended
+    // rows. Appends are batch-proportional (the batch's rows + relabel
+    // DELTAS for members of merged clusters); compaction squashes the
+    // relabel history with a min-aggregate. This keeps cluster
+    // maintenance inside the loop's append-only durability contract —
+    // no corpus-sized rewrite ever happens per batch.
+    private val clustersS = new Store(spark, root, "clusters",
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType))))
     private var summary = Summary.summarize(emptyDocs, col("lang"), col("n_chars"))
     private var summaryVersion = -1L
     private var lastCommitted = -1L
@@ -264,16 +324,22 @@ object Crawl extends QueryPack {
     def nextBatchId: Long = lastCommitted + 1
 
     /** Current compacted registry table name for `store` ("seen",
-      * "bands", "sets"), if a compaction has landed. */
+      * "bands", "sets", "clusters"), if a compaction has landed. */
     def registryTable(store: String): Option[String] = store match {
       case "seen" => seenS.meta.base
       case "bands" => bandsS.meta.base
       case "sets" => setsS.meta.base
+      case "clusters" => clustersS.meta.base
       case other => sys.error(s"no such registry store: $other")
     }
 
     def state(): State = State(seenS.read(), bandsS.read(), setsS.read(),
-      keptS.read(), summary, assignedS.read())
+      keptS.read(), summary, assignedS.read(),
+      // the current mapping view over the min-fold store; per-batch
+      // ingest never consumes this aggregate — it probes the raw rows
+      // endpoint-wise (see the cluster step in [[ingest]])
+      clustersS.read().groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id")))
 
     // ---- manifest: the loop's commit record, one tiny text file per
     // ingest under root/manifest (key=value lines — no parser deps,
@@ -293,7 +359,8 @@ object Crawl extends QueryPack {
         storeLines("bands", bandsS.meta) ++
         storeLines("sets", setsS.meta) ++
         storeLines("kept", keptS.meta) ++
-        storeLines("assigned", assignedS.meta)
+        storeLines("assigned", assignedS.meta) ++
+        storeLines("clusters", clustersS.meta)
       Fs.writeString(spark, s"$manifestDir/m$batchId", lines.mkString("\n"))
     }
 
@@ -318,6 +385,7 @@ object Crawl extends QueryPack {
         setsS.restore(storeMeta("sets"), buckets, Seq("doc_id"))
         keptS.restore(storeMeta("kept"), buckets, Seq("doc_id"))
         assignedS.restore(storeMeta("assigned"), buckets, Seq("vec_id"))
+        clustersS.restore(storeMeta("clusters"), buckets, Seq("doc_id"))
         lastCommitted = kv("lastCommitted").toLong
         summaryVersion = kv("summaryVersion").toLong
         if (summaryVersion >= 0)
@@ -339,15 +407,67 @@ object Crawl extends QueryPack {
       // ids need only ascend — a streaming driver that skips empty
       // micro-batches hands us gaps, which are fine (ids version dirs)
       val pre = state() // reads only COMMITTED dirs — never this batch's
-      // the expensive dedup plan runs EXACTLY ONCE: its verdict lands in
-      // a versioned batch dir, and assignment / manifest / summary all
-      // derive from the STORED slice (re-running the LSH verify per
+      // the expensive LSH verify runs EXACTLY ONCE: the batch's verified
+      // near-pair slice lands in a versioned batch dir, and the kept
+      // verdict, cluster maintenance, assignment, manifest and summary
+      // all derive from STORED slices (re-running the verify per
       // consumer tripled the loop's cost, measured 27 s -> below)
-      dedupBatch(pre, batch, verifyThreshold)
+      nearPairs(pre, batch, verifyThreshold)
+        .write.mode("overwrite").parquet(s"$root/batch_pairs/v$batchId")
+      val pb = spark.read.parquet(s"$root/batch_pairs/v$batchId")
+      dedupBatch(pre, batch, verifyThreshold, pairs = Some(pb))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .write.mode("overwrite").parquet(s"$root/batch_kept/v$batchId")
       val kb = spark.read.parquet(s"$root/batch_kept/v$batchId")
       keptS.append(kb, batchId)
+      // ---- cluster maintenance (q135's algebra, store-backed): the
+      // batch's pairs translate to CURRENT roots through an
+      // endpoint-sized probe of the raw min-fold store, the affected-
+      // roots mini-graph contracts via the shared CC engine, and the
+      // store takes batch-proportional appends only: one row per batch
+      // doc + one relabel DELTA row per member of a merged cluster. The
+      // corpus-sized store is scanned (broadcast-probed), never
+      // exchanged; stale history rows are harmless because a superseded
+      // root can never become current again (roots only decrease), so
+      // they match no current-root filter and the min-fold ignores them.
+      // the step's intermediates (endpoint roots, the relabel map, the
+      // CC engine's round marks) are eager localCheckpoints — release
+      // them after the delta lands, or they accumulate in executor
+      // storage across batches (the flat-RDD-profile contract the
+      // StreamingSpec pin enforces)
+      val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val rawClusters = clustersS.read()
+      val batchIds2 = batch.select(col("doc_id"))
+      val endpoints = pb.select(col("a_id").as("doc_id"))
+        .union(pb.select(col("b_id").as("doc_id"))).distinct()
+      val epRoot = endpointRoots(rawClusters, endpoints).localCheckpoint(true)
+      val rootEdges = pb
+        .join(broadcast(epRoot.select(col("doc_id").as("a_id"),
+          col("root").as("a_root"))), Seq("a_id"))
+        .join(broadcast(epRoot.select(col("doc_id").as("b_id"),
+          col("root").as("b_root"))), Seq("b_id"))
+        .select(col("a_root").as("a_id"), col("b_root").as("b_id"))
+        .filter(col("a_id") =!= col("b_id")).distinct()
+      val mini = Dedup.componentsFromEdges(
+        epRoot.select(col("root").as("doc_id")).distinct(), rootEdges)
+      val relabel = mini.filter(col("cluster_id") < col("doc_id"))
+        .select(col("doc_id").as("old_root"), col("cluster_id").as("new_root"))
+        .localCheckpoint(true)
+      val affected = rawClusters
+        .join(broadcast(relabel),
+          col("cluster_id") === col("old_root"))
+        .select(col("doc_id"), col("new_root").as("cluster_id"))
+        .distinct()
+      val batchRows = batchIds2
+        .join(broadcast(epRoot), Seq("doc_id"), "left")
+        .join(broadcast(relabel), col("root") === col("old_root"), "left")
+        .select(col("doc_id"),
+          coalesce(col("new_root"), col("root"), col("doc_id"))
+            .as("cluster_id"))
+      clustersS.append(affected.unionByName(batchRows), batchId)
+      val rddsAfter = spark.sparkContext.getPersistentRDDs
+      (rddsAfter.keySet -- rddsBefore)
+        .foreach(id => rddsAfter(id).unpersist(blocking = true))
       assignedS.append(Similarity.assignBatch(codebook,
         kb.select(col("doc_id").as("vec_id")).join(embeddings, Seq("vec_id"))),
         batchId)
@@ -372,6 +492,11 @@ object Crawl extends QueryPack {
         seenS.compact(s"${tag}_seen", buckets, Seq("h_lo", "h_hi"))
         bandsS.compact(s"${tag}_bands", buckets, Seq("doc_id"))
         setsS.compact(s"${tag}_sets", buckets, Seq("doc_id"))
+        // squash the relabel history to the current mapping while the
+        // registry-sized consolidation job runs anyway
+        clustersS.compact(s"${tag}_clusters", buckets, Seq("doc_id"),
+          squash = _.groupBy(col("doc_id"))
+            .agg(min(col("cluster_id")).as("cluster_id")))
       }
       // COMMIT: batch data + any compaction become visible atomically;
       // everything above re-runs idempotently if we die before this line
@@ -444,11 +569,12 @@ object Crawl extends QueryPack {
           .join(st.summary.select(col("grp").as("lang"),
             col("n").as("lang_n"),
             col("total").as("lang_total_chars")), Seq("lang"))
+          .join(st.clusters, Seq("doc_id"))
           .select(col("doc_id"), col("lang"), col("n_chars"), col("cell"),
-            col("lang_n"), col("lang_total_chars"))
+            col("lang_n"), col("lang_total_chars"), col("cluster_id"))
       },
       Some(s"""
-        WITH ${Dedup.minhashLshPairsCte},
+        WITH RECURSIVE ${Dedup.minhashLshPairsCte},
         exactdrop AS (
           SELECT DISTINCT d2.doc_id
           FROM documents d1 JOIN documents d2
@@ -487,12 +613,28 @@ object Crawl extends QueryPack {
                  CAST(sum(CAST(n_chars AS DECIMAL(28,2))) AS DOUBLE)
                    AS lang_total_chars
           FROM kept GROUP BY lang
+        ),
+        cedges AS (
+          SELECT a_id AS src, b_id AS dst FROM lshv WHERE jac >= 0.8
+          UNION ALL
+          SELECT b_id AS src, a_id AS dst FROM lshv WHERE jac >= 0.8
+        ),
+        creach AS (
+          SELECT doc_id AS id, doc_id AS lbl FROM documents
+          UNION
+          SELECT e.dst AS id, r.lbl AS lbl
+          FROM creach r JOIN cedges e ON r.id = e.src
+        ),
+        clusters AS (
+          SELECT id AS doc_id, min(lbl) AS cluster_id FROM creach GROUP BY id
         )
-        SELECT k.doc_id, k.lang, k.n_chars, a.cell, s.lang_n, s.lang_total_chars
+        SELECT k.doc_id, k.lang, k.n_chars, a.cell, s.lang_n,
+               s.lang_total_chars, c.cluster_id
         FROM kept k
         JOIN assigned a USING (doc_id)
         JOIN summ s ON s.lang = k.lang
+        JOIN clusters c USING (doc_id)
       """.stripMargin),
-      doc = "continuous-crawl loop composed: exact+near dedup, ANN assign, summary maintain, compaction — final state oracled")
+      doc = "continuous-crawl loop composed: exact+near dedup, cluster-id maintenance, ANN assign, summary maintain, compaction — final state oracled")
   )
 }

@@ -245,13 +245,15 @@ class LlmOpsSpec extends SparkSpec {
       (st.kept.collect().map(_.toSeq).toSet,
         st.summary.select($"grp", $"n", $"__t".cast("string"), $"total")
           .collect().map(_.toSeq).toSet,
-        st.assigned.select($"vec_id", $"cell").collect().map(_.toSeq).toSet)
+        st.assigned.select($"vec_id", $"cell").collect().map(_.toSeq).toSet,
+        st.clusters.collect().map(_.toSeq).toSet)
     }
     val a = run(Seq(hi / 5), "split_a")
     val b = run(Seq(hi / 4, hi / 2, 3 * hi / 4), "split_b")
     assert(a._1 == b._1, "kept manifest differs across splits")
     assert(a._2 == b._2, "maintained summary differs across splits")
     assert(a._3 == b._3, "ANN assignments differ across splits")
+    assert(a._4 == b._4, "maintained clusters differ across splits")
     assert(a._1.nonEmpty && a._1.size < docs.count())
   }
 
@@ -893,6 +895,50 @@ class LlmOpsSpec extends SparkSpec {
     val all = for (id <- 0L to 3L; t <- 0 until 100; c <- 0 until 2)
       yield Binary.syntheticSample(id, t, c).toInt
     assert(all.min < -30000 && all.max > 30000)
+  }
+
+  test("AVI encode -> parse -> ImageIO decode round-trips every pixel of every frame (the REAL video codec path)") {
+    // driverside single-asset check of the exact path q134 runs
+    // distributed: the RIFF walk must recover every movi frame chunk,
+    // the idx1/avih counts must agree, and each rehydrated DIB frame
+    // must decode through ImageIO bit-identically — including widths
+    // whose 3·w rows need padding and the bottom-up row order
+    for (id <- Seq(0L, 5L, 9L, 14L)) {
+      val w = Binary.videoWidth(id)
+      val h = Binary.videoHeight(id)
+      val n = Binary.videoFrames(id)
+      def rgb(f: Int, x: Int, y: Int): Int = {
+        val r = ((id + 3L * x + 7L * y + 11L * f) % 256).toInt
+        val g = ((5L * id + 11L * x + y + 3L * f) % 256).toInt
+        val b = ((2L * id + x + 13L * y + 17L * f) % 256).toInt
+        (r << 16) | (g << 8) | b
+      }
+      val bytes = Binary.Avi.encode(w, h, n, rgb)
+      val parsed = Binary.Avi.parse(bytes)
+      assert(parsed.declaredFrames == n && parsed.frames.size == n
+        && parsed.indexEntries == n, s"id=$id: container frame accounting")
+      parsed.frames.zipWithIndex.foreach { case (frame, f) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+          Binary.Avi.frameToBmp(parsed.bih, frame)))
+        assert(img != null, s"ImageIO rejected frame $f of id=$id")
+        assert(img.getWidth == w && img.getHeight == h)
+        for (y <- 0 until h; x <- 0 until w)
+          assert((img.getRGB(x, y) & 0xffffff) == rgb(f, x, y),
+            s"pixel ($x,$y) of frame $f, id=$id did not round-trip")
+      }
+    }
+    // a frame-index mismatch fails LOUDLY (strict parse — a silent
+    // partial decode would mimic data loss downstream): truncate the
+    // movi list by rewriting avih's dwTotalFrames one higher
+    val good = Binary.Avi.encode(8, 4, 2, (_, _, _) => 0)
+    val bad = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(bad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // avih payload starts at RIFF(12) + LIST hdr(12) + 'avih'+size(8);
+    // dwTotalFrames is at payload offset 16
+    bb.putInt(12 + 12 + 8 + 16, 3)
+    val ex = intercept[IllegalArgumentException](Binary.Avi.parse(bad))
+    assert(ex.getMessage.contains("frame index mismatch"))
   }
 
   test("sorted_intersect_count equals size(array_intersect) on hashed word sets") {

@@ -309,6 +309,19 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotAssign == wantAssign)
 
+    // (3b) the maintained cluster mapping equals the full-corpus
+    // q56+CC recompute over EVERY seen doc (kept and dropped alike) —
+    // the q135 algebra composed through the store-backed min-fold
+    val gotClusters = st.clusters
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantClusters = operators.Dedup.componentsFromEdges(
+      docs.select($"doc_id"), operators.Dedup.minhashCandidates(docs, 0.8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotClusters == wantClusters,
+      "maintained clusters diverged from the full recompute")
+    assert(gotClusters.size == docs.count(),
+      "every seen doc must carry a cluster id")
+
     // (4) flat storage profile: durable handoff keeps state off the
     // executors — no batch may grow the persistent-RDD census
     assert(rddCounts.size == 4)
@@ -336,6 +349,28 @@ class StreamingSpec extends SparkSpec {
         val rightShuffles = walk(j.right)
           .collect { case e: ShuffleExchangeExec => e }
         withClue(j.simpleString(10)) { assert(rightShuffles.isEmpty) }
+      }
+
+      // (5b) the cluster-store endpoint probe broadcasts the ENDPOINT
+      // set and streams the corpus-sized store — no store-side exchange
+      // (the shape the per-batch cluster maintenance step relies on; a
+      // left join built on the store side would shuffle the whole
+      // mapping every batch)
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      import org.apache.spark.sql.catalyst.optimizer.BuildRight
+      val probeEp = Seq(1L, 5L, 7000001L).toDF("doc_id")
+      val probe2 = operators.Crawl.endpointRoots(
+        spark.table(loop.registryTable("clusters").get), probeEp)
+      probe2.collect()
+      val bhj = walk(probe2.queryExecution.executedPlan).collect {
+        case j: BroadcastHashJoinExec => j
+      }
+      assert(bhj.nonEmpty, "cluster-store probe must broadcast the endpoints")
+      bhj.foreach { j =>
+        val streamed = if (j.buildSide == BuildRight) j.left else j.right
+        val storeShuffles = walk(streamed)
+          .collect { case e: ShuffleExchangeExec => e }
+        withClue(j.simpleString(10)) { assert(storeShuffles.isEmpty) }
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
@@ -434,6 +469,16 @@ class StreamingSpec extends SparkSpec {
     val keptIds = loop.state().kept.select($"doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(keptIds == expectedKept)
+    // (e) the cluster mapping survives 16 small batches + 4 history
+    // squashes exactly: min-fold over the compacted store == the
+    // full-corpus q56+CC recompute
+    val gotClusters = loop.state().clusters
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantClusters = operators.Dedup.componentsFromEdges(
+      docs.select($"doc_id"), operators.Dedup.minhashCandidates(docs, 0.8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotClusters == wantClusters,
+      "soak: maintained clusters diverged from the full recompute")
   }
 
   test("crawl loop kill-and-resume: a loop rebuilt from the durable manifest alone reaches the uninterrupted drive's exact final state") {
@@ -462,7 +507,8 @@ class StreamingSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet,
       st.assigned.select($"vec_id", $"cell").collect().map(_.toSeq).toSet,
       st.seen.collect().map(_.toSeq).toSet,
-      st.bands.select($"doc_id").distinct().collect().map(_.toSeq).toSet)
+      st.bands.select($"doc_id").distinct().collect().map(_.toSeq).toSet,
+      st.clusters.collect().map(_.toSeq).toSet)
 
     val rootRef = java.nio.file.Files.createTempDirectory("graft_res_ref").toString
     val ref = snap(Crawl.drive(spark, batches, codebook, emb, rootRef,
