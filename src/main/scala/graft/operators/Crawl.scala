@@ -158,6 +158,50 @@ object Crawl extends QueryPack {
       .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("root"))
   }
 
+  /** The batch's cluster-store DELTA under the min-fold contract
+    * (q135's algebra, store-backed): translate the batch's verified
+    * pairs to CURRENT roots ([[endpointRoots]] — an endpoint-sized
+    * broadcast probe of the raw store), contract the affected-roots
+    * mini-graph with the shared CC engine, and emit batch-proportional
+    * rows only: one per batch doc + one relabel delta per member of a
+    * merged cluster. The corpus-sized store is scanned (broadcast-
+    * probed), never exchanged; stale history rows are harmless because
+    * a superseded root can never become current again (roots only
+    * decrease), so they match no current-root filter and the min-fold
+    * ignores them. Intermediates are eager localCheckpoints — the
+    * caller must release the RDDs it created after the delta lands
+    * (the flat-RDD-profile contract; [[Loop.ingest]] does). */
+  def clusterDelta(rawClusters: DataFrame, batchIds: DataFrame,
+                   pairs: DataFrame): DataFrame = {
+    val endpoints = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+    val epRoot = endpointRoots(rawClusters, endpoints).localCheckpoint(true)
+    val rootEdges = pairs
+      .join(broadcast(epRoot.select(col("doc_id").as("a_id"),
+        col("root").as("a_root"))), Seq("a_id"))
+      .join(broadcast(epRoot.select(col("doc_id").as("b_id"),
+        col("root").as("b_root"))), Seq("b_id"))
+      .select(col("a_root").as("a_id"), col("b_root").as("b_id"))
+      .filter(col("a_id") =!= col("b_id")).distinct()
+    val mini = Dedup.componentsFromEdges(
+      epRoot.select(col("root").as("doc_id")).distinct(), rootEdges)
+    val relabel = mini.filter(col("cluster_id") < col("doc_id"))
+      .select(col("doc_id").as("old_root"), col("cluster_id").as("new_root"))
+      .localCheckpoint(true)
+    val affected = rawClusters
+      .join(broadcast(relabel),
+        col("cluster_id") === col("old_root"))
+      .select(col("doc_id"), col("new_root").as("cluster_id"))
+      .distinct()
+    val batchRows = batchIds
+      .join(broadcast(epRoot), Seq("doc_id"), "left")
+      .join(broadcast(relabel), col("root") === col("old_root"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_root"), col("root"), col("doc_id"))
+          .as("cluster_id"))
+    affected.unionByName(batchRows)
+  }
+
   /** Hadoop-FS helpers: `root` may be any Hadoop-supported filesystem
     * (HDFS/S3/local) — never probe with `java.io.File`. */
   private object Fs {
@@ -420,51 +464,16 @@ object Crawl extends QueryPack {
         .write.mode("overwrite").parquet(s"$root/batch_kept/v$batchId")
       val kb = spark.read.parquet(s"$root/batch_kept/v$batchId")
       keptS.append(kb, batchId)
-      // ---- cluster maintenance (q135's algebra, store-backed): the
-      // batch's pairs translate to CURRENT roots through an
-      // endpoint-sized probe of the raw min-fold store, the affected-
-      // roots mini-graph contracts via the shared CC engine, and the
-      // store takes batch-proportional appends only: one row per batch
-      // doc + one relabel DELTA row per member of a merged cluster. The
-      // corpus-sized store is scanned (broadcast-probed), never
-      // exchanged; stale history rows are harmless because a superseded
-      // root can never become current again (roots only decrease), so
-      // they match no current-root filter and the min-fold ignores them.
-      // the step's intermediates (endpoint roots, the relabel map, the
-      // CC engine's round marks) are eager localCheckpoints — release
-      // them after the delta lands, or they accumulate in executor
-      // storage across batches (the flat-RDD-profile contract the
-      // StreamingSpec pin enforces)
+      // ---- cluster maintenance ([[clusterDelta]]): batch-proportional
+      // appends into the min-fold store. The step's intermediates
+      // (endpoint roots, the relabel map, the CC engine's round marks)
+      // are eager localCheckpoints — release them after the delta
+      // lands, or they accumulate in executor storage across batches
+      // (the flat-RDD-profile contract the StreamingSpec pin enforces)
       val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
-      val rawClusters = clustersS.read()
-      val batchIds2 = batch.select(col("doc_id"))
-      val endpoints = pb.select(col("a_id").as("doc_id"))
-        .union(pb.select(col("b_id").as("doc_id"))).distinct()
-      val epRoot = endpointRoots(rawClusters, endpoints).localCheckpoint(true)
-      val rootEdges = pb
-        .join(broadcast(epRoot.select(col("doc_id").as("a_id"),
-          col("root").as("a_root"))), Seq("a_id"))
-        .join(broadcast(epRoot.select(col("doc_id").as("b_id"),
-          col("root").as("b_root"))), Seq("b_id"))
-        .select(col("a_root").as("a_id"), col("b_root").as("b_id"))
-        .filter(col("a_id") =!= col("b_id")).distinct()
-      val mini = Dedup.componentsFromEdges(
-        epRoot.select(col("root").as("doc_id")).distinct(), rootEdges)
-      val relabel = mini.filter(col("cluster_id") < col("doc_id"))
-        .select(col("doc_id").as("old_root"), col("cluster_id").as("new_root"))
-        .localCheckpoint(true)
-      val affected = rawClusters
-        .join(broadcast(relabel),
-          col("cluster_id") === col("old_root"))
-        .select(col("doc_id"), col("new_root").as("cluster_id"))
-        .distinct()
-      val batchRows = batchIds2
-        .join(broadcast(epRoot), Seq("doc_id"), "left")
-        .join(broadcast(relabel), col("root") === col("old_root"), "left")
-        .select(col("doc_id"),
-          coalesce(col("new_root"), col("root"), col("doc_id"))
-            .as("cluster_id"))
-      clustersS.append(affected.unionByName(batchRows), batchId)
+      clustersS.append(
+        clusterDelta(clustersS.read(), batch.select(col("doc_id")), pb),
+        batchId)
       val rddsAfter = spark.sparkContext.getPersistentRDDs
       (rddsAfter.keySet -- rddsBefore)
         .foreach(id => rddsAfter(id).unpersist(blocking = true))

@@ -234,6 +234,44 @@ object ProfileDedupSf1 {
     run("q126 fixed-batch")(q126Step(regS, setsS, batchFixed))
     }
 
+    // ---- q135/crawl steady step: cluster DELTA vs the stored corpus
+    // mapping (the r12 crawl-loop cluster-maintenance step, isolated:
+    // pairs are pre-landed so the measured cost is the contraction +
+    // delta emission alone). The money row is fixed-batch: a 10×
+    // mapping with an sf0.1-sized batch must cost ~base — the mapping
+    // is broadcast-probed and relabel-scanned, never exchanged. ----
+    if (sections("q135")) {
+    import graft.operators.Crawl
+    def landMap(tag: String, docs: DataFrame): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_map_$tag").toString
+      val t = s"pdsf1_map_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.TableSink.writeBucketed(
+        Dedup.clusterIds(docs.filter(col("doc_id") % 97 =!= 0), 0.8),
+        t, 32, Seq("doc_id"), path = Some(s"$root/$t"))
+      t
+    }
+    val mapB = landMap("base", docs0)
+    val mapS = landMap("syn", synDocs)
+    val cBatchBase = docs0.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id")).localCheckpoint()
+    val cBatchSyn = synDocs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id")).localCheckpoint()
+    val cBatchFixed = synDocs
+      .filter(col("doc_id") % 97 === 0 && col("doc_id") < maxId)
+      .select(col("doc_id")).localCheckpoint()
+    val pB = Dedup.jaccardPairsIncremental(docs0, cBatchBase, 0.8).localCheckpoint()
+    val pS = Dedup.jaccardPairsIncremental(synDocs, cBatchSyn, 0.8).localCheckpoint()
+    val pF = Dedup.jaccardPairsIncremental(synDocs, cBatchFixed, 0.8).localCheckpoint()
+    Crawl.clusterDelta(spark.table(mapB), cBatchBase, pB).count() // warm
+    run("q135 delta base")(
+      Crawl.clusterDelta(spark.table(mapB), cBatchBase, pB).count())
+    run("q135 delta sf1")(
+      Crawl.clusterDelta(spark.table(mapS), cBatchSyn, pS).count())
+    run("q135 delta fixed-batch")(
+      Crawl.clusterDelta(spark.table(mapS), cBatchFixed, pF).count())
+    }
+
     // ---- q100 steady step: block knockout vs STORED block registry ----
     if (sections("q100")) {
     def landReg(tag: String, docs: DataFrame): String = {

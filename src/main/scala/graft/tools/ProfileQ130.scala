@@ -62,10 +62,20 @@ object ProfileQ130 {
       half.select(col("doc_id"), col("lang"), col("n_chars")).localCheckpoint(),
       Summary.summarize(half, col("lang"), col("n_chars")).localCheckpoint(),
       null)
-    time("dedupBatch verdict + write") {
-      Crawl.dedupBatch(st, batch, 0.8)
+    val mapping = time("state: cluster mapping (full CC over first half)") {
+      Dedup.componentsFromEdges(half.select(col("doc_id")),
+        Dedup.minhashCandidates(half, 0.8)).localCheckpoint() }
+    val pb = time("nearPairs LSH verify + write") {
+      Crawl.nearPairs(st, batch, 0.8)
+        .write.mode("overwrite").parquet(s"$root2/pairs")
+      spark.read.parquet(s"$root2/pairs") }
+    time("dedupBatch verdict + write (stored pairs)") {
+      Crawl.dedupBatch(st, batch, 0.8, pairs = Some(pb))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .write.mode("overwrite").parquet(s"$root2/kept") }
+    time("cluster delta + write") {
+      Crawl.clusterDelta(mapping, batch.select(col("doc_id")), pb)
+        .write.mode("overwrite").parquet(s"$root2/clusters") }
     val kb = spark.read.parquet(s"$root2/kept")
     time("assignBatch + write") {
       Similarity.assignBatch(codebook,
