@@ -530,8 +530,23 @@ object Ibrd extends QueryPack {
       Option(starCache.get(s)).flatMap(r => Option(r.get)).getOrElse {
         val staged = Clean.stage(Fixture.raw(s)).cache()
         val st = IbrdWarehouse.build(s, staged)
-        starCache.put(s, new java.lang.ref.SoftReference(st))
-        st
+        // truncate the BUILD LINEAGE once (eager localCheckpoint → each
+        // table becomes a LogicalRDD leaf): the serving layer compiles
+        // dozens of ASTs against this star (q31–q39 visuals, q122's
+        // 27-AST replay, q131's page), and with the raw build plans each
+        // AST re-ANALYZED the whole 7-dim SCD + 10-lookup fact chain —
+        // pure Catalyst overhead on a fixture-sized star (measured:
+        // q122 25.8 s → sub-second once the lineage is cut). A real
+        // deployment serves dashboards from LANDED warehouse tables,
+        // not the build's logical plan — this is that boundary.
+        val cut = IbrdWarehouse.Star(
+          st.dimRegion.localCheckpoint(), st.dimCountry.localCheckpoint(),
+          st.dimBorrower.localCheckpoint(), st.dimGuarantor.localCheckpoint(),
+          st.dimStatus.localCheckpoint(), st.dimType.localCheckpoint(),
+          st.dimProject.localCheckpoint(), st.dimDate.localCheckpoint(),
+          st.fact.localCheckpoint())
+        starCache.put(s, new java.lang.ref.SoftReference(cut))
+        cut
       }
     }
 }
