@@ -76,9 +76,70 @@ object Binary {
         i => pmod(length(col("payload")) * (i + 1), lit(97)).cast("double") / 97.0)
         .as("features"))
 
+  /** Target resize geometry per asset — deterministic functions of the
+    * id, like [[syntheticWidth]], so the resampled pixels are pure
+    * integer arithmetic the DuckDB oracle recomputes codec-free. */
+  def resizeWidth(id: Long): Int = (4 + id % 5).toInt
+  def resizeHeight(id: Long): Int = (3 + id % 3).toInt
+
+  /** REAL pixel resize over the batch-codec seam: decode the payload
+    * with ImageIO, nearest-neighbor resample to the per-asset target
+    * geometry (source pixel (x·sw/tw, y·sh/th) — exact integer floor
+    * division, replayable in any engine), RE-ENCODE the result as a
+    * genuine BMP ([[Bmp.encode]] — the output payload is itself a valid
+    * asset, the shape a curation pipeline stores), then RE-DECODE the
+    * re-encoded bytes and report the resized geometry, the re-encoded
+    * payload length, and the per-channel means of the resized image.
+    * The only way to match the generator-arithmetic oracle is for
+    * decode → resample → encode → decode to round-trip every pixel. */
+  def resizeDecodeStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("byte_len", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        require(img != null, s"asset $id: ImageIO found no decodable image")
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val (tw, th) = (resizeWidth(id), resizeHeight(id))
+        val resized = Bmp.encode(tw, th,
+          (x, y) => img.getRGB(x * sw / tw, y * sh / th) & 0xffffff)
+        val img2 = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(resized))
+        require(img2 != null && img2.getWidth == tw && img2.getHeight == th,
+          s"asset $id: re-encoded resize did not round-trip")
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            val p = img2.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Row.fromSeq(Seq[Any](id, tw, th, resized.length, sr, sg, sb))
+      }
+    }
+    val n = col("width").cast("long") * col("height").cast("long")
+    spark.createDataFrame(rdd, outSchema)
+      .select(col("asset_id"), col("width"), col("height"), col("byte_len"),
+        round(col("sum_r").cast("double") / n, 6).as("mean_r"),
+        round(col("sum_g").cast("double") / n, 6).as("mean_g"),
+        round(col("sum_b").cast("double") / n, 6).as("mean_b"))
+  }
+
   /** Metadata-level resize: records the target geometry, payload
-    * untouched (pixel resampling is a decode-side transform — see
-    * [[decodeVideoStats]] for the decode seam it would extend). */
+    * untouched (the PIXEL form is [[resizeDecodeStats]], q136). */
   def resizeMeta(probed: DataFrame, w: Int, h: Int): DataFrame =
     probed.withColumn("meta", struct(
       col("meta.byte_len"), col("meta.codec"),

@@ -112,6 +112,51 @@ object Multimodal extends QueryPack {
       """.stripMargin),
       doc = "REAL BMP decode via ImageIO: pixel means + luma histogram vs generator-arithmetic oracle"),
 
+    // ---- REAL pixel resize (r12): decode → nearest-neighbor resample
+    // to a per-asset target geometry → BMP re-encode (the output is
+    // itself a valid asset) → re-decode. The resampled pixel at (x, y)
+    // is the source pixel at (x·sw/tw, y·sh/th) — exact integer floor
+    // division — so the oracle recomputes the RESIZED channel means and
+    // even the re-encoded payload length (BMP header + padded rows)
+    // from the q124 pixel generator without touching a codec. ----
+    "q136_image_resize" -> Q(
+      (s, d) => Binary.resizeDecodeStats(
+        Binary.syntheticBmpAssets(T.documents(s, d))),
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS asset_id,
+                 16 + doc_id % 16 AS sw, 8 + doc_id % 8 AS sh,
+                 4 + doc_id % 5 AS tw, 3 + doc_id % 3 AS th
+          FROM documents
+        ),
+        px AS (
+          SELECT asset_id, sw, sh, tw, th, unnest(range(0, tw * th)) AS p
+          FROM a
+        ),
+        c AS (
+          SELECT asset_id, tw, th,
+                 ((p % tw) * sw) // tw AS sx, ((p // tw) * sh) // th AS sy
+          FROM px
+        ),
+        v AS (
+          SELECT asset_id, tw, th,
+                 (asset_id + 3 * sx + 7 * sy) % 256 AS r,
+                 (5 * asset_id + 11 * sx + sy) % 256 AS g,
+                 (2 * asset_id + sx + 13 * sy) % 256 AS b
+          FROM c
+        )
+        SELECT asset_id,
+               CAST(any_value(tw) AS INT) AS width,
+               CAST(any_value(th) AS INT) AS height,
+               CAST(54 + ((3 * any_value(tw) + 3) // 4) * 4 * any_value(th)
+                 AS INT) AS byte_len,
+               round(CAST(sum(r) AS DOUBLE) / (any_value(tw) * any_value(th)), 6) AS mean_r,
+               round(CAST(sum(g) AS DOUBLE) / (any_value(tw) * any_value(th)), 6) AS mean_g,
+               round(CAST(sum(b) AS DOUBLE) / (any_value(tw) * any_value(th)), 6) AS mean_b
+        FROM v GROUP BY asset_id
+      """.stripMargin),
+      doc = "REAL pixel resize: decode -> NN resample -> BMP re-encode -> re-decode; resized stats + payload length oracled"),
+
     // ---- REAL audio decode (VERDICT r10 §next-2): genuine RIFF/WAV
     // 16-bit PCM payloads (mono and stereo) decoded with the JDK's
     // javax.sound.sampled WAV parser inside the mapPartitions batch

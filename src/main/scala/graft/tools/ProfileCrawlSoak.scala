@@ -49,8 +49,40 @@ object ProfileCrawlSoak {
     spark.sparkContext.addSparkListener(acc)
     import graft.operators.{Crawl, Similarity}
 
-    val docs = graft.Tables.documents(spark, d)
-    val emb = graft.Tables.embeddings(spark, d)
+    // SPARK_GRAFT_SYN10X=1: drive the loop over a faithful 10× corpus
+    // (ProfileDedupSf1's synthesis — ten id-shifted copies with every
+    // word of copy k>0 suffixed `_k`, so each shard is isomorphic to
+    // sf0.1 and cross-shard similarity is zero; embeddings id-shifted
+    // alongside so the assignment join covers every kept doc). The sf1
+    // datapoint for the COMPOSED loop: per-batch wall must scale with
+    // the ~10× batch size and stay flat across cycles, zero spill.
+    val syn10x = sys.env.get("SPARK_GRAFT_SYN10X").contains("1")
+    val (docs, emb) = if (!syn10x) {
+      (graft.Tables.documents(spark, d), graft.Tables.embeddings(spark, d))
+    } else {
+      val synDir = java.nio.file.Files.createTempDirectory("graft_soak_syn").toString
+      val docs0 = graft.Tables.documents(spark, d)
+      val emb0 = graft.Tables.embeddings(spark, d)
+      val maxId = docs0.agg(max(col("doc_id"))).head.getLong(0) + 1
+      (0 until 10).map { k =>
+        val text =
+          if (k == 0) col("text")
+          else when(col("text").isNull, lit(null).cast("string"))
+            .otherwise(array_join(
+              transform(split(col("text"), " "), w => concat(w, lit(s"_$k"))),
+              " "))
+        docs0.select((col("doc_id") + lit(k * maxId)).as("doc_id"),
+          text.as("text"), col("lang"), col("source"))
+          .withColumn("n_chars", length(coalesce(col("text"), lit(""))))
+      }.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$synDir/documents.parquet")
+      (0 until 10).map { k =>
+        emb0.withColumn("vec_id", col("vec_id") + lit(k * maxId))
+      }.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$synDir/embeddings.parquet")
+      (graft.Tables.documents(spark, synDir),
+        graft.Tables.embeddings(spark, synDir))
+    }
     val codebook = emb.filter(col("vec_id") < Similarity.IvfCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
     val hi = docs.agg(max(col("doc_id"))).head.getLong(0) + 1

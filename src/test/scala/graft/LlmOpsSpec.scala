@@ -941,6 +941,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("frame index mismatch"))
   }
 
+  test("pixel resize: decode -> NN resample -> re-encode -> decode matches direct generator arithmetic") {
+    // driverside single-asset check of the q136 path: the resampled
+    // pixel at (x, y) must equal the GENERATOR's value at the floor-
+    // mapped source coordinate — through the full decode/encode cycle
+    for (id <- Seq(0L, 6L, 11L)) {
+      val sw = Binary.syntheticWidth(id); val sh = Binary.syntheticHeight(id)
+      val tw = Binary.resizeWidth(id); val th = Binary.resizeHeight(id)
+      def rgb(x: Int, y: Int): Int = {
+        val r = ((id + 3L * x + 7L * y) % 256).toInt
+        val g = ((5L * id + 11L * x + y) % 256).toInt
+        val b = ((2L * id + x + 13L * y) % 256).toInt
+        (r << 16) | (g << 8) | b
+      }
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Binary.Bmp.encode(sw, sh, rgb)))
+      val resized = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Binary.Bmp.encode(tw, th,
+          (x, y) => src.getRGB(x * sw / tw, y * sh / th) & 0xffffff)))
+      assert(resized.getWidth == tw && resized.getHeight == th)
+      for (y <- 0 until th; x <- 0 until tw)
+        assert((resized.getRGB(x, y) & 0xffffff) == rgb(x * sw / tw, y * sh / th),
+          s"resized pixel ($x,$y) of id=$id did not round-trip")
+    }
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on hashed word sets") {
     import graft.functions.SortedIntersectCount
     val sets = Tables.documents(spark, sf).limit(300)
