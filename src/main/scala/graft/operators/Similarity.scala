@@ -273,26 +273,44 @@ object Similarity extends QueryPack {
     * integers end-to-end, ties break on neighbor id. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              shortlist: Int = PqShortlist): DataFrame = {
-    val qt = queries.crossJoin(broadcast(pqCodebookRow(corpus)))
+    val qt = pqQueryTables(queries, corpus)
+    val scored = pqCodes(corpus)
+      .crossJoin(broadcast(qt.select(col("query_id"), col("qtab"))))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adist", pqAdcDist(col("qtab"), col("codes")))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val short = scored.withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= shortlist)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    pqRefine(short, corpus, qt, k)
+  }
+
+  /** Query-side PQ structures: per query its micro-unit vector and the
+    * PqM × PqK ADC table of exact integer subspace distances to the
+    * broadcast codebook. Tiny (|queries| rows), built by projection. */
+  private def pqQueryTables(queries: DataFrame, corpus: DataFrame): DataFrame =
+    queries.crossJoin(broadcast(pqCodebookRow(corpus)))
       .select(col("vec_id").as("query_id"),
         transform(col("embedding"), x => q6(x)).as("q6v"), col("__pqcb"))
       .select(col("query_id"), col("q6v"),
         transform(sequence(lit(0), lit(PqM - 1)), m =>
           transform(col("__pqcb"), cv => pqSubDist(col("q6v"), cv, m)))
           .as("qtab"))
-    val scored = pqCodes(corpus)
-      .crossJoin(broadcast(qt.select(col("query_id"), col("qtab"))))
-      .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("adist",
-        (0 until PqM).map(m =>
-          element_at(element_at(col("qtab"), m + 1),
-            element_at(col("codes"), m + 1) + 1)).reduce(_ + _))
-    val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("vec_id").asc)
-    val short = scored.withColumn("ark", row_number().over(wA))
-      .filter(col("ark") <= shortlist)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    // refine: re-read ONLY the shortlisted vectors by id, exact L2²
+
+  /** ADC score of one coded row against one query table: PqM array
+    * lookups summed — exact integers, no float path. */
+  private def pqAdcDist(qtab: Column, codes: Column): Column =
+    (0 until PqM).map(m =>
+      element_at(element_at(qtab, m + 1),
+        element_at(codes, m + 1) + 1)).reduce(_ + _)
+
+  /** Refine stage shared by [[pqTopK]] and [[ivfPqTopK]]: the
+    * (query_id, neighbor_id) shortlist — tiny — joins BACK to the corpus
+    * by id to re-read just those vectors, and exact integer L2² re-ranks
+    * to top-k. */
+  private def pqRefine(short: DataFrame, corpus: DataFrame, qt: DataFrame,
+                       k: Int): DataFrame = {
     val exact = short
       .join(corpus.select(col("vec_id").as("neighbor_id"),
         transform(col("embedding"), x => q6(x)).as("n6v"))
@@ -308,6 +326,74 @@ object Similarity extends QueryPack {
     exact.withColumn("rank", row_number().over(wE).cast("int"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("l2d"))
+  }
+
+  /** IVF-PQ (the FAISS IVFADC composition, q137): coarse centroid cells
+    * route the search, PQ codes compress the scan — the memory-resident
+    * architecture for a corpus whose float vectors exceed aggregate RAM.
+    * Index side is ONE fused projection per corpus row (no shuffle, no
+    * exchange at any scale): nearest coarse cell by rounded cosine
+    * ([[nearestCellStruct]]'s rule, ties to the lower cent_id) AND the
+    * PqM 4-bit codes, both against broadcast one-row codebooks. On a
+    * cluster the coded index would be WRITTEN partitioned by cell; a
+    * query then reads ONLY its nProbe probed cells' code partitions
+    * (partition pruning on the storage layout), touching 4 bytes per
+    * candidate instead of 256. Query side: nProbe nearest cells
+    * ([[probeCells]]) + the ADC table, broadcast; the scan keeps a
+    * corpus row iff its cell is probed, scores it by PqM table lookups
+    * (exact integers), shortlists per query, and [[pqRefine]] re-ranks
+    * the shortlist exactly. With nProbe = nCells every cell is probed
+    * and the result is BIT-EQUAL to [[pqTopK]] at the same shortlist
+    * (property-tested in LlmOpsSpec) — the cells only prune, never
+    * rescore. Recall vs exact is the q66 routing dial × the q106
+    * shortlist dial; both published beside their entries. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nCells: Int = IvfCentroids, nProbe: Int = IvfProbes,
+                shortlist: Int = PqShortlist): DataFrame = {
+    val cents = corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), _.cast("double")).as("centv"))
+      .withColumn("cent_n", VectorOps.norm(col("centv")))
+    val cb = codebookRow(cents)
+    val pqCb = pqCodebookRow(corpus)
+    // index: cell + codes in ONE pass over the corpus — two broadcast
+    // codebooks, zero exchanges
+    val indexed = corpus
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"),
+        transform(col("embedding"), x => q6(x)).as("v6"))
+      .withColumn("vn", VectorOps.norm(col("v")))
+      .crossJoin(broadcast(cb))
+      .crossJoin(broadcast(pqCb))
+      .select(col("vec_id"),
+        nearestCell(col("v"), col("vn"), col("__cb")).as("cell"),
+        transform(sequence(lit(0), lit(PqM - 1)), m => {
+          val dists = transform(col("__pqcb"), cv =>
+            pqSubDist(col("v6"), cv, m))
+          (array_position(dists, array_min(dists)) - 1).cast("int")
+        }).as("codes"))
+    // query side: probed cells + ADC table (|queries| rows, broadcast)
+    val qprobes = queries
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("vn", VectorOps.norm(col("v")))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"),
+        probeCells(col("v"), col("vn"), col("__cb"), nProbe).as("probes"))
+    val qt = pqQueryTables(queries, corpus)
+    val qside = qt.select(col("query_id"), col("qtab"))
+      .join(qprobes, "query_id")
+    val scored = indexed
+      .join(broadcast(qside),
+        array_contains(col("probes"), col("cell")) &&
+          col("query_id") =!= col("vec_id"))
+      .withColumn("adist", pqAdcDist(col("qtab"), col("codes")))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val short = scored.withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= shortlist)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    pqRefine(short, corpus, qt, k)
   }
 
   private def codebookRow(cents: DataFrame): DataFrame =
@@ -1018,6 +1104,101 @@ object Similarity extends QueryPack {
           FROM refined)
         WHERE rank <= $K
       """.stripMargin),
-      doc = "product-quantization ANN: 4-bit codes, ADC shortlist, exact re-rank")
+      doc = "product-quantization ANN: 4-bit codes, ADC shortlist, exact re-rank"),
+
+    // ---- IVF-PQ (r12): the q66 coarse-cell routing composed IN FRONT
+    // of the q106 ADC scan — candidates are only the probed cells'
+    // members, scored through their 4-byte codes, then exact-re-ranked.
+    // The oracle is the union of the two entries' CTE chains with the
+    // probe restriction joined into the shortlist aggregate; everything
+    // downstream of the rounded-cosine routing is exact integer
+    // arithmetic, so the composition is hash-comparable end-to-end. ----
+    "q137_ann_ivfpq" -> Q(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        ivfPqTopK(emb.filter(col("vec_id") < NQueries), emb, K,
+          IvfCentroids, IvfProbes)
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+          FROM embeddings
+        ),
+        cents AS (
+          SELECT vec_id AS cent_id, ev AS centv FROM e WHERE vec_id < $IvfCentroids
+        ),
+        corpus_scored AS (
+          SELECT e.vec_id AS neighbor_id, c.cent_id,
+                 round(list_dot_product(e.ev, c.centv) /
+                   (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(c.centv, c.centv))), 6) AS sim_c
+          FROM e CROSS JOIN cents c
+        ),
+        assigned AS (
+          SELECT neighbor_id, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY neighbor_id
+              ORDER BY sim_c DESC, cent_id ASC) AS rn
+            FROM corpus_scored) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT neighbor_id AS query_id, cent_id AS cell,
+                   row_number() OVER (PARTITION BY neighbor_id
+                     ORDER BY sim_c DESC, cent_id ASC) AS rn
+            FROM corpus_scored WHERE neighbor_id < $NQueries)
+          WHERE rn <= $IvfProbes
+        ),
+        v AS (
+          SELECT vec_id, CAST((i - 1) // $PqSubDim AS INT) AS m,
+                 (i - 1) % $PqSubDim AS p, i - 1 AS pos,
+                 CAST(round(round(CAST(embedding[i] AS DOUBLE), 6)
+                            * 1000000.0, 0) AS BIGINT) AS x6
+          FROM embeddings, range(1, ${EmbeddingDim + 1}) t(i)
+        ), cent AS (
+          SELECT m, vec_id AS j, p, x6 AS c6 FROM v WHERE vec_id < $PqK
+        ), dist AS (
+          SELECT s.vec_id, s.m, c.j,
+                 sum((s.x6 - c.c6) * (s.x6 - c.c6)) AS d
+          FROM v s JOIN cent c ON s.m = c.m AND s.p = c.p
+          GROUP BY s.vec_id, s.m, c.j
+        ), code AS (
+          SELECT vec_id, m, j AS code FROM (
+            SELECT vec_id, m, j,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d ASC, j ASC) AS rk
+            FROM dist) WHERE rk = 1
+        ), short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adist ASC, neighbor_id ASC)
+                     AS ark
+            FROM (
+              SELECT d.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     sum(d.d) AS adist
+              FROM code c
+              JOIN dist d ON d.m = c.m AND d.j = c.code
+              JOIN assigned a ON a.neighbor_id = c.vec_id
+              JOIN probes p ON p.query_id = d.vec_id AND p.cell = a.cell
+              WHERE d.vec_id < $NQueries AND c.vec_id <> d.vec_id
+              GROUP BY 1, 2))
+          WHERE ark <= $PqShortlist
+        ), refined AS (
+          SELECT s.query_id, s.neighbor_id,
+                 CAST(sum((q.x6 - n.x6) * (q.x6 - n.x6)) AS BIGINT) AS l2d
+          FROM short s
+          JOIN v q ON q.vec_id = s.query_id
+          JOIN v n ON n.vec_id = s.neighbor_id AND n.pos = q.pos
+          GROUP BY 1, 2
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, l2d
+        FROM (
+          SELECT query_id, neighbor_id, l2d,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY l2d ASC, neighbor_id ASC)
+                   AS rank
+          FROM refined)
+        WHERE rank <= $K
+      """.stripMargin),
+      doc = "IVF-PQ ANN (IVFADC): coarse cells route, 4-bit codes score, exact re-rank")
   )
 }

@@ -689,6 +689,29 @@ class LlmOpsSpec extends SparkSpec {
     withClue(s"ivf recall=$recall") { assert(recall >= 0.8) }
   }
 
+  test("IVF-PQ with nProbe = nCells is bit-equal to plain PQ (cells prune, never rescore)") {
+    // the q137 composition contract: coarse routing only RESTRICTS the
+    // ADC candidate set — probing every cell restores exactly q106's
+    // candidates, so shortlist, refine and ranks must all coincide
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 10)
+    val full = Similarity.pqTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val ivfpq = Similarity.ivfPqTopK(q, emb, 5,
+      nCells = Similarity.IvfCentroids, nProbe = Similarity.IvfCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(ivfpq == full)
+    // and the pruned form keeps useful recall of the exact answer
+    val bf = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Similarity.ivfPqTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & pruned).size.toDouble / bf.size
+    withClue(s"ivfpq recall=$recall") { assert(recall >= 0.5) }
+  }
+
   test("incremental ANN assign == full-rebuild assignment; seeds self-assign at sim 1") {
     // the VERDICT r9 §next-3 contract: for an UNCHANGED codebook, cell
     // choice is a pure per-row function of (vector, codebook), so
