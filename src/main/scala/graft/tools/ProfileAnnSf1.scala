@@ -1,0 +1,111 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: the scale rehearsal of the ANN family (round 12). The
+  * q137 IVF-PQ scaladoc claims "indexing is one fused zero-exchange
+  * projection" and "search cost ∝ probed-cell membership"; this
+  * measures both on synthesized 10× and 100× embedding corpora
+  * (id-shifted copies — cell geometry and codebooks are EXACTLY the
+  * base corpus's, memberships scale ×N, which is the load profile of a
+  * cell-partitioned index growing under a stable distribution).
+  * Queries stay the base NQueries, so search cost isolates the
+  * per-query scan. Measured per scale point: the index projection
+  * alone (cell + codes), full q137 (index + search + refine), and full
+  * q106 (unpruned ADC) for the pruning ratio. Not product surface. */
+object ProfileAnnSf1 {
+
+  private class Acc extends SparkListener {
+    @volatile var read = 0L
+    @volatile var written = 0L
+    @volatile var spilled = 0L
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        read += m.shuffleReadMetrics.totalBytesRead
+        written += m.shuffleWriteMetrics.bytesWritten
+        spilled += m.diskBytesSpilled
+      }
+    }
+    def reset(): Unit = { read = 0L; written = 0L; spilled = 0L }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val acc = new Acc
+    spark.sparkContext.addSparkListener(acc)
+    import graft.operators.Similarity
+
+    val emb0 = graft.Tables.embeddings(spark, base)
+    val maxId = emb0.agg(max(col("vec_id"))).head().getLong(0) + 1
+
+    def synth(n: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_ann_${n}x").toString
+      (0 until n).map { k =>
+        emb0.withColumn("vec_id", col("vec_id") + lit(k * maxId))
+      }.reduce(_.unionByName(_))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+
+    def run(label: String)(f: => Long): Unit = {
+      spark.catalog.clearCache(); System.gc()
+      acc.reset()
+      val t0 = System.nanoTime()
+      val n = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      println(f"[prof] $label%-22s rows=$n%-8d wall=$wall%.2f s " +
+        f"shuffle_read=${acc.read / 1048576.0}%.1f MiB " +
+        f"shuffle_write=${acc.written / 1048576.0}%.1f MiB " +
+        f"spill=${acc.spilled / 1048576.0}%.1f MiB")
+    }
+
+    // index-only: the fused cell+codes projection, isolated via the
+    // probe-all search's first stage — count() forces just the
+    // projection when we build it directly
+    def indexOnly(dir: String): Long = {
+      val emb = graft.Tables.embeddings(spark, dir)
+      // same construction as ivfPqTopK's `indexed` via the public entry:
+      // assignBatch gives cell; pqCodes gives codes — run both to price
+      // two map-only passes (the fused form does one)
+      val cb = emb.filter(col("vec_id") < Similarity.IvfCentroids)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+      Similarity.assignBatch(cb, emb).count() + Similarity.pqCodes(emb).count()
+    }
+
+    // warm-up: every plan at tiny scale compiles the codegen classes
+    {
+      val w = graft.Tables.embeddings(spark, base).limit(200)
+      Similarity.ivfPqTopK(w.filter(col("vec_id") < 10), w, 5).count()
+      Similarity.pqTopK(w.filter(col("vec_id") < 10), w, 5).count()
+      indexOnly(base)
+      spark.catalog.clearCache(); System.gc()
+    }
+
+    def point(label: String, dir: String): Unit = {
+      val emb = graft.Tables.embeddings(spark, dir)
+      val q = emb.filter(col("vec_id") < Similarity.NQueries)
+      run(s"index $label")(indexOnly(dir))
+      run(s"q137 $label")(Similarity.ivfPqTopK(q, emb, 5).count())
+      run(s"q106 $label")(Similarity.pqTopK(q, emb, 5).count())
+    }
+
+    point("base (2k)", base)
+    point("10x (20k)", synth(10))
+    point("100x (200k)", synth(100))
+    spark.stop()
+  }
+}
