@@ -399,12 +399,20 @@ object Similarity extends QueryPack {
       .select(col("query_id"),
         probeCells(col("v"), col("vn"), col("__cb"), nProbe).as("probes"))
     val qt = pqQueryTables(queries, corpus)
-    val qside = qt.select(col("query_id"), col("qtab"))
+    // one (query_id, cell, qtab) row per probe: the scan becomes a
+    // broadcast EQUI-join on cell — a hash probe per corpus row, not an
+    // array_contains NLJ scan — and each corpus row meets exactly the
+    // queries probing its cell (a row has ONE cell, so no duplication).
+    // This is also the shape that stays right for batch-of-queries
+    // workloads: the probe relation grows as |queries|·nProbe, never
+    // |queries|·|corpus|.
+    val qcells = qt.select(col("query_id"), col("qtab"))
       .join(qprobes, "query_id")
+      .select(col("query_id"), col("qtab"),
+        explode(col("probes")).as("cell"))
     val scored = indexed
-      .join(broadcast(qside),
-        array_contains(col("probes"), col("cell")) &&
-          col("query_id") =!= col("vec_id"))
+      .join(broadcast(qcells), "cell")
+      .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         pqAdcDist(col("qtab"), col("codes")).as("adist"))
     pqRefine(pqShortlist(scored, shortlist), corpus, qt, k)
