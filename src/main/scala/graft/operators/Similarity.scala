@@ -367,16 +367,20 @@ object Similarity extends QueryPack {
     * shortlist dial; both published beside their entries. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 nCells: Int = IvfCentroids, nProbe: Int = IvfProbes,
-                shortlist: Int = PqShortlist): DataFrame = {
-    val cents = corpus.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cent_id"),
-        transform(col("embedding"), _.cast("double")).as("centv"))
-      .withColumn("cent_n", VectorOps.norm(col("centv")))
-    val cb = codebookRow(cents)
+                shortlist: Int = PqShortlist): DataFrame =
+    ivfPqSearch(ivfPqIndex(corpus, nCells), queries, corpus, k,
+      nCells, nProbe, shortlist, pruneStored = false)
+
+  /** The IVF-PQ coded index: (vec_id, cell, codes) — nearest coarse cell
+    * AND PqM 4-bit codes in ONE fused projection per corpus row against
+    * two broadcast one-row codebooks. Zero exchange of corpus bytes at
+    * any scale (measured at 2k/20k/200k — ProfileAnnSf1); (re)indexing
+    * is a map-only pass. Write it `partitionBy("cell")` to make probing
+    * a partition-pruned read (q138). */
+  def ivfPqIndex(corpus: DataFrame, nCells: Int = IvfCentroids): DataFrame = {
+    val cb = codebookRow(ivfPqCoarse(corpus, nCells))
     val pqCb = pqCodebookRow(corpus)
-    // index: cell + codes in ONE pass over the corpus — two broadcast
-    // codebooks, zero exchanges
-    val indexed = corpus
+    corpus
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"),
         transform(col("embedding"), x => q6(x)).as("v6"))
@@ -390,7 +394,34 @@ object Similarity extends QueryPack {
             pqSubDist(col("v6"), cv, m))
           (array_position(dists, array_min(dists)) - 1).cast("int")
         }).as("codes"))
-    // query side: probed cells + ADC table (|queries| rows, broadcast)
+  }
+
+  /** Coarse codebook relation (cent_id, centv, cent_n): the first
+    * `nCells` corpus vectors, the q66 deterministic seed. */
+  private def ivfPqCoarse(corpus: DataFrame, nCells: Int): DataFrame =
+    corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), _.cast("double")).as("centv"))
+      .withColumn("cent_n", VectorOps.norm(col("centv")))
+
+  /** Search an IVF-PQ coded index (inline or read back from storage).
+    * Query side: nProbe nearest cells ([[probeCells]]) + the ADC table,
+    * broadcast. One (query_id, cell, qtab) row per probe makes the scan
+    * a broadcast EQUI-join on cell — a hash probe per corpus row, not an
+    * array_contains NLJ scan — and each corpus row meets exactly the
+    * queries probing its cell (a row has ONE cell, so no duplication);
+    * the probe relation grows as |queries|·nProbe, never
+    * |queries|·|corpus|. With `pruneStored` the probed cell ids (a
+    * bounded scalar set, ≤ |queries|·nProbe by construction) are
+    * collected and pushed as an `isin` partition filter, so a
+    * cell-partitioned stored index reads ONLY the probed cells'
+    * directories — probing IS partition pruning, plan-pinned in
+    * ScaleSpec. */
+  def ivfPqSearch(indexed: DataFrame, queries: DataFrame, corpus: DataFrame,
+                  k: Int, nCells: Int = IvfCentroids,
+                  nProbe: Int = IvfProbes, shortlist: Int = PqShortlist,
+                  pruneStored: Boolean = false): DataFrame = {
+    val cb = codebookRow(ivfPqCoarse(corpus, nCells))
     val qprobes = queries
       .select(col("vec_id").as("query_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
@@ -399,18 +430,20 @@ object Similarity extends QueryPack {
       .select(col("query_id"),
         probeCells(col("v"), col("vn"), col("__cb"), nProbe).as("probes"))
     val qt = pqQueryTables(queries, corpus)
-    // one (query_id, cell, qtab) row per probe: the scan becomes a
-    // broadcast EQUI-join on cell — a hash probe per corpus row, not an
-    // array_contains NLJ scan — and each corpus row meets exactly the
-    // queries probing its cell (a row has ONE cell, so no duplication).
-    // This is also the shape that stays right for batch-of-queries
-    // workloads: the probe relation grows as |queries|·nProbe, never
-    // |queries|·|corpus|.
     val qcells = qt.select(col("query_id"), col("qtab"))
       .join(qprobes, "query_id")
       .select(col("query_id"), col("qtab"),
         explode(col("probes")).as("cell"))
-    val scored = indexed
+    val index2 =
+      if (!pruneStored) indexed
+      else {
+        // bounded scalar collect: |queries|·nProbe cell ids, the static
+        // partition filter a cell-partitioned layout prunes on
+        val cells = qcells.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        indexed.filter(col("cell").isin(cells: _*))
+      }
+    val scored = index2
       .join(broadcast(qcells), "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
@@ -639,6 +672,22 @@ object Similarity extends QueryPack {
       t
     })
 
+  /** q138's stored coded index: [[ivfPqIndex]] landed ONCE per
+    * (JVM, sf dir) as cell-partitioned parquet (fresh temp dir, same
+    * staleness rule as [[q132Store]]). The cell directory layout is the
+    * at-scale deployment shape: probing selects directories. */
+  private val q138Built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q138Store(s: org.apache.spark.sql.SparkSession,
+                        d: String): String =
+    q138Built.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q138").toString
+      ivfPqIndex(T.embeddings(s, d))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$root/index")
+      s"$root/index"
+    })
+
   private[operators] def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
@@ -756,6 +805,91 @@ object Similarity extends QueryPack {
       FROM ranked WHERE rank <= $K
     """.stripMargin
   }
+
+  /** The q137/q138 shared oracle: the q66 routing CTEs composed with
+    * the q106 ADC/refine CTEs via the probe restriction. q138 reuses it
+    * verbatim — a stored cell-partitioned layout must be
+    * result-invariant. */
+  private def ivfPqSql: String = s"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+          FROM embeddings
+        ),
+        cents AS (
+          SELECT vec_id AS cent_id, ev AS centv FROM e WHERE vec_id < $IvfCentroids
+        ),
+        corpus_scored AS (
+          SELECT e.vec_id AS neighbor_id, c.cent_id,
+                 round(list_dot_product(e.ev, c.centv) /
+                   (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(c.centv, c.centv))), 6) AS sim_c
+          FROM e CROSS JOIN cents c
+        ),
+        assigned AS (
+          SELECT neighbor_id, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY neighbor_id
+              ORDER BY sim_c DESC, cent_id ASC) AS rn
+            FROM corpus_scored) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT neighbor_id AS query_id, cent_id AS cell,
+                   row_number() OVER (PARTITION BY neighbor_id
+                     ORDER BY sim_c DESC, cent_id ASC) AS rn
+            FROM corpus_scored WHERE neighbor_id < $NQueries)
+          WHERE rn <= $IvfProbes
+        ),
+        v AS (
+          SELECT vec_id, CAST((i - 1) // $PqSubDim AS INT) AS m,
+                 (i - 1) % $PqSubDim AS p, i - 1 AS pos,
+                 CAST(round(round(CAST(embedding[i] AS DOUBLE), 6)
+                            * 1000000.0, 0) AS BIGINT) AS x6
+          FROM embeddings, range(1, ${EmbeddingDim + 1}) t(i)
+        ), cent AS (
+          SELECT m, vec_id AS j, p, x6 AS c6 FROM v WHERE vec_id < $PqK
+        ), dist AS (
+          SELECT s.vec_id, s.m, c.j,
+                 sum((s.x6 - c.c6) * (s.x6 - c.c6)) AS d
+          FROM v s JOIN cent c ON s.m = c.m AND s.p = c.p
+          GROUP BY s.vec_id, s.m, c.j
+        ), code AS (
+          SELECT vec_id, m, j AS code FROM (
+            SELECT vec_id, m, j,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d ASC, j ASC) AS rk
+            FROM dist) WHERE rk = 1
+        ), short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adist ASC, neighbor_id ASC)
+                     AS ark
+            FROM (
+              SELECT d.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     sum(d.d) AS adist
+              FROM code c
+              JOIN dist d ON d.m = c.m AND d.j = c.code
+              JOIN assigned a ON a.neighbor_id = c.vec_id
+              JOIN probes p ON p.query_id = d.vec_id AND p.cell = a.cell
+              WHERE d.vec_id < $NQueries AND c.vec_id <> d.vec_id
+              GROUP BY 1, 2))
+          WHERE ark <= $PqShortlist
+        ), refined AS (
+          SELECT s.query_id, s.neighbor_id,
+                 CAST(sum((q.x6 - n.x6) * (q.x6 - n.x6)) AS BIGINT) AS l2d
+          FROM short s
+          JOIN v q ON q.vec_id = s.query_id
+          JOIN v n ON n.vec_id = s.neighbor_id AND n.pos = q.pos
+          GROUP BY 1, 2
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, l2d
+        FROM (
+          SELECT query_id, neighbor_id, l2d,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY l2d ASC, neighbor_id ASC)
+                   AS rank
+          FROM refined)
+        WHERE rank <= $K
+      """.stripMargin
 
   def queries: Map[String, Q] = Map(
     "q58_cosine_topk" -> Q(
@@ -1141,86 +1275,25 @@ object Similarity extends QueryPack {
         ivfPqTopK(emb.filter(col("vec_id") < NQueries), emb, K,
           IvfCentroids, IvfProbes)
       },
-      Some(s"""
-        WITH e AS (
-          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
-          FROM embeddings
-        ),
-        cents AS (
-          SELECT vec_id AS cent_id, ev AS centv FROM e WHERE vec_id < $IvfCentroids
-        ),
-        corpus_scored AS (
-          SELECT e.vec_id AS neighbor_id, c.cent_id,
-                 round(list_dot_product(e.ev, c.centv) /
-                   (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(c.centv, c.centv))), 6) AS sim_c
-          FROM e CROSS JOIN cents c
-        ),
-        assigned AS (
-          SELECT neighbor_id, cent_id AS cell FROM (
-            SELECT *, row_number() OVER (PARTITION BY neighbor_id
-              ORDER BY sim_c DESC, cent_id ASC) AS rn
-            FROM corpus_scored) WHERE rn = 1
-        ),
-        probes AS (
-          SELECT query_id, cell FROM (
-            SELECT neighbor_id AS query_id, cent_id AS cell,
-                   row_number() OVER (PARTITION BY neighbor_id
-                     ORDER BY sim_c DESC, cent_id ASC) AS rn
-            FROM corpus_scored WHERE neighbor_id < $NQueries)
-          WHERE rn <= $IvfProbes
-        ),
-        v AS (
-          SELECT vec_id, CAST((i - 1) // $PqSubDim AS INT) AS m,
-                 (i - 1) % $PqSubDim AS p, i - 1 AS pos,
-                 CAST(round(round(CAST(embedding[i] AS DOUBLE), 6)
-                            * 1000000.0, 0) AS BIGINT) AS x6
-          FROM embeddings, range(1, ${EmbeddingDim + 1}) t(i)
-        ), cent AS (
-          SELECT m, vec_id AS j, p, x6 AS c6 FROM v WHERE vec_id < $PqK
-        ), dist AS (
-          SELECT s.vec_id, s.m, c.j,
-                 sum((s.x6 - c.c6) * (s.x6 - c.c6)) AS d
-          FROM v s JOIN cent c ON s.m = c.m AND s.p = c.p
-          GROUP BY s.vec_id, s.m, c.j
-        ), code AS (
-          SELECT vec_id, m, j AS code FROM (
-            SELECT vec_id, m, j,
-                   row_number() OVER (PARTITION BY vec_id, m
-                                      ORDER BY d ASC, j ASC) AS rk
-            FROM dist) WHERE rk = 1
-        ), short AS (
-          SELECT query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY adist ASC, neighbor_id ASC)
-                     AS ark
-            FROM (
-              SELECT d.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     sum(d.d) AS adist
-              FROM code c
-              JOIN dist d ON d.m = c.m AND d.j = c.code
-              JOIN assigned a ON a.neighbor_id = c.vec_id
-              JOIN probes p ON p.query_id = d.vec_id AND p.cell = a.cell
-              WHERE d.vec_id < $NQueries AND c.vec_id <> d.vec_id
-              GROUP BY 1, 2))
-          WHERE ark <= $PqShortlist
-        ), refined AS (
-          SELECT s.query_id, s.neighbor_id,
-                 CAST(sum((q.x6 - n.x6) * (q.x6 - n.x6)) AS BIGINT) AS l2d
-          FROM short s
-          JOIN v q ON q.vec_id = s.query_id
-          JOIN v n ON n.vec_id = s.neighbor_id AND n.pos = q.pos
-          GROUP BY 1, 2
-        )
-        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, l2d
-        FROM (
-          SELECT query_id, neighbor_id, l2d,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY l2d ASC, neighbor_id ASC)
-                   AS rank
-          FROM refined)
-        WHERE rank <= $K
-      """.stripMargin),
-      doc = "IVF-PQ ANN (IVFADC): coarse cells route, 4-bit codes score, exact re-rank")
+      Some(ivfPqSql),
+      doc = "IVF-PQ ANN (IVFADC): coarse cells route, 4-bit codes score, exact re-rank"),
+
+    // ---- Stored IVF-PQ index (r12): q137 split into its deployment
+    // halves — the coded index LANDS as cell-partitioned parquet (once
+    // per JVM/sf-dir, the q132Store recipe), and search reads ONLY the
+    // probed cells' directories (the bounded probe set pushed as a
+    // static partition filter; PartitionFilters plan-pinned in
+    // ScaleSpec). Results are layout-invariant: the oracle is q137's
+    // verbatim. ----
+    "q138_ann_ivfpq_stored" -> Q(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        ivfPqSearch(s.read.parquet(q138Store(s, d))
+            .withColumn("cell", col("cell").cast("long")),
+          emb.filter(col("vec_id") < NQueries), emb, K,
+          pruneStored = true)
+      },
+      Some(ivfPqSql),
+      doc = "stored IVF-PQ: cell-partitioned coded index on disk; probing = partition pruning")
   )
 }

@@ -288,4 +288,39 @@ class ScaleSpec extends SparkSpec {
       withClue(e.simpleString(10)) { assert(!carriesMapping) }
     }
   }
+
+  test("q138 plan: the stored cell-partitioned IVF-PQ index is read PARTITION-PRUNED — only probed cells' files") {
+    // the q138 scale claim (SCALE.md §IVF-PQ): writing the coded index
+    // partitionBy(cell) makes probing a storage-level selection. One
+    // query probes IvfProbes of IvfCentroids cells, so the search scan
+    // must carry a partition filter on cell and read strictly fewer
+    // files than the index holds.
+    import graft.operators.Similarity
+    import graft.plans.PlanWalk.walk
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.catalog.clearCache()
+    val emb = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_q138pin").toString
+    Similarity.ivfPqIndex(emb)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$root/index")
+    val stored = spark.read.parquet(s"$root/index")
+      .withColumn("cell", $"cell".cast("long"))
+    val totalFiles = stored.inputFiles.length
+    val out = Similarity.ivfPqSearch(stored,
+      emb.filter($"vec_id" === 3), emb, 5, pruneStored = true)
+    out.collect() // finalize AQE, populate scan metrics
+    val scans = walk(out.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft_q138pin")) => f
+    }
+    assert(scans.nonEmpty, "expected the stored-index scan in the search plan")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"stored-index scan carries no partition filter: ${f.simpleString(10)}")
+      val read = f.metrics("numFiles").value
+      withClue(s"files read $read of $totalFiles") {
+        assert(read > 0 && read < totalFiles)
+      }
+    }
+  }
 }
