@@ -557,6 +557,91 @@ object Binary {
       Parsed(declared, bih, frames, indexEntries)
     }
 
+    /** Index-seek parse result: declared frame count, the strf
+      * BITMAPINFOHEADER, and per-frame (absolute data offset, size) —
+      * resolved from idx1 WITHOUT touching the movi frame bytes. */
+    final case class Index(declaredFrames: Int, bih: Array[Byte],
+                           entries: Vector[(Int, Int)])
+
+    /** Parse ONLY headers and the idx1 table — the movi list is skipped
+      * whole, so no frame byte is read or copied here. Each idx1 entry
+      * (offset relative to the 'movi' fourcc, per the writer and the
+      * AVI convention) is resolved to the absolute offset of its frame
+      * DATA and cross-checked against the chunk header it points at:
+      * a stale or corrupt index fails loudly instead of decoding the
+      * wrong bytes. This is what makes [[Binary.videoFrameSampleStats]]
+      * cost ∝ sampled frames — the contract that matters when the
+      * container is an hour long and the sample is every Nth frame. */
+    def parseIndex(payload: Array[Byte]): Index = {
+      val b = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII")
+      }
+      require(fourcc() == "RIFF", "not a RIFF container")
+      b.getInt()
+      require(fourcc() == "AVI ", "RIFF is not AVI")
+      var declared = -1
+      var bih: Array[Byte] = null
+      var moviPos = -1
+      var raw = Vector.empty[(Int, Int)]
+      def walkList(end: Int): Unit = {
+        while (b.position() + 8 <= end) {
+          val ck = fourcc()
+          val sz = b.getInt()
+          val next = b.position() + sz + (sz & 1)
+          ck match {
+            case "LIST" =>
+              fourcc() match {
+                case "movi" =>
+                  moviPos = b.position() - 4 // the 'movi' fourcc itself
+                  b.position(next)           // skip every frame byte
+                case "hdrl" | "strl" => walkList(next)
+                case _ => b.position(next)
+              }
+            case "avih" =>
+              declared = b.getInt(b.position() + 16)
+              b.position(next)
+            case "strf" =>
+              bih = new Array[Byte](sz); b.get(bih); b.position(next)
+            case "idx1" =>
+              val n = sz / 16
+              var i = 0
+              while (i < n) {
+                val ckid = fourcc()
+                require(ckid.endsWith("db") || ckid.endsWith("dc"),
+                  s"idx1 entry $i is not a frame chunk: '$ckid'")
+                b.getInt() // dwFlags
+                raw = raw :+ ((b.getInt(), b.getInt()))
+                i += 1
+              }
+              b.position(next)
+            case _ => b.position(next)
+          }
+        }
+      }
+      walkList(payload.length)
+      require(declared >= 0 && bih != null, "missing avih/strf header")
+      require(moviPos >= 0, "missing movi list")
+      require(raw.size == declared,
+        s"idx1 has ${raw.size} entries, avih declares $declared")
+      val entries = raw.zipWithIndex.map { case ((off, size), i) =>
+        val chunkPos = moviPos + off
+        require(chunkPos >= 0 && chunkPos + 8 + size <= payload.length,
+          s"idx1 entry $i out of bounds")
+        val ckid = new String(payload, chunkPos, 4, "US-ASCII")
+        require(ckid.endsWith("db") || ckid.endsWith("dc"),
+          s"idx1 offset $off points at non-chunk '$ckid'")
+        val csz = (payload(chunkPos + 4) & 0xff) |
+          ((payload(chunkPos + 5) & 0xff) << 8) |
+          ((payload(chunkPos + 6) & 0xff) << 16) |
+          ((payload(chunkPos + 7) & 0xff) << 24)
+        require(csz == size, s"idx1 entry $i size $size != chunk size $csz")
+        (chunkPos + 8, size)
+      }
+      Index(declared, bih, entries)
+    }
+
     /** Rehydrate one DIB frame chunk into a decodable BMP: file header +
       * the container's own BITMAPINFOHEADER + the frame bytes. */
     def frameToBmp(bih: Array[Byte], frame: Array[Byte]): Array[Byte] = {
@@ -642,6 +727,64 @@ object Binary {
             y += 1
           }
           Row(id, f, parsed.declaredFrames, w, h, sr, sg, sb)
+        }
+      }
+    }
+    val n = col("width").cast("long") * col("height").cast("long")
+    spark.createDataFrame(rdd, outSchema)
+      .select(col("asset_id"), col("frame_idx"), col("n_frames"),
+        col("width"), col("height"),
+        round(col("sum_r").cast("double") / n, 6).as("mean_r"),
+        round(col("sum_g").cast("double") / n, 6).as("mean_g"),
+        round(col("sum_b").cast("double") / n, 6).as("mean_b"))
+  }
+
+  /** REAL selective video decode (q139): frame sampling through the
+    * container's OWN index. [[Avi.parseIndex]] reads headers + idx1
+    * only; each SAMPLED frame's bytes are then sliced at the index
+    * offset, rehydrated to BMP, and decoded with ImageIO — unsampled
+    * frame bytes are never read, so cost is ∝ sampled frames, not
+    * container length (the contract that matters when the container is
+    * an hour long and the sample is every Nth frame; q64 is the
+    * metadata-level twin). Output rows keep the ORIGINAL frame_idx and
+    * the avih-declared n_frames, so sampled ≡ full-decode's sampled
+    * subset exactly (property-tested in LlmOpsSpec). */
+  def videoFrameSampleStats(assets: DataFrame, every: Int): DataFrame = {
+    require(every >= 1, s"sample stride must be >= 1, got $every")
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]]("payload")
+        val ix = Avi.parseIndex(payload)
+        (0 until ix.declaredFrames by every).map { f =>
+          val (off, size) = ix.entries(f)
+          val frame = java.util.Arrays.copyOfRange(payload, off, off + size)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            Avi.frameToBmp(ix.bih, frame)))
+          require(img != null, s"asset $id frame $f: ImageIO decode failed")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, f, ix.declaredFrames, w, h, sr, sg, sb)
         }
       }
     }

@@ -248,6 +248,47 @@ object Multimodal extends QueryPack {
       """.stripMargin),
       doc = "REAL RIFF/AVI decode: container parse + frame index check + per-frame ImageIO decode vs generator-arithmetic oracle"),
 
+    // ---- REAL selective decode via the container index (r12): the
+    // frame-sample op in SEEK form — parseIndex reads headers + idx1
+    // only, each sampled frame's bytes are sliced at the index offset
+    // and decoded; unsampled frames are never read. The oracle is
+    // q134's restricted to even frames — the engine must produce
+    // EXACTLY the full decode's sampled subset through the seek path. ----
+    "q139_video_frame_seek" -> Q(
+      (s, d) => Binary.videoFrameSampleStats(
+        Binary.syntheticAviAssets(T.documents(s, d)), every = 2),
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS asset_id,
+                 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,
+                 2 + doc_id % 4 AS n
+          FROM documents
+        ),
+        af AS (
+          SELECT asset_id, w, h, n, unnest(range(0, n)) AS f FROM a
+        ),
+        px AS (
+          SELECT asset_id, w, h, n, f, unnest(range(0, w * h)) AS p FROM af
+          WHERE f % 2 = 0
+        ),
+        c AS (
+          SELECT asset_id, w, h, n, f,
+                 (asset_id + 3 * (p % w) + 7 * (p // w) + 11 * f) % 256 AS r,
+                 (5 * asset_id + 11 * (p % w) + (p // w) + 3 * f) % 256 AS g,
+                 (2 * asset_id + (p % w) + 13 * (p // w) + 17 * f) % 256 AS b
+          FROM px
+        )
+        SELECT asset_id, CAST(f AS INT) AS frame_idx,
+               CAST(any_value(n) AS INT) AS n_frames,
+               CAST(any_value(w) AS INT) AS width,
+               CAST(any_value(h) AS INT) AS height,
+               round(CAST(sum(r) AS DOUBLE) / (any_value(w) * any_value(h)), 6) AS mean_r,
+               round(CAST(sum(g) AS DOUBLE) / (any_value(w) * any_value(h)), 6) AS mean_g,
+               round(CAST(sum(b) AS DOUBLE) / (any_value(w) * any_value(h)), 6) AS mean_b
+        FROM c GROUP BY asset_id, f
+      """.stripMargin),
+      doc = "selective video decode: idx1 index-seek, only sampled frames' bytes read + decoded"),
+
     // ---- frame sampling fan-out over REAL container frame counts ----
     "q64_frame_sample" -> Q(
       (s, d) => Binary.frameSample(

@@ -964,6 +964,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("frame index mismatch"))
   }
 
+  test("index-seek frame sample == full decode's sampled subset; corrupt idx1 offsets fail loudly") {
+    // the q139 contract: sampling through idx1 must produce EXACTLY the
+    // rows the full movi-walk decode produces for those frames — same
+    // frame_idx, same declared n_frames, same pixel statistics
+    val assets = Binary.syntheticAviAssets(
+      Tables.documents(spark, sf).limit(60))
+    val full = Binary.decodeVideoStats(assets)
+      .filter($"frame_idx" % 2 === 0).collect().map(_.toSeq).toSet
+    val sampled = Binary.videoFrameSampleStats(assets, every = 2)
+      .collect().map(_.toSeq).toSet
+    assert(sampled == full)
+    // an index pointing at non-chunk bytes is rejected, not decoded:
+    // corrupt the FIRST idx1 offset (idx1 sits at the payload tail —
+    // entry 0's dwChunkOffset is 8 bytes into the 16-byte entry)
+    val good = Binary.Avi.encode(8, 4, 2, (_, _, _) => 0)
+    val idx1Start = good.length - 2 * 16
+    val bad = good.clone()
+    java.nio.ByteBuffer.wrap(bad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(idx1Start + 8, 2) // mid-chunk: fourcc check must fail
+    val ex2 = intercept[IllegalArgumentException](Binary.Avi.parseIndex(bad))
+    assert(ex2.getMessage.contains("points at non-chunk") ||
+      ex2.getMessage.contains("size"))
+  }
+
   test("pixel resize: decode -> NN resample -> re-encode -> decode matches direct generator arithmetic") {
     // driverside single-asset check of the q136 path: the resampled
     // pixel at (x, y) must equal the GENERATOR's value at the floor-
