@@ -377,10 +377,25 @@ object Similarity extends QueryPack {
     * any scale (measured at 2k/20k/200k — ProfileAnnSf1); (re)indexing
     * is a map-only pass. Write it `partitionBy("cell")` to make probing
     * a partition-pruned read (q138). */
-  def ivfPqIndex(corpus: DataFrame, nCells: Int = IvfCentroids): DataFrame = {
-    val cb = codebookRow(ivfPqCoarse(corpus, nCells))
-    val pqCb = pqCodebookRow(corpus)
-    corpus
+  def ivfPqIndex(corpus: DataFrame, nCells: Int = IvfCentroids): DataFrame =
+    ivfPqEncodeBatch(corpus, corpus, nCells)
+
+  /** Incremental coded-index maintenance (q140): encode a NEW vector
+    * batch against an EXISTING index's codebooks — the [[ivfPqIndex]]
+    * projection with the codebook source decoupled from the rows being
+    * coded. Cell choice and PQ codes are pure per-row functions of
+    * (vector, codebooks), so for unchanged codebooks the batch's coded
+    * rows are BIT-IDENTICAL to what a full rebuild over base ∪ batch
+    * would produce for those ids (property-tested in LlmOpsSpec) — they
+    * append to a cell-partitioned store verbatim: existing cell
+    * directories gain files, nothing is rewritten, and ingest cost is
+    * ∝ batch (never the corpus), the q123/q100 registry shape carried
+    * to the PQ tier. */
+  def ivfPqEncodeBatch(codebookSource: DataFrame, rows: DataFrame,
+                       nCells: Int = IvfCentroids): DataFrame = {
+    val cb = codebookRow(ivfPqCoarse(codebookSource, nCells))
+    val pqCb = pqCodebookRow(codebookSource)
+    rows
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"),
         transform(col("embedding"), x => q6(x)).as("v6"))
@@ -684,6 +699,38 @@ object Similarity extends QueryPack {
       val root = java.nio.file.Files.createTempDirectory("graft_q138").toString
       ivfPqIndex(T.embeddings(s, d))
         .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$root/index")
+      s"$root/index"
+    })
+
+  /** q140's incrementally-maintained stored index: the base 75% of the
+    * corpus landed as the q138 cell-partitioned layout, then the last
+    * 25% encoded against the BASE's codebooks ([[ivfPqEncodeBatch]] —
+    * a zero-exchange projection, cost ∝ batch) and APPENDED: existing
+    * cell directories gain files, no base row is rewritten. Because
+    * cell/code choice is a pure per-row function of (vector, codebooks)
+    * and both codebook seeds (ids < PqK, ids < nCells) lie inside the
+    * base, the appended store is row-for-row the full rebuild — which
+    * is exactly what the q137-verbatim oracle then checks through the
+    * pruned search path. */
+  private val q140Built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q140Store(s: org.apache.spark.sql.SparkSession,
+                        d: String): String =
+    q140Built.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q140").toString
+      val emb = T.embeddings(s, d)
+      // bounded scalar: one max() row fixes the deterministic 75% split
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val split = (maxId + 1) * 3 / 4
+      require(split > math.max(PqK, IvfCentroids),
+        s"base must contain both codebook seeds, split=$split")
+      val base = emb.filter(col("vec_id") < split)
+      ivfPqIndex(base)
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$root/index")
+      ivfPqEncodeBatch(base, emb.filter(col("vec_id") >= split))
+        .write.partitionBy("cell").mode("append")
         .parquet(s"$root/index")
       s"$root/index"
     })
@@ -1294,6 +1341,25 @@ object Similarity extends QueryPack {
           pruneStored = true)
       },
       Some(ivfPqSql),
-      doc = "stored IVF-PQ: cell-partitioned coded index on disk; probing = partition pruning")
+      doc = "stored IVF-PQ: cell-partitioned coded index on disk; probing = partition pruning"),
+
+    // ---- Incremental IVF-PQ index maintenance (r12): the q138 store
+    // grown the way a crawl loop grows it — base 75% landed once, the
+    // new 25% encoded against the BASE's codebooks (ivfPqEncodeBatch:
+    // zero-exchange projection, cost ∝ batch) and APPENDED to the
+    // cell-partitioned layout; no base row rewritten. Codes are pure
+    // per-row functions of (vector, codebooks), so append ≡ rebuild —
+    // the oracle is q137's verbatim, checked through the same
+    // partition-pruned search. ----
+    "q140_ann_ivfpq_append" -> Q(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        ivfPqSearch(s.read.parquet(q140Store(s, d))
+            .withColumn("cell", col("cell").cast("long")),
+          emb.filter(col("vec_id") < NQueries), emb, K,
+          pruneStored = true)
+      },
+      Some(ivfPqSql),
+      doc = "incremental IVF-PQ maintenance: batch coded against stored codebooks, appended to cell dirs; append == rebuild")
   )
 }

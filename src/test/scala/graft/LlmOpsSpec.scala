@@ -740,6 +740,64 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ append == rebuild: batch coded against stored codebooks, appended cell dirs, search bit-equal") {
+    // the q140 contract, in three parts. (1) ivfPqEncodeBatch against
+    // the BASE's codebooks must emit bit-identical (cell, codes) to the
+    // batch's slice of a full-corpus rebuild — codes are pure per-row
+    // functions of (vector, codebooks), and both codebook seeds lie
+    // inside the base
+    val emb = Tables.embeddings(spark, sf)
+    val maxId = emb.agg(max($"vec_id")).head().getLong(0)
+    val split = (maxId + 1) * 3 / 4
+    val base = emb.filter($"vec_id" < split)
+    val batch = emb.filter($"vec_id" >= split)
+    val coded = Similarity.ivfPqEncodeBatch(base, batch)
+    val incr = coded.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    val full = Similarity.ivfPqIndex(emb).filter($"vec_id" >= split)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    assert(incr == full, "batch encode diverged from full rebuild")
+    // (2) the encode is a zero-SHUFFLE projection (broadcasting the two
+    // one-row codebooks is the design): cost ∝ batch
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    coded.collect() // finalize AQE
+    def walk(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val shuffles = walk(coded.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"batch encode shuffled: ${shuffles.map(_.nodeName)}")
+    // (3) landing base + appending batch yields a store whose pruned
+    // search is bit-equal to the inline full-corpus q137 path — and the
+    // append only ADDS files: every base parquet file survives untouched
+    val root = java.nio.file.Files.createTempDirectory("graft_q140_spec")
+    val dir = s"$root/index"
+    Similarity.ivfPqIndex(base)
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).map(_.getPath)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val baseFiles = files()
+    coded.write.partitionBy("cell").mode("append").parquet(dir)
+    assert(baseFiles.subsetOf(files()), "append rewrote base files")
+    assert(files().size > baseFiles.size, "append added no files")
+    val q = emb.filter($"vec_id" < 10)
+    val stored = Similarity.ivfPqSearch(
+      spark.read.parquet(dir).withColumn("cell", $"cell".cast("long")),
+      q, emb, 5, pruneStored = true).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val inline = Similarity.ivfPqTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stored == inline, "appended-store search diverged from rebuild")
+  }
+
   test("PQ ANN: codes are 4-bit, codebook vectors self-encode, recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val codes = Similarity.pqCodes(emb).collect()
