@@ -686,6 +686,46 @@ object Binary {
   def videoHeight(id: Long): Int = (4 + id % 4).toInt
   def videoFrames(id: Long): Int = (2 + id % 4).toInt
 
+  /** The q141 synthetic corpus: CLIPS cut from virtual long videos, so
+    * near-duplicate pairs exist by construction. Assets group in threes
+    * by `seed = id / 3`; within a group each clip covers virtual frames
+    * [start, start+n) with start = (id%3)·2 and n = 3 + id%3, so clips
+    * 3k/3k+1 share 1 frame (Jaccard 1/6) and 3k+1/3k+2 share 2 (2/7) —
+    * content above and below a 0.25 threshold in every group. Frame
+    * PIXELS are integer arithmetic of (seed, virtual frame, x, y) and
+    * geometry is seed-derived, so identical virtual frames decode to
+    * identical statistics across assets and DuckDB replays every
+    * fingerprint without a codec. (The pixel arithmetic is mod 256 in
+    * seed, so virtual videos also recur every 256 seeds — at larger sf
+    * the corpus additionally contains pixel-identical re-uploads across
+    * groups, which the near-dup pass correctly surfaces and the oracle
+    * replays.) */
+  def syntheticAviClips(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val seed = id / 3
+        val start = (id % 3) * 2
+        val n = (3 + id % 3).toInt
+        val bytes = Avi.encode((8 + seed % 8).toInt, (4 + seed % 4).toInt,
+          n, (f, x, y) => {
+            val vf = start + f
+            val red = ((seed + 3L * x + 7L * y + 11L * vf) % 256).toInt
+            val green = ((5L * seed + 11L * x + y + 3L * vf) % 256).toInt
+            val blue = ((2L * seed + x + 13L * y + 17L * vf) % 256).toInt
+            (red << 16) | (green << 8) | blue
+          })
+        Row(id, "video/avi", bytes)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL video decode + per-frame feature extraction: parse the RIFF/
     * AVI container once per payload (per-partition iterator — the batch
     * codec seam), verify the frame index against the declared count,
@@ -696,6 +736,20 @@ object Binary {
     * the RIFF walk, the frame index, and the per-frame BMP decode to
     * all round-trip every pixel of every frame. */
   def decodeVideoStats(assets: DataFrame): DataFrame = {
+    val n = col("width").cast("long") * col("height").cast("long")
+    decodeFrameSums(assets)
+      .select(col("asset_id"), col("frame_idx"), col("n_frames"),
+        col("width"), col("height"),
+        round(col("sum_r").cast("double") / n, 6).as("mean_r"),
+        round(col("sum_g").cast("double") / n, 6).as("mean_g"),
+        round(col("sum_b").cast("double") / n, 6).as("mean_b"))
+  }
+
+  /** The decode core shared by [[decodeVideoStats]] and the video
+    * near-dup fingerprinting (q141): one row per (asset, frame) with
+    * the EXACT integer channel sums — the raw material both the
+    * human-facing means and the frame fingerprints derive from. */
+  def decodeFrameSums(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
@@ -730,13 +784,7 @@ object Binary {
         }
       }
     }
-    val n = col("width").cast("long") * col("height").cast("long")
     spark.createDataFrame(rdd, outSchema)
-      .select(col("asset_id"), col("frame_idx"), col("n_frames"),
-        col("width"), col("height"),
-        round(col("sum_r").cast("double") / n, 6).as("mean_r"),
-        round(col("sum_g").cast("double") / n, 6).as("mean_g"),
-        round(col("sum_b").cast("double") / n, 6).as("mean_b"))
   }
 
   /** REAL selective video decode (q139): frame sampling through the

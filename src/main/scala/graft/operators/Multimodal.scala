@@ -11,6 +11,46 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal extends QueryPack {
 
+  /** Video near-duplicate pairs (q141): which assets are cuts of the
+    * same underlying footage? Each frame of each REAL container decodes
+    * ([[Binary.decodeFrameSums]]) to an exact-integer fingerprint
+    * (width, height, channel sums) — identical content, identical
+    * fingerprint, bit-stable across engines. Per asset the DISTINCT
+    * fingerprint set; per fingerprint the (small, clip-group-bounded)
+    * sorted asset set, from which pairs are emitted FINGERPRINT-LOCALLY
+    * — the q111/q56 bucket-local pair idea; a fingerprint-keyed
+    * self-join would square any hot frame (e.g. black frames at scale,
+    * where a frequency cap on the fingerprint set is the standard
+    * knob). Pair Jaccard over frame sets ≥ threshold. The decode pass
+    * is the only touch of media bytes; everything after moves
+    * 5-integer fingerprints and bounded pair rows. */
+  def videoNearDup(assets: org.apache.spark.sql.DataFrame,
+                   threshold: Double): org.apache.spark.sql.DataFrame = {
+    val prints = Binary.decodeFrameSums(assets)
+      .select(col("asset_id"), struct(col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b")).as("print"))
+      .distinct()
+    val counts = prints.groupBy(col("asset_id")).agg(count(lit(1)).as("n"))
+    val sets = prints.groupBy(col("print"))
+      .agg(sort_array(collect_set(col("asset_id"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+    val pairs = sets.select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
+          struct(x.as("asset_a"), y.as("asset_b")))))).as("p"))
+      .groupBy(col("p.asset_a").as("asset_a"), col("p.asset_b").as("asset_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+    pairs
+      .join(counts.select(col("asset_id").as("asset_a"), col("n").as("n_a")),
+        "asset_a")
+      .join(counts.select(col("asset_id").as("asset_b"), col("n").as("n_b")),
+        "asset_b")
+      .withColumn("raw", col("shared_frames").cast("double") /
+        (col("n_a") + col("n_b") - col("shared_frames")))
+      .filter(col("raw") >= threshold)
+      .select(col("asset_a"), col("asset_b"), col("shared_frames"),
+        col("n_a"), col("n_b"), round(col("raw"), 6).as("jaccard"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q60_binary_meta" -> Q(
       (s, d) => {
@@ -288,6 +328,67 @@ object Multimodal extends QueryPack {
         FROM c GROUP BY asset_id, f
       """.stripMargin),
       doc = "selective video decode: idx1 index-seek, only sampled frames' bytes read + decoded"),
+
+    // ---- video near-dup (r12): the multimodal face of the dedup
+    // family. REAL decode -> per-frame exact-integer fingerprint ->
+    // fingerprint-LOCAL pair generation (the q111 shape: assets sharing
+    // a frame reduce to one sorted set per fingerprint; no
+    // fingerprint-keyed self-join) -> frame-set Jaccard >= t. The clip
+    // corpus plants overlapping cuts of virtual videos, so the oracle
+    // replays every fingerprint from generator arithmetic. ----
+    "q141_video_neardup" -> Q(
+      (s, d) => videoNearDup(
+        Binary.syntheticAviClips(T.documents(s, d)), threshold = 0.25),
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS asset_id, doc_id // 3 AS seed,
+                 (doc_id % 3) * 2 AS start, 3 + doc_id % 3 AS n
+          FROM documents
+        ),
+        geo AS (
+          SELECT asset_id, seed, start, n,
+                 8 + seed % 8 AS w, 4 + seed % 4 AS h
+          FROM a
+        ),
+        af AS (
+          SELECT asset_id, seed, w, h,
+                 start + unnest(range(0, n)) AS vf
+          FROM geo
+        ),
+        px AS (
+          SELECT asset_id, seed, w, h, vf, unnest(range(0, w * h)) AS p
+          FROM af
+        ),
+        fr AS (
+          SELECT asset_id, w, h, vf,
+                 sum((seed + 3 * (p % w) + 7 * (p // w) + 11 * vf) % 256) AS sr,
+                 sum((5 * seed + 11 * (p % w) + (p // w) + 3 * vf) % 256) AS sg,
+                 sum((2 * seed + (p % w) + 13 * (p // w) + 17 * vf) % 256) AS sb
+          FROM px GROUP BY asset_id, w, h, vf
+        ),
+        pr AS (SELECT DISTINCT asset_id, w, h, sr, sg, sb FROM fr),
+        np AS (SELECT asset_id, count(*) AS n FROM pr GROUP BY asset_id),
+        sh AS (
+          SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+                 count(*) AS shared_frames
+          FROM pr x
+          JOIN pr y ON x.w = y.w AND x.h = y.h AND x.sr = y.sr
+                   AND x.sg = y.sg AND x.sb = y.sb
+                   AND x.asset_id < y.asset_id
+          GROUP BY 1, 2
+        )
+        SELECT asset_a, asset_b,
+               CAST(sh.shared_frames AS BIGINT) AS shared_frames,
+               CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+               round(CAST(sh.shared_frames AS DOUBLE)
+                     / (na.n + nb.n - sh.shared_frames), 6) AS jaccard
+        FROM sh
+        JOIN np na ON sh.asset_a = na.asset_id
+        JOIN np nb ON sh.asset_b = nb.asset_id
+        WHERE CAST(sh.shared_frames AS DOUBLE)
+              / (na.n + nb.n - sh.shared_frames) >= 0.25
+      """.stripMargin),
+      doc = "video near-dup: REAL decode -> frame fingerprints -> fingerprint-local pairs -> frame-set Jaccard"),
 
     // ---- frame sampling fan-out over REAL container frame counts ----
     "q64_frame_sample" -> Q(
