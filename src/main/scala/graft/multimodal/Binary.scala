@@ -221,6 +221,100 @@ object Binary {
   def syntheticWidth(id: Long): Int = (16 + id % 16).toInt
   def syntheticHeight(id: Long): Int = (8 + id % 8).toInt
 
+  /** The q142 synthetic corpus: 16×16 BMP pairs where odd asset 2k+1 is
+    * a RE-COMPOSITED copy of even asset 2k's content (seed = id/2) with
+    * two 2×2 tiles SWAPPED (tile seed%64 and its mirror 63−that) — a
+    * retouch that PRESERVES the global luma sum, so the aHash threshold
+    * is untouched and the twin's hamming distance is exactly the
+    * swapped tiles' bit difference: ≤ 2, guaranteed under the banding's
+    * <4 pigeonhole. Gradient DIRECTION varies with the seed
+    * (coefficients, not just offsets), so distinct seeds give genuinely
+    * different tile-sum shapes rather than one shifted gradient that
+    * every aHash would cluster. Fixed geometry keeps the aHash grid an
+    * exact 2×2-pixel tiling: every hash bit is integer arithmetic
+    * DuckDB replays without a codec. */
+  def syntheticBmpNearDups(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val seed = id / 2
+        val c1 = (seed % 64).toInt
+        val c2 = 63 - c1
+        def base(x: Int, y: Int): Int = {
+          val red = ((seed + (3L + seed % 5) * x + (7L + seed % 11) * y) % 256).toInt
+          val green = ((5L * seed + (11L + seed % 7) * x + (1L + seed % 13) * y) % 256).toInt
+          val blue = ((2L * seed + (1L + seed % 3) * x + (13L + seed % 17) * y) % 256).toInt
+          (red << 16) | (green << 8) | blue
+        }
+        val bytes = Bmp.encode(16, 16, (x, y) => {
+          val tile = (y / 2) * 8 + x / 2
+          if (id % 2 == 1 && tile == c1)
+            base((c2 % 8) * 2 + x % 2, (c2 / 8) * 2 + y % 2)
+          else if (id % 2 == 1 && tile == c2)
+            base((c1 % 8) * 2 + x % 2, (c1 / 8) * 2 + y % 2)
+          else base(x, y)
+        })
+        Row(id, "image/bmp", bytes)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Perceptual average-hash over REAL decoded images (the q142 decode
+    * seam): ImageIO-decode each payload, sum integer luma (r+g+b) per
+    * 2×2 tile of the 16×16 frame → 64 tile sums; bit j (row-major tile
+    * index) is 1 iff tile_sum·64 > total_sum (integer-exact — no mean
+    * division), packed into two unsigned 32-bit halves so the value
+    * stays in DuckDB's non-overflowing BIGINT domain. Identical content
+    * hashes identically; a local retouch flips at most the touched
+    * tile's bit plus the few tiles within the mean shift of the
+    * threshold. */
+  def imageAHash(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("hash_hi", LongType, nullable = false),
+      StructField("hash_lo", LongType, nullable = false)))
+    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        require(img != null, s"asset $id: ImageIO decode failed")
+        require(img.getWidth == 16 && img.getHeight == 16,
+          s"asset $id: aHash expects 16x16, got ${img.getWidth}x${img.getHeight}")
+        val cells = new Array[Long](64)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val p = img.getRGB(x, y)
+            cells((y / 2) * 8 + x / 2) +=
+              ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val total = cells.sum
+        var (hi, lo) = (0L, 0L)
+        var j = 0
+        while (j < 64) {
+          if (cells(j) * 64 > total) {
+            if (j >= 32) hi |= 1L << (j - 32) else lo |= 1L << j
+          }
+          j += 1
+        }
+        Row(id, hi, lo)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL image decode + pixel feature extraction: ImageIO-decode each
     * payload once (per-partition iterator — the batch codec seam),
     * derive decoded width/height, per-channel means (exact integer sums,

@@ -51,6 +51,47 @@ object Multimodal extends QueryPack {
         col("n_a"), col("n_b"), round(col("raw"), 6).as("jaccard"))
   }
 
+  /** Image near-duplicate pairs by perceptual hash (q142): aHash each
+    * REAL decoded image ([[Binary.imageAHash]] — 64 bits as two
+    * unsigned 32-bit halves), band the hash into 4×16-bit keys, emit
+    * candidate pairs BAND-LOCALLY (one sorted asset set per (band,
+    * value) bucket — the q65 SimHash recipe on the image side; never a
+    * hash self-join), dedup candidates, then confirm by exact Hamming
+    * distance ≤ k over the full 64 bits. Only hashes and bounded pair
+    * rows move after the decode pass; like every banded-LSH tier the
+    * band split bounds recall: a pair is GUARANTEED found when its
+    * hamming distance is < 4 (pigeonhole — some 16-bit band is
+    * untouched), probabilistic beyond that. More/wider bands are the
+    * standard dial, exactly as in the q65 text tier. */
+  def imageNearDup(assets: org.apache.spark.sql.DataFrame,
+                   maxHamming: Int): org.apache.spark.sql.DataFrame = {
+    val hashes = Binary.imageAHash(assets)
+    val mask = lit(0xffffL)
+    val bands = hashes.select(col("asset_id"), explode(array(
+        struct(lit(0).as("bi"), shiftright(col("hash_hi"), 16).bitwiseAND(mask).as("bv")),
+        struct(lit(1).as("bi"), col("hash_hi").bitwiseAND(mask).as("bv")),
+        struct(lit(2).as("bi"), shiftright(col("hash_lo"), 16).bitwiseAND(mask).as("bv")),
+        struct(lit(3).as("bi"), col("hash_lo").bitwiseAND(mask).as("bv")))).as("b"))
+      .select(col("asset_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val cand = bands.groupBy(col("bi"), col("bv"))
+      .agg(sort_array(collect_set(col("asset_id"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
+          struct(x.as("asset_a"), y.as("asset_b")))))).as("p"))
+      .select(col("p.asset_a").as("asset_a"), col("p.asset_b").as("asset_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("asset_id").as("asset_a"),
+        col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a")), "asset_a")
+      .join(hashes.select(col("asset_id").as("asset_b"),
+        col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b")), "asset_b")
+      .withColumn("hamming", (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+        bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("asset_a"), col("asset_b"), col("hamming"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q60_binary_meta" -> Q(
       (s, d) => {
@@ -389,6 +430,86 @@ object Multimodal extends QueryPack {
               / (na.n + nb.n - sh.shared_frames) >= 0.25
       """.stripMargin),
       doc = "video near-dup: REAL decode -> frame fingerprints -> fingerprint-local pairs -> frame-set Jaccard"),
+
+    // ---- image near-dup by perceptual hash (r12): aHash over REAL
+    // decoded pixels, 4x16-bit band candidates, exact hamming confirm.
+    // The corpus plants recomposited twins (two tiles swapped — a
+    // mean-preserving retouch, so twin hamming <= 2 by construction),
+    // and the oracle replays hash bits, banding and hamming from the
+    // pixel generator's integer arithmetic. ----
+    "q142_image_ahash_neardup" -> Q(
+      (s, d) => imageNearDup(
+        Binary.syntheticBmpNearDups(T.documents(s, d)), maxHamming = 4),
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS asset_id, doc_id // 2 AS seed, doc_id % 2 AS v,
+                 (doc_id // 2) % 64 AS c1, 63 - ((doc_id // 2) % 64) AS c2
+          FROM documents
+        ),
+        px AS (
+          SELECT asset_id, seed, v, c1, c2, p % 16 AS x, p // 16 AS y
+          FROM (SELECT *, unnest(range(0, 256)) AS p FROM a)
+        ),
+        src AS (
+          SELECT asset_id, seed, (y // 2) * 8 + (x // 2) AS cell,
+                 CASE WHEN v = 1 AND (y // 2) * 8 + (x // 2) = c1
+                        THEN (c2 % 8) * 2 + x % 2
+                      WHEN v = 1 AND (y // 2) * 8 + (x // 2) = c2
+                        THEN (c1 % 8) * 2 + x % 2
+                      ELSE x END AS xx,
+                 CASE WHEN v = 1 AND (y // 2) * 8 + (x // 2) = c1
+                        THEN (c2 // 8) * 2 + y % 2
+                      WHEN v = 1 AND (y // 2) * 8 + (x // 2) = c2
+                        THEN (c1 // 8) * 2 + y % 2
+                      ELSE y END AS yy
+          FROM px
+        ),
+        lum AS (
+          SELECT asset_id, cell,
+                 (seed + (3 + seed % 5) * xx + (7 + seed % 11) * yy) % 256
+               + (5 * seed + (11 + seed % 7) * xx + (1 + seed % 13) * yy) % 256
+               + (2 * seed + (1 + seed % 3) * xx + (13 + seed % 17) * yy) % 256
+                 AS luma
+          FROM src
+        ),
+        cells AS (SELECT asset_id, cell, sum(luma) AS s FROM lum GROUP BY 1, 2),
+        tot AS (SELECT asset_id, sum(s) AS t FROM cells GROUP BY 1),
+        bits AS (
+          SELECT cells.asset_id, cell,
+                 CASE WHEN s * 64 > t THEN 1 ELSE 0 END AS bit
+          FROM cells JOIN tot USING (asset_id)
+        ),
+        hashes AS (
+          SELECT asset_id,
+                 CAST(sum(CASE WHEN cell >= 32
+                   THEN bit * (CAST(1 AS BIGINT) << (cell - 32))
+                   ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(sum(CASE WHEN cell < 32
+                   THEN bit * (CAST(1 AS BIGINT) << cell)
+                   ELSE 0 END) AS BIGINT) AS lo
+          FROM bits GROUP BY 1
+        ),
+        bands AS (
+          SELECT asset_id, hi, lo, bi,
+                 CASE bi WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+                         WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS bv
+          FROM hashes CROSS JOIN (SELECT unnest(range(0, 4)) AS bi) b
+        ),
+        cand AS (
+          SELECT DISTINCT x.asset_id AS asset_a, y.asset_id AS asset_b
+          FROM bands x JOIN bands y
+            ON x.bi = y.bi AND x.bv = y.bv AND x.asset_id < y.asset_id
+        )
+        SELECT asset_a, asset_b,
+               CAST(bit_count(xor(ha.hi, hb.hi))
+                  + bit_count(xor(ha.lo, hb.lo)) AS INT) AS hamming
+        FROM cand
+        JOIN hashes ha ON cand.asset_a = ha.asset_id
+        JOIN hashes hb ON cand.asset_b = hb.asset_id
+        WHERE bit_count(xor(ha.hi, hb.hi))
+            + bit_count(xor(ha.lo, hb.lo)) <= 4
+      """.stripMargin),
+      doc = "image near-dup: perceptual aHash over real decoded pixels, banded candidates, exact hamming confirm"),
 
     // ---- frame sampling fan-out over REAL container frame counts ----
     "q64_frame_sample" -> Q(

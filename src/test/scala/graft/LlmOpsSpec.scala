@@ -1070,6 +1070,38 @@ class LlmOpsSpec extends SparkSpec {
       loose.contains((3L * k, 3L * k + 1, 0.166667))))
   }
 
+  test("image aHash near-dup: planted recomposited twins found at hamming <= 2; engine equals the banded reference") {
+    // 60 docs -> 30 twin pairs (2k, 2k+1): same seed content with two
+    // 2x2 tiles SWAPPED — a mean-preserving retouch, so the aHash
+    // threshold is untouched and the twin's hamming is EXACTLY the two
+    // swapped tiles' bit difference: <= 2, inside the banding's <4
+    // pigeonhole guarantee, through the REAL decode -> hash -> band ->
+    // confirm chain
+    val assets = Binary.syntheticBmpNearDups(
+      Tables.documents(spark, sf).limit(60))
+    val found = operators.Multimodal.imageNearDup(assets, maxHamming = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    (0 until 30).foreach { k =>
+      val p = (2L * k, 2L * k + 1)
+      assert(found.contains(p), s"planted twin $p missed")
+      assert(found(p) <= 2, s"twin $p hamming ${found(p)} > 2")
+    }
+    // the engine must equal the banded reference exactly: brute-force
+    // the collected hashes driver-side, keep pairs that share >= 1 of
+    // the 4 16-bit bands AND confirm at hamming <= 4
+    val hs = Binary.imageAHash(assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    def bandsOf(hi: Long, lo: Long) =
+      Seq((0, hi >> 16), (1, hi & 0xffffL), (2, lo >> 16), (3, lo & 0xffffL))
+    val expect = (for {
+      (a, hiA, loA) <- hs; (b, hiB, loB) <- hs if a < b
+      if bandsOf(hiA, loA).toSet.intersect(bandsOf(hiB, loB).toSet).nonEmpty
+      h = java.lang.Long.bitCount(hiA ^ hiB) + java.lang.Long.bitCount(loA ^ loB)
+      if h <= 4
+    } yield ((a, b), h)).toMap
+    assert(found == expect, "engine diverged from the banded reference")
+  }
+
   test("pixel resize: decode -> NN resample -> re-encode -> decode matches direct generator arithmetic") {
     // driverside single-asset check of the q136 path: the resampled
     // pixel at (x, y) must equal the GENERATOR's value at the floor-
