@@ -509,6 +509,93 @@ object Binary {
           .as("duration_sec"))
   }
 
+  /** The q143 synthetic corpus: mono 16-bit WAV CLIPS cut from virtual
+    * long recordings (the q141 grouping carried to audio): assets group
+    * in threes by seed = id/3; each clip covers virtual windows
+    * [2·(id%3), 2·(id%3) + 3 + id%3) of [[AudioWindow]] samples, so
+    * clips 3k/3k+1 share 1 window (Jaccard 1/6) and 3k+1/3k+2 share 2
+    * (2/7). Samples are integer arithmetic of (seed, virtual window,
+    * offset): identical virtual windows decode to identical
+    * fingerprints, and DuckDB replays them without a codec. */
+  def syntheticWavClips(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val seed = id / 3
+        val sw = (id % 3) * 2
+        val nw = (3 + id % 3).toInt
+        val samples = new Array[Short](nw * AudioWindow)
+        var w = 0
+        while (w < nw) {
+          val vw = sw + w
+          var t = 0
+          while (t < AudioWindow) {
+            // stride varies with the seed so a window's content is keyed
+            // by (offset mod 4001, seed mod 97), not offset alone —
+            // incidental identical windows across recordings stay rare
+            // (they do occur and the pass correctly surfaces them)
+            samples(w * AudioWindow + t) =
+              (((31L * seed + 7919L * vw + (131L + seed % 97) * t) % 4001L)
+                - 2000L).toShort
+            t += 1
+          }
+          w += 1
+        }
+        Row(id, "audio/wav", Wav.encode(8000, 1, samples))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Fingerprint window width for [[audioWindowPrints]]. */
+  val AudioWindow = 200
+
+  /** Windowed audio fingerprints over the REAL decode (the q143 seam):
+    * AudioSystem-decode each mono payload, split the sample stream into
+    * consecutive [[AudioWindow]]-sample windows, and fingerprint each
+    * window with its EXACT integer (sum, sum-of-squares) — identical
+    * audio content fingerprints identically, bit-stably, in any engine.
+    * One row per (asset, window). */
+  def audioWindowPrints(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("win_idx", IntegerType, nullable = false),
+      StructField("s1", LongType, nullable = false),
+      StructField("s2", LongType, nullable = false)))
+    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+          fmt.getChannels == 1, s"asset $id: unexpected decoded format $fmt")
+        val bytes = in.readAllBytes(); in.close()
+        val frames = bytes.length / 2
+        require(frames % AudioWindow == 0,
+          s"asset $id: $frames frames not a multiple of $AudioWindow")
+        (0 until frames / AudioWindow).map { w =>
+          var (s1, s2) = (0L, 0L)
+          var t = 0
+          while (t < AudioWindow) {
+            val o = 2 * (w * AudioWindow + t)
+            val s = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toLong
+            s1 += s; s2 += s * s
+            t += 1
+          }
+          Row(id, w, s1, s2)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Minimal RIFF/AVI container around uncompressed bottom-up 24-bit
     * DIB frames — the real format: hdrl list (avih main header + one
     * strl with a 'vids'/'DIB ' stream header and the strf

@@ -92,6 +92,39 @@ object Multimodal extends QueryPack {
       .select(col("asset_a"), col("asset_b"), col("hamming"))
   }
 
+  /** Audio near-duplicate pairs (q143): clips of the same recording
+    * found through the REAL decode — [[Binary.audioWindowPrints]] turns
+    * each mono stream into exact-integer window fingerprints, then the
+    * q141 machinery runs unchanged: per-asset DISTINCT fingerprint
+    * sets, pairs emitted FINGERPRINT-LOCALLY from one sorted asset set
+    * per fingerprint, window-set Jaccard ≥ threshold. Only 2-integer
+    * fingerprints and bounded pair rows move after the decode pass. */
+  def audioNearDup(assets: org.apache.spark.sql.DataFrame,
+                   threshold: Double): org.apache.spark.sql.DataFrame = {
+    val prints = Binary.audioWindowPrints(assets)
+      .select(col("asset_id"), struct(col("s1"), col("s2")).as("print"))
+      .distinct()
+    val counts = prints.groupBy(col("asset_id")).agg(count(lit(1)).as("n"))
+    val sets = prints.groupBy(col("print"))
+      .agg(sort_array(collect_set(col("asset_id"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+    val pairs = sets.select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
+          struct(x.as("asset_a"), y.as("asset_b")))))).as("p"))
+      .groupBy(col("p.asset_a").as("asset_a"), col("p.asset_b").as("asset_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+    pairs
+      .join(counts.select(col("asset_id").as("asset_a"), col("n").as("n_a")),
+        "asset_a")
+      .join(counts.select(col("asset_id").as("asset_b"), col("n").as("n_b")),
+        "asset_b")
+      .withColumn("raw", col("shared_windows").cast("double") /
+        (col("n_a") + col("n_b") - col("shared_windows")))
+      .filter(col("raw") >= threshold)
+      .select(col("asset_a"), col("asset_b"), col("shared_windows"),
+        col("n_a"), col("n_b"), round(col("raw"), 6).as("jaccard"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q60_binary_meta" -> Q(
       (s, d) => {
@@ -510,6 +543,59 @@ object Multimodal extends QueryPack {
             + bit_count(xor(ha.lo, hb.lo)) <= 4
       """.stripMargin),
       doc = "image near-dup: perceptual aHash over real decoded pixels, banded candidates, exact hamming confirm"),
+
+    // ---- audio near-dup (r12): the q141 clip recipe carried to WAV —
+    // REAL AudioSystem decode -> exact-integer window fingerprints ->
+    // fingerprint-local pairs -> window-set Jaccard. Completes the
+    // per-modality near-dup matrix (text q56/q57, embedding q61, image
+    // q142, video q141, audio here). ----
+    "q143_audio_neardup" -> Q(
+      (s, d) => audioNearDup(
+        Binary.syntheticWavClips(T.documents(s, d)), threshold = 0.25),
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS asset_id, doc_id // 3 AS seed,
+                 (doc_id % 3) * 2 AS sw, 3 + doc_id % 3 AS nw
+          FROM documents
+        ),
+        w AS (
+          SELECT asset_id, seed, sw + unnest(range(0, nw)) AS vw FROM a
+        ),
+        t AS (
+          SELECT asset_id, seed, vw, unnest(range(0, 200)) AS t FROM w
+        ),
+        smp AS (
+          SELECT asset_id, vw,
+                 (31 * seed + 7919 * vw + (131 + seed % 97) * t) % 4001
+                   - 2000 AS s
+          FROM t
+        ),
+        fr AS (
+          SELECT asset_id, vw, sum(s) AS s1, sum(s * s) AS s2
+          FROM smp GROUP BY 1, 2
+        ),
+        pr AS (SELECT DISTINCT asset_id, s1, s2 FROM fr),
+        np AS (SELECT asset_id, count(*) AS n FROM pr GROUP BY 1),
+        sh AS (
+          SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+                 count(*) AS shared_windows
+          FROM pr x
+          JOIN pr y ON x.s1 = y.s1 AND x.s2 = y.s2
+                   AND x.asset_id < y.asset_id
+          GROUP BY 1, 2
+        )
+        SELECT asset_a, asset_b,
+               CAST(sh.shared_windows AS BIGINT) AS shared_windows,
+               CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+               round(CAST(sh.shared_windows AS DOUBLE)
+                     / (na.n + nb.n - sh.shared_windows), 6) AS jaccard
+        FROM sh
+        JOIN np na ON sh.asset_a = na.asset_id
+        JOIN np nb ON sh.asset_b = nb.asset_id
+        WHERE CAST(sh.shared_windows AS DOUBLE)
+              / (na.n + nb.n - sh.shared_windows) >= 0.25
+      """.stripMargin),
+      doc = "audio near-dup: REAL WAV decode -> window fingerprints -> fingerprint-local pairs -> window-set Jaccard"),
 
     // ---- frame sampling fan-out over REAL container frame counts ----
     "q64_frame_sample" -> Q(

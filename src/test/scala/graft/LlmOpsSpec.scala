@@ -1102,6 +1102,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(found == expect, "engine diverged from the banded reference")
   }
 
+  test("audio near-dup: planted clip overlaps surface exactly at the threshold, through real decode") {
+    // the q141 contract on the audio side: 60 docs -> 20 clip groups;
+    // per group clips A/B/C cover windows {0,1,2}/{2..5}/{4..8} of the
+    // same virtual recording, so J(A,B)=1/6 < 0.25 <= J(B,C)=2/7 — the
+    // result must be EXACTLY the 20 (3k+1, 3k+2) pairs
+    val out = operators.Multimodal.audioNearDup(
+      Binary.syntheticWavClips(Tables.documents(spark, sf).limit(60)),
+      threshold = 0.25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    val expect = (0 until 20).map(k =>
+      (3L * k + 1, 3L * k + 2, 2L, 4L, 5L, 0.285714)).toSet
+    assert(out == expect)
+    // the sub-threshold planted pair IS found when the dial drops
+    val loose = operators.Multimodal.audioNearDup(
+      Binary.syntheticWavClips(Tables.documents(spark, sf).limit(60)),
+      threshold = 0.15).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+    assert((0 until 20).forall(k =>
+      loose.contains((3L * k, 3L * k + 1, 0.166667))))
+  }
+
   test("pixel resize: decode -> NN resample -> re-encode -> decode matches direct generator arithmetic") {
     // driverside single-asset check of the q136 path: the resampled
     // pixel at (x, y) must equal the GENERATOR's value at the floor-
