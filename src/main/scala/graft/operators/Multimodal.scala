@@ -125,6 +125,47 @@ object Multimodal extends QueryPack {
         col("n_a"), col("n_b"), round(col("raw"), 6).as("jaccard"))
   }
 
+  /** The corpus-side fingerprint registry for incremental media dedup
+    * (q144): every distinct frame fingerprint seen so far — 5 integers
+    * per distinct frame, the only state the ingest loop carries
+    * (16-byte-per-block q100 registry, carried to media). Store it
+    * bucketed by print (`TableSink.writeBucketed`) and each batch's
+    * knockout reads it in place. */
+  def videoPrintRegistry(corpus: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    Binary.decodeFrameSums(corpus)
+      .select(struct(col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b")).as("print"))
+      .distinct()
+
+  /** Ingest-time video dedup against the REGISTRY (q144): a new batch
+    * decodes once, its distinct fingerprints BROADCAST against the
+    * streaming registry scan (the q132 shape — the corpus-sized
+    * registry is never reshuffled; the join emits at most
+    * batch-fingerprint-many rows), and each batch asset's coverage =
+    * fraction of its distinct frames already seen. Coverage ≥ dropAt →
+    * the asset is a re-crawl/re-upload and is dropped. Per-batch cost
+    * ∝ batch — the property every incremental tier in this engine
+    * shares (q100 blocks, q126 LSH bands, q132 sign-buckets, q133 BM25
+    * stats, q140 PQ codes; this is the media member). */
+  def videoDedupIncremental(registry: org.apache.spark.sql.DataFrame,
+                            batch: org.apache.spark.sql.DataFrame,
+                            dropAt: Double): org.apache.spark.sql.DataFrame = {
+    val bp = Binary.decodeFrameSums(batch)
+      .select(col("asset_id"), struct(col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b")).as("print"))
+      .distinct()
+    val seen = registry.join(broadcast(bp), Seq("print"))
+      .groupBy(col("asset_id")).agg(count(lit(1)).as("n_seen"))
+    bp.groupBy(col("asset_id")).agg(count(lit(1)).as("n_prints"))
+      .join(seen, Seq("asset_id"), "left")
+      .withColumn("n_seen", coalesce(col("n_seen"), lit(0L)))
+      .withColumn("cov", col("n_seen").cast("double") / col("n_prints"))
+      .select(col("asset_id"), col("n_prints"), col("n_seen"),
+        round(col("cov"), 6).as("coverage"),
+        (col("cov") < dropAt).as("kept"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q60_binary_meta" -> Q(
       (s, d) => {
@@ -596,6 +637,74 @@ object Multimodal extends QueryPack {
               / (na.n + nb.n - sh.shared_windows) >= 0.25
       """.stripMargin),
       doc = "audio near-dup: REAL WAV decode -> window fingerprints -> fingerprint-local pairs -> window-set Jaccard"),
+
+    // ---- incremental video dedup vs a fingerprint registry (r12):
+    // the q100/q132 registry-knockout shape carried to media. The
+    // already-ingested corpus (doc_id % 4 != 3) contributes its
+    // distinct frame fingerprints; the new batch (doc_id % 4 == 3 —
+    // clips of the SAME virtual recordings) decodes once, broadcasts
+    // its fingerprints against the streaming registry scan, and each
+    // asset's seen-frame coverage routes keep/drop. Closed-form planted
+    // coverages by group position: 1/3 kept, 3/4 dropped, 2/5 kept. ----
+    "q144_video_dedup_incremental" -> Q(
+      (s, d) => {
+        val docs = T.documents(s, d)
+        videoDedupIncremental(
+          videoPrintRegistry(Binary.syntheticAviClips(
+            docs.filter(col("doc_id") % 4 =!= 3))),
+          Binary.syntheticAviClips(docs.filter(col("doc_id") % 4 === 3)),
+          dropAt = 0.5)
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS asset_id, doc_id // 3 AS seed,
+                 (doc_id % 3) * 2 AS start, 3 + doc_id % 3 AS n,
+                 doc_id % 4 = 3 AS is_batch
+          FROM documents
+        ),
+        geo AS (
+          SELECT asset_id, seed, start, n, is_batch,
+                 8 + seed % 8 AS w, 4 + seed % 4 AS h
+          FROM a
+        ),
+        af AS (
+          SELECT asset_id, seed, w, h, is_batch,
+                 start + unnest(range(0, n)) AS vf
+          FROM geo
+        ),
+        px AS (
+          SELECT asset_id, seed, w, h, is_batch, vf,
+                 unnest(range(0, w * h)) AS p
+          FROM af
+        ),
+        fr AS (
+          SELECT asset_id, is_batch, w, h, vf,
+                 sum((seed + 3 * (p % w) + 7 * (p // w) + 11 * vf) % 256) AS sr,
+                 sum((5 * seed + 11 * (p % w) + (p // w) + 3 * vf) % 256) AS sg,
+                 sum((2 * seed + (p % w) + 13 * (p // w) + 17 * vf) % 256) AS sb
+          FROM px GROUP BY 1, 2, 3, 4, 5
+        ),
+        reg AS (
+          SELECT DISTINCT w, h, sr, sg, sb FROM fr WHERE NOT is_batch
+        ),
+        bp AS (
+          SELECT DISTINCT asset_id, w, h, sr, sg, sb FROM fr WHERE is_batch
+        ),
+        np AS (SELECT asset_id, count(*) AS n_prints FROM bp GROUP BY 1),
+        sn AS (
+          SELECT bp.asset_id, count(*) AS n_seen
+          FROM bp JOIN reg USING (w, h, sr, sg, sb)
+          GROUP BY 1
+        )
+        SELECT np.asset_id, CAST(np.n_prints AS BIGINT) AS n_prints,
+               CAST(coalesce(sn.n_seen, 0) AS BIGINT) AS n_seen,
+               round(CAST(coalesce(sn.n_seen, 0) AS DOUBLE) / np.n_prints, 6)
+                 AS coverage,
+               CAST(coalesce(sn.n_seen, 0) AS DOUBLE) / np.n_prints < 0.5
+                 AS kept
+        FROM np LEFT JOIN sn ON np.asset_id = sn.asset_id
+      """.stripMargin),
+      doc = "incremental video dedup: batch fingerprints broadcast vs streaming registry scan; coverage routes keep/drop"),
 
     // ---- frame sampling fan-out over REAL container frame counts ----
     "q64_frame_sample" -> Q(

@@ -1124,6 +1124,34 @@ class LlmOpsSpec extends SparkSpec {
       loose.contains((3L * k, 3L * k + 1, 0.166667))))
   }
 
+  test("incremental video dedup: registry coverage routes keep/drop at closed-form planted fractions") {
+    // 60 docs: batch = ids ≡ 3 (mod 4); each batch clip's group-mates
+    // are ALWAYS in the registry (ids in a group are consecutive, so at
+    // most one is ≡ 3 mod 4). Coverage by group position is closed-form
+    // from the planted window ranges {0,1,2}/{2..5}/{4..8}:
+    //   m0: seen {2} of 3   -> 1/3  -> kept
+    //   m1: seen {2,4,5} of 4 -> 3/4 -> dropped
+    //   m2: seen {4,5} of 5 -> 2/5  -> kept
+    val docs = Tables.documents(spark, sf).limit(60)
+    val out = operators.Multimodal.videoDedupIncremental(
+      operators.Multimodal.videoPrintRegistry(
+        Binary.syntheticAviClips(docs.filter($"doc_id" % 4 =!= 3))),
+      Binary.syntheticAviClips(docs.filter($"doc_id" % 4 === 3)),
+      dropAt = 0.5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out.keySet == (3L until 60L by 4).toSet)
+    out.foreach { case (id, (np, ns, cov, kept)) =>
+      val expect = (id % 3) match {
+        case 0 => (3L, 1L, 0.333333, true)
+        case 1 => (4L, 3L, 0.75, false)
+        case 2 => (5L, 2L, 0.4, true)
+      }
+      assert((np, ns, cov, kept) == expect,
+        s"asset $id: got ($np, $ns, $cov, $kept), expected $expect")
+    }
+  }
+
   test("pixel resize: decode -> NN resample -> re-encode -> decode matches direct generator arithmetic") {
     // driverside single-asset check of the q136 path: the resampled
     // pixel at (x, y) must equal the GENERATOR's value at the floor-

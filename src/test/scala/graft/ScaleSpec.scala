@@ -289,6 +289,49 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q144 plan: the stored frame-fingerprint registry streams through the knockout — no registry-side exchange") {
+    // the q144 scale claim (SCALE.md §multimodal near-dup): the batch's
+    // distinct fingerprints BROADCAST against the registry scan, so the
+    // corpus-sized registry is never reshuffled — every exchange in the
+    // knockout plan may carry only batch-derived rows.
+    import graft.plans.PlanWalk.walk
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf)
+    val regDir = java.nio.file.Files
+      .createTempDirectory("graft_q144pin_reg").toString
+    operators.Multimodal.videoPrintRegistry(
+        graft.multimodal.Binary.syntheticAviClips(
+          docs.filter($"doc_id" % 4 =!= 3)))
+      .write.mode("overwrite").parquet(s"$regDir/registry")
+    val out = operators.Multimodal.videoDedupIncremental(
+      spark.read.parquet(s"$regDir/registry"),
+      graft.multimodal.Binary.syntheticAviClips(
+        docs.filter($"doc_id" % 4 === 3)),
+      dropAt = 0.5)
+    out.collect() // finalize AQE on THIS plan
+    val nodes = walk(out.queryExecution.executedPlan)
+    val marker = "q144pin_reg"
+    assert(nodes.exists(n =>
+      n.getClass.getSimpleName.startsWith("FileSourceScan") &&
+        n.toString.contains(marker)),
+      "expected the stored-registry scan in the knockout plan")
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "expected the batch fingerprints to broadcast against the registry")
+    // any exchange whose subtree reaches the registry scan must sit
+    // ABOVE the broadcast join — i.e. it moves the join's output (at
+    // most batch-fingerprint-many rows, partially aggregated), never
+    // raw registry rows. An exchange between the scan and the join
+    // would contain the scan but not the join, and fails here.
+    nodes.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      val sub = walk(e)
+      val carriesRegistry = sub.exists(_.toString.contains(marker))
+      val aboveJoin = sub.exists(_.isInstanceOf[BroadcastHashJoinExec])
+      withClue(e.simpleString(10)) { assert(!carriesRegistry || aboveJoin) }
+    }
+  }
+
   test("q138 plan: the stored cell-partitioned IVF-PQ index is read PARTITION-PRUNED — only probed cells' files") {
     // the q138 scale claim (SCALE.md §IVF-PQ): writing the coded index
     // partitionBy(cell) makes probing a storage-level selection. One
