@@ -149,12 +149,19 @@ object Binary {
   /** Frame sampling: one row per every-k-th frame of each asset — the
     * video→frames fan-out shape. Frame counts come from the REAL
     * container header ([[probeMetadata]]'s sniffer), so this is the
-    * probe seam composed with a generator explode, not a formula. */
+    * probe seam composed with a generator explode, not a formula.
+    * VIDEO-ONLY by contract (advisor r12): the probe's `n_frames` for a
+    * WAV payload is its PCM sample-frame count, so an unfiltered fan-out
+    * over a mixed media table would silently explode each audio asset
+    * into one row per k SAMPLES (thousands per second of audio) — the
+    * codec filter makes the operator safe on mixed tables. */
   def frameSample(assets: DataFrame, every: Int): DataFrame =
-    probeMetadata(assets).select(
-      col("asset_id"),
-      explode(sequence(lit(0), col("meta.n_frames") - 1, lit(every)))
-        .as("frame_idx"))
+    probeMetadata(assets)
+      .filter(col("meta.codec") === "avi")
+      .select(
+        col("asset_id"),
+        explode(sequence(lit(0), col("meta.n_frames") - 1, lit(every)))
+          .as("frame_idx"))
 
   /** Minimal 24-bit uncompressed BMP (BITMAPINFOHEADER) encoder — enough
     * of the real format for the JDK's ImageIO BMP reader to round-trip
@@ -706,6 +713,13 @@ object Binary {
           val ck = fourcc()
           val sz = b.getInt()
           val next = b.position() + sz + (sz & 1) // RIFF pads odd chunks
+          // chunk sizes are untrusted: a negative size would walk
+          // BACKWARD (infinite loop) and an oversized one would surface
+          // as an opaque BufferUnderflow/NegativeArraySize instead of
+          // the designed loud error (advisor r12)
+          require(sz >= 0 && next <= end,
+            s"malformed RIFF chunk '$ck': size $sz at ${b.position() - 8} " +
+              s"overruns list end $end")
           ck match {
             case "LIST" =>
               fourcc() match { // list type consumes 4 of sz
@@ -771,6 +785,11 @@ object Binary {
           val ck = fourcc()
           val sz = b.getInt()
           val next = b.position() + sz + (sz & 1)
+          // same untrusted-size guard as [[parse]]: fail loudly with the
+          // designed message, never hang or throw an opaque JVM error
+          require(sz >= 0 && next <= end,
+            s"malformed RIFF chunk '$ck': size $sz at ${b.position() - 8} " +
+              s"overruns list end $end")
           ck match {
             case "LIST" =>
               fourcc() match {
@@ -822,6 +841,55 @@ object Binary {
       }
       Index(declared, bih, entries)
     }
+
+    /** Tolerant, header-only sniff for [[Binary.probeMetadata]]: walk
+      * hdrl (avih + strf) only, skip the movi list whole — probe cost ∝
+      * header size and NO frame byte is read or copied. Any structural
+      * defect (truncation, corrupt sizes, missing headers) returns None
+      * so a dirty crawl payload degrades to codec="unknown" instead of
+      * failing the probe job (advisor r12 — [[parse]] stays strict for
+      * DECODE callers, where silent partial output would mimic data
+      * loss). */
+    def probeHeader(payload: Array[Byte]): Option[(Int, Int, Int)] =
+      scala.util.Try {
+        val b = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourcc(): String = {
+          val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII")
+        }
+        require(fourcc() == "RIFF"); b.getInt()
+        require(fourcc() == "AVI ")
+        var declared = -1
+        var bih: Array[Byte] = null
+        def walkList(end: Int): Unit = {
+          while (b.position() + 8 <= end && (declared < 0 || bih == null)) {
+            val ck = fourcc()
+            val sz = b.getInt()
+            val next = b.position() + sz + (sz & 1)
+            require(sz >= 0 && next <= end)
+            ck match {
+              case "LIST" =>
+                fourcc() match {
+                  case "hdrl" | "strl" => walkList(next)
+                  case _ => b.position(next) // movi & friends: skipped whole
+                }
+              case "avih" =>
+                declared = b.getInt(b.position() + 16)
+                b.position(next)
+              case "strf" =>
+                bih = new Array[Byte](sz); b.get(bih); b.position(next)
+              case _ => b.position(next)
+            }
+          }
+        }
+        walkList(payload.length)
+        require(declared >= 0 && bih != null && bih.length >= 12)
+        val w = (bih(4) & 0xff) | ((bih(5) & 0xff) << 8) |
+          ((bih(6) & 0xff) << 16) | ((bih(7) & 0xff) << 24)
+        val hRaw = (bih(8) & 0xff) | ((bih(9) & 0xff) << 8) |
+          ((bih(10) & 0xff) << 16) | ((bih(11) & 0xff) << 24)
+        (w, math.abs(hRaw), declared)
+      }.toOption
 
     /** Rehydrate one DIB frame chunk into a decodable BMP: file header +
       * the container's own BITMAPINFOHEADER + the frame bytes. */
@@ -1053,24 +1121,50 @@ object Binary {
               Row(p.length, "bmp", le32(p, 18), math.abs(le32(p, 22)), 1)
             else if (p.length >= 12 && ascii(p, 0) == "RIFF" &&
               ascii(p, 8) == "WAVE") {
-              // walk fmt (blockAlign) + data (size) subchunks
+              // walk fmt (blockAlign) + data (size) subchunks. The size
+              // fields are UNTRUSTED (this path's contract is a dirty
+              // crawl table): a corrupt size >= 2^31 decodes negative
+              // via le32 and an advance of `8 + sz + (sz & 1)` can be
+              // <= 0 — without the strict-progress check the walk spins
+              // forever inside an executor task (advisor r12).
               var (o, blockAlign, dataSize) = (12, -1, -1)
-              while (o + 8 <= p.length && (blockAlign < 0 || dataSize < 0)) {
+              var corrupt = false
+              while (!corrupt && o + 8 <= p.length &&
+                (blockAlign < 0 || dataSize < 0)) {
                 val ck = ascii(p, o); val sz = le32(p, o + 4)
-                if (ck == "fmt ") blockAlign = le16(p, o + 8 + 12)
-                if (ck == "data") dataSize = sz
-                o += 8 + sz + (sz & 1)
+                if (sz < 0) corrupt = true
+                else {
+                  if (ck == "fmt " && o + 8 + 14 <= p.length)
+                    blockAlign = le16(p, o + 8 + 12)
+                  // a declared data size larger than the bytes actually
+                  // present would probe a LYING frame count — degrade
+                  if (ck == "data") {
+                    if (sz > p.length - o - 8) corrupt = true
+                    else dataSize = sz
+                  }
+                  val next = o + 8 + sz + (sz & 1)
+                  if (next <= o) corrupt = true else o = next
+                }
               }
-              val frames = if (blockAlign > 0 && dataSize >= 0)
-                dataSize / blockAlign else -1
-              Row(p.length, "wav", null, null,
-                if (frames >= 0) Int.box(frames) else null)
+              if (corrupt) Row(p.length, "unknown", null, null, null)
+              else {
+                val frames = if (blockAlign > 0 && dataSize >= 0)
+                  dataSize / blockAlign else -1
+                Row(p.length, "wav", null, null,
+                  if (frames >= 0) Int.box(frames) else null)
+              }
             } else if (p.length >= 12 && ascii(p, 0) == "RIFF" &&
               ascii(p, 8) == "AVI ") {
-              val parsed = Avi.parse(p)
-              val w = le32(parsed.bih, 4)
-              val h = math.abs(le32(parsed.bih, 8))
-              Row(p.length, "avi", w, h, parsed.declaredFrames)
+              // header-only probe (avih + strf; movi skipped whole) and
+              // NEVER strict: a truncated/malformed container degrades
+              // to codec="unknown" instead of failing the probe job,
+              // and probe cost stays ∝ header size, not container size
+              // (advisor r12 — the strict Avi.parse copied every frame
+              // byte just to read width/height/frame count)
+              Avi.probeHeader(p) match {
+                case Some((w, h, frames)) => Row(p.length, "avi", w, h, frames)
+                case None => Row(p.length, "unknown", null, null, null)
+              }
             } else Row(p.length, "unknown", null, null, null)
           Row(r.getLong(0), r.getString(1), p, meta)
         }

@@ -85,7 +85,9 @@ object Crawl extends QueryPack {
       kept: DataFrame,     // kept manifest: (doc_id, lang, n_chars)
       summary: DataFrame,  // maintained per-lang summary (grp, n, __t, total)
       assigned: DataFrame, // (vec_id, cell, sim_r) of kept docs
-      clusters: DataFrame = null) // (doc_id, cluster_id) of every SEEN doc
+      // REQUIRED, not defaulted (advisor r12): a null field NPEs only
+      // when consumed, far from the construction site
+      clusters: DataFrame)  // (doc_id, cluster_id) of every SEEN doc
 
   /** 128-bit whole-document content hash — the exact-dup registry key
     * (the q98/q99 block-hash scheme applied at document granularity). */

@@ -1569,7 +1569,11 @@ object Dedup extends QueryPack {
     * aggregation (one row per (lang, band) bucket) and the id-keyed
     * verify joins. */
   /** Size-capped bucket membership for every banded family (MinHash LSH,
-    * its incremental form, SimHash): one window-counted pass over the
+    * its incremental form, SimHash — and the media near-dup tiers' frame/
+    * band buckets, [[Multimodal]] q141/q142/q143, which detonate on the
+    * SAME hot-bucket shape: black frames, silence windows, solid-color
+    * images are the media analogue of boilerplate text): one
+    * window-counted pass over the
     * exploded band relation — count per bucket, keep 2..maxBucket, THEN
     * collect the member lists. The cap's memory contract is preserved
     * (an over-cap mega-bucket is dropped as a window count before any
@@ -1580,8 +1584,10 @@ object Dedup extends QueryPack {
     * sorted, AND scanned twice — the window form exchanges the banded
     * relation exactly once and needs no join at all (measured at 10×
     * sf0.1: 2.1 s vs 2.7-4.7 s for the join shape, identical output). */
-  private def cappedBucketMembers(exploded: DataFrame, keys: Seq[String],
-                                  payload: Column, maxBucket: Int): DataFrame = {
+  private[operators] def cappedBucketMembers(exploded: DataFrame,
+                                             keys: Seq[String],
+                                             payload: Column,
+                                             maxBucket: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
     exploded.withColumn("bsz", count(lit(1)).over(w))
       .filter(col("bsz").between(2, maxBucket))

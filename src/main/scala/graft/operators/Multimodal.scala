@@ -19,21 +19,31 @@ object Multimodal extends QueryPack {
     * fingerprint set; per fingerprint the (small, clip-group-bounded)
     * sorted asset set, from which pairs are emitted FINGERPRINT-LOCALLY
     * — the q111/q56 bucket-local pair idea; a fingerprint-keyed
-    * self-join would square any hot frame (e.g. black frames at scale,
-    * where a frequency cap on the fingerprint set is the standard
-    * knob). Pair Jaccard over frame sets ≥ threshold. The decode pass
-    * is the only touch of media bytes; everything after moves
-    * 5-integer fingerprints and bounded pair rows. */
+    * self-join would square any hot frame. Pair Jaccard over frame sets
+    * ≥ threshold. The decode pass is the only touch of media bytes;
+    * everything after moves 5-integer fingerprints and bounded pair
+    * rows. The bucket stage runs through the text tier's size-capped
+    * primitive ([[Dedup.cappedBucketMembers]], VERDICT r12 §next-1):
+    * on a real corpus black/solid-color frames are ubiquitous, and one
+    * hot fingerprint of b assets is otherwise b²/2 pairs plus one
+    * unbounded aggregate row — the exact detonation the text tier's cap
+    * fixed (measured 293 s → 6 s on q56's soft bands). A capped-out
+    * bucket trades a sliver of recall (pairs whose ONLY shared content
+    * is the hot frame — noise by construction) for boundedness; no
+    * bucket approaches the default cap at the catalog's corpus sizes. */
   def videoNearDup(assets: org.apache.spark.sql.DataFrame,
-                   threshold: Double): org.apache.spark.sql.DataFrame = {
+                   threshold: Double,
+                   maxBucket: Int = 100000): org.apache.spark.sql.DataFrame = {
     val prints = Binary.decodeFrameSums(assets)
       .select(col("asset_id"), struct(col("width"), col("height"),
         col("sum_r"), col("sum_g"), col("sum_b")).as("print"))
       .distinct()
     val counts = prints.groupBy(col("asset_id")).agg(count(lit(1)).as("n"))
-    val sets = prints.groupBy(col("print"))
-      .agg(sort_array(collect_set(col("asset_id"))).as("ss"))
-      .filter(size(col("ss")) >= 2)
+    // prints is one row per (asset, print), so the window count the cap
+    // filters on IS the bucket's member count
+    val sets = Dedup.cappedBucketMembers(prints, Seq("print"),
+        col("asset_id"), maxBucket)
+      .select(col("print"), sort_array(col("ms")).as("ss"))
     val pairs = sets.select(explode(flatten(transform(col("ss"), (x, i) =>
         transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
           struct(x.as("asset_a"), y.as("asset_b")))))).as("p"))
@@ -62,9 +72,12 @@ object Multimodal extends QueryPack {
     * band split bounds recall: a pair is GUARANTEED found when its
     * hamming distance is < 4 (pigeonhole — some 16-bit band is
     * untouched), probabilistic beyond that. More/wider bands are the
-    * standard dial, exactly as in the q65 text tier. */
+    * standard dial, exactly as in the q65 text tier. Band buckets are
+    * size-capped ([[Dedup.cappedBucketMembers]] — solid-color images
+    * all share aHash 0 and would otherwise square in every band). */
   def imageNearDup(assets: org.apache.spark.sql.DataFrame,
-                   maxHamming: Int): org.apache.spark.sql.DataFrame = {
+                   maxHamming: Int,
+                   maxBucket: Int = 100000): org.apache.spark.sql.DataFrame = {
     val hashes = Binary.imageAHash(assets)
     val mask = lit(0xffffL)
     val bands = hashes.select(col("asset_id"), explode(array(
@@ -73,9 +86,12 @@ object Multimodal extends QueryPack {
         struct(lit(2).as("bi"), shiftright(col("hash_lo"), 16).bitwiseAND(mask).as("bv")),
         struct(lit(3).as("bi"), col("hash_lo").bitwiseAND(mask).as("bv")))).as("b"))
       .select(col("asset_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
-    val cand = bands.groupBy(col("bi"), col("bv"))
-      .agg(sort_array(collect_set(col("asset_id"))).as("ss"))
-      .filter(size(col("ss")) >= 2)
+    // one row per (asset, band index) by construction → the window count
+    // is the bucket's member count, and the cap drops a hot (bi, bv)
+    // bucket BEFORE any member list materializes
+    val cand = Dedup.cappedBucketMembers(bands, Seq("bi", "bv"),
+        col("asset_id"), maxBucket)
+      .select(sort_array(col("ms")).as("ss"))
       .select(explode(flatten(transform(col("ss"), (x, i) =>
         transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
           struct(x.as("asset_a"), y.as("asset_b")))))).as("p"))
@@ -98,16 +114,19 @@ object Multimodal extends QueryPack {
     * q141 machinery runs unchanged: per-asset DISTINCT fingerprint
     * sets, pairs emitted FINGERPRINT-LOCALLY from one sorted asset set
     * per fingerprint, window-set Jaccard ≥ threshold. Only 2-integer
-    * fingerprints and bounded pair rows move after the decode pass. */
+    * fingerprints and bounded pair rows move after the decode pass;
+    * buckets are size-capped like q141's (a silence window is audio's
+    * black frame — one hot fingerprint must not square). */
   def audioNearDup(assets: org.apache.spark.sql.DataFrame,
-                   threshold: Double): org.apache.spark.sql.DataFrame = {
+                   threshold: Double,
+                   maxBucket: Int = 100000): org.apache.spark.sql.DataFrame = {
     val prints = Binary.audioWindowPrints(assets)
       .select(col("asset_id"), struct(col("s1"), col("s2")).as("print"))
       .distinct()
     val counts = prints.groupBy(col("asset_id")).agg(count(lit(1)).as("n"))
-    val sets = prints.groupBy(col("print"))
-      .agg(sort_array(collect_set(col("asset_id"))).as("ss"))
-      .filter(size(col("ss")) >= 2)
+    val sets = Dedup.cappedBucketMembers(prints, Seq("print"),
+        col("asset_id"), maxBucket)
+      .select(col("print"), sort_array(col("ms")).as("ss"))
     val pairs = sets.select(explode(flatten(transform(col("ss"), (x, i) =>
         transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
           struct(x.as("asset_a"), y.as("asset_b")))))).as("p"))

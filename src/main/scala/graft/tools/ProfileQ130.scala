@@ -58,13 +58,16 @@ object ProfileQ130 {
       half.select(col("doc_id"), graft.functions.NGramHash64
         .ngramHashes(graft.functions.TextOps.words(col("text")), 1).as("wset"))
         .localCheckpoint() }
-    val st = Crawl.State(seen, bands, sets,
-      half.select(col("doc_id"), col("lang"), col("n_chars")).localCheckpoint(),
-      Summary.summarize(half, col("lang"), col("n_chars")).localCheckpoint(),
-      null)
     val mapping = time("state: cluster mapping (full CC over first half)") {
       Dedup.componentsFromEdges(half.select(col("doc_id")),
         Dedup.minhashCandidates(half, 0.8)).localCheckpoint() }
+    val st = Crawl.State(seen, bands, sets,
+      half.select(col("doc_id"), col("lang"), col("n_chars")).localCheckpoint(),
+      Summary.summarize(half, col("lang"), col("n_chars")).localCheckpoint(),
+      // assigned is unused by the phases below; empty, never null
+      emb.limit(0).select(col("vec_id"), col("vec_id").as("cell"),
+        lit(0.0).as("sim_r")),
+      mapping)
     val pb = time("nearPairs LSH verify + write") {
       Crawl.nearPairs(st, batch, 0.8)
         .write.mode("overwrite").parquet(s"$root2/pairs")

@@ -895,6 +895,77 @@ class LlmOpsSpec extends SparkSpec {
     assert(codecs == Set("bmp", "wav", "avi", "unknown"))
   }
 
+  test("probe tolerates corrupt containers (no hang, no throw); decode parses stay strict; frameSample is video-only") {
+    // advisor r12: the probe's contract is a DIRTY crawl media table.
+    // Three adversarial payloads that used to hang or fail the job:
+    //  - a WAV whose subchunk size decodes negative via le32 (advance 0
+    //    -> the old walk spun forever in an executor task)
+    //  - a WAV whose size overruns the payload (advance past the end)
+    //  - a truncated AVI (valid magic, body cut mid-hdrl) — the old
+    //    probe called the strict Avi.parse and threw
+    def wavWithDataSize(sz: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      b.put("data".getBytes("US-ASCII")).putInt(sz)
+      b.array()
+    }
+    val goodAvi = graft.multimodal.Binary.Avi.encode(8, 4, 2,
+      (_, _, _) => 0x010203)
+    val truncatedAvi = java.util.Arrays.copyOfRange(goodAvi, 0, 40)
+    val negChunkAvi = goodAvi.clone()
+    negChunkAvi(16) = 0xff.toByte; negChunkAvi(17) = 0xff.toByte
+    negChunkAvi(18) = 0xff.toByte; negChunkAvi(19) = 0xff.toByte // hdrl sz = -1
+    val dirty = Seq(
+      (1L, "audio/wav", wavWithDataSize(-8)),
+      (2L, "audio/wav", wavWithDataSize(1 << 30)),
+      (3L, "video/avi", truncatedAvi),
+      (4L, "video/avi", negChunkAvi),
+      (5L, "video/avi", goodAvi))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(dirty.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2, t._3)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("asset_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("media_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType, nullable = false))))
+    val got = Binary.probeMetadata(df)
+      .select($"asset_id", $"meta.codec", $"meta.n_frames")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2)))).toMap
+    assert(got(1L) == (("unknown", -1)), "negative WAV size must degrade")
+    assert(got(2L) == (("unknown", -1)), "overrunning WAV size must degrade")
+    assert(got(3L) == (("unknown", -1)), "truncated AVI must degrade")
+    assert(got(4L) == (("unknown", -1)), "negative AVI chunk must degrade")
+    assert(got(5L) == (("avi", 2)), "a clean AVI still probes exactly")
+    // the strict decode parses keep their loud, DESIGNED failure on the
+    // same garbage (silent partial decode would mimic data loss)
+    import graft.multimodal.Binary.Avi
+    val e1 = intercept[IllegalArgumentException](Avi.parse(negChunkAvi))
+    assert(e1.getMessage.contains("malformed RIFF chunk"))
+    val e2 = intercept[IllegalArgumentException](Avi.parseIndex(negChunkAvi))
+    assert(e2.getMessage.contains("malformed RIFF chunk"))
+    // frameSample on a MIXED table fans out only video assets: a WAV's
+    // n_frames is its PCM sample-frame count and must not explode
+    val docs = Tables.documents(spark, sf).limit(12)
+    val mixed = Binary.syntheticAviAssets(docs.filter($"doc_id" % 2 === 0))
+      .unionByName(Binary.syntheticWavAssets(docs.filter($"doc_id" % 2 === 1)))
+    val sampled = Binary.frameSample(mixed, every = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(sampled.map(_._1).distinct.forall(_ % 2 == 0),
+      "audio assets must not fan out")
+    val expect = (0L until 12L by 2).flatMap(id =>
+      (0 until Binary.videoFrames(id) by 2).map(f => (id, f))).toSet
+    assert(sampled.toSet == expect)
+  }
+
   test("PortableHash: affine61 == BigInt reference; base60 == md5-hex prefix parse") {
     // the contract the q56/q57/q65 oracles stand on: the JVM's folded
     // 128-bit arithmetic must equal exact big-integer math for every
@@ -1278,6 +1349,141 @@ class LlmOpsSpec extends SparkSpec {
     val got = Dedup.spanRewrite(docs, width = 10).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(got(1L) == text, "an intra-doc repeat must not drop tokens")
+  }
+
+  test("media near-dup bucket cap: a hot fingerprint (black frame / solid image / silence) stays bounded; planted pairs below the cap survive") {
+    // VERDICT r12 §next-1: the adversarial corpus a planted-similarity
+    // generator never produces — ONE fingerprint shared by many assets
+    // (black frames, solid-color images, silence windows are ubiquitous
+    // on real corpora). Uncapped, that bucket is b²/2 candidate pairs
+    // and one unbounded aggregate row; the cap must drop it as a window
+    // count while every planted true pair in a small bucket is still
+    // found. All data is deterministic; assertions are exact sets.
+    import graft.multimodal.Binary.{Avi, Bmp, Wav}
+    val assetSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("asset_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("media_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    def assets(mt: String, rows: Seq[(Long, Array[Byte])]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (id, p) =>
+            org.apache.spark.sql.Row(id, mt, p) }, 4), assetSchema)
+    def shuffleRecords(body: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) acc.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(400) } // listener bus is async; drain
+      finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+
+    // ---- VIDEO: 40 assets share one black frame; 5 planted true pairs
+    // (2 shared unique frames of 4 distinct -> J = 0.5) sit in buckets
+    // of size 2. Unique frames are distinct constant colors (injective
+    // in the frame id), so NO incidental print collisions exist.
+    def colorFrame(cid: Int): (Int, Int, Int) => Int =
+      (_, _, _) => ((cid % 256) << 16) | (((cid / 256) % 256) << 8) | 37
+    def videoAsset(frameIds: Seq[Int]): Array[Byte] =
+      Avi.encode(8, 4, frameIds.size,
+        (f, x, y) => colorFrame(frameIds(f))(x, y, 0))
+    val hotV = (0 until 40).map(i =>
+      (i.toLong, videoAsset(Seq(0, 1000 + i * 4 + 1, 1000 + i * 4 + 2))))
+    val plantedV = (0 until 5).flatMap { j =>
+      Seq((100L + 2 * j, videoAsset(Seq(20000 + j * 10, 20000 + j * 10 + 1,
+            20000 + j * 10 + 2))),
+          (101L + 2 * j, videoAsset(Seq(20000 + j * 10 + 1,
+            20000 + j * 10 + 2, 20000 + j * 10 + 3))))
+    }
+    val videoCorpus = assets("video/avi", hotV ++ plantedV)
+    // threshold 0.1 ADMITS hot-only pairs (J = 1/5): the capped run must
+    // still exclude every pair whose only shared content is the hot
+    // frame, because the bucket never generates them
+    def vPairs(cap: Int) = operators.Multimodal
+      .videoNearDup(videoCorpus, threshold = 0.1, maxBucket = cap)
+      .select($"asset_a", $"asset_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plantedPairs = (0 until 5)
+      .map(j => (100L + 2 * j, 101L + 2 * j)).toSet
+    var cappedV = Set.empty[(Long, Long)]
+    var uncappedV = Set.empty[(Long, Long)]
+    val cappedRecords = shuffleRecords { cappedV = vPairs(8) }
+    val uncappedRecords = shuffleRecords { uncappedV = vPairs(100000) }
+    assert(cappedV == plantedPairs,
+      s"capped run must emit exactly the planted pairs, got $cappedV")
+    assert(uncappedV == plantedPairs ++
+      (for (a <- 0 until 40; b <- a + 1 until 40) yield (a.toLong, b.toLong)),
+      "uncapped reference must include every hot-only pair")
+    // boundedness is MEASURED, not asserted from the plan: the uncapped
+    // run shuffles the 40·39/2 = 780 hot pair rows the cap never emits
+    assert(uncappedRecords - cappedRecords >= 700L,
+      s"expected the cap to remove >= 700 shuffled pair rows, " +
+        s"got capped=$cappedRecords uncapped=$uncappedRecords")
+
+    // ---- IMAGE: 30 solid-color images all hash to aHash 0 (every tile
+    // equals the mean) -> one hot bucket per band; uncapped they ALL
+    // confirm pairwise at hamming 0 (the classic aHash failure). Twins
+    // from the q142 generator (ids 0..19 -> 10 twin pairs) live in
+    // small buckets and must survive the cap.
+    val solids = (0 until 30).map { i =>
+      (10000L + i, Bmp.encode(16, 16, (_, _) => (i * 7919) & 0xffffff))
+    }
+    val twins = Binary.syntheticBmpNearDups(
+      Tables.documents(spark, sf).limit(20))
+    val imageCorpus = twins.unionByName(assets("image/bmp", solids))
+    def iPairs(cap: Int) = operators.Multimodal
+      .imageNearDup(imageCorpus, maxHamming = 4, maxBucket = cap)
+      .select($"asset_a", $"asset_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cappedI = iPairs(8)
+    val uncappedI = iPairs(100000)
+    val solidPairs = (for (a <- 0 until 30; b <- a + 1 until 30)
+      yield (10000L + a, 10000L + b)).toSet
+    assert(solidPairs.subsetOf(uncappedI),
+      "uncapped reference must confirm every solid-solid pair at hamming 0")
+    assert(cappedI == uncappedI -- solidPairs,
+      "capped run must drop exactly the hot-bucket pairs")
+    assert((0 until 10).forall(k => cappedI.contains((2L * k, 2L * k + 1))),
+      "planted twins below the cap must survive")
+
+    // ---- AUDIO: 40 clips share one silence window (s1 = s2 = 0); 5
+    // planted pairs share 2 constant-amplitude windows of 4 distinct.
+    def audioAsset(winAmps: Seq[Int]): Array[Byte] = {
+      val samples = new Array[Short](winAmps.size * Binary.AudioWindow)
+      winAmps.zipWithIndex.foreach { case (a, w) =>
+        java.util.Arrays.fill(samples, w * Binary.AudioWindow,
+          (w + 1) * Binary.AudioWindow, a.toShort)
+      }
+      Wav.encode(8000, 1, samples)
+    }
+    val hotA = (0 until 40).map(i =>
+      (i.toLong, audioAsset(Seq(0, 100 + i * 4 + 1, 100 + i * 4 + 2))))
+    val plantedA = (0 until 5).flatMap { j =>
+      Seq((100L + 2 * j, audioAsset(Seq(1000 + j * 10, 1000 + j * 10 + 1,
+            1000 + j * 10 + 2))),
+          (101L + 2 * j, audioAsset(Seq(1000 + j * 10 + 1,
+            1000 + j * 10 + 2, 1000 + j * 10 + 3))))
+    }
+    val audioCorpus = assets("audio/wav", hotA ++ plantedA)
+    def aPairs(cap: Int) = operators.Multimodal
+      .audioNearDup(audioCorpus, threshold = 0.1, maxBucket = cap)
+      .select($"asset_a", $"asset_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aPairs(8) == plantedPairs,
+      "capped audio run must emit exactly the planted pairs")
+    assert(aPairs(100000) == plantedPairs ++
+      (for (a <- 0 until 40; b <- a + 1 until 40) yield (a.toLong, b.toLong)),
+      "uncapped audio reference must include every hot-only pair")
   }
 
   test("spanRewrite: hash-window implementation ≡ string-window reference on the corpus") {
