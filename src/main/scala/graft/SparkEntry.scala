@@ -57,12 +57,15 @@ object SparkEntry {
     * already benched individually (q126 LSH step, q123 assignment, q127
     * maintenance, q100 knockout) — benching the full reprocess drive
     * would double-count those operators, so it is correctness-gated
-    * (oracled final state + StreamingSpec) instead. */
+    * (oracled final state + StreamingSpec) instead. q145 is the same
+    * integration drive with media composed in (its steady-state media
+    * step is benched as q144), excluded for the same reason. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries.removedAll(Seq("q70_ibrd_e2e_loans_by_status",
       "q71_ibrd_measures_card", "q72_ibrd_staged", "q73_ibrd_trend_by_year",
       "q74_ibrd_dim_country", "q75_ibrd_incremental_dim",
-      "q76_ibrd_incremental_fact", "q130_crawl_pipeline"))
+      "q76_ibrd_incremental_fact", "q130_crawl_pipeline",
+      "q145_crawl_media_pipeline"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted entries get a rows-only check. */

@@ -5,7 +5,8 @@ import graft.warehouse.Summary
 import graft.{Q, QueryPack, Tables => T}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType,
+  LongType, StructField, StructType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The continuous-crawl ingest loop COMPOSED (VERDICT r10 §next-3): the
@@ -327,10 +328,29 @@ object Crawl extends QueryPack {
     * bucketed epoch-versioned tables `<tag>_seen_e<k>` etc. and fresh
     * append epochs start. [[Loop.resume]] rebuilds a loop from `root`'s
     * manifest after a driver restart. */
+  /** Schema of the media frame-fingerprint registry store: one row per
+    * DISTINCT decoded frame fingerprint ever seen (q144's registry,
+    * carried as a loop member — 5 integers per distinct frame). */
+  val printSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  /** Schema of the per-asset media dedup verdict store. */
+  val mediaKeptSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("n_prints", LongType, nullable = false),
+    StructField("n_seen", LongType, nullable = false),
+    StructField("coverage", DoubleType, nullable = false),
+    StructField("kept", BooleanType, nullable = false)))
+
   final class Loop(spark: SparkSession, codebook: DataFrame,
                    embeddings: DataFrame, root: String, tag: String,
                    verifyThreshold: Double = 0.8, compactEvery: Int = 2,
-                   buckets: Int = 32, template: StructType) {
+                   buckets: Int = 32, template: StructType,
+                   mediaDropAt: Double = 0.5) {
     private def emptyDocs = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], template)
     private val seenS = new Store(spark, root, "seen", docHashes(emptyDocs).schema)
@@ -361,6 +381,15 @@ object Crawl extends QueryPack {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("cluster_id",
           org.apache.spark.sql.types.LongType))))
+    // media members (VERDICT r12 §next-3): the q144 frame-fingerprint
+    // registry and the per-asset keep/drop verdict, carried with the
+    // SAME append/compact/manifest lifecycle as the five text/embedding
+    // stores — a real crawl ingests media and text in one loop. The
+    // registry holds every SEEN print (seen, not kept — q130's registry
+    // contract, so a re-upload of a dropped video is caught too).
+    private val printsS = new Store(spark, root, "prints", printSchema)
+    private val mediaKeptS = new Store(spark, root, "media_kept",
+      mediaKeptSchema)
     private var summary = Summary.summarize(emptyDocs, col("lang"), col("n_chars"))
     private var summaryVersion = -1L
     private var lastCommitted = -1L
@@ -376,8 +405,15 @@ object Crawl extends QueryPack {
       case "bands" => bandsS.meta.base
       case "sets" => setsS.meta.base
       case "clusters" => clustersS.meta.base
+      case "prints" => printsS.meta.base
       case other => sys.error(s"no such registry store: $other")
     }
+
+    /** Current media frame-fingerprint registry (all SEEN prints). */
+    def mediaPrints(): DataFrame = printsS.read()
+
+    /** Per-asset media dedup verdicts across every committed batch. */
+    def mediaKept(): DataFrame = mediaKeptS.read()
 
     def state(): State = State(seenS.read(), bandsS.read(), setsS.read(),
       keptS.read(), summary, assignedS.read(),
@@ -406,7 +442,9 @@ object Crawl extends QueryPack {
         storeLines("sets", setsS.meta) ++
         storeLines("kept", keptS.meta) ++
         storeLines("assigned", assignedS.meta) ++
-        storeLines("clusters", clustersS.meta)
+        storeLines("clusters", clustersS.meta) ++
+        storeLines("prints", printsS.meta) ++
+        storeLines("media_kept", mediaKeptS.meta)
       Fs.writeString(spark, s"$manifestDir/m$batchId", lines.mkString("\n"))
     }
 
@@ -420,11 +458,13 @@ object Crawl extends QueryPack {
         val last = committed.max
         val kv = Fs.readString(spark, s"$manifestDir/m$last").split('\n')
           .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+        // getOrElse: a manifest written before a store existed restores
+        // that store empty (version=1 manifests predate the media pair)
         def storeMeta(n: String): StoreMeta = StoreMeta(
-          kv(s"store.$n.epoch").toInt,
-          Some(kv(s"store.$n.base")).filter(_.nonEmpty),
-          Some(kv(s"store.$n.path")).filter(_.nonEmpty),
-          kv(s"store.$n.batches").split(',').filter(_.nonEmpty)
+          kv.getOrElse(s"store.$n.epoch", "0").toInt,
+          kv.get(s"store.$n.base").filter(_.nonEmpty),
+          kv.get(s"store.$n.path").filter(_.nonEmpty),
+          kv.getOrElse(s"store.$n.batches", "").split(',').filter(_.nonEmpty)
             .map(_.toLong).toVector)
         seenS.restore(storeMeta("seen"), buckets, Seq("h_lo", "h_hi"))
         bandsS.restore(storeMeta("bands"), buckets, Seq("doc_id"))
@@ -432,6 +472,9 @@ object Crawl extends QueryPack {
         keptS.restore(storeMeta("kept"), buckets, Seq("doc_id"))
         assignedS.restore(storeMeta("assigned"), buckets, Seq("vec_id"))
         clustersS.restore(storeMeta("clusters"), buckets, Seq("doc_id"))
+        printsS.restore(storeMeta("prints"), buckets,
+          Seq("sum_r", "sum_g", "sum_b"))
+        mediaKeptS.restore(storeMeta("media_kept"), buckets, Seq("asset_id"))
         lastCommitted = kv("lastCommitted").toLong
         summaryVersion = kv("summaryVersion").toLong
         if (summaryVersion >= 0)
@@ -441,14 +484,33 @@ object Crawl extends QueryPack {
     }
 
     /** Ingest with the loop's own monotone batch id (batch-mode drives). */
-    def ingest(batch: DataFrame): Unit = ingest(batch, nextBatchId)
+    def ingest(batch: DataFrame): Unit = ingest(batch, nextBatchId, None)
 
-    /** Ingest micro-batch `batchId` (pass `foreachBatch`'s id). A batch
-      * at or below the last COMMITTED id is a replay — skipped whole, so
+    /** Ingest micro-batch `batchId` (pass `foreachBatch`'s id), with the
+      * batch's media assets when the crawl carries them. A batch at or
+      * below the last COMMITTED id is a replay — skipped whole, so
       * Structured Streaming's at-least-once delivery is exactly-once
       * here (the manifest is the commit marker; an uncommitted crashed
       * attempt is re-run and overwrites its own dirs in place). */
-    def ingest(batch: DataFrame, batchId: Long): Unit = {
+    def ingest(batch: DataFrame, batchId: Long,
+               media: Option[DataFrame] = None): Unit =
+      doIngest(batch, batchId, media, commit = true)
+
+    /** TEST SEAM for the crash-replay property (VERDICT r12 §next-4):
+      * runs a full ingest — every store append, compaction if due — and
+      * then "dies" immediately before the manifest commit. The loop
+      * instance is inconsistent with durable state afterwards and MUST
+      * be discarded; the property under test is that [[Loop.resume]] +
+      * re-[[ingest]] of the same batch id reaches the exact state an
+      * uninterrupted drive reaches. */
+    private[graft] def ingestCrashBeforeCommit(batch: DataFrame,
+                                               batchId: Long,
+                                               media: Option[DataFrame] = None)
+        : Unit =
+      doIngest(batch, batchId, media, commit = false)
+
+    private def doIngest(batch: DataFrame, batchId: Long,
+                         media: Option[DataFrame], commit: Boolean): Unit = {
       if (batchId <= lastCommitted) return // replayed, already committed
       // ids need only ascend — a streaming driver that skips empty
       // micro-batches hands us gaps, which are fine (ids version dirs)
@@ -496,6 +558,40 @@ object Crawl extends QueryPack {
       seenS.append(docHashes(batch), batchId)
       bandsS.append(Dedup.minhashBandRegistry(batch), batchId)
       setsS.append(wordSets(batch), batchId)
+      // ---- media members (q144's knockout, loop-carried): decode the
+      // batch's containers EXACTLY ONCE into a stored print slice (the
+      // nearPairs pattern — the decode is the expensive pass), knock the
+      // slice out against the registry via the broadcast-probe shape
+      // (batch prints broadcast; the corpus-sized registry is scanned,
+      // never exchanged), land the per-asset verdict, then append the
+      // batch's prints to the registry. All writes are batchId-keyed
+      // overwrites — the same idempotent-replay contract as every store.
+      media.foreach { m =>
+        val pkeys = printSchema.fieldNames.toSeq
+        graft.multimodal.Binary.decodeFrameSums(m)
+          .select((col("asset_id") +: pkeys.map(col)): _*)
+          .distinct()
+          .write.mode("overwrite").parquet(s"$root/batch_prints/v$batchId")
+        val bp = spark.read.parquet(s"$root/batch_prints/v$batchId")
+        // count DISTINCT matched prints: between compactions the append
+        // epoch may hold the same print from two batches, and a plain
+        // count over the join would tally each duplicate. The distinct
+        // runs on the JOIN OUTPUT (≤ batch prints × append-epoch depth,
+        // batch-proportional) — never on the corpus-sized registry.
+        val nSeen = printsS.read().join(broadcast(bp), pkeys)
+          .groupBy(col("asset_id"))
+          .agg(count_distinct(struct(pkeys.map(col): _*)).as("n_seen"))
+        mediaKeptS.append(
+          bp.groupBy(col("asset_id")).agg(count(lit(1)).as("n_prints"))
+            .join(nSeen, Seq("asset_id"), "left")
+            .withColumn("n_seen", coalesce(col("n_seen"), lit(0L)))
+            .withColumn("cov", col("n_seen").cast("double") / col("n_prints"))
+            .select(col("asset_id"), col("n_prints"), col("n_seen"),
+              round(col("cov"), 6).as("coverage"),
+              (col("cov") < mediaDropAt).as("kept")),
+          batchId)
+        printsS.append(bp.select(pkeys.map(col): _*).distinct(), batchId)
+      }
       // cadence counts INGESTED batches since the last compaction (not
       // batch-id arithmetic — ids may have gaps), and restores with the
       // manifest since the batch list is part of each store's meta
@@ -508,11 +604,22 @@ object Crawl extends QueryPack {
         clustersS.compact(s"${tag}_clusters", buckets, Seq("doc_id"),
           squash = _.groupBy(col("doc_id"))
             .agg(min(col("cluster_id")).as("cluster_id")))
+        // media stores ride the same cadence; a text-only loop never
+        // ingested prints and skips them (no empty-table churn). Prints
+        // dedupe at consolidation (a print re-seen across batches is one
+        // registry row — the distinct squash is the min-fold analogue).
+        if (printsS.meta.batches.nonEmpty || printsS.meta.base.nonEmpty) {
+          printsS.compact(s"${tag}_prints", buckets,
+            Seq("sum_r", "sum_g", "sum_b"), squash = _.distinct())
+          mediaKeptS.compact(s"${tag}_media_kept", buckets, Seq("asset_id"))
+        }
       }
       // COMMIT: batch data + any compaction become visible atomically;
       // everything above re-runs idempotently if we die before this line
-      writeManifest(batchId)
-      lastCommitted = batchId
+      if (commit) {
+        writeManifest(batchId)
+        lastCommitted = batchId
+      }
     }
   }
 
@@ -524,25 +631,45 @@ object Crawl extends QueryPack {
     def resume(spark: SparkSession, codebook: DataFrame,
                embeddings: DataFrame, root: String, tag: String,
                verifyThreshold: Double = 0.8, compactEvery: Int = 2,
-               buckets: Int = 32, template: StructType): Loop = {
+               buckets: Int = 32, template: StructType,
+               mediaDropAt: Double = 0.5): Loop = {
       val loop = new Loop(spark, codebook, embeddings, root, tag,
-        verifyThreshold, compactEvery, buckets, template)
+        verifyThreshold, compactEvery, buckets, template, mediaDropAt)
       loop.restoreFromManifest()
       loop
     }
   }
 
   /** Batch-mode drive over ascending-id `batches`; returns the final
-    * state (reading the stores). */
+    * state (reading the stores). `media`, when given, aligns with
+    * `batches` one-to-one — each text batch ingests with its media
+    * assets in the SAME loop step (returns the driven loop so callers
+    * can read the media stores too). */
   def drive(spark: SparkSession, batches: Seq[DataFrame],
             codebook: DataFrame, embeddings: DataFrame, root: String,
             tag: String, verifyThreshold: Double = 0.8,
-            compactEvery: Int = 2, buckets: Int = 32): State = {
+            compactEvery: Int = 2, buckets: Int = 32,
+            media: Seq[DataFrame] = Nil): State = driveLoop(spark, batches,
+    codebook, embeddings, root, tag, verifyThreshold, compactEvery,
+    buckets, media).state()
+
+  /** [[drive]], returning the loop itself (media store accessors). */
+  def driveLoop(spark: SparkSession, batches: Seq[DataFrame],
+                codebook: DataFrame, embeddings: DataFrame, root: String,
+                tag: String, verifyThreshold: Double = 0.8,
+                compactEvery: Int = 2, buckets: Int = 32,
+                media: Seq[DataFrame] = Nil): Loop = {
     require(batches.nonEmpty, "crawl drive needs at least one batch")
+    require(media.isEmpty || media.size == batches.size,
+      s"media batches (${media.size}) must align with text batches " +
+        s"(${batches.size})")
     val loop = new Loop(spark, codebook, embeddings, root, tag,
       verifyThreshold, compactEvery, buckets, batches.head.schema)
-    batches.foreach(loop.ingest(_))
-    loop.state()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      loop.ingest(b, i.toLong,
+        if (media.isEmpty) None else Some(media(i)))
+    }
+    loop
   }
 
   def queries: Map[String, Q] = Map(
@@ -646,6 +773,106 @@ object Crawl extends QueryPack {
         JOIN summ s ON s.lang = k.lang
         JOIN clusters c USING (doc_id)
       """.stripMargin),
-      doc = "continuous-crawl loop composed: exact+near dedup, cluster-id maintenance, ANN assign, summary maintain, compaction — final state oracled")
+      doc = "continuous-crawl loop composed: exact+near dedup, cluster-id maintenance, ANN assign, summary maintain, compaction — final state oracled"),
+
+    // ---- the loop with MEDIA composed in (VERDICT r12 §next-3): the
+    // same 4-batch drive, each batch carrying its documents' video clips
+    // (asset_id = doc_id). The frame-print registry and per-asset
+    // verdict ride the loop's append/compact/manifest lifecycle; the
+    // output is every asset's coverage verdict (knocked out against
+    // strictly-earlier batches' prints) joined with the TEXT pipeline's
+    // final kept set — both pipelines are load-bearing in the hash. The
+    // oracle replays prints from generator arithmetic per quartile
+    // batch and the kept set with q130's closed form. ----
+    "q145_crawl_media_pipeline" -> Q(
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val emb = T.embeddings(s, d)
+        val codebook = emb.filter(col("vec_id") < Similarity.IvfCentroids)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        val hi = docs.select(max(col("doc_id"))).head.getLong(0) + 1
+        val batches = (0 until 4).map { k =>
+          val lo = hi * k / 4
+          val up = if (k == 3) hi else hi * (k + 1) / 4
+          docs.filter(col("doc_id") >= lo && col("doc_id") < up)
+        }
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q145").toString
+        val loop = driveLoop(s, batches, codebook, emb, root,
+          tag = "q145_" + d.replaceAll("[^A-Za-z0-9]", "_"),
+          media = batches.map(graft.multimodal.Binary.syntheticAviClips))
+        loop.mediaKept()
+          .join(loop.state().kept
+            .select(col("doc_id").as("asset_id"), lit(true).as("doc_kept")),
+            Seq("asset_id"), "left")
+          .withColumn("doc_kept", coalesce(col("doc_kept"), lit(false)))
+      },
+      Some(s"""
+        WITH RECURSIVE ${Dedup.minhashLshPairsCte},
+        exactdrop AS (
+          SELECT DISTINCT d2.doc_id
+          FROM documents d1 JOIN documents d2
+            ON coalesce(d1.text, '') = coalesce(d2.text, '')
+           AND d1.doc_id < d2.doc_id
+        ),
+        neardrop AS (
+          SELECT DISTINCT b_id AS doc_id FROM lshv WHERE jac >= 0.8
+        ),
+        kept AS (
+          SELECT doc_id FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM exactdrop)
+            AND doc_id NOT IN (SELECT doc_id FROM neardrop)
+        ),
+        hi AS (SELECT max(doc_id) + 1 AS hi FROM documents),
+        a AS (
+          SELECT doc_id AS asset_id, doc_id // 3 AS seed,
+                 (doc_id % 3) * 2 AS start, 3 + doc_id % 3 AS n,
+                 CAST(doc_id >= (SELECT hi FROM hi) * 1 // 4 AS INT)
+               + CAST(doc_id >= (SELECT hi FROM hi) * 2 // 4 AS INT)
+               + CAST(doc_id >= (SELECT hi FROM hi) * 3 // 4 AS INT) AS q
+          FROM documents
+        ),
+        geo AS (
+          SELECT asset_id, seed, start, n, q,
+                 8 + seed % 8 AS w, 4 + seed % 4 AS h
+          FROM a
+        ),
+        af AS (
+          SELECT asset_id, seed, w, h, q,
+                 start + unnest(range(0, n)) AS vf
+          FROM geo
+        ),
+        px AS (
+          SELECT asset_id, seed, w, h, q, vf,
+                 unnest(range(0, w * h)) AS p
+          FROM af
+        ),
+        fr AS (
+          SELECT asset_id, q, w, h, vf,
+                 sum((seed + 3 * (p % w) + 7 * (p // w) + 11 * vf) % 256) AS sr,
+                 sum((5 * seed + 11 * (p % w) + (p // w) + 3 * vf) % 256) AS sg,
+                 sum((2 * seed + (p % w) + 13 * (p // w) + 17 * vf) % 256) AS sb
+          FROM px GROUP BY 1, 2, 3, 4, 5
+        ),
+        pr AS (SELECT DISTINCT asset_id, q, w, h, sr, sg, sb FROM fr),
+        np AS (SELECT asset_id, count(*) AS n_prints FROM pr GROUP BY 1),
+        sn AS (
+          SELECT b.asset_id, count(*) AS n_seen
+          FROM pr b
+          WHERE EXISTS (SELECT 1 FROM pr r
+                        WHERE r.q < b.q AND r.w = b.w AND r.h = b.h
+                          AND r.sr = b.sr AND r.sg = b.sg AND r.sb = b.sb)
+          GROUP BY 1
+        )
+        SELECT np.asset_id, CAST(np.n_prints AS BIGINT) AS n_prints,
+               CAST(coalesce(sn.n_seen, 0) AS BIGINT) AS n_seen,
+               round(CAST(coalesce(sn.n_seen, 0) AS DOUBLE) / np.n_prints, 6)
+                 AS coverage,
+               CAST(coalesce(sn.n_seen, 0) AS DOUBLE) / np.n_prints < 0.5
+                 AS kept,
+               np.asset_id IN (SELECT doc_id FROM kept) AS doc_kept
+        FROM np LEFT JOIN sn ON np.asset_id = sn.asset_id
+      """.stripMargin),
+      doc = "crawl loop with media composed in: per-batch frame-print knockout vs the loop-carried registry + text kept set, both oracled")
   )
 }

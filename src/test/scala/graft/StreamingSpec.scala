@@ -405,6 +405,10 @@ class StreamingSpec extends SparkSpec {
       val up = if (k == nBatches - 1) hi else hi * (k + 1) / nBatches
       docs.filter($"doc_id" >= lo && $"doc_id" < up)
     }
+    // media rides the soak too (VERDICT r12 §next-3): every batch
+    // carries its documents' clips, so small-file control and the
+    // compaction cadence are exercised on the print registry as well
+    val media = batches.map(b => graft.multimodal.Binary.syntheticAviClips(b))
     val root = java.nio.file.Files.createTempDirectory("graft_soak").toString
     val loop = new Crawl.Loop(spark, codebook, emb, root, tag = "t_soak",
       compactEvery = compactEvery, buckets = buckets, template = docs.schema)
@@ -413,14 +417,18 @@ class StreamingSpec extends SparkSpec {
     // (partitions + a possible _SUCCESS-free straggler))
     val fileCap = buckets + compactEvery * (shufflePartitions + 1)
     (0 until nBatches).foreach { k =>
-      loop.ingest(batches(k), k)
+      loop.ingest(batches(k), k, Some(media(k)))
       val seenFiles = loop.state().seen.inputFiles.length
       assert(seenFiles <= fileCap,
         s"batch $k: seen registry reads $seenFiles files (> $fileCap) — append accumulation")
+      assert(loop.mediaPrints().inputFiles.length <= fileCap,
+        s"batch $k: media print registry accumulates append files")
       if ((k + 1) % compactEvery == 0) {
         // (a) census resets to the bucketed base alone
         assert(loop.state().seen.inputFiles.length <= buckets,
           s"cycle at batch $k: compaction did not reset the append census")
+        assert(loop.mediaPrints().inputFiles.length <= buckets,
+          s"cycle at batch $k: media registry compaction did not reset the census")
         // (b) knockout plan pin at THIS cycle
         val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         try {
@@ -479,6 +487,26 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotClusters == wantClusters,
       "soak: maintained clusters diverged from the full recompute")
+    // (f) the loop-carried media verdict across 16 batches + 4 registry
+    // squashes equals the standalone q144 knockout replayed per batch
+    // (registry = strictly earlier batches' prints): the store lifecycle
+    // must never change a verdict
+    val wantMedia = (0 until nBatches).map { k =>
+      if (k == 0)
+        operators.Multimodal.videoDedupIncremental(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[
+            org.apache.spark.sql.Row],
+            operators.Multimodal.videoPrintRegistry(media(0)).schema),
+          media(0), dropAt = 0.5)
+      else
+        operators.Multimodal.videoDedupIncremental(
+          operators.Multimodal.videoPrintRegistry(
+            docs.filter($"doc_id" < hi * k / nBatches)
+              .transform(graft.multimodal.Binary.syntheticAviClips)),
+          media(k), dropAt = 0.5)
+    }.reduce(_.unionByName(_)).collect().map(_.toSeq).toSet
+    assert(loop.mediaKept().collect().map(_.toSeq).toSet == wantMedia,
+      "soak: loop-carried media verdicts diverged from the standalone knockout")
   }
 
   test("crawl loop kill-and-resume: a loop rebuilt from the durable manifest alone reaches the uninterrupted drive's exact final state") {
@@ -501,34 +529,48 @@ class StreamingSpec extends SparkSpec {
       val up = if (k == 3) hi else hi * (k + 1) / 4
       docs.filter($"doc_id" >= lo && $"doc_id" < up)
     }
-    def snap(st: Crawl.State): Seq[Set[Seq[Any]]] = Seq(
-      st.kept.collect().map(_.toSeq).toSet,
-      st.summary.select($"grp", $"n", $"__t".cast("string"), $"total")
-        .collect().map(_.toSeq).toSet,
-      st.assigned.select($"vec_id", $"cell").collect().map(_.toSeq).toSet,
-      st.seen.collect().map(_.toSeq).toSet,
-      st.bands.select($"doc_id").distinct().collect().map(_.toSeq).toSet,
-      st.clusters.collect().map(_.toSeq).toSet)
+    // media rides the same drive (VERDICT r12 §next-3): each batch
+    // ingests its documents' video clips, so the kill/resume property
+    // covers the frame-print registry and verdict stores too
+    val media = batches.map(b => graft.multimodal.Binary.syntheticAviClips(b))
+    def snap(loop: Crawl.Loop): Seq[Set[Seq[Any]]] = {
+      val st = loop.state()
+      Seq(
+        st.kept.collect().map(_.toSeq).toSet,
+        st.summary.select($"grp", $"n", $"__t".cast("string"), $"total")
+          .collect().map(_.toSeq).toSet,
+        st.assigned.select($"vec_id", $"cell").collect().map(_.toSeq).toSet,
+        st.seen.collect().map(_.toSeq).toSet,
+        st.bands.select($"doc_id").distinct().collect().map(_.toSeq).toSet,
+        st.clusters.collect().map(_.toSeq).toSet,
+        loop.mediaKept().collect().map(_.toSeq).toSet,
+        loop.mediaPrints().distinct().collect().map(_.toSeq).toSet)
+    }
 
     val rootRef = java.nio.file.Files.createTempDirectory("graft_res_ref").toString
-    val ref = snap(Crawl.drive(spark, batches, codebook, emb, rootRef,
-      tag = "t_res_ref"))
+    val ref = snap(Crawl.driveLoop(spark, batches, codebook, emb, rootRef,
+      tag = "t_res_ref", media = media))
 
     val root = java.nio.file.Files.createTempDirectory("graft_res").toString
     val loop1 = new Crawl.Loop(spark, codebook, emb, root,
       tag = "t_res", template = docs.schema)
-    loop1.ingest(batches(0), 0)
-    loop1.ingest(batches(1), 1) // compactEvery=2 → compaction landed here
+    loop1.ingest(batches(0), 0, Some(media(0)))
+    loop1.ingest(batches(1), 1, Some(media(1))) // compactEvery=2 → compaction landed here
     assert(loop1.registryTable("seen").nonEmpty, "expected a compaction")
+    assert(loop1.registryTable("prints").nonEmpty,
+      "expected the media registry to compact on the same cadence")
     // crash remnants: batch 2 started landing data but never committed a
     // manifest — the resumed loop must overwrite these dirs in place
     Crawl.docHashes(batches(0))
       .write.mode("overwrite").parquet(s"$root/seen/append1/b2")
     batches(0).select($"doc_id", $"lang", $"n_chars")
       .write.mode("overwrite").parquet(s"$root/batch_kept/v2")
+    graft.multimodal.Binary.decodeFrameSums(media(0))
+      .select($"asset_id", $"width", $"height", $"sum_r", $"sum_g", $"sum_b")
+      .write.mode("overwrite").parquet(s"$root/batch_prints/v2")
     // fresh-metastore simulation: external tables dropped from the
     // catalog (data stays under root); resume must re-register them
-    Seq("seen", "bands", "sets").foreach { s =>
+    Seq("seen", "bands", "sets", "prints", "media_kept").foreach { s =>
       spark.sql(s"DROP TABLE IF EXISTS t_res_${s}_e1")
     }
     // loop1 is gone; rebuild from root ALONE
@@ -536,14 +578,14 @@ class StreamingSpec extends SparkSpec {
       tag = "t_res", template = docs.schema)
     assert(loop2.nextBatchId == 2L,
       s"resume must continue at batch 2, got ${loop2.nextBatchId}")
-    loop2.ingest(batches(2), 2)
-    loop2.ingest(batches(3), 3)
-    val fin = snap(loop2.state())
+    loop2.ingest(batches(2), 2, Some(media(2)))
+    loop2.ingest(batches(3), 3, Some(media(3)))
+    val fin = snap(loop2)
     assert(fin == ref, "resumed drive diverged from the uninterrupted drive")
     // at-least-once replay of a COMMITTED batch: skipped whole
-    loop2.ingest(batches(3), 3)
-    loop2.ingest(batches(1), 1)
-    assert(snap(loop2.state()) == ref, "replayed committed batch mutated state")
+    loop2.ingest(batches(3), 3, Some(media(3)))
+    loop2.ingest(batches(1), 1, Some(media(1)))
+    assert(snap(loop2) == ref, "replayed committed batch mutated state")
     // and the re-registered bucketed registry still serves the knockout
     // anti-join with no registry-side exchange (the resume must not cost
     // the bucketed layout)
@@ -568,6 +610,72 @@ class StreamingSpec extends SparkSpec {
         withClue(j.simpleString(10)) { assert(rightShuffles.isEmpty) }
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("crash mid-ingest: appends + compaction landed but no manifest — resume re-runs the batch to the clean drive's exact state") {
+    // VERDICT r12 §next-4: the claim that an uncommitted crashed attempt
+    // "re-runs idempotently" finally gets its test. The crash point is
+    // the WORST one: every store append of batch 3 has landed AND the
+    // epoch-2 compaction has rewritten the registry tables — only the
+    // manifest commit is missing. Resume must see batch 2 as the last
+    // committed state, re-ingest batch 3 over its own remnants (append
+    // dirs overwritten in place, epoch-2 tables dropped + rewritten),
+    // and reach a final state bit-equal to an uninterrupted drive's.
+    import graft.operators.Crawl
+    val docs = Tables.documents(spark, sf).cache()
+    val emb = Tables.embeddings(spark, sf).cache()
+    val codebook = emb.filter($"vec_id" < operators.Similarity.IvfCentroids)
+      .select($"vec_id".as("cent_id"), $"embedding".as("centv"))
+    val hi = docs.agg(max($"doc_id")).head.getLong(0) + 1
+    val batches = (0 until 4).map { k =>
+      val lo = hi * k / 4
+      val up = if (k == 3) hi else hi * (k + 1) / 4
+      docs.filter($"doc_id" >= lo && $"doc_id" < up)
+    }
+    val media = batches.map(b => graft.multimodal.Binary.syntheticAviClips(b))
+    def snap(loop: Crawl.Loop): Seq[Set[Seq[Any]]] = {
+      val st = loop.state()
+      Seq(
+        st.kept.collect().map(_.toSeq).toSet,
+        st.summary.select($"grp", $"n", $"__t".cast("string"), $"total")
+          .collect().map(_.toSeq).toSet,
+        st.assigned.select($"vec_id", $"cell").collect().map(_.toSeq).toSet,
+        st.seen.collect().map(_.toSeq).toSet,
+        st.clusters.collect().map(_.toSeq).toSet,
+        loop.mediaKept().collect().map(_.toSeq).toSet,
+        loop.mediaPrints().distinct().collect().map(_.toSeq).toSet)
+    }
+    val rootRef = java.nio.file.Files
+      .createTempDirectory("graft_crash_ref").toString
+    val ref = snap(Crawl.driveLoop(spark, batches, codebook, emb, rootRef,
+      tag = "t_crash_ref", media = media))
+
+    val root = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val loop1 = new Crawl.Loop(spark, codebook, emb, root,
+      tag = "t_crash", template = docs.schema)
+    loop1.ingest(batches(0), 0, Some(media(0)))
+    loop1.ingest(batches(1), 1, Some(media(1))) // epoch-1 compaction
+    loop1.ingest(batches(2), 2, Some(media(2)))
+    // batch 3 CRASHES immediately before its manifest commit — after the
+    // epoch-2 compaction already rewrote every registry table
+    loop1.ingestCrashBeforeCommit(batches(3), 3, Some(media(3)))
+    assert(spark.catalog.tableExists("t_crash_seen_e2"),
+      "test setup: the crashed attempt must have compacted epoch 2")
+    // loop1 is now inconsistent with durable state by construction —
+    // discarded. Resume sees manifest m2 only.
+    val loop2 = Crawl.Loop.resume(spark, codebook, emb, root,
+      tag = "t_crash", template = docs.schema)
+    assert(loop2.nextBatchId == 3L,
+      s"crashed batch must not be committed, got ${loop2.nextBatchId}")
+    loop2.ingest(batches(3), 3, Some(media(3)))
+    assert(snap(loop2) == ref,
+      "crash + re-ingest diverged from the uninterrupted drive")
+    // and a full restart AFTER the re-ingest reads the same state (the
+    // re-written epoch-2 tables are what the new manifest names)
+    val loop3 = Crawl.Loop.resume(spark, codebook, emb, root,
+      tag = "t_crash", template = docs.schema)
+    assert(loop3.nextBatchId == 4L)
+    assert(snap(loop3) == ref, "post-recovery resume diverged")
   }
 
   test("foreachBatch streaming drive of the incremental warehouse equals the batch run") {
