@@ -891,6 +891,112 @@ object Binary {
         (w, math.abs(hRaw), declared)
       }.toOption
 
+    private def le32(p: Array[Byte], o: Int): Int =
+      (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+        ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+
+    /** avih + strf out of an already-read hdrl list body (header-sized
+      * by construction — the one list the ranged walk reads whole). */
+    private def scanHeaders(buf: Array[Byte]): (Int, Array[Byte]) = {
+      var declared = -1
+      var bih: Array[Byte] = null
+      def walk(start: Int, end: Int): Unit = {
+        var p = start
+        while (p + 8 <= end) {
+          val ck = new String(buf, p, 4, "US-ASCII")
+          val sz = le32(buf, p + 4)
+          val next = p + 8 + sz + (sz & 1)
+          require(sz >= 0 && next <= end,
+            s"malformed RIFF chunk '$ck' in hdrl: size $sz at $p")
+          ck match {
+            case "LIST" => walk(p + 12, next)
+            case "avih" => declared = le32(buf, p + 8 + 16)
+            case "strf" =>
+              bih = java.util.Arrays.copyOfRange(buf, p + 8, p + 8 + sz)
+            case _ => ()
+          }
+          p = next
+        }
+      }
+      walk(0, buf.length)
+      (declared, bih)
+    }
+
+    /** Ranged parse result: like [[Index]] but offsets are relative to
+      * the asset's position in its PACK FILE, plus the exact number of
+      * bytes the walk read (headers + idx1 only). */
+    final case class RangedIndex(declaredFrames: Int, bih: Array[Byte],
+                                 moviPos: Long, entries: Vector[(Int, Int)],
+                                 headerBytesRead: Long)
+
+    /** The [[parseIndex]] contract over an OPEN Hadoop stream with the
+      * asset at `[base, base + length)` — the by-reference path (VERDICT
+      * r12 §next-2). Walks TOP-LEVEL chunks with positioned reads: each
+      * chunk costs its 8-byte header (+4 for a LIST type); the hdrl list
+      * is read whole (header-sized); the movi list is SKIPPED with a
+      * seek — no frame byte is read — and idx1 is read whole. On an
+      * object store every positioned read maps to a ranged GET, so the
+      * walk's cost is a handful of small ranged reads regardless of
+      * container length. Sampled-frame cross-checking happens at frame
+      * read time ([[Binary.videoFrameSampleStatsByRef]]), not here —
+      * checking every entry would read 8 bytes per UNSAMPLED frame. */
+    def parseIndexRanged(in: org.apache.hadoop.fs.FSDataInputStream,
+                         base: Long, length: Long): RangedIndex = {
+      var bytesRead = 0L
+      def readAt(pos: Long, n: Int): Array[Byte] = {
+        require(n >= 0 && pos >= 0 && pos + n <= length,
+          s"ranged read [$pos, ${pos + n}) outside asset of $length bytes")
+        val a = new Array[Byte](n)
+        in.readFully(base + pos, a)
+        bytesRead += n
+        a
+      }
+      def ascii(p: Array[Byte], o: Int): String =
+        new String(p, o, 4, "US-ASCII")
+      val magic = readAt(0, 12)
+      require(ascii(magic, 0) == "RIFF" && ascii(magic, 8) == "AVI ",
+        "not a RIFF/AVI container")
+      var pos = 12L
+      var declared = -1
+      var bih: Array[Byte] = null
+      var moviPos = -1L
+      var raw = Vector.empty[(Int, Int)]
+      while (pos + 8 <= length) {
+        val h = readAt(pos, 8)
+        val ck = ascii(h, 0)
+        val sz = le32(h, 4)
+        val next = pos + 8 + sz + (sz & 1)
+        require(sz >= 0 && next <= length,
+          s"malformed RIFF chunk '$ck': size $sz at $pos")
+        ck match {
+          case "LIST" =>
+            val t = ascii(readAt(pos + 8, 4), 0)
+            if (t == "hdrl") {
+              val (d, b) = scanHeaders(readAt(pos + 12, sz - 4))
+              declared = d; bih = b
+            } else if (t == "movi") moviPos = pos + 8 // the 'movi' fourcc
+          case "idx1" =>
+            val buf = readAt(pos + 8, sz)
+            val n = sz / 16
+            var i = 0
+            while (i < n) {
+              val ckid = new String(buf, 16 * i, 4, "US-ASCII")
+              require(ckid.endsWith("db") || ckid.endsWith("dc"),
+                s"idx1 entry $i is not a frame chunk: '$ckid'")
+              raw = raw :+ ((le32(buf, 16 * i + 8), le32(buf, 16 * i + 12)))
+              i += 1
+            }
+          case _ => ()
+        }
+        pos = next
+      }
+      require(declared >= 0 && bih != null, "missing avih/strf header")
+      require(moviPos >= 0, "missing movi list")
+      require(raw.size == declared,
+        s"idx1 has ${raw.size} entries, avih declares $declared")
+      RangedIndex(declared, bih, moviPos, raw, bytesRead)
+    }
+
     /** Rehydrate one DIB frame chunk into a decodable BMP: file header +
       * the container's own BITMAPINFOHEADER + the frame bytes. */
     def frameToBmp(bih: Array[Byte], frame: Array[Byte]): Array[Byte] = {
@@ -1085,6 +1191,155 @@ object Binary {
         }
       }
     }
+    val n = col("width").cast("long") * col("height").cast("long")
+    spark.createDataFrame(rdd, outSchema)
+      .select(col("asset_id"), col("frame_idx"), col("n_frames"),
+        col("width"), col("height"),
+        round(col("sum_r").cast("double") / n, 6).as("mean_r"),
+        round(col("sum_g").cast("double") / n, 6).as("mean_g"),
+        round(col("sum_b").cast("double") / n, 6).as("mean_b"))
+  }
+
+  /** Asset-reference schema: media BY REFERENCE instead of by value —
+    * (uri, offset, length) into a pack file on any Hadoop filesystem.
+    * At 100 TB an hour-long container does not live in a parquet cell;
+    * this table is the real contract (VERDICT r12 §next-2). */
+  val assetRefSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("uri", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("length", LongType, nullable = false)))
+
+  /** Pack `assets` payloads into per-task pack files under `dir` (Hadoop
+    * `FileSystem` create — HDFS/S3/local alike) and return the
+    * asset-reference table. One pack file per input partition: each task
+    * streams its payloads into one sequential write, the object-store
+    * friendly layout (few large objects, no per-asset PUT). */
+  def writeAssetRefs(assets: DataFrame, dir: String): DataFrame = {
+    val spark = assets.sparkSession
+    val hc = org.apache.spark.sql.graft.Bridge.hadoopConf(spark)
+    val rdd = assets.select("asset_id", "payload").rdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val path = new org.apache.hadoop.fs.Path(s"$dir/pack-$pid.bin")
+          val fs = path.getFileSystem(hc.value)
+          val out = fs.create(path, true)
+          // materialize BEFORE closing the stream (getPos needs it open)
+          val refs = try rows.map { r =>
+            val p = r.getAs[Array[Byte]]("payload")
+            val off = out.getPos
+            out.write(p)
+            Row(r.getLong(0), path.toString, off, p.length.toLong)
+          }.toVector finally out.close()
+          refs.iterator
+        }
+      }
+    spark.createDataFrame(rdd, assetRefSchema)
+  }
+
+  /** [[videoFrameSampleStats]] over BY-REFERENCE assets: the same
+    * output, produced without ever materializing a container. Each task
+    * opens the pack file once per uri run, [[Avi.parseIndexRanged]]
+    * reads headers + idx1 with positioned reads (movi skipped with a
+    * seek), then ONLY the sampled frames' byte ranges are read, cross-
+    * checked against their chunk headers, and decoded — so bytes read ∝
+    * headers + sampled frames END-TO-END, not merely within an already-
+    * read array (the q139 claim, made true at the storage layer; on an
+    * object store each positioned read is a ranged GET). `bytesRead`,
+    * when given, accumulates the exact bytes fetched — the measured
+    * evidence in SCALE.md and the boundedness property in LlmOpsSpec. */
+  def videoFrameSampleStatsByRef(refs: DataFrame, every: Int,
+                                 bytesRead: Option[
+                                   org.apache.spark.util.LongAccumulator] =
+                                   None): DataFrame = {
+    require(every >= 1, s"sample stride must be >= 1, got $every")
+    val spark = refs.sparkSession
+    val hc = org.apache.spark.sql.graft.Bridge.hadoopConf(spark)
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val rdd = refs.select("asset_id", "uri", "offset", "length").rdd
+      .mapPartitions { rows =>
+        // one open stream per uri RUN (refs from writeAssetRefs arrive
+        // pack-ordered); FileSystem.get is cached by Hadoop itself
+        var curUri: String = null
+        var curIn: org.apache.hadoop.fs.FSDataInputStream = null
+        def streamFor(uri: String): org.apache.hadoop.fs.FSDataInputStream = {
+          if (uri != curUri) {
+            if (curIn != null) curIn.close()
+            val path = new org.apache.hadoop.fs.Path(uri)
+            val fs = path.getFileSystem(hc.value)
+            // positioned reads, not streaming ones: client-side .crc
+            // verification re-reads whole checksum chunks around every
+            // pread (a LocalFS/HDFS artifact — object stores do their
+            // own integrity), which multiplies the bytes actually
+            // touched for small ranged reads. Ask for the raw stream.
+            fs.setVerifyChecksum(false)
+            curIn = fs.open(path)
+            curUri = uri
+          }
+          curIn
+        }
+        new Iterator[Seq[Row]] {
+          def hasNext: Boolean = {
+            val h = rows.hasNext
+            if (!h && curIn != null) { curIn.close(); curIn = null }
+            h
+          }
+          def next(): Seq[Row] = {
+            val r = rows.next()
+            val id = r.getLong(0)
+            val (base, len) = (r.getLong(2), r.getLong(3))
+            val in = streamFor(r.getString(1))
+            val ix = Avi.parseIndexRanged(in, base, len)
+            var fetched = ix.headerBytesRead
+            val out = (0 until ix.declaredFrames by every).map { f =>
+              val (off, size) = ix.entries(f)
+              val chunkPos = ix.moviPos + off
+              require(chunkPos >= 0 && chunkPos + 8 + size <= len,
+                s"asset $id: idx1 entry $f out of bounds")
+              // ONE ranged read per sampled frame: chunk header + data,
+              // the header cross-checked so a stale index fails loudly
+              val chunk = new Array[Byte](8 + size)
+              in.readFully(base + chunkPos, chunk)
+              fetched += 8 + size
+              val ckid = new String(chunk, 0, 4, "US-ASCII")
+              require(ckid.endsWith("db") || ckid.endsWith("dc"),
+                s"asset $id: idx1 offset $off points at non-chunk '$ckid'")
+              val csz = (chunk(4) & 0xff) | ((chunk(5) & 0xff) << 8) |
+                ((chunk(6) & 0xff) << 16) | ((chunk(7) & 0xff) << 24)
+              require(csz == size,
+                s"asset $id: idx1 entry $f size $size != chunk size $csz")
+              val frame = java.util.Arrays.copyOfRange(chunk, 8, 8 + size)
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(Avi.frameToBmp(ix.bih, frame)))
+              require(img != null, s"asset $id frame $f: ImageIO decode failed")
+              val (w, h) = (img.getWidth, img.getHeight)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              Row(id, f, ix.declaredFrames, w, h, sr, sg, sb)
+            }
+            bytesRead.foreach(_.add(fetched))
+            out
+          }
+        }.flatten
+      }
     val n = col("width").cast("long") * col("height").cast("long")
     spark.createDataFrame(rdd, outSchema)
       .select(col("asset_id"), col("frame_idx"), col("n_frames"),

@@ -185,6 +185,40 @@ object Multimodal extends QueryPack {
         (col("cov") < dropAt).as("kept"))
   }
 
+  /** Shared by q139 (in-cell seek) and q146 (by-reference ranged seek):
+    * both paths must produce EXACTLY the full decode's even-frame
+    * subset, replayed from the q134 pixel generator's arithmetic. */
+  private val videoSeekOracle: String = """
+        WITH a AS (
+          SELECT doc_id AS asset_id,
+                 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,
+                 2 + doc_id % 4 AS n
+          FROM documents
+        ),
+        af AS (
+          SELECT asset_id, w, h, n, unnest(range(0, n)) AS f FROM a
+        ),
+        px AS (
+          SELECT asset_id, w, h, n, f, unnest(range(0, w * h)) AS p FROM af
+          WHERE f % 2 = 0
+        ),
+        c AS (
+          SELECT asset_id, w, h, n, f,
+                 (asset_id + 3 * (p % w) + 7 * (p // w) + 11 * f) % 256 AS r,
+                 (5 * asset_id + 11 * (p % w) + (p // w) + 3 * f) % 256 AS g,
+                 (2 * asset_id + (p % w) + 13 * (p // w) + 17 * f) % 256 AS b
+          FROM px
+        )
+        SELECT asset_id, CAST(f AS INT) AS frame_idx,
+               CAST(any_value(n) AS INT) AS n_frames,
+               CAST(any_value(w) AS INT) AS width,
+               CAST(any_value(h) AS INT) AS height,
+               round(CAST(sum(r) AS DOUBLE) / (any_value(w) * any_value(h)), 6) AS mean_r,
+               round(CAST(sum(g) AS DOUBLE) / (any_value(w) * any_value(h)), 6) AS mean_g,
+               round(CAST(sum(b) AS DOUBLE) / (any_value(w) * any_value(h)), 6) AS mean_b
+        FROM c GROUP BY asset_id, f
+      """.stripMargin
+
   def queries: Map[String, Q] = Map(
     "q60_binary_meta" -> Q(
       (s, d) => {
@@ -431,37 +465,28 @@ object Multimodal extends QueryPack {
     "q139_video_frame_seek" -> Q(
       (s, d) => Binary.videoFrameSampleStats(
         Binary.syntheticAviAssets(T.documents(s, d)), every = 2),
-      Some("""
-        WITH a AS (
-          SELECT doc_id AS asset_id,
-                 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,
-                 2 + doc_id % 4 AS n
-          FROM documents
-        ),
-        af AS (
-          SELECT asset_id, w, h, n, unnest(range(0, n)) AS f FROM a
-        ),
-        px AS (
-          SELECT asset_id, w, h, n, f, unnest(range(0, w * h)) AS p FROM af
-          WHERE f % 2 = 0
-        ),
-        c AS (
-          SELECT asset_id, w, h, n, f,
-                 (asset_id + 3 * (p % w) + 7 * (p // w) + 11 * f) % 256 AS r,
-                 (5 * asset_id + 11 * (p % w) + (p // w) + 3 * f) % 256 AS g,
-                 (2 * asset_id + (p % w) + 13 * (p // w) + 17 * f) % 256 AS b
-          FROM px
-        )
-        SELECT asset_id, CAST(f AS INT) AS frame_idx,
-               CAST(any_value(n) AS INT) AS n_frames,
-               CAST(any_value(w) AS INT) AS width,
-               CAST(any_value(h) AS INT) AS height,
-               round(CAST(sum(r) AS DOUBLE) / (any_value(w) * any_value(h)), 6) AS mean_r,
-               round(CAST(sum(g) AS DOUBLE) / (any_value(w) * any_value(h)), 6) AS mean_g,
-               round(CAST(sum(b) AS DOUBLE) / (any_value(w) * any_value(h)), 6) AS mean_b
-        FROM c GROUP BY asset_id, f
-      """.stripMargin),
+      Some(videoSeekOracle),
       doc = "selective video decode: idx1 index-seek, only sampled frames' bytes read + decoded"),
+
+    // ---- BY-REFERENCE selective decode (r13, VERDICT r12 §next-2):
+    // the same sampled stats, but the containers live in Hadoop-FS pack
+    // files referenced by (uri, offset, length) — never in a DataFrame
+    // cell. parseIndexRanged walks headers + idx1 with positioned reads
+    // (movi skipped by a seek), then only sampled frames' ranges are
+    // fetched, so q139's "cost ∝ sampled frames" holds END-TO-END at
+    // the storage layer. Same oracle as q139: the byref path must
+    // produce the identical result over the same underlying bytes. ----
+    "q146_video_seek_byref" -> Q(
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_q146_pack").toString
+        Binary.videoFrameSampleStatsByRef(
+          Binary.writeAssetRefs(
+            Binary.syntheticAviAssets(T.documents(s, d)), dir),
+          every = 2)
+      },
+      Some(videoSeekOracle),
+      doc = "by-reference selective decode: Hadoop-FS pack files, ranged reads of headers + idx1 + sampled frames only"),
 
     // ---- video near-dup (r12): the multimodal face of the dedup
     // family. REAL decode -> per-frame exact-integer fingerprint ->

@@ -29,4 +29,19 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Executor-shippable Hadoop configuration: `hadoopConfiguration`
+    * itself is not serializable and Spark's `SerializableConfiguration`
+    * wrapper is `private[spark]` — this carrier ships the driver's conf
+    * into task closures so executor-side code can open Hadoop
+    * `FileSystem` streams (ranged reads on HDFS/S3/local) with the
+    * session's actual filesystem settings. */
+  final class HadoopConf private[graft] (spark: SparkSession)
+      extends Serializable {
+    private val ser = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    def value: org.apache.hadoop.conf.Configuration = ser.value
+  }
+
+  def hadoopConf(spark: SparkSession): HadoopConf = new HadoopConf(spark)
 }

@@ -1118,6 +1118,54 @@ class LlmOpsSpec extends SparkSpec {
       ex2.getMessage.contains("size"))
   }
 
+  test("by-reference ranged decode == in-cell seek decode; bytes read equal the closed form headers + idx1 + sampled frames") {
+    // VERDICT r12 §next-2: the by-reference path must (a) produce the
+    // EXACT same sampled stats as the in-cell q139 path over the same
+    // underlying bytes, and (b) read exactly headers + idx1 + the
+    // sampled frames' ranges — the bytes are counted by the reader and
+    // compared against the container format's CLOSED FORM, so an
+    // accidental full-container read (or an extra per-unsampled-frame
+    // probe) fails by arithmetic, not by threshold.
+    val docs = Tables.documents(spark, sf).limit(40).cache()
+    val assets = Binary.syntheticAviAssets(docs)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_byref_test").toString
+    val refs = Binary.writeAssetRefs(assets, dir).cache()
+    assert(refs.count() == 40)
+    // pack layout sanity: offsets+lengths tile each pack file exactly
+    val packs = refs.groupBy($"uri")
+      .agg(sum($"length").as("bytes"), max($"offset" + $"length").as("end"),
+        min($"offset").as("first"))
+      .collect()
+    packs.foreach { r =>
+      assert(r.getLong(3) == 0L, "pack must start at offset 0")
+      assert(r.getLong(1) == r.getLong(2), "pack refs must tile the file")
+    }
+    val acc = spark.sparkContext.longAccumulator("graft_test_ranged_bytes")
+    val got = Binary.videoFrameSampleStatsByRef(refs, every = 2, Some(acc))
+      .collect().map(_.toSeq).toSet
+    val want = Binary.videoFrameSampleStats(assets, every = 2)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "by-reference path diverged from the in-cell path")
+    // closed-form expected bytes, from the writer's own geometry
+    def rowSize(w: Int) = ((3 * w + 3) / 4) * 4
+    val expectedBytes = (0L until 40L).map { id =>
+      val (w, h, n) = (Binary.videoWidth(id), Binary.videoHeight(id),
+        Binary.videoFrames(id))
+      val frameSize = rowSize(w) * h
+      val strlSize = 4 + (8 + 56) + (8 + 40)
+      val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+      val sampled = (n + 1) / 2
+      12L + (8 + hdrlSize) + 12 + (8 + 16L * n) + sampled * (8L + frameSize)
+    }.sum
+    assert(acc.value == expectedBytes,
+      s"ranged reader fetched ${acc.value} bytes, closed form $expectedBytes")
+    // and the point of the exercise: materially below the full corpus
+    val totalBytes = refs.agg(sum($"length")).head.getLong(0)
+    assert(acc.value < totalBytes,
+      s"ranged ${acc.value} must be < full-container $totalBytes")
+  }
+
   test("video near-dup: planted clip overlaps surface exactly at the threshold, through real decode") {
     // 60 docs -> 20 clip groups, seeds 0..19 (below the mod-256 wrap, so
     // NO cross-group duplicates). Per group the construction plants
