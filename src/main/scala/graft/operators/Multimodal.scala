@@ -750,6 +750,37 @@ object Multimodal extends QueryPack {
       """.stripMargin),
       doc = "incremental video dedup: batch fingerprints broadcast vs streaming registry scan; coverage routes keep/drop"),
 
+    // ---- COMPRESSED frames (r13, VERDICT r12 §next-7): Motion-JPEG
+    // AVIs — each 00dc chunk a complete JPEG from the JDK's own writer,
+    // chunk sizes varying frame to frame — through the same parse +
+    // decode pipeline as q134. Frames are solid gray (the provably
+    // lossless JPEG subset at quality 1.0; Binary.Jpeg scaladoc), so
+    // the oracle replays every decoded mean from integer arithmetic;
+    // a near-lossless gradient bound is pinned in LlmOpsSpec. ----
+    "q147_video_mjpeg_decode" -> Q(
+      (s, d) => Binary.decodeVideoStats(
+        Binary.syntheticMjpegAssets(T.documents(s, d))),
+      Some("""
+        WITH a AS (
+          SELECT doc_id AS asset_id,
+                 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,
+                 2 + doc_id % 4 AS n
+          FROM documents
+        ),
+        af AS (
+          SELECT asset_id, w, h, n, unnest(range(0, n)) AS f FROM a
+        )
+        SELECT asset_id, CAST(f AS INT) AS frame_idx,
+               CAST(n AS INT) AS n_frames,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               round(CAST((3 * asset_id + 17 * f) % 256 AS DOUBLE), 6) AS mean_r,
+               round(CAST((3 * asset_id + 17 * f) % 256 AS DOUBLE), 6) AS mean_g,
+               round(CAST((3 * asset_id + 17 * f) % 256 AS DOUBLE), 6) AS mean_b
+        FROM af
+      """.stripMargin),
+      doc = "REAL Motion-JPEG decode: compressed 00dc frames (whole JPEGs, varying sizes) through the shared AVI parse + frame-decode dispatch"),
+
     // ---- frame sampling fan-out over REAL container frame counts ----
     "q64_frame_sample" -> Q(
       (s, d) => Binary.frameSample(

@@ -1166,6 +1166,80 @@ class LlmOpsSpec extends SparkSpec {
       s"ranged ${acc.value} must be < full-container $totalBytes")
   }
 
+  test("MJPEG: solid gray round-trips bit-exactly for all 256 values; gradients stay near-lossless; seek + byref paths decode compressed frames") {
+    import graft.multimodal.Binary.{Avi, Jpeg}
+    // (a) the exactness boundary the q147 oracle stands on: EVERY gray
+    // value survives encode(q=1.0) -> ImageIO decode bit-exactly
+    (0 until 256).foreach { v =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Jpeg.solidGray(12, 6, v)))
+      (0 until 6).foreach { y =>
+        (0 until 12).foreach { x =>
+          val p = img.getRGB(x, y)
+          assert(((p >> 16) & 0xff) == v && ((p >> 8) & 0xff) == v &&
+            (p & 0xff) == v, s"gray $v did not round-trip at ($x,$y)")
+        }
+      }
+    }
+    // (b) the documented reason q147 is gray-only: GRADIENT pixels are
+    // NOT exact under JPEG quantization — but the codec path must stay
+    // near-lossless at quality 1.0 (mean abs error small, bounded worst
+    // pixel), or the MJPG dispatch is decoding garbage
+    val (w, h) = (16, 8)
+    val grad = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    // gentle slopes (≤3/pixel): steeper steps cost more through 4:2:0
+    // chroma subsampling, which is part of the codec, not a defect
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      grad.setRGB(x, y, ((x * 2) << 16) | ((y * 3) << 8) | (x + y))
+    })
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Jpeg.encode(grad, 1.0f)))
+    var errSum = 0L; var errMax = 0
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      val a = grad.getRGB(x, y); val b = dec.getRGB(x, y)
+      Seq(16, 8, 0).foreach { sh =>
+        val e = math.abs(((a >> sh) & 0xff) - ((b >> sh) & 0xff))
+        errSum += e; errMax = math.max(errMax, e)
+      }
+    })
+    val mae = errSum.toDouble / (3 * w * h)
+    assert(mae < 2.0, s"gradient mean abs error $mae too high at q=1.0")
+    assert(errMax <= 12, s"gradient worst-pixel error $errMax at q=1.0")
+    // (c) compressed containers flow through ALL THREE decode paths —
+    // full parse, index-seek, and by-reference ranged — identically
+    val docs = Tables.documents(spark, sf).limit(24)
+    val assets = Binary.syntheticMjpegAssets(docs).cache()
+    val full = Binary.decodeVideoStats(assets).collect().map(_.toSeq).toSet
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      val (id, f) = (r(0).asInstanceOf[Long], r(1).asInstanceOf[Int])
+      val v = Binary.mjpegGray(id, f.toLong).toDouble
+      assert(r(5) == v && r(6) == v && r(7) == v,
+        s"asset $id frame $f: decoded means $r != gray $v")
+    }
+    val seek = Binary.videoFrameSampleStats(assets, every = 2)
+      .collect().map(_.toSeq).toSet
+    val fullEven = full.filter(_(1).asInstanceOf[Int] % 2 == 0)
+    assert(seek == fullEven, "seek path diverged on MJPEG frames")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mjpeg_byref").toString
+    val byref = Binary.videoFrameSampleStatsByRef(
+      Binary.writeAssetRefs(assets, dir), every = 2)
+      .collect().map(_.toSeq).toSet
+    assert(byref == fullEven, "byref path diverged on MJPEG frames")
+    // (d) the probe sniffs the compressed container's real header too
+    val probed = Binary.probeMetadata(assets)
+      .select($"asset_id", $"meta.codec", $"meta.width", $"meta.n_frames")
+      .collect()
+    probed.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == "avi")
+      assert(r.getInt(2) == Binary.videoWidth(id))
+      assert(r.getInt(3) == Binary.videoFrames(id))
+    }
+  }
+
   test("video near-dup: planted clip overlaps surface exactly at the threshold, through real decode") {
     // 60 docs -> 20 clip groups, seeds 0..19 (below the mod-256 wrap, so
     // NO cross-group duplicates). Per group the construction plants
