@@ -195,4 +195,27 @@ class SemanticLayoutSpec extends SparkSpec {
     assert(regionRows == allRegions && allRegions.size > 1,
       "slicer enumeration must be unfiltered by its own selection")
   }
+
+  test("q122/q131 serve from LANDED warehouse tables: no AST re-analyzes the build plan") {
+    // VERDICT r12 §next-5: the serving boundary must be storage, not a
+    // checkpointed build plan. Every star relation an AST touches must
+    // be a parquet FILE SCAN (the landed table read back); a Window
+    // anywhere in the serving plan means the SCD/fact build leaked into
+    // AST compilation, and an RDD-scan leaf means serving still depends
+    // on executor-storage checkpoints instead of the warehouse.
+    import graft.plans.PlanWalk.walk
+    Seq("q122_layout_replay", "q131_page_crossfilter").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // finalize AQE on THIS plan
+      val nodes = walk(df.queryExecution.executedPlan)
+      assert(nodes.exists(n =>
+        n.getClass.getSimpleName.startsWith("FileSourceScan")),
+        s"$q: expected parquet scans of the landed star tables")
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+        s"$q: a Window in the serving plan — the build plan leaked into an AST")
+      assert(!nodes.exists(_.getClass.getSimpleName == "RDDScanExec"),
+        s"$q: an RDD-scan leaf — serving still reads checkpointed build output")
+    }
+  }
 }
