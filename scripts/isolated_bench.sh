@@ -5,18 +5,40 @@
 # believed after this number moves; for code-vs-host separation, run it
 # again on the old commit in a scratch worktree (SCALE.md, r12).
 #
-# usage: scripts/isolated_bench.sh q21_scd_merge,q38_drill_quarter [sfdir]
+# Emits a JSON artifact (VERDICT r12 §next-6) so each round's drift
+# adjudication is a diff of two committed files, not a prose claim —
+# commit it as BENCH_isolated_r{N}.json.
+#
+# usage: scripts/isolated_bench.sh q21_scd_merge,q38_drill_quarter \
+#          [sfdir] [out.json]
 set -euo pipefail
 QUERIES=$1
 SF=${2:-/root/testdata/sf0.1}
+OUT=${3:-bench_isolated.json}
 for i in 1 2 3 4; do
   SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_SF_DIR="$SF" \
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"'
 done | python3 -c '
 import json, sys
-runs = [json.loads(l)["queries"] for l in sys.stdin]
-calibs = "see per-run lines above"
-for q in sorted(runs[0]):
-    vals = [r[q] for r in runs]
-    print(f"{q}: min={min(vals)}  runs={vals}")
-'
+out, sf = sys.argv[1], sys.argv[2]
+lines = [json.loads(l) for l in sys.stdin]
+runs = [l["queries"] for l in lines]
+doc = {
+    "protocol": "min-of-4 isolated JVMs, reps=2 min each",
+    "sf_dir": sf,
+    "calib_sec": [l.get("calib_sec") for l in lines],
+    "queries": {
+        q: {"min": min(r[q] for r in runs),
+            "runs": [r[q] for r in runs]}
+        for q in sorted(runs[0])
+    },
+}
+with open(out, "w") as f:
+    json.dump(doc, f, indent=1, sort_keys=True)
+    f.write("\n")
+for q, v in doc["queries"].items():
+    mn, rs = v["min"], v["runs"]
+    print(f"{q}: min={mn}  runs={rs}")
+calibs = doc["calib_sec"]
+print(f"wrote {out} (calibs {calibs})")
+' "$OUT" "$SF"
