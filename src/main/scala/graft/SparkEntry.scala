@@ -59,13 +59,14 @@ object SparkEntry {
     * would double-count those operators, so it is correctness-gated
     * (oracled final state + StreamingSpec) instead. q145 is the same
     * integration drive with media composed in (its steady-state media
-    * step is benched as q144), excluded for the same reason. */
+    * step is benched as q144), excluded for the same reason, as is
+    * q148 (the same 4-batch drive plus a manifest snapshot read). */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries.removedAll(Seq("q70_ibrd_e2e_loans_by_status",
       "q71_ibrd_measures_card", "q72_ibrd_staged", "q73_ibrd_trend_by_year",
       "q74_ibrd_dim_country", "q75_ibrd_incremental_dim",
       "q76_ibrd_incremental_fact", "q130_crawl_pipeline",
-      "q145_crawl_media_pipeline"))
+      "q145_crawl_media_pipeline", "q148_crawl_time_travel"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted entries get a rows-only check. */

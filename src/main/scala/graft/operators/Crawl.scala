@@ -448,11 +448,21 @@ object Crawl extends QueryPack {
       Fs.writeString(spark, s"$manifestDir/m$batchId", lines.mkString("\n"))
     }
 
-    private[operators] def restoreFromManifest(): Boolean = {
+    /** Restore from the newest committed manifest, or — `upTo` given —
+      * from the newest manifest at or below that batch id: TIME-TRAVEL.
+      * Every store's manifest coordinates (epoch, base table, append
+      * batch list) are immutable once written and compaction writes
+      * epoch-VERSIONED tables/dirs without touching older ones, so any
+      * retained manifest reconstructs its exact state — the
+      * reproducible-corpus-snapshot contract (q148). [[vacuum]] bounds
+      * how far back this reaches. */
+    private[operators] def restoreFromManifest(
+        upTo: Option[Long] = None): Boolean = {
       val committed = Fs.listNames(spark, manifestDir)
         .flatMap { n =>
           if (n.matches("m\\d+")) Some(n.stripPrefix("m").toLong) else None
         }
+        .filter(id => upTo.forall(id <= _))
       if (committed.isEmpty) false
       else {
         val last = committed.max
@@ -480,6 +490,98 @@ object Crawl extends QueryPack {
         if (summaryVersion >= 0)
           summary = spark.read.parquet(s"$root/summary/v$summaryVersion")
         true
+      }
+    }
+
+    /** Retention GC (the missing half of the compaction lifecycle): a
+      * long-running loop otherwise accumulates every superseded append
+      * epoch, compacted table generation, manifest, and derivation
+      * slice FOREVER — at crawl scale that is unbounded storage. Keeps
+      * everything referenced by the newest `retainManifests` manifests
+      * (their base dirs, their append dirs, their summary versions) and
+      * deletes the rest: older manifests, unreferenced append/compact
+      * dirs (plus their catalog entries), superseded summary versions,
+      * and batch derivation slices (`batch_pairs`/`batch_kept`/
+      * `batch_prints`) at or below the oldest retained commit — those
+      * are consumed during their own ingest and never read again.
+      * Time-travel ([[Loop.resume]] `asOf`) is therefore bounded by the
+      * retention window, the standard snapshot-store trade. Safe while
+      * the loop runs: the newest manifest is always retained and is
+      * precisely what [[state]] reads. */
+    def vacuum(retainManifests: Int = 1): Unit = {
+      require(retainManifests >= 1, "must retain at least the newest manifest")
+      val ids = Fs.listNames(spark, manifestDir)
+        .flatMap { n =>
+          if (n.matches("m\\d+")) Some(n.stripPrefix("m").toLong) else None
+        }.sorted
+      if (ids.isEmpty) return
+      val retained = ids.takeRight(retainManifests)
+      val kvs = retained.map(id => Fs.readString(spark,
+          s"$manifestDir/m$id").split('\n')
+        .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap)
+      val storeNames = Seq("seen", "bands", "sets", "kept", "assigned",
+        "clusters", "prints", "media_kept")
+      // referenced data dirs, relative to root
+      val keep = scala.collection.mutable.Set.empty[String]
+      kvs.foreach { kv =>
+        storeNames.foreach { n =>
+          val epoch = kv.getOrElse(s"store.$n.epoch", "0")
+          kv.get(s"store.$n.path").filter(_.nonEmpty)
+            .foreach(p => keep += p.stripPrefix(s"$root/"))
+          kv.getOrElse(s"store.$n.batches", "").split(',').filter(_.nonEmpty)
+            .foreach(b => keep += s"$n/append$epoch/b$b")
+        }
+        val sv = kv.getOrElse("summaryVersion", "-1")
+        if (sv.toLong >= 0) keep += s"summary/v$sv"
+      }
+      val oldestRetained = retained.min
+      val fsys = Fs.fs(spark, root)
+      def deleteUnder(sub: String)(keepChild: String => Boolean): Unit = {
+        val dir = new Path(s"$root/$sub")
+        if (fsys.exists(dir)) fsys.listStatus(dir).foreach { st =>
+          if (!keepChild(st.getPath.getName)) {
+            fsys.delete(st.getPath, true); ()
+          }
+        }
+      }
+      // manifests outside the window
+      deleteUnder("manifest")(n => retained.contains(
+        n.stripPrefix("m").takeWhile(_.isDigit) match {
+          case "" => -1L; case d => d.toLong
+        }))
+      // per-store epochs: append<k>'s referenced b* children survive;
+      // everything else (old epochs, superseded compact dirs) goes,
+      // along with the catalog entry over a deleted compact dir
+      storeNames.foreach { n =>
+        val dir = new Path(s"$root/$n")
+        if (fsys.exists(dir)) fsys.listStatus(dir).foreach { st =>
+          val child = st.getPath.getName
+          if (child.startsWith("append")) {
+            fsys.listStatus(st.getPath).foreach { b =>
+              if (!keep.contains(s"$n/$child/${b.getPath.getName}")) {
+                fsys.delete(b.getPath, true); ()
+              }
+            }
+            if (fsys.listStatus(st.getPath).isEmpty) {
+              fsys.delete(st.getPath, true); ()
+            }
+          } else if (!keep.contains(s"$n/$child")) {
+            fsys.delete(st.getPath, true)
+            if (child.startsWith("compact"))
+              spark.sql(s"DROP TABLE IF EXISTS ${tag}_${n}_e" +
+                child.stripPrefix("compact"))
+            ()
+          }
+        }
+      }
+      deleteUnder("summary")(c => keep.contains(s"summary/$c"))
+      Seq("batch_pairs", "batch_kept", "batch_prints").foreach { d =>
+        deleteUnder(d) { c =>
+          val id = c.stripPrefix("v").takeWhile(_.isDigit) match {
+            case "" => Long.MaxValue; case s => s.toLong
+          }
+          id > oldestRetained
+        }
       }
     }
 
@@ -632,10 +734,11 @@ object Crawl extends QueryPack {
                embeddings: DataFrame, root: String, tag: String,
                verifyThreshold: Double = 0.8, compactEvery: Int = 2,
                buckets: Int = 32, template: StructType,
-               mediaDropAt: Double = 0.5): Loop = {
+               mediaDropAt: Double = 0.5,
+               asOf: Option[Long] = None): Loop = {
       val loop = new Loop(spark, codebook, embeddings, root, tag,
         verifyThreshold, compactEvery, buckets, template, mediaDropAt)
-      loop.restoreFromManifest()
+      loop.restoreFromManifest(asOf)
       loop
     }
   }
@@ -873,6 +976,119 @@ object Crawl extends QueryPack {
                np.asset_id IN (SELECT doc_id FROM kept) AS doc_kept
         FROM np LEFT JOIN sn ON np.asset_id = sn.asset_id
       """.stripMargin),
-      doc = "crawl loop with media composed in: per-batch frame-print knockout vs the loop-carried registry + text kept set, both oracled")
+      doc = "crawl loop with media composed in: per-batch frame-print knockout vs the loop-carried registry + text kept set, both oracled"),
+
+    // ---- TIME-TRAVEL state read (r13): reproducible corpus snapshots.
+    // Drive all 4 batches, then reconstruct the state AS OF batch 2
+    // from the manifest history alone (Loop.resume asOf) — the
+    // data-versioning contract a training pipeline needs ("rebuild the
+    // exact corpus snapshot run X trained on"). Works because manifests
+    // are immutable commit records and compaction writes epoch-VERSIONED
+    // tables/dirs; vacuum bounds the reach (StreamingSpec). The oracle
+    // is q130's closed form restricted to the first three quartile
+    // batches — LSH pairs/exact dups/clusters on a doc_id-prefix subset
+    // equal the full corpus's relations restricted to endpoints in the
+    // subset, because every per-doc signature is corpus-independent. ----
+    "q148_crawl_time_travel" -> Q(
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val emb = T.embeddings(s, d)
+        val codebook = emb.filter(col("vec_id") < Similarity.IvfCentroids)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        val hi = docs.select(max(col("doc_id"))).head.getLong(0) + 1
+        val batches = (0 until 4).map { k =>
+          val lo = hi * k / 4
+          val up = if (k == 3) hi else hi * (k + 1) / 4
+          docs.filter(col("doc_id") >= lo && col("doc_id") < up)
+        }
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q148").toString
+        val tag = "q148_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        driveLoop(s, batches, codebook, emb, root, tag)
+        val at2 = Loop.resume(s, codebook, emb, root, tag,
+          template = docs.schema, asOf = Some(2L))
+        val st = at2.state()
+        st.kept
+          .join(st.assigned.select(col("vec_id").as("doc_id"), col("cell")),
+            Seq("doc_id"))
+          .join(st.summary.select(col("grp").as("lang"),
+            col("n").as("lang_n"),
+            col("total").as("lang_total_chars")), Seq("lang"))
+          .join(st.clusters, Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("cell"),
+            col("lang_n"), col("lang_total_chars"), col("cluster_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${Dedup.minhashLshPairsCte},
+        bnd AS (
+          SELECT (max(doc_id) + 1) * 3 // 4 AS b FROM documents
+        ),
+        d3 AS (
+          SELECT * FROM documents WHERE doc_id < (SELECT b FROM bnd)
+        ),
+        exactdrop AS (
+          SELECT DISTINCT d2.doc_id
+          FROM d3 d1 JOIN d3 d2
+            ON coalesce(d1.text, '') = coalesce(d2.text, '')
+           AND d1.doc_id < d2.doc_id
+        ),
+        neardrop AS (
+          SELECT DISTINCT b_id AS doc_id FROM lshv
+          WHERE jac >= 0.8 AND b_id < (SELECT b FROM bnd)
+        ),
+        kept AS (
+          SELECT doc_id, lang, n_chars FROM d3
+          WHERE doc_id NOT IN (SELECT doc_id FROM exactdrop)
+            AND doc_id NOT IN (SELECT doc_id FROM neardrop)
+        ),
+        e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        cents AS (
+          SELECT vec_id AS cent_id, v AS centv FROM e
+          WHERE vec_id < ${Similarity.IvfCentroids}
+        ),
+        scored AS (
+          SELECT k.doc_id, c.cent_id, ${Similarity.cosSql("b.v", "c.centv")} AS sim
+          FROM kept k JOIN e b ON b.vec_id = k.doc_id CROSS JOIN cents c
+        ),
+        assigned AS (
+          SELECT doc_id, cell FROM (
+            SELECT doc_id, cent_id AS cell,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY sim DESC, cent_id ASC) AS rn
+            FROM scored) WHERE rn = 1
+        ),
+        summ AS (
+          SELECT lang, count(*) AS lang_n,
+                 CAST(sum(CAST(n_chars AS DECIMAL(28,2))) AS DOUBLE)
+                   AS lang_total_chars
+          FROM kept GROUP BY lang
+        ),
+        cedges AS (
+          SELECT a_id AS src, b_id AS dst FROM lshv
+          WHERE jac >= 0.8 AND b_id < (SELECT b FROM bnd)
+          UNION ALL
+          SELECT b_id AS src, a_id AS dst FROM lshv
+          WHERE jac >= 0.8 AND b_id < (SELECT b FROM bnd)
+        ),
+        creach AS (
+          SELECT doc_id AS id, doc_id AS lbl FROM d3
+          UNION
+          SELECT e.dst AS id, r.lbl AS lbl
+          FROM creach r JOIN cedges e ON r.id = e.src
+        ),
+        clusters AS (
+          SELECT id AS doc_id, min(lbl) AS cluster_id FROM creach GROUP BY id
+        )
+        SELECT k.doc_id, k.lang, k.n_chars, a.cell, s.lang_n,
+               s.lang_total_chars, c.cluster_id
+        FROM kept k
+        JOIN assigned a USING (doc_id)
+        JOIN summ s ON s.lang = k.lang
+        JOIN clusters c USING (doc_id)
+      """.stripMargin),
+      doc = "time-travel crawl state: manifest-history snapshot read as of an earlier batch (reproducible corpus snapshots), q130's closed form on the prefix")
   )
 }

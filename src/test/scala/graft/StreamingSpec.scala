@@ -678,6 +678,94 @@ class StreamingSpec extends SparkSpec {
     assert(snap(loop3) == ref, "post-recovery resume diverged")
   }
 
+  test("vacuum + time-travel: retention GC deletes every unreferenced epoch/manifest, state and resume unchanged, snapshots bounded by retention") {
+    import graft.operators.Crawl
+    val docs = Tables.documents(spark, sf).cache()
+    val emb = Tables.embeddings(spark, sf).cache()
+    val codebook = emb.filter($"vec_id" < operators.Similarity.IvfCentroids)
+      .select($"vec_id".as("cent_id"), $"embedding".as("centv"))
+    val hi = docs.agg(max($"doc_id")).head.getLong(0) + 1
+    val batches = (0 until 6).map { k =>
+      val lo = hi * k / 6
+      val up = if (k == 5) hi else hi * (k + 1) / 6
+      docs.filter($"doc_id" >= lo && $"doc_id" < up)
+    }
+    val media = batches.map(b => graft.multimodal.Binary.syntheticAviClips(b))
+    def snap(loop: Crawl.Loop): Seq[Set[Seq[Any]]] = {
+      val st = loop.state()
+      Seq(st.kept.collect().map(_.toSeq).toSet,
+        st.seen.collect().map(_.toSeq).toSet,
+        st.clusters.collect().map(_.toSeq).toSet,
+        loop.mediaKept().collect().map(_.toSeq).toSet,
+        loop.mediaPrints().distinct().collect().map(_.toSeq).toSet)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    val loop = new Crawl.Loop(spark, codebook, emb, root, tag = "t_vac",
+      template = docs.schema)
+    (0 until 6).foreach(k => loop.ingest(batches(k), k, Some(media(k))))
+    // TIME-TRAVEL before the GC: the snapshot at batch 3 must bit-equal
+    // a fresh 4-batch drive of the same corpus (the q148 property on
+    // its full state, including media stores)
+    val at3 = Crawl.Loop.resume(spark, codebook, emb, root, tag = "t_vac",
+      template = docs.schema, asOf = Some(3L))
+    assert(at3.nextBatchId == 4L)
+    val rootRef = java.nio.file.Files
+      .createTempDirectory("graft_vac_ref").toString
+    val ref4 = Crawl.driveLoop(spark, batches.take(4), codebook, emb,
+      rootRef, tag = "t_vac_ref", media = media.take(4))
+    assert(snap(at3) == snap(ref4),
+      "time-travel snapshot diverged from the equivalent shorter drive")
+    // ---- vacuum: retain only the newest manifest ----
+    val before = snap(loop)
+    def census(): Set[String] = {
+      def walk(p: java.nio.file.Path): Seq[String] = {
+        val s = java.nio.file.Files.list(p).iterator()
+        var out = Vector.empty[String]
+        while (s.hasNext) {
+          val c = s.next()
+          out :+= c.toString
+          if (java.nio.file.Files.isDirectory(c)) out ++= walk(c)
+        }
+        out
+      }
+      walk(java.nio.file.Paths.get(root)).map(_.stripPrefix(root)).toSet
+    }
+    val pre = census()
+    loop.vacuum(retainManifests = 1)
+    val post = census()
+    assert(post.size < pre.size, "vacuum deleted nothing")
+    // superseded artifacts are GONE: old manifests, pre-current append
+    // epochs, superseded compacted generations, old summary versions
+    (0 until 5).foreach { k =>
+      assert(!post.contains(s"/manifest/m$k"), s"manifest m$k survived")
+    }
+    assert(post.exists(_.startsWith("/manifest/m5")))
+    assert(!post.exists(_.contains("/seen/append0")), "old epoch survived")
+    assert(!post.exists(_.contains("/seen/compact1")),
+      "superseded compacted generation survived")
+    assert(post.exists(_.contains("/seen/compact3")),
+      "current compacted generation must survive")
+    (0 until 5).foreach { k =>
+      assert(!post.contains(s"/summary/v$k"), s"summary v$k survived")
+    }
+    // state unchanged through the GC, resume still lands on batch 6
+    assert(snap(loop) == before, "vacuum changed the current state")
+    val resumed = Crawl.Loop.resume(spark, codebook, emb, root,
+      tag = "t_vac", template = docs.schema)
+    assert(resumed.nextBatchId == 6L)
+    assert(snap(resumed) == before, "post-vacuum resume diverged")
+    // and the loop keeps ingesting after the GC
+    resumed.ingest(batches(5).withColumn("doc_id", $"doc_id" + hi), 6,
+      Some(media(5)))
+    assert(resumed.nextBatchId == 7L)
+    // time-travel past the retention window now resolves to EMPTY (the
+    // documented snapshot-store trade), never to a wrong state
+    val gone = Crawl.Loop.resume(spark, codebook, emb, root, tag = "t_vac",
+      template = docs.schema, asOf = Some(3L))
+    assert(gone.nextBatchId == 0L,
+      "a vacuumed snapshot must resolve to a fresh loop, not a wrong state")
+  }
+
   test("foreachBatch streaming drive of the incremental warehouse equals the batch run") {
     // the reference's hourly production shape (pyspark_dag2.py:447-448 —
     // per-snapshot batch loads) in streaming clothes: raw JSON rows arrive
