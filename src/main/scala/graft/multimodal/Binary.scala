@@ -1362,6 +1362,7 @@ object Binary {
     * this table is the real contract (VERDICT r12 §next-2). */
   val assetRefSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
     StructField("uri", StringType, nullable = false),
     StructField("offset", LongType, nullable = false),
     StructField("length", LongType, nullable = false)))
@@ -1374,7 +1375,7 @@ object Binary {
   def writeAssetRefs(assets: DataFrame, dir: String): DataFrame = {
     val spark = assets.sparkSession
     val hc = org.apache.spark.sql.graft.Bridge.hadoopConf(spark)
-    val rdd = assets.select("asset_id", "payload").rdd
+    val rdd = assets.select("asset_id", "media_type", "payload").rdd
       .mapPartitionsWithIndex { (pid, rows) =>
         if (rows.isEmpty) Iterator.empty
         else {
@@ -1386,12 +1387,57 @@ object Binary {
             val p = r.getAs[Array[Byte]]("payload")
             val off = out.getPos
             out.write(p)
-            Row(r.getLong(0), path.toString, off, p.length.toLong)
+            Row(r.getLong(0), r.getString(1), path.toString, off,
+              p.length.toLong)
           }.toVector finally out.close()
           refs.iterator
         }
       }
     spark.createDataFrame(rdd, assetRefSchema)
+  }
+
+  /** Materialize by-reference assets back to payload rows — the bridge
+    * that runs every payload-consuming operator (near-dup
+    * fingerprinting, the crawl loop's media ingest:
+    * `loop.ingest(batch, id, Some(loadAssetsByRef(refs)))`) over pack
+    * files. Whole-asset reads, one sequential positioned read per ref
+    * (these consumers touch every frame anyway — the SELECTIVE path is
+    * [[videoFrameSampleStatsByRef]]); payloads materialize per-task,
+    * inside the batch seam, never in a stored table cell. */
+  def loadAssetsByRef(refs: DataFrame): DataFrame = {
+    val spark = refs.sparkSession
+    val hc = org.apache.spark.sql.graft.Bridge.hadoopConf(spark)
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = refs.select("asset_id", "media_type", "uri", "offset", "length")
+      .rdd.mapPartitions { rows =>
+        var curUri: String = null
+        var curIn: org.apache.hadoop.fs.FSDataInputStream = null
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = rows.hasNext
+            if (!h && curIn != null) { curIn.close(); curIn = null }
+            h
+          }
+          def next(): Row = {
+            val r = rows.next()
+            if (r.getString(2) != curUri) {
+              if (curIn != null) curIn.close()
+              val path = new org.apache.hadoop.fs.Path(r.getString(2))
+              val fs = path.getFileSystem(hc.value)
+              fs.setVerifyChecksum(false)
+              curIn = fs.open(path)
+              curUri = r.getString(2)
+            }
+            val p = new Array[Byte](r.getLong(4).toInt)
+            curIn.readFully(r.getLong(3), p)
+            Row(r.getLong(0), r.getString(1), p)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** [[videoFrameSampleStats]] over BY-REFERENCE assets: the same

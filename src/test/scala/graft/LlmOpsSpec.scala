@@ -1164,6 +1164,25 @@ class LlmOpsSpec extends SparkSpec {
     val totalBytes = refs.agg(sum($"length")).head.getLong(0)
     assert(acc.value < totalBytes,
       s"ranged ${acc.value} must be < full-container $totalBytes")
+    // the payload bridge: loadAssetsByRef round-trips every byte, so
+    // payload-consuming operators run over pack refs unchanged — the
+    // near-dup tier over refs equals the in-cell tier exactly
+    val loaded = Binary.loadAssetsByRef(refs)
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), r.getAs[Array[Byte]](2).toSeq))).toMap
+    val orig = assets.collect().map(r => (r.getLong(0),
+      (r.getString(1), r.getAs[Array[Byte]](2).toSeq))).toMap
+    assert(loaded == orig, "by-ref payload round-trip diverged")
+    val clips = Binary.syntheticAviClips(Tables.documents(spark, sf).limit(30))
+    val clipDir = java.nio.file.Files
+      .createTempDirectory("graft_byref_clips").toString
+    val overRefs = operators.Multimodal.videoNearDup(
+      Binary.loadAssetsByRef(Binary.writeAssetRefs(clips, clipDir)), 0.25)
+      .collect().map(_.toSeq).toSet
+    val overCells = operators.Multimodal.videoNearDup(clips, 0.25)
+      .collect().map(_.toSeq).toSet
+    assert(overRefs == overCells,
+      "near-dup over by-ref assets diverged from the in-cell run")
   }
 
   test("MJPEG: solid gray round-trips bit-exactly for all 256 values; gradients stay near-lossless; seek + byref paths decode compressed frames") {
