@@ -107,6 +107,10 @@ object ProfileCrawlSoak {
       spark.catalog.clearCache(); System.gc()
     }
 
+    // SPARK_GRAFT_MEDIA=1: every batch also carries its documents' video
+    // clips (the r13 composed-media members) — prices what the media
+    // knockout + print-registry append add per batch over the text loop
+    val withMedia = sys.env.get("SPARK_GRAFT_MEDIA").contains("1")
     val root = java.nio.file.Files.createTempDirectory("graft_soak_prof").toString
     val loop = new Crawl.Loop(spark, codebook, emb, root, tag = "soak_prof",
       compactEvery = compactEvery, buckets = 32, template = docs.schema)
@@ -114,9 +118,11 @@ object ProfileCrawlSoak {
       val lo = hi * k / nBatches
       val up = if (k == nBatches - 1) hi else hi * (k + 1) / nBatches
       val batch = docs.filter(col("doc_id") >= lo && col("doc_id") < up)
+      val media = if (withMedia)
+        Some(graft.multimodal.Binary.syntheticAviClips(batch)) else None
       acc.reset()
       val t0 = System.nanoTime()
-      loop.ingest(batch, k)
+      loop.ingest(batch, k, media)
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)
       val census = loop.state().seen.inputFiles.length
