@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Streaming,
     operators.AsOf,
     operators.TextAnalysis,
+    operators.Bpe,
     operators.Curation,
     operators.Dedup,
     operators.Crawl,
