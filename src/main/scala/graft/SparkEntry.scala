@@ -27,6 +27,7 @@ object SparkEntry {
     operators.Similarity,
     operators.Multimodal,
     operators.Quality,
+    operators.ZOrder,
     operators.Ibrd
   )
 
