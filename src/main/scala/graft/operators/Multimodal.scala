@@ -1,7 +1,9 @@
 package graft.operators
 
+import graft.functions.TextOps
 import graft.multimodal.Binary
 import graft.{Q, QueryPack, Tables => T}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column queries: binary payload plumbing with metadata
@@ -793,6 +795,106 @@ object Multimodal extends QueryPack {
         SELECT asset_id, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx
         FROM assets
       """.stripMargin),
-      doc = "every-kth frame fan-out per media asset, counts probed from the real AVI header")
+      doc = "every-kth frame fan-out per media asset, counts probed from the real AVI header"),
+
+    // ---- cross-modal training-pair assembly (CLIP-style dataset) ----
+    // Compose the per-modality curation into the artifact a multimodal
+    // trainer actually consumes: (caption, image) pairs where BOTH sides
+    // passed their gates. Caption side: integer-exact quality gates
+    // (cross-multiplied ratios — no float compare at a keep/drop
+    // boundary) + exact dedup keeping the min doc_id per md5(text), the
+    // q54 registry key. Image side: REAL ImageIO decode (q124 seam);
+    // the exposure gate counts pixels in the EXTREME luma-histogram
+    // bins — exact integers, replayed by the oracle from the generator
+    // arithmetic, never a codec. 100 TB shape: both gates run BEFORE
+    // the join so only survivors shuffle; the dedup window partitions
+    // by content hash; the pair join is a plain equi-join on the id
+    // both sides are bucketed by at rest (the decode pass is map-only).
+    "q151_pair_assembly" -> Q(
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val caps = docs
+          .select(col("doc_id"), col("lang"), col("text"),
+            size(TextOps.words(col("text"))).as("n_words"),
+            TextOps.vocabHits(col("text"), TextAnalysis.stopwords)
+              .as("stop_hits"),
+            size(TextOps.distinctWords(col("text"))).as("n_distinct"))
+          .filter(col("n_words") >= 20 &&
+            col("stop_hits") * 20 >= col("n_words") &&
+            col("n_distinct") * 2 >= col("n_words") &&
+            col("lang").isin("en", "de", "fr", "es"))
+        val canon = caps
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+          .filter(col("rk") === 1)
+        val imgs = Binary.decodeImageStats(Binary.syntheticBmpAssets(docs))
+          .select(col("asset_id"), col("width"), col("height"),
+            (col("h0") + col("h7")).as("extreme_px"))
+          .filter(col("extreme_px") * 4 <=
+            col("width").cast("long") * col("height"))
+        canon.join(imgs, col("doc_id") === col("asset_id"))
+          .select(col("doc_id"), col("lang"), col("n_words"),
+            col("width"), col("height"), col("extreme_px"))
+      },
+      Some("""
+        WITH cap AS (
+          SELECT doc_id, lang, text,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+                 len(list_filter(string_split(text, ' '),
+                   w -> list_contains(['the','a','of','and','or'], w)))
+                   AS stop_hits,
+                 len(list_distinct(string_split(text, ' '))) AS n_distinct
+          FROM documents
+        ),
+        gated AS (
+          SELECT * FROM cap
+          WHERE n_words >= 20 AND stop_hits * 20 >= n_words
+            AND n_distinct * 2 >= n_words
+            AND lang IN ('en', 'de', 'fr', 'es')
+        ),
+        canon AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(text)
+              ORDER BY doc_id) AS rk
+            FROM gated)
+          WHERE rk = 1
+        ),
+        a AS (
+          SELECT doc_id AS asset_id,
+                 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+          FROM documents
+        ),
+        px AS (
+          SELECT asset_id, w, h, unnest(range(0, w * h)) AS p FROM a
+        ),
+        c AS (
+          SELECT asset_id, w, h,
+                 (asset_id + 3 * (p % w) + 7 * (p // w)) % 256 AS r,
+                 (5 * asset_id + 11 * (p % w) + (p // w)) % 256 AS g,
+                 (2 * asset_id + (p % w) + 13 * (p // w)) % 256 AS b
+          FROM px
+        ),
+        l AS (
+          SELECT *, (r * 2126 + g * 7152 + b * 722) // 10000 // 32 AS bin
+          FROM c
+        ),
+        img AS (
+          SELECT asset_id,
+                 CAST(any_value(w) AS INT) AS width,
+                 CAST(any_value(h) AS INT) AS height,
+                 CAST(count(*) FILTER (WHERE bin IN (0, 7)) AS BIGINT)
+                   AS extreme_px
+          FROM l GROUP BY asset_id
+        ),
+        goodimg AS (
+          SELECT * FROM img
+          WHERE extreme_px * 4 <= CAST(width AS BIGINT) * height
+        )
+        SELECT cn.doc_id, cn.lang, cn.n_words,
+               g.width, g.height, g.extreme_px
+        FROM canon cn JOIN goodimg g ON cn.doc_id = g.asset_id
+      """.stripMargin),
+      doc = "cross-modal pair assembly: gated+deduped captions joined " +
+        "to exposure-gated REAL-decoded images")
   )
 }

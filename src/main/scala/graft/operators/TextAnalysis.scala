@@ -49,7 +49,7 @@ object TextAnalysis extends QueryPack {
       .select(col("g").as("gram"), col("n_occurrences"))
   }
 
-  private val stopwords = Seq("the", "a", "of", "and", "or")
+  private[operators] val stopwords = Seq("the", "a", "of", "and", "or")
   // marker words per language for the n-gram-heuristic language ID
   private val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "und"),

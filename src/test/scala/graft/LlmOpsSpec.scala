@@ -1653,4 +1653,23 @@ class LlmOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q151 pair assembly: both gates bite and each kept pair is unique") {
+    val pairs = SparkEntry.queries("q151_pair_assembly")(spark, sf)
+      .cache()
+    val n = pairs.count()
+    val docs = Tables.documents(spark, sf)
+    // non-trivial on both ends: some pairs survive, some docs are dropped
+    assert(n > 0)
+    assert(n < docs.count())
+    // a pair manifest keys uniquely by doc
+    assert(pairs.select("doc_id").distinct().count() == n)
+    // caption gates hold on every survivor
+    val bad = pairs.filter(col("n_words") < 20 ||
+      !col("lang").isin("en", "de", "fr", "es")).count()
+    assert(bad == 0)
+    // image exposure gate holds: extreme pixels <= 25% of the frame
+    assert(pairs.filter(col("extreme_px") * 4 >
+      col("width").cast("long") * col("height")).count() == 0)
+  }
 }
