@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch: the scale rehearsal of BPE merge training (q149). The claim —
+  * "training is vocab-scaled, not corpus-scaled: only the initial word
+  * count touches the corpus; every round runs over the distinct-word
+  * table" — measured at two operating points:
+  *
+  *   base — sf0.1 documents (5k docs)
+  *   x10  — ten id-shifted copies (50k docs, SAME word population → the
+  *          distinct-word working set is IDENTICAL; expect round cost
+  *          flat, only the one corpus pass scales)
+  *
+  * Reports wall + shuffle bytes (TaskEnd listener, not estimates) for
+  * the full 10-round train at each point. Not product surface. */
+object ProfileBpe {
+
+  private class Acc extends SparkListener {
+    @volatile var read = 0L
+    @volatile var spilled = 0L
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        read += m.shuffleReadMetrics.totalBytesRead
+        spilled += m.diskBytesSpilled
+      }
+    }
+    def reset(): Unit = { read = 0L; spilled = 0L }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val acc = new Acc
+    spark.sparkContext.addSparkListener(acc)
+
+    val docs0 = graft.Tables.documents(spark, base).select("doc_id", "text")
+    val maxId = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1
+    def docsX(n: Int): DataFrame =
+      (0 until n).map(k => docs0.withColumn("doc_id",
+        col("doc_id") + lit(k * maxId))).reduce(_.unionByName(_))
+
+    def run(label: String, docs: DataFrame): Unit = {
+      spark.catalog.clearCache(); System.gc()
+      // warm once (scan caches, codegen), measure min of 2
+      val walls = (1 to 2).map { _ =>
+        acc.reset()
+        val t0 = System.nanoTime()
+        val n = graft.operators.Bpe.trainMerges(docs, 10).count()
+        require(n == 10, s"expected 10 merges, got $n")
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"""{"tool":"bpe","point":"$label","wall_sec":${walls.min}%.2f,""" +
+        f""""shuffle_read_mb":${acc.read / 1048576.0}%.1f,""" +
+        f""""spill_mb":${acc.spilled / 1048576.0}%.1f}""")
+    }
+
+    run("base_1x", docsX(1))
+    run("corpus_10x", docsX(10))
+  }
+}
