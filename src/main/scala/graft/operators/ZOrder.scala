@@ -94,6 +94,87 @@ object ZOrder extends QueryPack {
       col(s"${xCol}_min") <= xHi && col(s"${xCol}_max") >= xLo &&
       col(s"${yCol}_min") <= yHi && col(s"${yCol}_max") >= yLo).count()
 
+  // ---- Hilbert curve (q152): the seam-free upgrade over Morton ----
+  // A box astride the domain midpoint is Morton's worst case (the curve
+  // jumps across the quadrant seam); the Hilbert curve is CONTINUOUS —
+  // consecutive d-indices are always grid neighbors — so file z-ranges
+  // cover compact regions with no seam to straddle. The classic xy2d
+  // walk (quadrant digit + rotate/flip, full-side n-1 reflection) is
+  // unrolled into bits chained column projections; Catalyst collapses
+  // them into one whole-stage-codegen'd expression per row.
+
+  /** Driver-side reference xy2d — the spec's ground truth, validated by
+    * the continuity property (successive d ⇒ grid neighbors). */
+  def hilbertRef(bits: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << bits
+    var x = x0; var y = y0; var d = 0L
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Append `hkey` (Hilbert d-index of (xb, yb)) to a bucketed frame.
+    * One chained projection per bit level — same per-level updates as
+    * [[hilbertRef]], so the three renderings (Scala, Column, SQL) are
+    * the same loop. */
+  def withHilbertKey(df: DataFrame, bits: Int = Bits): DataFrame = {
+    val n1 = (1L << bits) - 1
+    var cur = df.withColumn("hx", col("xb")).withColumn("hy", col("yb"))
+      .withColumn("hd", lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = when(col("hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(col("hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      cur = cur
+        .withColumn("hd2",
+          col("hd") + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry))
+        .withColumn("hx2", when(ry === 1, col("hx"))
+          .otherwise(when(rx === 1, lit(n1) - col("hy")).otherwise(col("hy"))))
+        .withColumn("hy2", when(ry === 1, col("hy"))
+          .otherwise(when(rx === 1, lit(n1) - col("hx")).otherwise(col("hx"))))
+        .drop("hd", "hx", "hy")
+        .withColumnRenamed("hd2", "hd")
+        .withColumnRenamed("hx2", "hx")
+        .withColumnRenamed("hy2", "hy")
+    }
+    cur.withColumnRenamed("hd", "hkey").drop("hx", "hy")
+  }
+
+  /** Oracle-side rendering of [[withHilbertKey]]: one CTE per bit level,
+    * generated from the same loop. Expects a CTE named `hb` providing
+    * (xb, yb, hx, hy, hd); yields CTEs h1..h`bits` where h`bits` holds
+    * the final `hd`. */
+  def hilbertSql(bits: Int): String = {
+    val n1 = (1L << bits) - 1
+    ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, step) =>
+      val s = 1L << i
+      val prev = if (step == 0) "hb" else s"h$step"
+      s""",
+        h${step + 1} AS (
+          SELECT xb, yb,
+                 hd + ${s * s} *
+                   xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+                       (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS hd,
+                 CASE WHEN (hy & $s) > 0 THEN hx
+                      WHEN (hx & $s) > 0 THEN $n1 - hy
+                      ELSE hy END AS hx,
+                 CASE WHEN (hy & $s) > 0 THEN hy
+                      WHEN (hx & $s) > 0 THEN $n1 - hx
+                      ELSE hx END AS hy
+          FROM $prev
+        )"""
+    }.mkString
+  }
+
   def queries: Map[String, Q] = Map(
     // Per-z-cell histogram over lineitem (l_orderkey × l_partkey): the
     // cell id exercises every bit of the interleave per row, and the
@@ -129,6 +210,44 @@ object ZOrder extends QueryPack {
         FROM z GROUP BY 1
       """.stripMargin),
       doc = "Z-order/Morton layout key: broadcast min/max buckets + bit " +
-        "interleave; per-cell histogram oracled bit-for-bit")
+        "interleave; per-cell histogram oracled bit-for-bit"),
+
+    // Hilbert d-index over the same buckets: the seam-free layout key.
+    // Same histogram shape as q150 so the two curves' locality is
+    // directly comparable cell-by-cell; ProfileZOrder prices the actual
+    // file-skipping of linear vs Morton vs Hilbert (SCALE.md §layout).
+    "q152_hilbert_cells" -> Q(
+      (s, d) => {
+        val z = withHilbertKey(withZKey(
+          T.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey"))
+        z.groupBy(shiftright(col("hkey"), CellShift).as("hcell"))
+          .agg(count(lit(1)).as("n"),
+            min(col("xb")).as("xb_min"), max(col("xb")).as("xb_max"),
+            min(col("yb")).as("yb_min"), max(col("yb")).as("yb_max"))
+      },
+      Some(s"""
+        WITH mm AS (
+          SELECT min(l_orderkey) AS mn_x, max(l_orderkey) AS mx_x,
+                 min(l_partkey) AS mn_y, max(l_partkey) AS mx_y
+          FROM lineitem
+        ),
+        b AS (
+          SELECT ((l_orderkey - mn_x) * ${1L << Bits}) // (mx_x - mn_x + 1)
+                   AS xb,
+                 ((l_partkey - mn_y) * ${1L << Bits}) // (mx_y - mn_y + 1)
+                   AS yb
+          FROM lineitem CROSS JOIN mm
+        ),
+        hb AS (
+          SELECT xb, yb, xb AS hx, yb AS hy, CAST(0 AS BIGINT) AS hd FROM b
+        )${hilbertSql(Bits)}
+        SELECT hd >> $CellShift AS hcell, count(*) AS n,
+               min(xb) AS xb_min, max(xb) AS xb_max,
+               min(yb) AS yb_min, max(yb) AS yb_max
+        FROM h$Bits GROUP BY 1
+      """.stripMargin),
+      doc = "Hilbert-curve layout key: per-level rotate/flip unrolled to " +
+        "chained projections; histogram oracled bit-for-bit")
   )
 }

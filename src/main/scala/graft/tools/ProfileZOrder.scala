@@ -27,9 +27,10 @@ object ProfileZOrder {
 
     val li = graft.Tables.lineitem(spark, base)
       .select($"l_orderkey", $"l_partkey")
-    val z = ZOrder.withZKey(li, "l_orderkey", "l_partkey")
+    val z = ZOrder.withHilbertKey(ZOrder.withZKey(li, "l_orderkey", "l_partkey"))
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
     ZOrder.writeClustered(z, "zkey", s"$dir/zorder", nFiles)
+    ZOrder.writeClustered(z, "hkey", s"$dir/hilbert", nFiles)
     ZOrder.writeClustered(z, "l_orderkey", s"$dir/linear", nFiles)
 
     val (mnx, mxx, mny, mxy) = li.agg(min($"l_orderkey"), max($"l_orderkey"),
@@ -64,11 +65,14 @@ object ProfileZOrder {
     }
 
     val (zFiles, zBytes, total) = price("zorder")
+    val (hFiles, hBytes, _) = price("hilbert")
     val (lFiles, lBytes, _) = price("linear")
     println(f"""{"tool":"zorder","sf_dir":"$base","n_files":$nFiles,"grid":$g,""" +
       f""""boxes":${boxes.size},"zorder_file_reads":$zFiles,""" +
-      f""""linear_file_reads":$lFiles,"zorder_bytes":$zBytes,""" +
+      f""""hilbert_file_reads":$hFiles,"linear_file_reads":$lFiles,""" +
+      f""""zorder_bytes":$zBytes,"hilbert_bytes":$hBytes,""" +
       f""""linear_bytes":$lBytes,"layout_bytes_total":$total,""" +
-      f""""bytes_ratio":${lBytes.toDouble / zBytes}%.2f}""")
+      f""""zorder_ratio":${lBytes.toDouble / zBytes}%.2f,""" +
+      f""""hilbert_ratio":${lBytes.toDouble / hBytes}%.2f}""")
   }
 }

@@ -30,6 +30,35 @@ class ZOrderSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length == got.length)
   }
 
+  test("hilbertRef is a true Hilbert curve: bijective and CONTINUOUS on the full 8-bit grid") {
+    // ground truth for everything else: index all 65536 grid points,
+    // then walking the curve in d-order must visit each exactly once
+    // (bijection) stepping to a 4-neighbor every time (continuity) —
+    // the property Morton lacks and the reason q152 exists
+    val pts = Array.ofDim[(Long, Long)](65536)
+    for (x <- 0 until 256; y <- 0 until 256) {
+      val d = ZOrder.hilbertRef(8, x, y)
+      assert(d >= 0 && d < 65536, s"d($x,$y)=$d out of range")
+      assert(pts(d.toInt) == null, s"d=$d hit twice")
+      pts(d.toInt) = (x.toLong, y.toLong)
+    }
+    for (d <- 0 until 65535) {
+      val (x1, y1) = pts(d); val (x2, y2) = pts(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumps at d=$d: ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
+  test("withHilbertKey matches the reference walk on a sampled 8-bit grid") {
+    val pairs = for (x <- 0L until 256L by 7L; y <- 0L until 256L by 11L)
+      yield (x, y)
+    val got = ZOrder.withHilbertKey(pairs.toDF("xb", "yb"))
+      .select($"xb", $"yb", $"hkey").as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, h) =>
+      assert(h == ZOrder.hilbertRef(8, x, y), s"hilbert($x, $y)")
+    }
+  }
+
   test("withZKey buckets cover [0, 2^bits) and extremes map to the ends") {
     val df = (0L to 1000L).map(i => (i, 1000L - i)).toDF("x", "y")
     val z = ZOrder.withZKey(df, "x", "y", bits = 4)
