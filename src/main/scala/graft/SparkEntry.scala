@@ -27,6 +27,8 @@ object SparkEntry {
     operators.Similarity,
     operators.Multimodal,
     operators.Quality,
+    operators.Graph,
+    operators.Classify,
     operators.ZOrder,
     operators.Ibrd
   )

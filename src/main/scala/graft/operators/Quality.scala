@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryPack, Tables => T}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -82,7 +83,81 @@ object Quality extends QueryPack {
         (col("n").cast("double") / col("__total").cast("double")).as("share"))
   }
 
+  /** Population-stability drift report between two corpus epochs — the
+    * monitor a production pipeline runs between crawl snapshots (the
+    * q148 time-travel reads are exactly the two inputs at scale; here the
+    * epochs are the deterministic doc_id parity split). Per feature, the
+    * corpus is bucketed (categorical values as-is, numeric columns into
+    * fixed integer-division bins), and each bucket row reports the two
+    * epochs' Laplace-smoothed shares plus its PSI term
+    * `(pa - pb) · ln(pa / pb)` — smoothing makes empty-on-one-side
+    * buckets finite instead of a ln(0) special case.
+    *
+    * Scale shape: ONE map-side-combined shuffle keyed on
+    * (feature, bucket) — both epoch counts are conditional sums in the
+    * same aggregate, so adding an epoch or feature never re-scans — then
+    * a window over the per-feature handful of bucket rows for totals.
+    * Output is bounded by bucket cardinality, independent of corpus
+    * size. Shares are ratios of integers (exact IEEE doubles in both
+    * engines); only the ln product is rounded. */
+  def driftPsi(docs: DataFrame, lenBin: Int = 64, maxBin: Int = 9): DataFrame = {
+    val feats = docs
+      .select(lit("lang").as("feature"), col("lang").as("bucket"),
+        (col("doc_id") % 2).as("epoch"))
+      .unionByName(docs.select(lit("len").as("feature"),
+        expr(s"CAST(least(n_chars DIV $lenBin, $maxBin) AS STRING)").as("bucket"),
+        (col("doc_id") % 2).as("epoch")))
+    val counts = feats.groupBy(col("feature"), col("bucket"))
+      .agg(sum(when(col("epoch") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("epoch") === 1, 1L).otherwise(0L)).as("nb"))
+    val w = Window.partitionBy(col("feature"))
+    val pa = (col("na") + lit(1L)).cast("double") / (col("ta") + col("k"))
+    val pb = (col("nb") + lit(1L)).cast("double") / (col("tb") + col("k"))
+    counts
+      .withColumn("ta", sum(col("na")).over(w))
+      .withColumn("tb", sum(col("nb")).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .select(col("feature"), col("bucket"), pa.as("pa"), pb.as("pb"),
+        round((pa - pb) * log(pa / pb), 6).as("psi"))
+  }
+
   def queries: Map[String, Q] = Map(
+    // ---- cross-epoch drift monitor over the document corpus ----
+    "q154_drift_psi" -> Q(
+      (s, d) => driftPsi(T.documents(s, d)),
+      Some("""
+        WITH feats AS (
+          SELECT 'lang' AS feature, lang AS bucket, doc_id % 2 AS epoch
+          FROM documents
+          UNION ALL
+          SELECT 'len', CAST(least(n_chars // 64, 9) AS VARCHAR), doc_id % 2
+          FROM documents
+        ),
+        c AS (
+          SELECT feature, bucket,
+                 count(*) FILTER (WHERE epoch = 0) AS na,
+                 count(*) FILTER (WHERE epoch = 1) AS nb
+          FROM feats GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT feature, bucket, na, nb,
+                 sum(na) OVER (PARTITION BY feature) AS ta,
+                 sum(nb) OVER (PARTITION BY feature) AS tb,
+                 count(*) OVER (PARTITION BY feature) AS k
+          FROM c
+        )
+        SELECT feature, bucket,
+               CAST(na + 1 AS DOUBLE) / (ta + k) AS pa,
+               CAST(nb + 1 AS DOUBLE) / (tb + k) AS pb,
+               round((CAST(na + 1 AS DOUBLE) / (ta + k)
+                      - CAST(nb + 1 AS DOUBLE) / (tb + k))
+                     * ln((CAST(na + 1 AS DOUBLE) / (ta + k))
+                          / (CAST(nb + 1 AS DOUBLE) / (tb + k))), 6) AS psi
+        FROM t
+      """.stripMargin),
+      doc = "cross-epoch PSI drift report: one conditional-sum shuffle + " +
+        "per-feature window; Laplace smoothing keeps one-sided buckets finite"),
+
     // ---- key-skew diagnostic over the stream's natural join key ----
     "q119_key_skew" -> Q(
       (s, d) => keyProfile(T.events(s, d), "user_id", topN = 10),

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Graph
+import graft.plans.PlanWalk.walk
+import graft.sources.TableSink
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BaseJoinExec
+import org.apache.spark.sql.functions._
+
+/** PageRank (q153): exact-integer arithmetic vs a driver-side reference,
+  * the teleport-floor/mass invariants, and the 100 TB layout claim — a
+  * bucketed edge table serves the per-round rank join with no edge-side
+  * exchange (only the small rank vector moves between iterations). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The same integer arithmetic as Graph.pagerank, in plain Scala. */
+  private def refPagerank(ids: Seq[Long]): Map[Long, Long] = {
+    val n = ids.size.toLong
+    val nodes = ids.map(id => ((id % n) + n) % n).distinct
+    val edges = nodes.flatMap(s =>
+      (0 until Graph.OutDegree).map(j => (s, (s * Graph.A + j) % n)))
+    var r = nodes.map(_ -> Graph.Scale).toMap
+    for (_ <- 1 to Graph.Iterations) {
+      val inc = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => r(e._1) / Graph.OutDegree).sum }
+      r = nodes.map(nd =>
+        nd -> (Graph.Scale * 15 / 100 + 85 * inc.getOrElse(nd, 0L) / 100)).toMap
+    }
+    r
+  }
+
+  test("pagerank equals the driver-side integer reference, bit for bit") {
+    val docs = Tables.documents(spark, sf)
+    val ids = docs.select($"doc_id").as[Long].collect().toSeq
+    val got = Graph.pagerank(spark, docs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refPagerank(ids))
+  }
+
+  test("teleport floor holds and total mass is bounded by the start mass") {
+    val r = Graph.pagerank(spark, Tables.documents(spark, sf))
+      .agg(min($"r"), max($"r"), sum($"r"), count(lit(1))).head
+    val n = r.getLong(3)
+    assert(r.getLong(0) >= Graph.Scale * 15 / 100) // no node below teleport
+    // integer DIVs only LOSE mass: total never exceeds n·Scale, and the
+    // floor keeps at least the teleport share in play
+    assert(r.getLong(2) <= n * Graph.Scale)
+    assert(r.getLong(2) >= n * (Graph.Scale * 15 / 100))
+    // the multiplicative-hash graph is near-regular, so no node may
+    // exceed uniform mass by more than its in-degree surplus allows
+    assert(r.getLong(1) <= n * Graph.Scale)
+  }
+
+  test("bucketed edge table: the rank join has no edge-side exchange") {
+    val docs = Tables.documents(spark, sf)
+    val (nodes, edges) = Graph.linkGraph(spark, docs)
+    TableSink.writeBucketed(edges, "b_edges", 8, Seq("src"))
+    val bEdges = spark.table("b_edges")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val r0 = nodes.select($"node", lit(Graph.Scale).as("r"))
+      val df = Graph.step(nodes, bEdges, r0)
+      df.collect() // finalize AQE on this plan
+      val joins = walk(df.queryExecution.executedPlan).collect {
+        case j: BaseJoinExec if j.joinType.sql == "INNER" => j
+      }
+      assert(joins.nonEmpty, "expected the edges ⋈ ranks join")
+      // the bucketed scan satisfies the join's hash distribution on src:
+      // at least one inner-join side must be exchange-free (the static
+      // 10^11-edge side at 100 TB), so per-round cost is rank-sized
+      val ok = joins.exists(j =>
+        walk(j.left).collect { case e: ShuffleExchangeExec => e }.isEmpty ||
+          walk(j.right).collect { case e: ShuffleExchangeExec => e }.isEmpty)
+      assert(ok, df.queryExecution.executedPlan.toString.take(2000))
+      // and the bucketed variant computes the same round as the plain one
+      val plain = Graph.step(nodes, edges, r0).as[(Long, Long)].collect().toMap
+      val bucketed = df.as[(Long, Long)].collect().toMap
+      assert(plain == bucketed)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
