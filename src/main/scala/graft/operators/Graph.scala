@@ -57,20 +57,34 @@ object Graph extends QueryPack {
   /** Knuth multiplicative-hash constant — spreads dst over [0, n). */
   val A = 2654435761L
 
-  /** (nodes, edges) of the derived link graph: nodes = (node, n) — the
-    * mod base rides along so edge derivation needs no second aggregate —
-    * and edges = (src, dst) with exactly [[OutDegree]] out-links per node.
-    * The one-row count is broadcast; no driver collect. */
-  def linkGraph(spark: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
+  /** Walk length for the q156 random-walk corpus (positions 0..WalkLen). */
+  val WalkLen = 4
+
+  /** Mixing constants for the deterministic per-(start, pos) edge choice. */
+  val B1 = 40503L
+  val B2 = 9973L
+
+  /** Nodes and j-numbered edges of the derived link graph: nodes keep the
+    * broadcast mod base `n` alongside; edges = (src, j, dst) with exactly
+    * [[OutDegree]] out-links per node. No driver collect anywhere. */
+  def linkGraphNumbered(spark: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
     val n = docs.agg(count(lit(1)).as("n"))
     val nodes = docs.crossJoin(broadcast(n))
       .select(pmod(col("doc_id"), col("n")).as("node"), col("n"))
       .distinct()
     val js = spark.range(OutDegree).select(col("id").as("j"))
     val edges = nodes.crossJoin(broadcast(js))
-      .select(col("node").as("src"),
+      .select(col("node").as("src"), col("j"),
         pmod(col("node") * lit(A) + col("j"), col("n")).as("dst"))
     (nodes.select(col("node")), edges)
+  }
+
+  /** (nodes, edges) of the derived link graph: nodes = (node) and
+    * edges = (src, dst) with exactly [[OutDegree]] out-links per node.
+    * The one-row count is broadcast; no driver collect. */
+  def linkGraph(spark: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
+    val (nodes, edges) = linkGraphNumbered(spark, docs)
+    (nodes, edges.drop("j"))
   }
 
   /** One damped integer PageRank round: contributions r DIV outDeg are
@@ -112,6 +126,73 @@ object Graph extends QueryPack {
         )"""
     }.mkString
 
+  /** Per-step frontiers of one deterministic walk per start node:
+    * frontier p has exactly one (start, node) row per start, and the edge
+    * taken at position p is j = ((start+1)·B1 + p·B2) mod outDeg — a pure
+    * integer function of (start, pos), so the "random" walk is replayable
+    * by both engines yet decorrelated across starts and steps (the
+    * DeepWalk corpus trick under a determinism requirement). Each step is
+    * one join of the n-row frontier against the static edge table. */
+  def walkFrontiers(spark: SparkSession, docs: DataFrame): Seq[DataFrame] = {
+    val (nodes, edges) = linkGraphNumbered(spark, docs)
+    val w0 = nodes.select(col("node").as("start"), col("node"))
+    // the SAME edges plan joins every step: qualify through string
+    // aliases so each round's dst resolves to the fresh copy, not the
+    // attribute already embedded in the frontier's lineage
+    (1 to WalkLen).scanLeft(w0) { (w, p) =>
+      w.alias("w").join(edges.alias("e"),
+        col("w.node") === col("e.src") &&
+          col("e.j") === pmod((col("w.start") + lit(1L)) * lit(B1) +
+            lit((p - 1).toLong * B2), lit(OutDegree.toLong)))
+        .select(col("w.start").as("start"), col("e.dst").as("node"))
+    }
+  }
+
+  /** Skip-gram training pairs (center, context, n) from the walk corpus:
+    * adjacent positions of each walk, both directions. Consecutive
+    * frontiers join on `start` (one row per start on each side — never a
+    * blow-up), so the pair stage reuses the per-step results instead of a
+    * self-join of the full corpus; a long-walk production run would
+    * localCheckpoint each frontier (the q130/q78 iteration pattern) to
+    * keep lineage flat. */
+  def skipgramPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val fs = walkFrontiers(spark, docs)
+    val adj = fs.zip(fs.tail).map { case (a, b) =>
+      val ab = a.as("a").join(b.as("b"), col("a.start") === col("b.start"))
+      ab.select(col("a.node").as("center"), col("b.node").as("context"))
+        .unionByName(
+          ab.select(col("b.node").as("center"), col("a.node").as("context")))
+    }
+    adj.reduce(_.unionByName(_))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Oracle CTEs w1..wWalkLen + the pair union — same loops as
+    * [[walkFrontiers]]/[[skipgramPairs]]. Expects `nodes`/`edges`/`w0`. */
+  private def walksSql: String = {
+    val steps = (1 to WalkLen).map { p =>
+      s""",
+        w$p AS (
+          SELECT w.start, e.dst AS node
+          FROM w${p - 1} w JOIN edges e
+            ON e.src = w.node
+           AND e.j = ((w.start + 1) * $B1 + ${(p - 1) * B2}) % $OutDegree
+        )"""
+    }.mkString
+    val pairs = (0 until WalkLen).map { p =>
+      s"""
+          SELECT a.node AS center, b.node AS context
+          FROM w$p a JOIN w${p + 1} b ON a.start = b.start
+          UNION ALL
+          SELECT b.node, a.node
+          FROM w$p a JOIN w${p + 1} b ON a.start = b.start"""
+    }.mkString("\n          UNION ALL")
+    s"""$steps,
+        pairs AS ($pairs
+        )"""
+  }
+
   def queries: Map[String, Q] = Map(
     // Full rank vector after the unrolled rounds: every node exercises
     // the join + partial-agg + teleport-floor path, and the hash compare
@@ -135,6 +216,31 @@ object Graph extends QueryPack {
       """.stripMargin),
       doc = "Damped PageRank over the derived link graph in exact integer " +
         "arithmetic: static edges, rank-only per-round shuffle, teleport " +
-        "floor via left join; full rank vector oracled bit-for-bit")
+        "floor via left join; full rank vector oracled bit-for-bit"),
+
+    // Deterministic random-walk corpus → skip-gram pairs: the DeepWalk /
+    // node2vec training-data generator. One walk per node, edge choice a
+    // pure integer function of (start, pos), adjacent-position pairs in
+    // both directions aggregated to (center, context, n).
+    "q156_randwalk_pairs" -> Q(
+      (s, d) => skipgramPairs(s, T.documents(s, d)),
+      Some(s"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        nodes AS (
+          SELECT DISTINCT doc_id % n AS node, n
+          FROM documents CROSS JOIN nn
+        ),
+        edges AS (
+          SELECT node AS src, j, (node * $A + j) % n AS dst
+          FROM nodes CROSS JOIN
+            (VALUES ${(0 until OutDegree).map(j => s"($j)").mkString(", ")})
+            AS js(j)
+        ),
+        w0 AS (SELECT node AS start, node FROM nodes)$walksSql
+        SELECT center, context, count(*) AS n FROM pairs GROUP BY 1, 2
+      """.stripMargin),
+      doc = "DeepWalk-style corpus: per-step frontier joins against the " +
+        "static edge table, deterministic integer edge choice, " +
+        "skip-gram (center, context) counts oracled bit-for-bit")
   )
 }

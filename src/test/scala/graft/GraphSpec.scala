@@ -52,6 +52,27 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(1) <= n * Graph.Scale)
   }
 
+  test("random-walk corpus: walks follow real edges, one walk per start, exact pair mass") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val fs = Graph.walkFrontiers(spark, docs)
+    assert(fs.size == Graph.WalkLen + 1)
+    fs.foreach { f =>
+      assert(f.count() == n)                             // no walk lost
+      assert(f.select($"start").distinct().count() == n) // exactly one per start
+    }
+    // every consecutive transition is an edge of the derived graph
+    val (_, edges) = Graph.linkGraph(spark, docs)
+    fs.zip(fs.tail).foreach { case (a, b) =>
+      val trans = a.alias("a").join(b.alias("b"), col("a.start") === col("b.start"))
+        .select(col("a.node").as("src"), col("b.node").as("dst")).distinct()
+      assert(trans.join(edges.distinct(), Seq("src", "dst"), "left_anti").count() == 0)
+    }
+    // pair mass is exact: 2 directions × WalkLen adjacent slots × n walks
+    val total = Graph.skipgramPairs(spark, docs).agg(sum($"n")).head.getLong(0)
+    assert(total == 2L * Graph.WalkLen * n)
+  }
+
   test("bucketed edge table: the rank join has no edge-side exchange") {
     val docs = Tables.documents(spark, sf)
     val (nodes, edges) = Graph.linkGraph(spark, docs)
