@@ -11,6 +11,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * (`--conf spark.sql.extensions=graft.plans.GraftExtensions`):
   *
   *  - [[WhenChainToMap]] optimizer rule (CASE-ladder → map lookup);
+  *  - [[RangeJoinBinning]] optimizer rule (inequality-only interval
+  *    join → binned equi-join, opt-in via its bin-width conf);
   *  - SQL registration of the native `minhash_sig(arr, k)` and
   *    `vector_dot(a, b)` expressions so `spark.sql` users get the
   *    codegen'd versions too.
@@ -22,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => WhenChainToMap)
+    ext.injectOptimizerRule(_ => RangeJoinBinning)
     GraftExtensions.descriptors.foreach(ext.injectFunction)
   }
 }

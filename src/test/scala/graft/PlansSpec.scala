@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{GraftExtensions, WhenChainToMap}
+import graft.plans.{GraftExtensions, RangeJoinBinning, WhenChainToMap}
 import org.apache.spark.sql.functions._
 
 /** The custom Catalyst surface: CASE-ladder→map-lookup optimizer rule and
@@ -62,6 +62,69 @@ class PlansSpec extends SparkSpec {
       .head
     assert(r.getInt(0) == 8)
     assert(r.getBoolean(1))
+  }
+
+  test("RangeJoinBinning: inequality-only join rewrites to a binned equi-join, same rows, no nested loop") {
+    import graft.plans.PlanWalk.walk
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    spark.experimental.extraOptimizations = Seq(RangeJoinBinning)
+    try {
+      val ev = Tables.events(spark, sf).withColumn("ts_us", expr("ts div 1000"))
+      val windows = ev.filter($"event_type" === "error")
+        .select($"event_id".as("win_id"), $"ts_us".as("wstart"),
+          ($"ts_us" + 300000000L).as("wend"))
+      val clicks = ev.filter($"event_type" === "click").select($"ts_us", $"value")
+      def q = clicks.join(windows, $"ts_us" >= $"wstart" && $"ts_us" < $"wend")
+        .groupBy($"win_id").agg(count(lit(1)).as("n"))
+      // conf unset: Spark's fallback plan for the pure range predicate
+      val base = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.set(RangeJoinBinning.ConfKey, "300000000")
+      val opt = q
+      val got = opt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == base)
+      assert(got.nonEmpty)
+      val loops = walk(opt.queryExecution.executedPlan)
+        .collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(loops.isEmpty,
+        "rule did not fire: the range join still nested-loops\n" +
+          opt.queryExecution.executedPlan.toString.take(1500))
+    } finally {
+      spark.conf.unset(RangeJoinBinning.ConfKey)
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("RangeJoinBinning: negative domains bin correctly and equi-joins stay untouched") {
+    import graft.plans.PlanWalk.walk
+    import org.apache.spark.sql.execution.GenerateExec
+    spark.experimental.extraOptimizations = Seq(RangeJoinBinning)
+    try {
+      spark.conf.set(RangeJoinBinning.ConfKey, "7")
+      // points and intervals astride zero: truncating division plateaus
+      // near 0 — coverage must still hold (residual keeps exactness)
+      val pts = (-40L to 40L by 3).toDF("p")
+      val ivs = Seq((1L, -35L, -20L), (2L, -5L, 9L), (3L, 12L, 33L))
+        .toDF("iv_id", "s", "e")
+      def q = pts.join(ivs, $"p" >= $"s" && $"p" < $"e")
+        .select($"iv_id", $"p")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        p <- -40L to 40L by 3
+        (id, s, e) <- Seq((1L, -35L, -20L), (2L, -5L, 9L), (3L, 12L, 33L))
+        if p >= s && p < e
+      } yield (id, p)).toSet
+      assert(got == want)
+      // a join that already has an equi key must not be exploded
+      val eq = pts.withColumn("k", $"p" % 5)
+        .join(ivs.withColumn("k", $"iv_id" % 5), Seq("k"))
+      eq.collect()
+      val gens = walk(eq.queryExecution.executedPlan)
+        .collect { case g: GenerateExec => g }
+      assert(gens.isEmpty, "rule fired on an equi-join")
+    } finally {
+      spark.conf.unset(RangeJoinBinning.ConfKey)
+      spark.experimental.extraOptimizations = Nil
+    }
   }
 
   test("the full native-function surface is callable from SQL") {
