@@ -60,7 +60,15 @@ object Classify extends QueryPack {
       .filter(length(col("w")) > 0)
 
   /** Confusion matrix (actual, predicted, n) of NB trained on even
-    * doc_ids and applied to odd ones. */
+    * doc_ids and applied to odd ones.
+    *
+    * Convention: a test doc with ZERO in-vocab tokens has no score rows
+    * (the token⋈grid join is inner) and is excluded from the matrix —
+    * the oracle shares the convention, and ClassifySpec asserts the
+    * matrix partitions the test split, so any silent drop would fail
+    * there. At real scale the min-df vocab gate makes this the
+    * empty-document case; a deployment that must route such docs
+    * predicts the prior argmax in a trivial follow-up union. */
   def nbConfusion(docs: DataFrame): DataFrame = {
     val tok = tokens(docs)
     val trainTok = tok.filter(col("train"))

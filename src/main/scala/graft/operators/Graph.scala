@@ -109,22 +109,57 @@ object Graph extends QueryPack {
     (1 to Iterations).foldLeft(r0)((r, _) => step(nodes, edges, r))
   }
 
-  /** Oracle-side rendering of [[Iterations]] rounds — generated from the
-    * same loop so the two engines can't drift. Expects CTEs `nodes`,
-    * `edges`, `r0`; yields `r1..rIterations`. */
-  private def stepsSql: String =
-    (1 to Iterations).map { i =>
+  /** Oracle-side rendering of damped-update rounds — generated from the
+    * same loop as [[step]] so the two engines can't drift. Produces CTEs
+    * `<prefix>1..<prefix>rounds` stepping from `<from>` over `<edgeCte>`. */
+  private def stepsSql(edgeCte: String, from: String, prefix: String,
+                       rounds: Int): String =
+    (1 to rounds).map { i =>
+      val prev = if (i == 1) from else s"$prefix${i - 1}"
       s""",
-        i$i AS (
+        ${prefix}i$i AS (
           SELECT e.dst AS dst, sum(r.r // $OutDegree) AS inc
-          FROM edges e JOIN r${i - 1} r ON e.src = r.node GROUP BY 1
+          FROM $edgeCte e JOIN $prev r ON e.src = r.node GROUP BY 1
         ),
-        r$i AS (
+        $prefix$i AS (
           SELECT nodes.node,
                  ${Scale * 15 / 100} + (85 * coalesce(inc, 0)) // 100 AS r
-          FROM nodes LEFT JOIN i$i ON nodes.node = i$i.dst
+          FROM nodes LEFT JOIN ${prefix}i$i ON nodes.node = ${prefix}i$i.dst
         )"""
     }.mkString
+
+  private def stepsSql: String = stepsSql("edges", "r0", "r", Iterations)
+
+  // ---- incremental maintenance (q157): warm-started power iteration ----
+
+  /** Modulus selecting the "newly crawled" batch: nodes ≡ 0 (mod this)
+    * contribute no edges to the base graph. */
+  val BatchMod = 10
+
+  /** Warm-start rounds run after the batch's edges are appended. */
+  val IncrRounds = 2
+
+  /** Rank maintenance under an edge-batch append — the graph tier's
+    * member of the catalog's uniform incremental-registry family
+    * (q100/q126/q132/q135/...): ranks converged on the BASE graph are
+    * the stored registry; when a crawl batch lands its out-edges, the
+    * maintained vector is [[IncrRounds]] damped rounds over the FULL
+    * edge table warm-started from the stored ranks — the standard
+    * production shape (power iteration converges from any start, and a
+    * near-fixpoint start needs few rounds; GraphSpec pins the contract:
+    * the warm rounds strictly contract the stored registry's gap to the
+    * full-graph fixpoint — damping shrinks it ~0.85 per round).
+    * Node universe is fixed (doc_id mod n);
+    * "new" nodes simply had no out-edges before the append, exactly like
+    * an empty registry row. Integer arithmetic end-to-end, so the whole
+    * two-phase drive is hash-oracled. */
+  def pagerankIncremental(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val (nodes, edgesAll) = linkGraph(spark, docs)
+    val edgesBase = edgesAll.filter(pmod(col("src"), lit(BatchMod.toLong)) =!= 0L)
+    val r0 = nodes.select(col("node"), lit(Scale).as("r"))
+    val rBase = (1 to Iterations).foldLeft(r0)((r, _) => step(nodes, edgesBase, r))
+    (1 to IncrRounds).foldLeft(rBase)((r, _) => step(nodes, edgesAll, r))
+  }
 
   /** Per-step frontiers of one deterministic walk per start node:
     * frontier p has exactly one (start, node) row per start, and the edge
@@ -217,6 +252,33 @@ object Graph extends QueryPack {
       doc = "Damped PageRank over the derived link graph in exact integer " +
         "arithmetic: static edges, rank-only per-round shuffle, teleport " +
         "floor via left join; full rank vector oracled bit-for-bit"),
+
+    // Rank registry maintenance: converge on the base graph, append the
+    // batch's edges, warm-start IncrRounds rounds. Both phases replayed
+    // by generated CTEs; full maintained vector hash-compared.
+    "q157_pagerank_incremental" -> Q(
+      (s, d) => pagerankIncremental(s, T.documents(s, d)),
+      Some(s"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        nodes AS (
+          SELECT DISTINCT doc_id % n AS node, n
+          FROM documents CROSS JOIN nn
+        ),
+        edges AS (
+          SELECT node AS src, (node * $A + j) % n AS dst
+          FROM nodes CROSS JOIN
+            (VALUES ${(0 until OutDegree).map(j => s"($j)").mkString(", ")})
+            AS js(j)
+        ),
+        edgesb AS (SELECT * FROM edges WHERE src % $BatchMod <> 0),
+        r0 AS (SELECT node, CAST($Scale AS BIGINT) AS r FROM nodes)${
+          stepsSql("edgesb", "r0", "b", Iterations)}${
+          stepsSql("edges", s"b$Iterations", "f", IncrRounds)}
+        SELECT node, r FROM f$IncrRounds
+      """.stripMargin),
+      doc = "Incremental PageRank: stored base-graph ranks + warm-started " +
+        "rounds over the appended edge batch; two-phase integer drive " +
+        "oracled bit-for-bit"),
 
     // Deterministic random-walk corpus → skip-gram pairs: the DeepWalk /
     // node2vec training-data generator. One walk per node, edge choice a

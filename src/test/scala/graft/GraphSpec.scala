@@ -52,6 +52,32 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(1) <= n * Graph.Scale)
   }
 
+  test("incremental pagerank: the warm-started rounds contract toward the full-graph fixpoint") {
+    // NB the derived graph is REGULAR (in-degree = out-degree everywhere
+    // when gcd(A mod n, n)=1), so the full-graph fixpoint is uniform and
+    // a cold uniform start is already AT it — the property that matters
+    // for maintenance is that the appended-edge rounds move the STORED
+    // base-graph registry strictly toward the new fixpoint (damping
+    // contracts the gap by ~0.85 per round).
+    val docs = Tables.documents(spark, sf)
+    val (nodes, edgesAll) = Graph.linkGraph(spark, docs)
+    val r0 = nodes.select($"node", lit(Graph.Scale).as("r"))
+    def rounds(start: org.apache.spark.sql.DataFrame, k: Int) =
+      (1 to k).foldLeft(start)((r, _) => Graph.step(nodes, edgesAll, r))
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.as[(Long, Long)].collect().toMap
+    val fix = toMap(rounds(r0, 10)) // converged-enough reference
+    def dist(m: Map[Long, Long]): Long =
+      m.map { case (k, v) => math.abs(v - fix(k)) }.sum
+    val edgesBase = edgesAll
+      .filter(pmod($"src", lit(Graph.BatchMod.toLong)) =!= 0L)
+    val stored = toMap((1 to Graph.Iterations).foldLeft(r0)((r, _) =>
+      Graph.step(nodes, edgesBase, r)))
+    val warm = dist(toMap(Graph.pagerankIncremental(spark, docs)))
+    assert(dist(stored) > 0, "base registry should differ from the new fixpoint")
+    assert(warm < dist(stored), s"warm=$warm stored=${dist(stored)}")
+  }
+
   test("random-walk corpus: walks follow real edges, one walk per start, exact pair mass") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
