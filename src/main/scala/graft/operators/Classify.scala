@@ -69,8 +69,27 @@ object Classify extends QueryPack {
     * there. At real scale the min-df vocab gate makes this the
     * empty-document case; a deployment that must route such docs
     * predicts the prior argmax in a trivial follow-up union. */
-  def nbConfusion(docs: DataFrame): DataFrame = {
-    val tok = tokens(docs)
+  def nbConfusion(docs: DataFrame): DataFrame = nbConfusion(docs, minDf = 1)
+
+  /** As [[nbConfusion]], with the vocab gated to words appearing in at
+    * least `minDf` distinct TRAINING documents — the knob that bounds
+    * the broadcast grid at corpus scale (the catalog entry runs minDf=1
+    * so the oracle stays a plain replay; ClassifySpec exercises a
+    * biting gate). Gated-out words drop from BOTH training mass and
+    * scoring, exactly as if they'd never been tokenized. */
+  def nbConfusion(docs: DataFrame, minDf: Int): DataFrame = {
+    val tok0 = tokens(docs)
+    val gated =
+      if (minDf <= 1) tok0
+      else {
+        val kept = tok0.filter(col("train"))
+          .groupBy(col("w"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= minDf)
+          .select(col("w"))
+        tok0.join(broadcast(kept), Seq("w"), "left_semi")
+      }
+    val tok = gated
     val trainTok = tok.filter(col("train"))
 
     // Priors: ln(docs-in-class / training docs), from integer counts.

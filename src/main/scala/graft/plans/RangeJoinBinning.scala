@@ -36,6 +36,11 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
   /** Session conf holding the bin width; unset/empty disables the rule. */
   val ConfKey = "spark.graft.rangeJoin.binWidth"
 
+  /** Session conf capping bins per interval (default 2^20): one hot
+    * interval must fail loudly, not explode a billion replicas — the
+    * same contract as `AsOf.rangeJoin`'s maxBinsPerInterval. */
+  val MaxBinsKey = "spark.graft.rangeJoin.maxBins"
+
   private val integral = Seq(ByteType, ShortType, IntegerType, LongType)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -58,10 +63,23 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
             // interval side: one row per covered bin
             val binI = AttributeReference("__graft_bin_i", LongType,
               nullable = false)()
+            // hot-interval guard (AsOf.rangeJoin's maxBinsPerInterval
+            // contract): an interval spanning more than maxBins bins
+            // fails loudly instead of exploding its replicas
+            val maxBins = conf.getConfString(MaxBinsKey, "")
+              .trim.toLongOption.getOrElse(1L << 20)
+            val loBin = binOf(lo)
+            val hiBin = If(
+              LessThan(Subtract(binOf(hi), loBin), Literal(maxBins)),
+              binOf(hi),
+              Cast(new RaiseError(Literal(
+                s"RangeJoinBinning: interval spans more than $maxBins bins " +
+                  s"at binWidth=$w — widen $ConfKey or raise $MaxBinsKey")),
+                LongType))
             // Sequence is TimeZoneAware — unused for longs, but an unset
             // timeZoneId leaves the expression unresolved post-rewrite
             val gen = Generate(
-              Explode(new Sequence(binOf(lo), binOf(hi), None,
+              Explode(new Sequence(loBin, hiBin, None,
                 Some(conf.sessionLocalTimeZone))),
               Seq.empty, outer = false, qualifier = None,
               generatorOutput = Seq(binI), child = intervalPlan)

@@ -37,6 +37,26 @@ class ClassifySpec extends SparkSpec {
     assert(diag == 20L) // every odd doc_id predicted as its own class
   }
 
+  test("min-df vocab gate: sub-threshold words cannot influence the model") {
+    def corpus(rare: String) = (0L until 40L).map { i =>
+      val lang = if (i % 4 < 2) "aa" else "bb"
+      val base = if (lang == "aa") "foo foo baz" else "bar bar baz"
+      // doc 0 is a TRAINING doc (even) carrying a df=1 word
+      val text = if (i == 0) s"$base $rare" else base
+      (i, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    def conf(rare: String) =
+      Classify.nbConfusion(corpus(rare), minDf = 2)
+        .as[(String, String, Long)].collect().toSet
+    // gated out, the rare word's identity is invisible: swapping it
+    // changes nothing anywhere in the model or predictions
+    assert(conf("zzz") == conf("qqq"))
+    // and the gated model still classifies the planted signal perfectly
+    val diag = Classify.nbConfusion(corpus("zzz"), minDf = 2)
+      .filter($"actual" === $"predicted").agg(sum($"n")).head.getLong(0)
+    assert(diag == 20L)
+  }
+
   test("drift PSI is exactly zero when the epochs are identical") {
     // doc_id 2i and 2i+1 share lang and n_chars → na == nb per bucket
     val docs = (0L until 60L).map { i =>

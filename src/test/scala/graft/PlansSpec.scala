@@ -127,6 +127,30 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("RangeJoinBinning: a hot interval trips the max-bins guard loudly") {
+    spark.experimental.extraOptimizations = Seq(RangeJoinBinning)
+    try {
+      spark.conf.set(RangeJoinBinning.ConfKey, "2")
+      spark.conf.set(RangeJoinBinning.MaxBinsKey, "4")
+      val pts = Seq(1L, 5L).toDF("p")
+      def q(ivs: org.apache.spark.sql.DataFrame) =
+        pts.join(ivs, $"p" >= $"s" && $"p" < $"e").select($"iv_id", $"p")
+      // within the cap: works
+      assert(q(Seq((1L, 0L, 7L)).toDF("iv_id", "s", "e")).count() == 2)
+      // one interval spanning > 4 bins: loud failure, not a blow-up
+      val wide = Seq((2L, 0L, 100L)).toDF("iv_id", "s", "e")
+      val ex = intercept[Exception](q(wide).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+      assert(msgs(ex).exists(m => m != null && m.contains("RangeJoinBinning")),
+        s"unexpected error: ${ex.getMessage}")
+    } finally {
+      spark.conf.unset(RangeJoinBinning.ConfKey)
+      spark.conf.unset(RangeJoinBinning.MaxBinsKey)
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("the full native-function surface is callable from SQL") {
     // every config-free codegen'd expression must be reachable by a
     // plain spark.sql user — the library-completeness contract of the
