@@ -161,6 +161,41 @@ object Graph extends QueryPack {
     (1 to IncrRounds).foldLeft(rBase)((r, _) => step(nodes, edgesAll, r))
   }
 
+  /** Per-node triangle participation counts — the join-heavy graph shape
+    * (two-path enumeration + closure check) that fixpoints don't
+    * exercise, and the classic link-farm signal (spam hosts close many
+    * triangles). The graph is undirected-ized and ORIENTED: each edge
+    * kept once as (a < b), so every triangle a<b<c is enumerated exactly
+    * once as the wedge (a,b)+(b,c) closed by (a,c) — no post-hoc
+    * dedup shuffle. Wedge join and closure semi-join are the only two
+    * shuffles; per-node counts come from unioning each corner.
+    *
+    * At scale the standard hardening is DEGREE ordering instead of id
+    * ordering (orient hub→spoke so a hot node's wedge count is bounded
+    * by its smaller-degree neighbors); the derived graph is near-regular
+    * so id orientation is the same cost here, and the oracle replays it
+    * exactly. */
+  def triangleCounts(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val (_, edges) = linkGraph(spark, docs)
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val wedges = und.alias("e1")
+      .join(und.alias("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val tri = wedges.alias("w")
+      .join(und.alias("e3"),
+        col("w.a") === col("e3.a") && col("w.c") === col("e3.b"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+    tri.select(col("a").as("node"))
+      .unionByName(tri.select(col("b").as("node")))
+      .unionByName(tri.select(col("c").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Per-step frontiers of one deterministic walk per start node:
     * frontier p has exactly one (start, node) row per start, and the edge
     * taken at position p is j = ((start+1)·B1 + p·B2) mod outDeg — a pure
@@ -278,6 +313,44 @@ object Graph extends QueryPack {
       """.stripMargin),
       doc = "Incremental PageRank: stored base-graph ranks + warm-started " +
         "rounds over the appended edge batch; two-phase integer drive " +
+        "oracled bit-for-bit"),
+
+    // Oriented triangle enumeration → per-node participation counts:
+    // nodes on no triangle are absent (inner aggregation), matching the
+    // oracle's replay exactly.
+    "q158_triangle_counts" -> Q(
+      (s, d) => triangleCounts(s, T.documents(s, d)),
+      Some(s"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        nodes AS (
+          SELECT DISTINCT doc_id % n AS node, n
+          FROM documents CROSS JOIN nn
+        ),
+        edges AS (
+          SELECT node AS src, (node * $A + j) % n AS dst
+          FROM nodes CROSS JOIN
+            (VALUES ${(0 until OutDegree).map(j => s"($j)").mkString(", ")})
+            AS js(j)
+        ),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ),
+        tri AS (
+          SELECT e1.a, e1.b, e2.b AS c
+          FROM und e1 JOIN und e2 ON e1.b = e2.a
+          WHERE EXISTS (SELECT 1 FROM und e3
+                        WHERE e3.a = e1.a AND e3.b = e2.b)
+        ),
+        corners AS (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        )
+        SELECT node, count(*) AS n_triangles FROM corners GROUP BY 1
+      """.stripMargin),
+      doc = "Oriented triangle counting: wedge join + closure semi-join " +
+        "(two shuffles, exactly-once enumeration); per-node counts " +
         "oracled bit-for-bit"),
 
     // Deterministic random-walk corpus → skip-gram pairs: the DeepWalk /

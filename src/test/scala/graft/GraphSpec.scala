@@ -52,6 +52,26 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(1) <= n * Graph.Scale)
   }
 
+  test("triangle counts equal a brute-force reference, every triangle once") {
+    val docs = Tables.documents(spark, sf)
+    val ids = docs.select($"doc_id").as[Long].collect()
+    val n = ids.length.toLong
+    val und = (for {
+      v <- ids.map(i => ((i % n) + n) % n).distinct
+      j <- 0 until Graph.OutDegree
+      d = (v * Graph.A + j) % n
+      if d != v
+    } yield (math.min(v, d), math.max(v, d))).distinct
+    val undSet = und.toSet
+    val cnt = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- und; (b2, c) <- und if b2 == b && undSet.contains((a, c))) {
+      cnt(a) += 1; cnt(b) += 1; cnt(c) += 1
+    }
+    assert(cnt.nonEmpty, "test graph should contain triangles")
+    val got = Graph.triangleCounts(spark, docs).as[(Long, Long)].collect().toMap
+    assert(got == cnt.toMap)
+  }
+
   test("incremental pagerank: the warm-started rounds contract toward the full-graph fixpoint") {
     // NB the derived graph is REGULAR (in-degree = out-degree everywhere
     // when gcd(A mod n, n)=1), so the full-graph fixpoint is uniform and
