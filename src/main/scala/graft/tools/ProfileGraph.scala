@@ -73,5 +73,9 @@ object ProfileGraph {
       d => graft.operators.Graph.skipgramPairs(spark, d))
     run("nodes_10x", "randwalk", docsX(10),
       d => graft.operators.Graph.skipgramPairs(spark, d))
+    run("base_1x", "triangles", docsX(1),
+      d => graft.operators.Graph.triangleCounts(spark, d))
+    run("nodes_10x", "triangles", docsX(10),
+      d => graft.operators.Graph.triangleCounts(spark, d))
   }
 }
