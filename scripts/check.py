@@ -73,6 +73,22 @@ for name in names:
         print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); fails += 1
         rec(name, False, True, False, len(g), len(w), "row count mismatch"); continue
     try:
+        # dtype-skew guard (driver-hash parity): the driver hashes raw
+        # values, so int64 150000 vs float64 150000.0 mismatches even when
+        # every value is numerically identical. DuckDB silently widens
+        # sum(BIGINT) to HUGEINT (float64 in pandas); without this guard
+        # the tolerant float branch below masks exactly that class of bug
+        # (bit r13: q153/q157 red at the driver, green locally). An
+        # integer column on one side with a float column on the other is
+        # a FAIL here, never a tolerant compare.
+        for c in g.columns:
+            gk, wk = g[c].dtype.kind, w[c].dtype.kind
+            if (gk in 'iu') != (wk in 'iu') and 'f' in (gk, wk):
+                raise AssertionError(
+                    f"dtype skew on '{c}': spark={got[c].dtype} vs "
+                    f"oracle={want[c].dtype} — integer-vs-float would pass "
+                    f"here but fail the driver hash; CAST the oracle "
+                    f"(DuckDB sum(BIGINT) is HUGEINT)")
         # floats: tolerant compare; everything else (incl. big ints, where
         # rtol would mask µs/ns truncation bugs): exact
         for c in g.columns:

@@ -39,9 +39,14 @@ import org.apache.spark.sql.functions._
   * never exchanges the edge side (the q80 bucketed-join layout;
   * GraphSpec pins the rank-side-only exchange on that variant) and
   * truncates lineage with `localCheckpoint` every few rounds exactly as
-  * the crawl loop does (Crawl.scala). 85·incoming stays far from Long
-  * overflow: total mass is n·Scale, so the headroom bound is
-  * n < Long.Max/(85·Scale) ≈ 10^12 nodes at the default Scale.
+  * the crawl loop does (Crawl.scala). Overflow headroom: the BINDING
+  * term is edge DERIVATION, not rank mass — `node·A` (A ≈ 2.65e9)
+  * overflows signed 64-bit at node ≈ Long.Max/A ≈ 3.4e9 nodes, where
+  * non-ANSI Spark wraps silently while DuckDB errors, so the engines
+  * would diverge there; the rank update's own bound
+  * (n < Long.Max/(85·Scale) ≈ 10^12) is ~300× looser and never binds.
+  * A production run past ~3.4e9 nodes must derive dst with explicitly
+  * wrapped/unsigned arithmetic mirrored in the oracle.
   */
 object Graph extends QueryPack {
 
@@ -116,14 +121,20 @@ object Graph extends QueryPack {
                        rounds: Int): String =
     (1 to rounds).map { i =>
       val prev = if (i == 1) from else s"$prefix${i - 1}"
+      // CAST both the incoming sum and the damped update to BIGINT:
+      // DuckDB types sum(BIGINT) as HUGEINT, which propagates to the
+      // final rank column and surfaces at the driver as float64 vs
+      // Spark's int64 — bit-identical VALUES, hash-mismatched TYPES.
       s""",
         ${prefix}i$i AS (
-          SELECT e.dst AS dst, sum(r.r // $OutDegree) AS inc
+          SELECT e.dst AS dst,
+                 CAST(sum(r.r // $OutDegree) AS BIGINT) AS inc
           FROM $edgeCte e JOIN $prev r ON e.src = r.node GROUP BY 1
         ),
         $prefix$i AS (
           SELECT nodes.node,
-                 ${Scale * 15 / 100} + (85 * coalesce(inc, 0)) // 100 AS r
+                 CAST(${Scale * 15 / 100}
+                      + (85 * coalesce(inc, 0)) // 100 AS BIGINT) AS r
           FROM nodes LEFT JOIN ${prefix}i$i ON nodes.node = ${prefix}i$i.dst
         )"""
     }.mkString
@@ -161,20 +172,64 @@ object Graph extends QueryPack {
     (1 to IncrRounds).foldLeft(rBase)((r, _) => step(nodes, edgesAll, r))
   }
 
-  /** Per-node triangle participation counts — the join-heavy graph shape
-    * (two-path enumeration + closure check) that fixpoints don't
-    * exercise, and the classic link-farm signal (spam hosts close many
-    * triangles). The graph is undirected-ized and ORIENTED: each edge
-    * kept once as (a < b), so every triangle a<b<c is enumerated exactly
-    * once as the wedge (a,b)+(b,c) closed by (a,c) — no post-hoc
-    * dedup shuffle. Wedge join and closure semi-join are the only two
-    * shuffles; per-node counts come from unioning each corner.
-    *
-    * At scale the standard hardening is DEGREE ordering instead of id
-    * ordering (orient hub→spoke so a hot node's wedge count is bounded
-    * by its smaller-degree neighbors); the derived graph is near-regular
-    * so id orientation is the same cost here, and the oracle replays it
-    * exactly. */
+  /** Orient an undirected edge table (a, b) by (degree, id): every edge
+    * is directed from its LOWER (degree, tie-break id) endpoint to the
+    * higher — the standard skew hardening for triangle enumeration. A
+    * hub (max-degree node) ranks LAST, so all its edges point INTO it
+    * and its out-degree — the term that drives wedge blow-up — is ~0;
+    * in general every out-degree is O(√m), so the wedge join stays
+    * near-linear on power-law graphs where id orientation goes
+    * quadratic at mid-id hubs (a node of degree k with half its
+    * neighbor ids on each side emits (k/2)² wedges). Two degree
+    * lookups (linear joins on each endpoint), output (u, v). */
+  def orientByDegree(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+      .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"))
+  }
+
+  /** Directed two-paths u→v→w of a (degree, id)-oriented edge table —
+    * exposed so the planted-hub profile can measure the wedge row count
+    * directly (the quantity the orientation exists to bound). */
+  def orientedWedges(dir: DataFrame): DataFrame =
+    dir.alias("e1")
+      .join(dir.alias("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+
+  /** Per-node triangle participation counts over an undirected distinct
+    * edge table (a, b), a < b. Every triangle has a unique (degree, id)
+    * rank ordering x≺y≺z, so after [[orientByDegree]] it is enumerated
+    * exactly once as the wedge x→y→z closed by x→z — no post-hoc dedup
+    * shuffle. Degree lookup, wedge join, and closure semi-join are the
+    * only shuffles; per-node counts come from unioning each corner.
+    * Counts themselves are orientation-INDEPENDENT (participation per
+    * node), so the hardening changes cost, never results. */
+  def triangleCountsUndirected(und: DataFrame): DataFrame = {
+    val dir = orientByDegree(und)
+    val tri = orientedWedges(dir).alias("w")
+      .join(dir.alias("e3"),
+        col("w.x") === col("e3.u") && col("w.z") === col("e3.v"), "left_semi")
+      .select(col("x"), col("y"), col("z"))
+    tri.select(col("x").as("node"))
+      .unionByName(tri.select(col("y").as("node")))
+      .unionByName(tri.select(col("z").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Per-node triangle participation counts of the derived link graph —
+    * the join-heavy graph shape (two-path enumeration + closure check)
+    * that fixpoints don't exercise, and the classic link-farm signal
+    * (spam hosts close many triangles). Undirected-ized (each edge once
+    * as a < b), then [[orientByDegree]] + wedge join + closure
+    * semi-join via [[triangleCountsUndirected]]. */
   def triangleCounts(spark: SparkSession, docs: DataFrame): DataFrame = {
     val (_, edges) = linkGraph(spark, docs)
     val und = edges
@@ -182,18 +237,7 @@ object Graph extends QueryPack {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    val wedges = und.alias("e1")
-      .join(und.alias("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
-    val tri = wedges.alias("w")
-      .join(und.alias("e3"),
-        col("w.a") === col("e3.a") && col("w.c") === col("e3.b"), "left_semi")
-      .select(col("a"), col("b"), col("c"))
-    tri.select(col("a").as("node"))
-      .unionByName(tri.select(col("b").as("node")))
-      .unionByName(tri.select(col("c").as("node")))
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("n_triangles"))
+    triangleCountsUndirected(und)
   }
 
   /** Per-step frontiers of one deterministic walk per start node:
@@ -336,11 +380,24 @@ object Graph extends QueryPack {
           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
           FROM edges WHERE src <> dst
         ),
+        deg AS (
+          SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+          ) GROUP BY 1
+        ),
+        dir AS (
+          SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                      THEN u.a ELSE u.b END AS u,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                      THEN u.b ELSE u.a END AS v
+          FROM und u JOIN deg da ON da.node = u.a
+                     JOIN deg db ON db.node = u.b
+        ),
         tri AS (
-          SELECT e1.a, e1.b, e2.b AS c
-          FROM und e1 JOIN und e2 ON e1.b = e2.a
-          WHERE EXISTS (SELECT 1 FROM und e3
-                        WHERE e3.a = e1.a AND e3.b = e2.b)
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM dir e1 JOIN dir e2 ON e1.v = e2.u
+          WHERE EXISTS (SELECT 1 FROM dir e3
+                        WHERE e3.u = e1.u AND e3.v = e2.v)
         ),
         corners AS (
           SELECT a AS node FROM tri
@@ -349,9 +406,10 @@ object Graph extends QueryPack {
         )
         SELECT node, count(*) AS n_triangles FROM corners GROUP BY 1
       """.stripMargin),
-      doc = "Oriented triangle counting: wedge join + closure semi-join " +
-        "(two shuffles, exactly-once enumeration); per-node counts " +
-        "oracled bit-for-bit"),
+      doc = "Degree-oriented triangle counting: (degree, id) edge " +
+        "orientation (hub out-degree ~0, wedge join near-linear on " +
+        "skewed graphs) + wedge join + closure semi-join, exactly-once " +
+        "enumeration; per-node counts oracled bit-for-bit"),
 
     // Deterministic random-walk corpus → skip-gram pairs: the DeepWalk /
     // node2vec training-data generator. One walk per node, edge choice a

@@ -69,17 +69,38 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
             val maxBins = conf.getConfString(MaxBinsKey, "")
               .trim.toLongOption.getOrElse(1L << 20)
             val loBin = binOf(lo)
-            val hiBin = If(
-              LessThan(Subtract(binOf(hi), loBin), Literal(maxBins)),
-              binOf(hi),
+            val rawHi = binOf(hi)
+            // RaiseError must be the TRUE branch: a NULL interval bound
+            // makes the span predicate NULL and If takes the FALSE
+            // branch on NULL — with raise in the false branch a
+            // NULL-bounded row would FAIL the query that the
+            // unrewritten join simply drops (advisor r13). With raise
+            // on true, a NULL predicate falls through to rawHi = NULL,
+            // Sequence goes NULL, and the non-outer Explode emits no
+            // rows — matching original join semantics (NULL fails the
+            // range predicate).
+            val guarded = If(
+              GreaterThanOrEqual(Subtract(rawHi, loBin), Literal(maxBins)),
               Cast(new RaiseError(Literal(
                 s"RangeJoinBinning: interval spans more than $maxBins bins " +
                   s"at binWidth=$w — widen $ConfKey or raise $MaxBinsKey")),
-                LongType))
+                LongType),
+              rawHi)
+            // inverted intervals (e < s) must emit NOTHING: their
+            // negative span passes the guard above, and Sequence
+            // without an explicit step defaults to step -1 when
+            // start > stop — one bad row like (s=2^40, e=0) would
+            // enumerate ~10^12 descending bins, the exact blow-up
+            // maxBins exists to prevent (advisor r13). NULL-ing hiBin
+            // makes Sequence NULL → zero replicas, matching the
+            // original join (the residual s ≤ p ≤ e can never hold).
+            val hiBin = If(LessThan(rawHi, loBin),
+              Literal(null, LongType), guarded)
             // Sequence is TimeZoneAware — unused for longs, but an unset
-            // timeZoneId leaves the expression unresolved post-rewrite
+            // timeZoneId leaves the expression unresolved post-rewrite.
+            // The step is pinned to +1 so the sequence can never descend.
             val gen = Generate(
-              Explode(new Sequence(loBin, hiBin, None,
+              Explode(new Sequence(loBin, hiBin, Some(Literal(1L)),
                 Some(conf.sessionLocalTimeZone))),
               Seq.empty, outer = false, qualifier = None,
               generatorOutput = Seq(binI), child = intervalPlan)

@@ -77,5 +77,33 @@ object ProfileGraph {
       d => graft.operators.Graph.triangleCounts(spark, d))
     run("nodes_10x", "triangles", docsX(10),
       d => graft.operators.Graph.triangleCounts(spark, d))
+
+    // ---- planted hub: the skew case the near-regular derived graph
+    // cannot exercise. One node of degree k at a MID id (the id-
+    // orientation worst case), star + spoke ring. Measures the wedge
+    // ROW COUNT — the quantity (degree, id) orientation exists to
+    // bound — under both orientations.
+    def hubUnd(k: Int): DataFrame = {
+      val hub = (k / 2).toLong
+      val sp = spark.range(k + 1).filter(col("id") =!= hub)
+        .select(col("id").as("s"))
+      val star = sp.select(least(col("s"), lit(hub)).as("a"),
+        greatest(col("s"), lit(hub)).as("b"))
+      def spoke(x: org.apache.spark.sql.Column) =
+        when(x < hub, x).otherwise(x + 1)
+      val ring = spark.range(k - 1).select(
+        least(spoke(col("id")), spoke(col("id") + 1)).as("a"),
+        greatest(spoke(col("id")), spoke(col("id") + 1)).as("b"))
+      star.unionByName(ring).distinct()
+    }
+    Seq(2000, 20000).foreach { k =>
+      val und = hubUnd(k).localCheckpoint()
+      val byDeg = graft.operators.Graph
+        .orientedWedges(graft.operators.Graph.orientByDegree(und)).count()
+      val byId = und.alias("e1")
+        .join(und.alias("e2"), col("e1.b") === col("e2.a")).count()
+      println(s"""{"tool":"graph","op":"planted_hub","k":$k,""" +
+        s""""wedges_degree_oriented":$byDeg,"wedges_id_oriented":$byId}""")
+    }
   }
 }

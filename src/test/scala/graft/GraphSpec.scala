@@ -72,6 +72,41 @@ class GraphSpec extends SparkSpec {
     assert(got == cnt.toMap)
   }
 
+  test("planted hub: degree orientation keeps wedges linear where id orientation is quadratic") {
+    // one node of degree k ≫ avg, planted at a MID id (the id-orientation
+    // worst case: half its neighbors on each id side → (k/2)² wedges
+    // through it). Star hub—spoke plus a spoke ring so triangles exist.
+    val k = 400
+    val hub = (k / 2).toLong
+    val spokes = (0L to k.toLong).filterNot(_ == hub)
+    val undSeq = (spokes.map(s => (math.min(s, hub), math.max(s, hub))) ++
+      spokes.zip(spokes.tail).map { case (x, y) =>
+        (math.min(x, y), math.max(x, y)) }).distinct
+    val und = undSeq.toDF("a", "b")
+    // degree orientation: the hub ranks last, its out-degree is ~0, and
+    // every wedge middle is a degree-3 spoke — linear in k
+    val wedges = Graph.orientedWedges(Graph.orientByDegree(und)).count()
+    assert(wedges <= 8L * k, s"wedges=$wedges not linear in k=$k")
+    // id orientation on the same graph: the mid-id hub is the middle of
+    // every (lower-id in, higher-id out) pair — quadratic
+    val idWedges = und.alias("e1")
+      .join(und.alias("e2"), col("e1.b") === col("e2.a")).count()
+    assert(idWedges >= (k.toLong / 2) * (k / 2) / 2,
+      s"idWedges=$idWedges — planted hub did not go quadratic under id order")
+    assert(idWedges > 10 * wedges,
+      s"degree orientation should beat id orientation: $wedges vs $idWedges")
+    // and the hardened enumeration is still exact vs brute force
+    val undSet = undSeq.toSet
+    val cnt = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- undSeq; (b2, c) <- undSeq
+         if b2 == b && undSet.contains((a, c))) {
+      cnt(a) += 1; cnt(b) += 1; cnt(c) += 1
+    }
+    assert(cnt.nonEmpty, "planted graph should contain triangles")
+    val got = Graph.triangleCountsUndirected(und).as[(Long, Long)].collect().toMap
+    assert(got == cnt.toMap)
+  }
+
   test("incremental pagerank: the warm-started rounds contract toward the full-graph fixpoint") {
     // NB the derived graph is REGULAR (in-degree = out-degree everywhere
     // when gcd(A mod n, n)=1), so the full-graph fixpoint is uniform and

@@ -151,6 +151,42 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("RangeJoinBinning: NULL and inverted bounds drop rows like the unrewritten join") {
+    import graft.plans.PlanWalk.walk
+    import org.apache.spark.sql.execution.GenerateExec
+    spark.experimental.extraOptimizations = Seq(RangeJoinBinning)
+    try {
+      spark.conf.set(RangeJoinBinning.ConfKey, "2")
+      spark.conf.set(RangeJoinBinning.MaxBinsKey, "8")
+      val pts = Seq(1L, 3L, 5L).toDF("p")
+      val ivs = Seq(
+        (1L, Option(0L), Option(4L)),         // normal: matches p=1, p=3
+        // NULL bounds fail the range predicate in the unrewritten join,
+        // so the rewrite must DROP them — the pre-fix guard put
+        // RaiseError in If's false branch, which a NULL span predicate
+        // reaches (If is false on NULL), failing the whole query
+        (2L, Option.empty[Long], Option(4L)),
+        (3L, Option(0L), Option.empty[Long]),
+        // inverted interval: negative span slips past the max-bins
+        // guard, and a default-step Sequence would DESCEND from
+        // bin(2^40) to bin(0) — ~5·10^11 replicas. Must emit nothing,
+        // and this test completing at all proves there's no blow-up.
+        (4L, Option(1L << 40), Option(0L))
+      ).toDF("iv_id", "s", "e")
+      def q = pts.join(ivs, $"p" >= $"s" && $"p" < $"e").select($"iv_id", $"p")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 1L), (1L, 3L)), s"got $got")
+      // the rewrite must actually have fired for this to test anything
+      val gens = walk(q.queryExecution.executedPlan)
+        .collect { case g: GenerateExec => g }
+      assert(gens.nonEmpty, "rule did not fire — test is vacuous")
+    } finally {
+      spark.conf.unset(RangeJoinBinning.ConfKey)
+      spark.conf.unset(RangeJoinBinning.MaxBinsKey)
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("the full native-function surface is callable from SQL") {
     // every config-free codegen'd expression must be reachable by a
     // plain spark.sql user — the library-completeness contract of the
