@@ -28,6 +28,7 @@ object SparkEntry {
     operators.Multimodal,
     operators.Quality,
     operators.Graph,
+    operators.LinkGraph,
     operators.Classify,
     operators.ZOrder,
     operators.Ibrd

@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Content-derived link graph: extract href targets from page markup,
+  * normalize them to hosts, and rank the resulting HOST graph — the
+  * crawl-frontier pipeline the synthetic-regular graph of
+  * [[Graph]] (q153/q158) cannot exercise. Real link graphs are STRINGLY
+  * (hosts need case/www/port normalization), SKEWED (host in-degree
+  * follows content-term frequency, not a multiplicative hash), and have
+  * VARIABLE out-degree (the constant-OutDegree division of q153 does
+  * not apply) — all three now first-class here.
+  *
+  * The corpus tables carry no markup, so pages are SYNTHESIZED
+  * deterministically from `documents.text`: every [[LinkEvery]]-th
+  * token becomes an anchor to `http://<token>.example.com/p<i>`, and
+  * every [[WwwEvery]]-th additionally carries the three classic
+  * normalization hazards (uppercase scheme, `www.` prefix, an explicit
+  * port). The ORACLE derives the expected edge list directly from token
+  * positions — independently of the markup round-trip — so a hash match
+  * PROVES extraction + normalization exactly invert the decoration; an
+  * unstripped `www.` or port would surface as a row mismatch.
+  *
+  * Scale shape: extraction is map-only (regexp over the page column —
+  * no shuffle until the edge aggregate); the host graph is ranked with
+  * the same exact-integer damped update as q153 but with PER-SOURCE
+  * out-degree (`r DIV od`), the general form. Host-keyed joins shuffle
+  * strings here; a 10^9-host production run dictionary-encodes hosts to
+  * dense longs first (one distinct + id-assign pass, the q20 surrogate
+  * pipeline) and buckets the edge table by src so per-round cost stays
+  * rank-vector-sized — the layout already pinned for q153 in GraphSpec.
+  * Dangling hosts (no out-links — word-hosts never link anywhere) bottom
+  * out at the teleport floor via the same left join, and their mass is
+  * dropped, matching [[Graph]]'s convention.
+  */
+object LinkGraph extends QueryPack {
+
+  /** Every LinkEvery-th token (0-based) becomes an anchor. */
+  val LinkEvery = 7
+
+  /** Every WwwEvery-th token's anchor carries scheme-case/www/port
+    * decoration — the normalization hazards. */
+  val WwwEvery = 14
+
+  /** Deterministic page markup per document: tokens joined back with
+    * single spaces, link positions wrapped in `<a href=...>` anchors.
+    * Pure per-row expressions — map-only, no shuffle. */
+  def pages(docs: DataFrame): DataFrame = {
+    def anchor(w: Column, i: Column): Column = {
+      val plain = concat(lit("<a href=\"http://"), w,
+        lit(".example.com/p"), i.cast("string"), lit("\">"), w, lit("</a>"))
+      val hazard = concat(lit("<a href=\"HTTP://www."), w,
+        lit(".example.com:8080/p"), i.cast("string"), lit("\">"), w,
+        lit("</a>"))
+      when(i % WwwEvery === 0, hazard)
+        .when(i % LinkEvery === 0, plain)
+        .otherwise(w)
+    }
+    docs.select(col("doc_id"), col("source"),
+      concat(lit("<html><body>"),
+        array_join(transform(split(col("text"), " "),
+          (w, i) => anchor(w, i)), " "),
+        lit("</body></html>")).as("html"))
+  }
+
+  /** The extraction operator under test: pull every href host out of
+    * the markup and normalize it — lowercase, strip a leading `www.`,
+    * strip an explicit port. One row per link OCCURRENCE (a host linked
+    * twice from one page counts twice — in-degree is a frequency
+    * signal). Map-only: regexp + explode, no shuffle. */
+  def extractLinks(pages: DataFrame): DataFrame =
+    pages.select(col("doc_id").as("src_doc"),
+      explode(expr(
+        """regexp_extract_all(html, '(?i)href="https?://([^/"]+)', 1)"""))
+        .as("raw"))
+      .select(col("src_doc"),
+        regexp_replace(regexp_replace(lower(col("raw")),
+          "^www\\.", ""), ":[0-9]+$", "").as("dst_host"))
+
+  /** Distinct (src_host, dst_host) edges of the host graph: a document's
+    * own host is `<source>.example.com`, its targets are the extracted
+    * hosts; self-loops dropped. */
+  def hostEdges(docs: DataFrame): DataFrame =
+    extractLinks(pages(docs))
+      .join(docs.select(col("doc_id").as("src_doc"),
+        concat(col("source"), lit(".example.com")).as("src")), "src_doc")
+      .select(col("src"), col("dst_host").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** One damped integer round with PER-SOURCE out-degree: contributions
+    * `r DIV od` summed per dst (map-side partial agg), teleport floor
+    * via left join — [[Graph.step]] generalized past the constant
+    * OutDegree of the derived graph. `edges` must carry (src, dst, od). */
+  def stepVarDeg(nodes: DataFrame, edges: DataFrame,
+                 ranks: DataFrame): DataFrame = {
+    val inc = edges
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .groupBy(col("dst"))
+      .agg(sum(expr("r DIV od")).as("inc"))
+    nodes.join(inc, nodes("node") === inc("dst"), "left")
+      .select(nodes("node"),
+        (lit(Graph.Scale * 15 / 100) +
+          expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) DIV 100")).as("r"))
+  }
+
+  /** [[Graph.Iterations]] exact-integer rounds over the extracted host
+    * graph from uniform mass; returns (node, r) for every host. */
+  def pagerankHosts(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val edges = hostEdges(docs)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+    val od = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val e = edges.join(od, "src")
+    val r0 = nodes.select(col("node"), lit(Graph.Scale).as("r"))
+    (1 to Graph.Iterations).foldLeft(r0)((r, _) => stepVarDeg(nodes, e, r))
+  }
+
+  /** Oracle: expected links derived DIRECTLY from token positions —
+    * independent of the markup round-trip the Spark side performs. */
+  private val linksSql: String = s"""
+        doc_words AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        toks AS (
+          SELECT doc_id, ws,
+                 unnest(generate_series(1, len(ws))) AS i
+          FROM doc_words
+        ),
+        links AS (
+          SELECT doc_id AS src_doc, ws[i] || '.example.com' AS dst_host
+          FROM toks WHERE (i - 1) % $LinkEvery = 0
+        )"""
+
+  /** Generated damped rounds over the host graph, per-source out-degree
+    * (`r // od`), every integer expression CAST to BIGINT (DuckDB types
+    * sum(BIGINT) as HUGEINT — the q153 r13 lesson). */
+  private def vdStepsSql(rounds: Int): String =
+    (1 to rounds).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s""",
+        ri$i AS (
+          SELECT e.dst AS dst, CAST(sum(r.r // e.od) AS BIGINT) AS inc
+          FROM e JOIN $prev r ON e.src = r.node GROUP BY 1
+        ),
+        r$i AS (
+          SELECT nodes.node,
+                 CAST(${Graph.Scale * 15 / 100}
+                      + (85 * coalesce(inc, 0)) // 100 AS BIGINT) AS r
+          FROM nodes LEFT JOIN ri$i ON nodes.node = ri$i.dst
+        )"""
+    }.mkString
+
+  def queries: Map[String, Q] = Map(
+    // Full extracted edge list, one row per link occurrence. The oracle
+    // never sees the markup: a hash match proves the regexp + host
+    // normalization exactly invert the deterministic decoration
+    // (uppercase scheme, www., port) planted on every WwwEvery-th token.
+    "q159_link_extract" -> Q(
+      (s, d) => extractLinks(pages(T.documents(s, d))),
+      Some(s"""
+        WITH $linksSql
+        SELECT src_doc, dst_host FROM links
+      """.stripMargin),
+      doc = "Link extraction: regexp href harvest + host normalization " +
+        "(case/www/port) over deterministic markup; oracle derives the " +
+        "edge list independently of the round-trip"),
+
+    // Exact-integer PageRank over the extracted HOST graph — stringly
+    // nodes, variable out-degree, content-frequency skew. Full rank
+    // vector oracled bit-for-bit.
+    "q160_linkrank_hosts" -> Q(
+      (s, d) => pagerankHosts(s, T.documents(s, d)),
+      Some(s"""
+        WITH $linksSql,
+        edges AS (
+          SELECT DISTINCT d.source || '.example.com' AS src, l.dst_host AS dst
+          FROM links l JOIN documents d ON d.doc_id = l.src_doc
+          WHERE d.source || '.example.com' <> l.dst_host
+        ),
+        nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        od AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+        e AS (SELECT edges.src, edges.dst, od.od
+              FROM edges JOIN od USING (src)),
+        r0 AS (SELECT node, CAST(${Graph.Scale} AS BIGINT) AS r
+               FROM nodes)${vdStepsSql(Graph.Iterations)}
+        SELECT node, r FROM r${Graph.Iterations}
+      """.stripMargin),
+      doc = "Damped integer PageRank over the content-extracted host " +
+        "graph: per-source out-degree division, string host keys, " +
+        "teleport floor; full rank vector oracled bit-for-bit")
+  )
+}
