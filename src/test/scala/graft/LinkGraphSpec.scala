@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{Graph, LinkGraph}
+import org.apache.spark.sql.functions._
+
+/** Link extraction + host-graph rank (q159/q160): normalization
+  * semantics on hand-built hazards, the markup round-trip vs a direct
+  * token derivation, the skew/dangling properties a content-derived
+  * graph must have, and the integer fixpoint vs a driver-side replay. */
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extraction normalizes scheme case, www prefix, and port; non-href urls ignored") {
+    val pages = Seq(
+      (1L, "<a href=\"HTTP://www.Foo.Example.com:8080/p0\">x</a> " +
+        "<a href=\"https://bar.example.com/p7\">y</a>"),
+      // a bare url outside an href must NOT be harvested
+      (2L, "no links here http://plain.example.com not an href"),
+      (3L, "<a href=\"http://baz.example.com:443/\">z</a>")
+    ).toDF("doc_id", "html")
+    val got = LinkGraph.extractLinks(pages)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, "foo.example.com"), (1L, "bar.example.com"),
+      (3L, "baz.example.com")))
+  }
+
+  test("markup round-trip inverts the decoration: extracted links equal the direct token derivation") {
+    val docs = Tables.documents(spark, sf)
+    val got = LinkGraph.extractLinks(LinkGraph.pages(docs))
+      .as[(Long, String)].collect().sorted
+    val want = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .flatMap { case (id, text) =>
+        text.split(" ").zipWithIndex.collect {
+          case (w, i) if i % LinkGraph.LinkEvery == 0 =>
+            (id, s"$w.example.com")
+        }
+      }.sorted
+    assert(got.sameElements(want))
+  }
+
+  test("the extracted host graph is skewed, variable-degree, and has dangling hosts at the floor") {
+    val docs = Tables.documents(spark, sf)
+    val edges = LinkGraph.hostEdges(docs).as[(String, String)].collect()
+    // in-degree skew: content-term frequency, not a regular derivation
+    val indeg = edges.groupBy(_._2).map(_._2.size)
+    assert(indeg.max > indeg.min,
+      s"in-degrees uniform (${indeg.min}) — graph is not content-skewed")
+    // word-hosts never link out: dangling nodes exist...
+    val srcs = edges.map(_._1).toSet
+    val dangling = edges.map(_._2).filterNot(srcs).toSet
+    assert(dangling.nonEmpty, "expected dangling word-hosts")
+    // ...and every dangling host must sit exactly at the teleport floor
+    // plus its damped incoming mass — never below the floor
+    val ranks = LinkGraph.pagerankHosts(spark, docs)
+      .as[(String, Long)].collect().toMap
+    assert(ranks.values.min >= Graph.Scale * 15 / 100)
+    // source-hosts have out-links only (nobody links to a source host),
+    // so after round 1 they are AT the floor exactly
+    val srcOnly = srcs -- edges.map(_._2).toSet
+    assert(srcOnly.nonEmpty)
+    srcOnly.foreach(h => assert(ranks(h) == Graph.Scale * 15 / 100, h))
+  }
+
+  test("host rank equals a driver-side integer replay, bit for bit") {
+    val docs = Tables.documents(spark, sf)
+    val edges = LinkGraph.hostEdges(docs).as[(String, String)].collect().toSet
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq
+    val od = edges.toSeq.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var r = nodes.map(_ -> Graph.Scale).toMap
+    for (_ <- 1 to Graph.Iterations) {
+      val inc = edges.toSeq.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / od(s) }.sum }
+      r = nodes.map(n =>
+        n -> (Graph.Scale * 15 / 100 + 85 * inc.getOrElse(n, 0L) / 100)).toMap
+    }
+    val got = LinkGraph.pagerankHosts(spark, docs)
+      .as[(String, Long)].collect().toMap
+    assert(got == r)
+  }
+}
