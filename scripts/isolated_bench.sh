@@ -11,10 +11,38 @@
 #
 # usage: scripts/isolated_bench.sh q21_scd_merge,q38_drill_quarter \
 #          [sfdir] [out.json]
+#
+# Drift mode (VERDICT r13 §next-6 — the protocol must emit its own
+# work-list so no >0.5 s cross-round delta can be skipped):
+#   scripts/isolated_bench.sh --drift BENCH_full_rOLD.json \
+#          BENCH_full_rNEW.json [sfdir] [out.json] [threshold_sec]
+# computes every query whose committed per-query time moved more than
+# the threshold between the two maps and runs the protocol on exactly
+# that list.
 set -euo pipefail
-QUERIES=$1
-SF=${2:-/root/testdata/sf0.1}
-OUT=${3:-bench_isolated.json}
+if [ "${1:-}" == "--drift" ]; then
+  OLDMAP=$2; NEWMAP=$3
+  SF=${4:-/root/testdata/sf0.1}
+  OUT=${5:-bench_isolated.json}
+  THRESH=${6:-0.5}
+  QUERIES=$(python3 -c '
+import json, sys
+old = json.load(open(sys.argv[1]))["queries"]
+new = json.load(open(sys.argv[2]))["queries"]
+th = float(sys.argv[3])
+drift = sorted(q for q in new if q in old and abs(new[q] - old[q]) > th)
+print(",".join(drift))
+' "$OLDMAP" "$NEWMAP" "$THRESH")
+  if [ -z "$QUERIES" ]; then
+    echo "no drifts > ${THRESH}s between $OLDMAP and $NEWMAP"
+    exit 0
+  fi
+  echo "adjudicating drifts > ${THRESH}s: $QUERIES"
+else
+  QUERIES=$1
+  SF=${2:-/root/testdata/sf0.1}
+  OUT=${3:-bench_isolated.json}
+fi
 for i in 1 2 3 4; do
   SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_SF_DIR="$SF" \
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"'

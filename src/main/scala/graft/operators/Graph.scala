@@ -212,7 +212,12 @@ object Graph extends QueryPack {
     * Counts themselves are orientation-INDEPENDENT (participation per
     * node), so the hardening changes cost, never results. */
   def triangleCountsUndirected(und: DataFrame): DataFrame = {
-    val dir = orientByDegree(und)
+    // the oriented edge table feeds THREE consumers (both wedge sides +
+    // the closure probe); materialize it once instead of re-running the
+    // distinct + degree joins per consumer — at a 10^11-edge scale this
+    // is "orient once, persist", the same write-once layout the
+    // bucketed-edge PageRank variant pins in GraphSpec
+    val dir = orientByDegree(und).localCheckpoint()
     val tri = orientedWedges(dir).alias("w")
       .join(dir.alias("e3"),
         col("w.x") === col("e3.u") && col("w.z") === col("e3.v"), "left_semi")
