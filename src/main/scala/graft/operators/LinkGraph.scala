@@ -106,17 +106,51 @@ object LinkGraph extends QueryPack {
           expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) DIV 100")).as("r"))
   }
 
+  /** Edges joined with their per-source out-degree, materialized once:
+    * the table is consumed by every damped round, and re-deriving it
+    * would re-run the regexp extraction per round (at scale: the
+    * orient-once-persist discipline of the q158 edge table). */
+  private def withOutDeg(edges: DataFrame): DataFrame =
+    edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("od")), "src")
+      .localCheckpoint()
+
+  private def hostNodes(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+
   /** [[Graph.Iterations]] exact-integer rounds over the extracted host
     * graph from uniform mass; returns (node, r) for every host. */
   def pagerankHosts(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val edges = hostEdges(docs)
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node")))
-      .distinct()
-    val od = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val e = edges.join(od, "src")
+    val e = withOutDeg(hostEdges(docs))
+    val nodes = hostNodes(e)
     val r0 = nodes.select(col("node"), lit(Graph.Scale).as("r"))
     (1 to Graph.Iterations).foldLeft(r0)((r, _) => stepVarDeg(nodes, e, r))
+  }
+
+  /** Rank maintenance on the content-derived graph — the incremental-
+    * registry family member (q157's shape) where the APPEND is a doc
+    * batch whose links haven't been extracted before: ranks converged on
+    * the base graph (docs with doc_id % BatchMod ≠ 0) are the stored
+    * registry; landing the batch re-runs extraction over the NEW docs
+    * only (in production the batch scan — here expressed as the
+    * complementary filter) and warm-starts [[Graph.IncrRounds]] damped
+    * rounds over the full edge table. Node universe is the full graph's
+    * hosts, so pre-append hosts only the batch links to sit at the
+    * teleport floor in the stored registry — an empty registry row.
+    * Out-degrees are PER-PHASE (the base graph's own od, then the full
+    * graph's), exactly what a real append changes. */
+  def pagerankHostsIncremental(spark: SparkSession,
+                               docs: DataFrame): DataFrame = {
+    val eAll = withOutDeg(hostEdges(docs))
+    val eBase = withOutDeg(hostEdges(
+      docs.filter(pmod(col("doc_id"), lit(Graph.BatchMod.toLong)) =!= 0L)))
+    val nodes = hostNodes(eAll)
+    val r0 = nodes.select(col("node"), lit(Graph.Scale).as("r"))
+    val rBase = (1 to Graph.Iterations)
+      .foldLeft(r0)((r, _) => stepVarDeg(nodes, eBase, r))
+    (1 to Graph.IncrRounds)
+      .foldLeft(rBase)((r, _) => stepVarDeg(nodes, eAll, r))
   }
 
   /** Oracle: expected links derived DIRECTLY from token positions —
@@ -137,20 +171,23 @@ object LinkGraph extends QueryPack {
 
   /** Generated damped rounds over the host graph, per-source out-degree
     * (`r // od`), every integer expression CAST to BIGINT (DuckDB types
-    * sum(BIGINT) as HUGEINT — the q153 r13 lesson). */
-  private def vdStepsSql(rounds: Int): String =
+    * sum(BIGINT) as HUGEINT — the q153 r13 lesson). Steps from `<from>`
+    * over `<edgeCte>` (which must carry src, dst, od), emitting CTEs
+    * `<prefix>1..<prefix>rounds`. */
+  private def vdStepsSql(edgeCte: String, from: String, prefix: String,
+                         rounds: Int): String =
     (1 to rounds).map { i =>
-      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      val prev = if (i == 1) from else s"$prefix${i - 1}"
       s""",
-        ri$i AS (
+        ${prefix}i$i AS (
           SELECT e.dst AS dst, CAST(sum(r.r // e.od) AS BIGINT) AS inc
-          FROM e JOIN $prev r ON e.src = r.node GROUP BY 1
+          FROM $edgeCte e JOIN $prev r ON e.src = r.node GROUP BY 1
         ),
-        r$i AS (
+        $prefix$i AS (
           SELECT nodes.node,
                  CAST(${Graph.Scale * 15 / 100}
                       + (85 * coalesce(inc, 0)) // 100 AS BIGINT) AS r
-          FROM nodes LEFT JOIN ri$i ON nodes.node = ri$i.dst
+          FROM nodes LEFT JOIN ${prefix}i$i ON nodes.node = ${prefix}i$i.dst
         )"""
     }.mkString
 
@@ -188,11 +225,49 @@ object LinkGraph extends QueryPack {
         e AS (SELECT edges.src, edges.dst, od.od
               FROM edges JOIN od USING (src)),
         r0 AS (SELECT node, CAST(${Graph.Scale} AS BIGINT) AS r
-               FROM nodes)${vdStepsSql(Graph.Iterations)}
+               FROM nodes)${vdStepsSql("e", "r0", "r", Graph.Iterations)}
         SELECT node, r FROM r${Graph.Iterations}
       """.stripMargin),
       doc = "Damped integer PageRank over the content-extracted host " +
         "graph: per-source out-degree division, string host keys, " +
-        "teleport floor; full rank vector oracled bit-for-bit")
+        "teleport floor; full rank vector oracled bit-for-bit"),
+
+    // Registry maintenance on the content-derived graph: stored ranks
+    // converged on the base docs' links, then a doc-batch append
+    // re-extracts only the new docs and warm-starts IncrRounds rounds
+    // over the full edges with the full graph's out-degrees. Two-phase
+    // integer drive oracled bit-for-bit.
+    "q161_linkrank_incremental" -> Q(
+      (s, d) => pagerankHostsIncremental(s, T.documents(s, d)),
+      Some(s"""
+        WITH $linksSql,
+        edges AS (
+          SELECT DISTINCT d.source || '.example.com' AS src, l.dst_host AS dst
+          FROM links l JOIN documents d ON d.doc_id = l.src_doc
+          WHERE d.source || '.example.com' <> l.dst_host
+        ),
+        edgesb AS (
+          SELECT DISTINCT d.source || '.example.com' AS src, l.dst_host AS dst
+          FROM links l JOIN documents d ON d.doc_id = l.src_doc
+          WHERE d.doc_id % ${Graph.BatchMod} <> 0
+            AND d.source || '.example.com' <> l.dst_host
+        ),
+        nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        odf AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+        ef AS (SELECT edges.src, edges.dst, odf.od
+               FROM edges JOIN odf USING (src)),
+        odb AS (SELECT src, count(*) AS od FROM edgesb GROUP BY 1),
+        eb AS (SELECT edgesb.src, edgesb.dst, odb.od
+               FROM edgesb JOIN odb USING (src)),
+        r0 AS (SELECT node, CAST(${Graph.Scale} AS BIGINT) AS r
+               FROM nodes)${vdStepsSql("eb", "r0", "b", Graph.Iterations)}${
+          vdStepsSql("ef", s"b${Graph.Iterations}", "f", Graph.IncrRounds)}
+        SELECT node, r FROM f${Graph.IncrRounds}
+      """.stripMargin),
+      doc = "Incremental link-rank: stored base-graph host ranks + " +
+        "warm-started rounds after a doc-batch append changes both the " +
+        "edge set and the per-source out-degrees; oracled bit-for-bit")
   )
 }

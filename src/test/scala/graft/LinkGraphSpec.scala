@@ -62,6 +62,41 @@ class LinkGraphSpec extends SparkSpec {
     srcOnly.foreach(h => assert(ranks(h) == Graph.Scale * 15 / 100, h))
   }
 
+  test("incremental link-rank: warm rounds contract the stored registry toward the full fixpoint, bit-exact") {
+    val docs = Tables.documents(spark, sf)
+    val eAll = LinkGraph.hostEdges(docs)
+      .as[(String, String)].collect().toSet
+    val eBase = LinkGraph.hostEdges(
+      docs.filter(pmod($"doc_id", lit(Graph.BatchMod.toLong)) =!= 0L))
+      .as[(String, String)].collect().toSet
+    assert(eBase.subsetOf(eAll) && eBase != eAll,
+      "the doc batch must contribute new distinct edges")
+    val nodes = (eAll.map(_._1) ++ eAll.map(_._2)).toSeq
+    def rounds(edges: Set[(String, String)], start: Map[String, Long],
+               k: Int): Map[String, Long] = {
+      val od = edges.toSeq.groupBy(_._1).map { case (s, es) => s -> es.size }
+      var r = start
+      for (_ <- 1 to k) {
+        val inc = edges.toSeq.groupBy(_._2).map { case (d, es) =>
+          d -> es.map { case (s, _) => r(s) / od(s) }.sum }
+        r = nodes.map(n =>
+          n -> (Graph.Scale * 15 / 100 + 85 * inc.getOrElse(n, 0L) / 100)).toMap
+      }
+      r
+    }
+    val r0 = nodes.map(_ -> Graph.Scale).toMap
+    val fix = rounds(eAll, r0, 10) // converged-enough reference
+    def dist(m: Map[String, Long]): Long =
+      m.map { case (k, v) => math.abs(v - fix(k)) }.sum
+    val stored = rounds(eBase, r0, Graph.Iterations)
+    val got = LinkGraph.pagerankHostsIncremental(spark, docs)
+      .as[(String, Long)].collect().toMap
+    assert(dist(stored) > 0, "stored registry should differ from the new fixpoint")
+    assert(dist(got) < dist(stored), s"warm=${dist(got)} stored=${dist(stored)}")
+    // and the two-phase drive is bit-exact vs the driver-side replay
+    assert(got == rounds(eAll, stored, Graph.IncrRounds))
+  }
+
   test("host rank equals a driver-side integer replay, bit for bit") {
     val docs = Tables.documents(spark, sf)
     val edges = LinkGraph.hostEdges(docs).as[(String, String)].collect().toSet
