@@ -97,6 +97,39 @@ class LinkGraphSpec extends SparkSpec {
     assert(got == rounds(eAll, stored, Graph.IncrRounds))
   }
 
+  test("dictionary-encoded host ids rank identically — the stringly-keys-to-dense-longs scale path") {
+    // SCALE.md's q160 claim: at real scale the string keys are killed
+    // first (distinct + surrogate pass), after which the q153 bucketed
+    // layout applies unchanged. Pin the result-identity of that encode:
+    // rank over dense long ids, decode, compare bit-for-bit.
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    val edges = LinkGraph.hostEdges(docs).localCheckpoint()
+    val hosts = edges.select($"src".as("host"))
+      .unionByName(edges.select($"dst".as("host"))).distinct()
+    // global window is fine in a TEST on a host dictionary this small;
+    // production uses the q20 surrogate pipeline (range-partitioned)
+    val ids = hosts.withColumn("hid",
+      row_number().over(Window.orderBy($"host")).cast("long"))
+      .localCheckpoint()
+    val eIds = edges
+      .join(ids.select($"host".as("src"), $"hid".as("src_id")), "src")
+      .join(ids.select($"host".as("dst"), $"hid".as("dst_id")), "dst")
+      .select($"src_id".as("src"), $"dst_id".as("dst"))
+    val e = eIds.join(
+      eIds.groupBy($"src").agg(count(lit(1)).as("od")), "src")
+    val nodes = eIds.select($"src".as("node"))
+      .unionByName(eIds.select($"dst".as("node"))).distinct()
+    val r0 = nodes.select($"node", lit(Graph.Scale).as("r"))
+    val encoded = (1 to Graph.Iterations)
+      .foldLeft(r0)((r, _) => LinkGraph.stepVarDeg(nodes, e, r))
+      .join(ids.withColumnRenamed("hid", "node"), "node")
+      .select($"host", $"r").as[(String, Long)].collect().toMap
+    val direct = LinkGraph.pagerankHosts(spark, docs)
+      .as[(String, Long)].collect().toMap
+    assert(encoded == direct)
+  }
+
   test("host rank equals a driver-side integer replay, bit for bit") {
     val docs = Tables.documents(spark, sf)
     val edges = LinkGraph.hostEdges(docs).as[(String, String)].collect().toSet
