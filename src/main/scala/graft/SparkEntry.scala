@@ -29,6 +29,7 @@ object SparkEntry {
     operators.Quality,
     operators.Graph,
     operators.LinkGraph,
+    operators.NgramLm,
     operators.Classify,
     operators.ZOrder,
     operators.Ibrd
