@@ -153,6 +153,54 @@ object LinkGraph extends QueryPack {
       .foldLeft(rBase)((r, _) => stepVarDeg(nodes, eAll, r))
   }
 
+  /** Canonicalize one URL column — the crawl-frontier normalizer that
+    * decides whether two discovered URLs are the SAME page (the dedup
+    * key of the frontier, run once per discovered link, so it must be
+    * map-only): strip the fragment, lowercase scheme+host, strip a
+    * leading `www.`, strip the scheme's DEFAULT port only (`:80` for
+    * http, `:443` for https — `https://x:80` keeps its odd port), drop
+    * tracking params (`utm_*`, `gclid`, `fbclid`), and sort the
+    * surviving query params for order-independence. Path case is
+    * preserved (paths are case-sensitive). Pure string expressions —
+    * no shuffle, codegen-friendly. */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val qstr = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val base = regexp_replace(noFrag, "\\?.*$", "")
+    val headRaw = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    val path = regexp_replace(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    val head = regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(headRaw), "^(https?://)www\\.", "$1"),
+        "^(http://[^/:]+):80$", "$1"),
+      "^(https://[^/:]+):443$", "$1")
+    val kept = filter(split(qstr, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("gclid=") ||
+        p.startsWith("fbclid=") || (p === "")))
+    val q = when(size(kept) > 0,
+      concat(lit("?"), array_join(array_sort(kept), "&"))).otherwise(lit(""))
+    concat(head, path, q)
+  }
+
+  /** Deterministically messy URLs per document — every hazard the
+    * canonicalizer must undo: uppercase scheme, mixed-case www host,
+    * the scheme's default port, tracking params around real ones in
+    * scrambled order, a fragment. Docs ≡ 0 (mod 3) carry ONLY tracking
+    * params (canonical form has no query at all). */
+  def messyUrls(docs: DataFrame): DataFrame = {
+    val even = pmod(col("doc_id"), lit(2L)) === 0L
+    docs.select(col("doc_id"), concat(
+      when(even, lit("HTTP://WWW.")).otherwise(lit("HTTPS://www.")),
+      initcap(col("source")), lit(".Example.COM"),
+      when(even, lit(":80")).otherwise(lit(":443")),
+      lit("/Docs/"), col("doc_id"),
+      when(pmod(col("doc_id"), lit(3L)) === 0L,
+        lit("?utm_source=feed&gclid=xyz"))
+        .otherwise(concat(lit("?utm_source=feed&b="), col("lang"),
+          lit("&a="), col("n_chars"))),
+      lit("#s"), col("doc_id")).as("url"))
+  }
+
   /** Oracle: expected links derived DIRECTLY from token positions —
     * independent of the markup round-trip the Spark side performs. */
   private val linksSql: String = s"""
@@ -268,6 +316,31 @@ object LinkGraph extends QueryPack {
       """.stripMargin),
       doc = "Incremental link-rank: stored base-graph host ranks + " +
         "warm-started rounds after a doc-batch append changes both the " +
-        "edge set and the per-source out-degrees; oracled bit-for-bit")
+        "edge set and the per-source out-degrees; oracled bit-for-bit"),
+
+    // Frontier URL canonicalization: the oracle CONSTRUCTS the expected
+    // canonical form directly from the row's columns — independent of
+    // the parse — so a hash match proves the normalizer exactly undoes
+    // every planted hazard (case, www, default port, tracking params,
+    // param order, fragment) and keeps what it must (path case, the
+    // non-default-port case lives in LinkGraphSpec).
+    "q163_url_canonicalize" -> Q(
+      (s, d) => {
+        val m = messyUrls(T.documents(s, d))
+        m.select(col("doc_id"), canonicalizeUrl(col("url")).as("url"))
+      },
+      Some("""
+        SELECT doc_id,
+               concat(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END,
+                      '://', source, '.example.com/Docs/', doc_id,
+                      CASE WHEN doc_id % 3 = 0 THEN ''
+                           ELSE concat('?a=', n_chars, '&b=', lang) END)
+                 AS url
+        FROM documents
+      """.stripMargin),
+      doc = "URL canonicalization (frontier dedup key): strip fragment/" +
+        "www/default port/tracking params, lowercase scheme+host, sort " +
+        "query params, preserve path case; map-only string expressions, " +
+        "oracle constructs the expected form independently")
   )
 }

@@ -130,6 +130,32 @@ class LinkGraphSpec extends SparkSpec {
     assert(encoded == direct)
   }
 
+  test("url canonicalization: hazards undone, non-defaults preserved, idempotent") {
+    val cases = Seq(
+      // every planted hazard at once
+      ("HTTP://WWW.Ex.COM:80/A/B?utm_source=x&b=2&a=1#frag",
+        "http://ex.com/A/B?a=1&b=2"),
+      // https default port strips; http's does not apply to https
+      ("HTTPS://ex.com:443/p?gclid=1&fbclid=2", "https://ex.com/p"),
+      // NON-default port must survive (https on :80 is a real, odd port)
+      ("https://ex.com:80/p", "https://ex.com:80/p"),
+      ("http://ex.com:8080/p?z=1&y=2", "http://ex.com:8080/p?y=2&z=1"),
+      // path case preserved; no query, no fragment
+      ("http://Ex.com/CaseSensitive/Path", "http://ex.com/CaseSensitive/Path"),
+      // already canonical → unchanged (idempotence on the fixed point)
+      ("http://ex.com/p?a=1&b=2", "http://ex.com/p?a=1&b=2")
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select(LinkGraph.canonicalizeUrl($"url").as("c"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+    // idempotence over the whole case set: canon(canon(u)) == canon(u)
+    val twice = cases.map(_._2).toDF("url")
+      .select(LinkGraph.canonicalizeUrl($"url").as("c"))
+      .as[String].collect().toSeq
+    assert(twice == cases.map(_._2))
+  }
+
   test("host rank equals a driver-side integer replay, bit for bit") {
     val docs = Tables.documents(spark, sf)
     val edges = LinkGraph.hostEdges(docs).as[(String, String)].collect().toSet
