@@ -239,6 +239,65 @@ object LinkGraph extends QueryPack {
         )"""
     }.mkString
 
+  /** Full HITS iterations over the extracted host graph. */
+  val HitsRounds = 2
+
+  /** Kleinberg's HITS (hubs & authorities) — the OTHER classic link
+    * signal: source-hosts that link to many strong word-hosts are hubs,
+    * word-hosts linked from many strong hubs are authorities. Run
+    * UNNORMALIZED in exact integer arithmetic for a FIXED [[HitsRounds]]
+    * rounds (hash-oracle-able; the ranking is what matters and scaling
+    * is monotone). Each half-round is one shuffle join of the score
+    * vector into the static edge table + a map-side-combined group-by —
+    * the q153 static-edges/moving-vector split. Unnormalized growth is
+    * the honest limit: scores multiply by ~(d_in·d_out) per round, so at
+    * web degrees (~10^6) BIGINT overflows after ~3 rounds — a production
+    * run renormalizes per round (float, losing the exact oracle) or
+    * right-shifts by a fixed per-round exponent (integer, keeping it);
+    * at this catalog's degrees the 2-round values stay far inside the
+    * headroom, and the bound is stated rather than silently wrapped. */
+  def hitsHosts(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val e = hostEdges(docs).localCheckpoint()
+    val nodes = hostNodes(e)
+    var h = nodes.select(col("node"), lit(1L).as("h"))
+    var a = nodes.select(col("node"), lit(0L).as("a"))
+    for (_ <- 1 to HitsRounds) {
+      val ain = e.join(h.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst")).agg(sum(col("h")).as("s"))
+      a = nodes.join(ain, nodes("node") === ain("dst"), "left")
+        .select(nodes("node"), coalesce(col("s"), lit(0L)).as("a"))
+      val hout = e.join(a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src")).agg(sum(col("a")).as("s"))
+      h = nodes.join(hout, nodes("node") === hout("src"), "left")
+        .select(nodes("node"), coalesce(col("s"), lit(0L)).as("h"))
+    }
+    h.select(col("node"), col("h").as("hub"))
+      .join(a.select(col("node"), col("a").as("auth")), "node")
+  }
+
+  /** Generated HITS CTE rounds: a<i> from h<i-1> over in-edges, h<i>
+    * from a<i> over out-edges — the same loop as [[hitsHosts]]. */
+  private def hitsSql(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s""",
+        ai$i AS (
+          SELECT e.dst AS dst, CAST(sum(h.h) AS BIGINT) AS s
+          FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1
+        ),
+        a$i AS (
+          SELECT nodes.node, CAST(coalesce(s, 0) AS BIGINT) AS a
+          FROM nodes LEFT JOIN ai$i ON nodes.node = ai$i.dst
+        ),
+        hi$i AS (
+          SELECT e.src AS src, CAST(sum(a.a) AS BIGINT) AS s
+          FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1
+        ),
+        h$i AS (
+          SELECT nodes.node, CAST(coalesce(s, 0) AS BIGINT) AS h
+          FROM nodes LEFT JOIN hi$i ON nodes.node = hi$i.src
+        )"""
+    }.mkString
+
   def queries: Map[String, Q] = Map(
     // Full extracted edge list, one row per link occurrence. The oracle
     // never sees the markup: a hash match proves the regexp + host
@@ -341,6 +400,32 @@ object LinkGraph extends QueryPack {
       doc = "URL canonicalization (frontier dedup key): strip fragment/" +
         "www/default port/tracking params, lowercase scheme+host, sort " +
         "query params, preserve path case; map-only string expressions, " +
-        "oracle constructs the expected form independently")
+        "oracle constructs the expected form independently"),
+
+    // HITS over the extracted host graph: exact-integer unnormalized
+    // rounds, full (node, hub, auth) vector oracled bit-for-bit.
+    "q164_hits_hosts" -> Q(
+      (s, d) => hitsHosts(s, T.documents(s, d)),
+      Some(s"""
+        WITH $linksSql,
+        edges AS (
+          SELECT DISTINCT d.source || '.example.com' AS src, l.dst_host AS dst
+          FROM links l JOIN documents d ON d.doc_id = l.src_doc
+          WHERE d.source || '.example.com' <> l.dst_host
+        ),
+        e AS (SELECT src, dst FROM edges),
+        nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes)${
+          hitsSql(HitsRounds)}
+        SELECT h$HitsRounds.node, h$HitsRounds.h AS hub,
+               a$HitsRounds.a AS auth
+        FROM h$HitsRounds JOIN a$HitsRounds USING (node)
+      """.stripMargin),
+      doc = "Kleinberg HITS over the content-extracted host graph: " +
+        "exact-integer unnormalized hub/authority rounds (static edges, " +
+        "score-vector-only shuffle per half-round); full vector oracled " +
+        "bit-for-bit")
   )
 }

@@ -156,6 +156,33 @@ class LinkGraphSpec extends SparkSpec {
     assert(twice == cases.map(_._2))
   }
 
+  test("HITS equals a driver-side integer replay; hubs are sources, authorities are words") {
+    val docs = Tables.documents(spark, sf)
+    val edges = LinkGraph.hostEdges(docs).as[(String, String)].collect().toSet
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq
+    var h = nodes.map(_ -> 1L).toMap
+    var a = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to LinkGraph.HitsRounds) {
+      val ain = edges.toSeq.groupBy(_._2)
+        .map { case (d, es) => d -> es.map(e => h(e._1)).sum }
+      a = nodes.map(n => n -> ain.getOrElse(n, 0L)).toMap
+      val hout = edges.toSeq.groupBy(_._1)
+        .map { case (s, es) => s -> es.map(e => a(e._2)).sum }
+      h = nodes.map(n => n -> hout.getOrElse(n, 0L)).toMap
+    }
+    val got = LinkGraph.hitsHosts(spark, docs)
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == nodes.map(n => n -> ((h(n), a(n)))).toMap)
+    // structure: source-hosts never receive links (auth 0, hub > 0);
+    // word-hosts never emit them (hub 0, auth > 0)
+    val srcs = edges.map(_._1)
+    srcs.foreach { s => assert(got(s)._2 == 0L && got(s)._1 > 0L, s) }
+    (nodes.toSet -- srcs).foreach { w =>
+      assert(got(w)._1 == 0L && got(w)._2 > 0L, w)
+    }
+  }
+
   test("host rank equals a driver-side integer replay, bit for bit") {
     val docs = Tables.documents(spark, sf)
     val edges = LinkGraph.hostEdges(docs).as[(String, String)].collect().toSet
