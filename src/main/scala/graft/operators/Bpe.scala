@@ -83,12 +83,15 @@ object Bpe extends QueryPack {
         when(col("sel"), lit(lhs + rhs)).otherwise(col("sym")).as("sym"))
   }
 
-  /** Learned merge table: (rnd, lhs, rhs, merged, cnt), one row per round,
+  /** Learned merges as driver values — (rnd, lhs, rhs, cnt) per round,
     * most-frequent adjacent symbol pair first, ties broken (lhs, rhs)
-    * lexicographically. Stops early if the vocabulary runs out of pairs. */
-  def trainMerges(docs: DataFrame, rounds: Int,
-                  checkpointDir: Option[String] = None): DataFrame = {
-    val s = docs.sparkSession
+    * lexicographically. Stops early if the vocabulary runs out of
+    * pairs. The merge table IS driver-sized by construction (one row
+    * per round), so exposing it as a Seq is not a collect smell — it's
+    * the tokenizer artifact every encoder ships with. */
+  def trainMergesSeq(docs: DataFrame, rounds: Int,
+                     checkpointDir: Option[String] = None)
+      : Seq[(Int, String, String, Long)] = {
     val rc = Rounds(checkpointDir)
     rc.init(docs)
     var syms = rc.mark(charSymbols(wordCounts(docs)))
@@ -112,20 +115,93 @@ object Bpe extends QueryPack {
         r += 1
       }
     }
+    merges.toSeq
+  }
+
+  /** Learned merge table as a DataFrame: (rnd, lhs, rhs, merged, cnt). */
+  def trainMerges(docs: DataFrame, rounds: Int,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    merges.toSeq.toDF("rnd", "lhs", "rhs", "cnt")
+    trainMergesSeq(docs, rounds, checkpointDir)
+      .toDF("rnd", "lhs", "rhs", "cnt")
       .select(col("rnd"), col("lhs"), col("rhs"),
         concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
   }
 
-  /** DuckDB replay of `rounds` training rounds — generated, not
-    * hand-written: each round chains the same pair-count / argmax /
-    * run-parity-apply CTEs the Spark plan executes. */
-  def oracle(rounds: Int): String = {
+  /** Tokenize with a TRAINED model — the q117-shaped consumer of
+    * [[trainMergesSeq]]'s artifact, completing the tokenizer family
+    * (learn the merges, then encode unseen text with them). Trains on
+    * the base docs (doc_id % BatchMod ≠ 0), then applies the merges IN
+    * LEARNED ORDER to the DISTINCT words of the held-out batch — the
+    * production shape: a corpus is tokenized by encoding its
+    * vocabulary once and joining the word→pieces map back, never by
+    * re-running merges per occurrence. Output (w, bpe): each held-out
+    * word's piece sequence, space-joined. Per merge: the same
+    * run-parity window passes as training, all partitioned by `w`,
+    * state checkpointed per round so the plan stays flat. */
+  def encodeHeldOut(docs: DataFrame, rounds: Int,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val base = docs.filter(pmod(col("doc_id"), lit(Graph.BatchMod.toLong)) =!= 0L)
+    val test = docs.filter(pmod(col("doc_id"), lit(Graph.BatchMod.toLong)) === 0L)
+    val merges = trainMergesSeq(base, rounds, checkpointDir)
+    val testWords = test
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .distinct()
+      .select(col("w"), lit(1L).as("wcnt"))
+    val rc = Rounds(checkpointDir)
+    var syms = rc.mark(charSymbols(testWords))
+    merges.foreach { case (_, lhs, rhs, _) =>
+      syms = rc.mark(applyMerge(syms, lhs, rhs))
+    }
+    syms.groupBy(col("w"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("sym")))),
+          x => x.getField("sym")), " ").as("bpe"))
+  }
+
+  /** One run-parity merge application as CTE text: apply `best` to
+    * `from`, emitting `to`; intermediate CTEs are suffixed `tag`.
+    * Shared by the training replay (q149) and the encode replay (q165)
+    * so the two oracles cannot drift from each other. */
+  private def applySql(from: String, to: String, best: String,
+                       tag: String): String = s""",
+      mm_$tag AS (
+        SELECT s.w, s.wcnt, s.pos, s.sym, b.lhs, b.rhs,
+               COALESCE(s.sym = b.lhs AND
+                 lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) = b.rhs,
+                 FALSE) AS m
+        FROM $from s CROSS JOIN $best b
+      ),
+      ii_$tag AS (
+        SELECT *, CASE WHEN m THEN pos - sum(CASE WHEN m THEN 1 ELSE 0 END)
+          OVER (PARTITION BY w ORDER BY pos ROWS UNBOUNDED PRECEDING) END
+          AS island
+        FROM mm_$tag
+      ),
+      ss_$tag AS (
+        SELECT *, m AND (pos - min(pos) OVER (PARTITION BY w, island)) % 2 = 0
+          AS sel
+        FROM ii_$tag
+      ),
+      $to AS (
+        SELECT w, wcnt, row_number() OVER (PARTITION BY w ORDER BY pos) - 1
+                 AS pos,
+               CASE WHEN sel THEN lhs || rhs ELSE sym END AS sym
+        FROM (SELECT *, COALESCE(lag(sel) OVER (PARTITION BY w ORDER BY pos),
+                                 FALSE) AS absorbed
+              FROM ss_$tag)
+        WHERE NOT absorbed
+      )"""
+
+  /** Training CTE chain over `documents` rows matching `where`: wrd,
+    * syms_0, then per round r: pair_r, best_r, syms_r. */
+  private def trainSql(rounds: Int, where: String): String = {
     val base = s"""
       WITH wrd AS (
         SELECT w, count(*) AS wcnt
-        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents $where)
         GROUP BY w
       ),
       syms_0 AS (
@@ -145,39 +221,42 @@ object Bpe extends QueryPack {
       best_$r AS (
         SELECT lhs, rhs, cnt FROM pair_$r
         ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
-      ),
-      mm_$r AS (
-        SELECT s.w, s.wcnt, s.pos, s.sym, b.lhs, b.rhs,
-               COALESCE(s.sym = b.lhs AND
-                 lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) = b.rhs,
-                 FALSE) AS m
-        FROM syms_$p s CROSS JOIN best_$r b
-      ),
-      ii_$r AS (
-        SELECT *, CASE WHEN m THEN pos - sum(CASE WHEN m THEN 1 ELSE 0 END)
-          OVER (PARTITION BY w ORDER BY pos ROWS UNBOUNDED PRECEDING) END
-          AS island
-        FROM mm_$r
-      ),
-      ss_$r AS (
-        SELECT *, m AND (pos - min(pos) OVER (PARTITION BY w, island)) % 2 = 0
-          AS sel
-        FROM ii_$r
-      ),
-      syms_$r AS (
-        SELECT w, wcnt, row_number() OVER (PARTITION BY w ORDER BY pos) - 1
-                 AS pos,
-               CASE WHEN sel THEN lhs || rhs ELSE sym END AS sym
-        FROM (SELECT *, COALESCE(lag(sel) OVER (PARTITION BY w ORDER BY pos),
-                                 FALSE) AS absorbed
-              FROM ss_$r)
-        WHERE NOT absorbed
-      )"""
+      )${applySql(s"syms_$p", s"syms_$r", s"best_$r", s"$r")}"""
     }.mkString
+    base + roundCtes
+  }
+
+  /** DuckDB replay of `rounds` training rounds — generated, not
+    * hand-written: each round chains the same pair-count / argmax /
+    * run-parity-apply CTEs the Spark plan executes. */
+  def oracle(rounds: Int): String = {
     val unioned = (1 to rounds).map { r =>
       s"SELECT CAST($r AS INT) AS rnd, lhs, rhs, lhs || rhs AS merged, cnt FROM best_$r"
     }.mkString("\n      UNION ALL\n      ")
-    s"$base$roundCtes\n      $unioned"
+    s"${trainSql(rounds, "")}\n      $unioned"
+  }
+
+  /** DuckDB replay of train-on-base + encode-held-out (q165): the
+    * training chain filtered to base docs, then the SAME apply CTEs
+    * chained over the held-out vocabulary's character symbols. */
+  def oracleEncode(rounds: Int): String = {
+    val base = trainSql(rounds, s"WHERE doc_id % ${Graph.BatchMod} <> 0")
+    val testCtes = s""",
+      twrd AS (
+        SELECT DISTINCT w, CAST(1 AS BIGINT) AS wcnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id % ${Graph.BatchMod} = 0)
+      ),
+      tsyms_0 AS (
+        SELECT w, wcnt, i - 1 AS pos, substr(w, CAST(i AS INT), 1) AS sym
+        FROM (SELECT w, wcnt, unnest(range(1, len(w) + 1)) AS i FROM twrd)
+      )"""
+    val applyCtes = (1 to rounds).map { r =>
+      applySql(s"tsyms_${r - 1}", s"tsyms_$r", s"best_$r", s"t$r")
+    }.mkString
+    s"""$base$testCtes$applyCtes
+      SELECT w, string_agg(sym, ' ' ORDER BY pos) AS bpe
+      FROM tsyms_$rounds GROUP BY w"""
   }
 
   def queries: Map[String, Q] = Map(
@@ -185,6 +264,17 @@ object Bpe extends QueryPack {
       (s, d) => trainMerges(T.documents(s, d), TrainRounds),
       Some(oracle(TrainRounds)),
       doc = "distributed BPE merge training: vocab-sized working set, " +
-        "1-row argmax per round, greedy run-parity merge application")
+        "1-row argmax per round, greedy run-parity merge application"),
+
+    // Train on the base docs, encode the held-out vocabulary with the
+    // learned merges in order — the full tokenizer pipeline (q149's
+    // artifact consumed the way production consumes it: tokenize the
+    // distinct-word table once, join the word→pieces map back).
+    "q165_bpe_encode" -> Q(
+      (s, d) => encodeHeldOut(T.documents(s, d), TrainRounds),
+      Some(oracleEncode(TrainRounds)),
+      doc = "BPE encode with the TRAINED merge table: base-doc training " +
+        "+ in-order run-parity application to the held-out vocabulary; " +
+        "word piece sequences oracled bit-for-bit")
   )
 }

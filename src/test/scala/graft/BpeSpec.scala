@@ -67,4 +67,16 @@ class BpeSpec extends SparkSpec {
       .select("lhs", "rhs", "cnt").as[(String, String, Long)].head()
     assert(got == ("a", "b", 3L))
   }
+
+  test("encodeHeldOut applies the trained merges in order to the held-out vocabulary") {
+    // train on docs 1-2: round 1 learns (a,b)→"ab" (count 3), round 2
+    // learns (c,d)→"cd". Held-out doc 10's vocabulary encodes with
+    // BOTH merges in order; "zz" has no applicable merge and stays
+    // character-split. One row per DISTINCT held-out word.
+    val docs = Seq((1L, "ab ab"), (2L, "ab cd"), (10L, "abab cd zz"))
+      .toDF("doc_id", "text")
+    val got = Bpe.encodeHeldOut(docs, 2)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("abab" -> "ab ab", "cd" -> "cd", "zz" -> "z z"))
+  }
 }
