@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryPack, Tables => T}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics for crawl prioritization — the one graph-shaped
@@ -312,7 +312,277 @@ object Graph extends QueryPack {
         )"""
   }
 
+  /** BFS relaxation rounds for q166; fixed so the oracle unrolls. At
+    * sf0.01 the reached histogram is (9, 15, 330, 85, 814) over dist
+    * 0..4 — every round still grows the frontier, so multi-hop
+    * traversal is genuinely exercised (the corpus-derived graphs can't
+    * do this: the host graph is diameter-1 — only source-hosts have
+    * out-links — and the word graph saturates its ~31-word vocab one
+    * hop from the seeds). */
+  val BfsRounds = 4
+
+  /** Small-quantity cutoff for the trade-graph edges — keeps the
+    * bipartite graph sparse enough to have depth at the test scales. */
+  val BfsQtyMax = 2
+
+  /** The bipartite TRADE graph, symmetrized: customer c and supplier s
+    * are adjacent iff some order of c contains a small-quantity
+    * lineitem from s. Node encoding keeps both key spaces in one
+    * integer column without collision: customers at 2·custkey,
+    * suppliers at 2·suppkey+1. One shuffle join (lineitem⋈orders on
+    * orderkey) + a distinct; the quantity filter is pushed to the
+    * lineitem scan. */
+  def tradeEdges(s: SparkSession, dir: String,
+                 ordersPred: Column = lit(true)): DataFrame = {
+    val li = T.lineitem(s, dir)
+      .filter(col("l_quantity") <= BfsQtyMax)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val cs = li.join(
+        T.orders(s, dir).filter(ordersPred)
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("sn"))
+      .distinct()
+    cs.select(col("c").as("src"), col("sn").as("dst"))
+      .unionByName(cs.select(col("sn").as("src"), col("c").as("dst")))
+  }
+
+  /** BFS depth from the seed customers (custkey ≡ 0 mod 100, i.e. node
+    * ≡ 0 mod 200): exact-integer unit-weight relaxation (synchronous
+    * Bellman-Ford) over the symmetrized trade graph — the reachability
+    * primitive behind fraud rings, recommendation neighborhoods, and
+    * crawl frontiers, run on the one test graph with real alternating
+    * depth (customer→supplier→co-customer→…). Fixed [[BfsRounds]]
+    * synchronous rounds: each round shuffles only the reached-distance
+    * vector into the static edge table (the q153 static-edges/moving-
+    * vector split) plus one map-side-combined min per dst. NULL
+    * bookkeeping is explicit CASE arms in BOTH engines — `least`'s NULL
+    * behavior differs across engines, so it is never relied on. The
+    * production frontier optimization (join only rows whose dist
+    * CHANGED last round) shrinks the moving vector to the wavefront;
+    * with 4 fixed rounds the full reached set is the same order, so the
+    * simple form is kept and the wavefront form noted. Returns
+    * (node, dist) for REACHED nodes only. */
+  def bfsReach(s: SparkSession, dir: String): DataFrame = {
+    val e = tradeEdges(s, dir).localCheckpoint()
+    // symmetrized: every node appears as a src
+    val nodes = e.select(col("src").as("node")).distinct()
+    val d0 = nodes.select(col("node"),
+      when(pmod(col("node"), lit(200L)) === 0L, lit(0L)).as("dist"))
+    bfsLoop(e, d0, BfsRounds).filter(col("dist").isNotNull)
+  }
+
+  /** The relaxation loop of [[bfsReach]], factored over an arbitrary
+    * (src, dst) edge table and a seeded (node, dist) frame — dist 0 at
+    * seeds, NULL elsewhere. Exposed for hand-graph property tests. */
+  def bfsLoop(e: DataFrame, d0: DataFrame, rounds: Int): DataFrame =
+    (1 to rounds).foldLeft(d0) { (d, _) =>
+      val nb = e.join(
+          d.filter(col("dist").isNotNull).withColumnRenamed("node", "src"),
+          "src")
+        .groupBy(col("dst")).agg((min(col("dist")) + lit(1L)).as("nd"))
+      d.join(nb, d("node") === nb("dst"), "left")
+        .select(d("node"),
+          when(col("dist").isNull, col("nd"))
+            .when(col("nd").isNull, col("dist"))
+            .when(col("nd") < col("dist"), col("nd"))
+            .otherwise(col("dist")).as("dist"))
+    }
+
+  /** Generated BFS relaxation rounds — the SQL twin of [[bfsReach]]'s
+    * loop, explicit CASE arms for the NULL bookkeeping. Steps from
+    * `<from>` over edge CTE `<edge>`, emitting `<prefix>1..<prefix>N`. */
+  private def bfsSql(edge: String, from: String, prefix: String,
+                     rounds: Int): String =
+    (1 to rounds).map { i =>
+      val prev = if (i == 1) from else s"$prefix${i - 1}"
+      s""",
+        ${prefix}n$i AS (
+          SELECT e.dst AS dst, CAST(min(d.dist) + 1 AS BIGINT) AS nd
+          FROM $edge e JOIN $prev d ON e.src = d.node
+          WHERE d.dist IS NOT NULL GROUP BY 1
+        ),
+        $prefix$i AS (
+          SELECT d.node,
+                 CAST(CASE WHEN d.dist IS NULL THEN nd.nd
+                           WHEN nd.nd IS NULL THEN d.dist
+                           WHEN nd.nd < d.dist THEN nd.nd
+                           ELSE d.dist END AS BIGINT) AS dist
+          FROM $prev d LEFT JOIN ${prefix}n$i nd ON d.node = nd.dst
+        )"""
+    }.mkString
+
+  /** Warm-started BFS maintenance after an order-batch append — the
+    * incremental-registry family member (q157/q161's shape) on the
+    * trade graph: distances converged on the BASE graph (orders with
+    * o_orderkey % BatchMod ≠ 0) are the stored registry; landing the
+    * batch adds edges (new customer–supplier links, possibly new
+    * nodes), and because edge ADDITIONS only ever shorten unit-weight
+    * distances, the stored vector is a valid upper bound to warm-start
+    * from — [[IncrRounds]] relaxations over the full edge table instead
+    * of [[BfsRounds]] from scratch. Nodes the batch introduces enter at
+    * the seed rule (0 if seed, unreached otherwise). */
+  def bfsReachIncremental(s: SparkSession, dir: String): DataFrame = {
+    val eAll = tradeEdges(s, dir).localCheckpoint()
+    val eBase = tradeEdges(s, dir,
+      pmod(col("o_orderkey"), lit(BatchMod.toLong)) =!= 0L).localCheckpoint()
+    val baseNodes = eBase.select(col("src").as("node")).distinct()
+    val b0 = baseNodes.select(col("node"),
+      when(pmod(col("node"), lit(200L)) === 0L, lit(0L)).as("dist"))
+    val stored = bfsLoop(eBase, b0, BfsRounds)
+    val allNodes = eAll.select(col("src").as("node")).distinct()
+    val warm = allNodes.join(stored.withColumnRenamed("dist", "bdist"),
+        Seq("node"), "left")
+      .select(col("node"),
+        when(col("bdist").isNotNull, col("bdist"))
+          .when(pmod(col("node"), lit(200L)) === 0L, lit(0L))
+          .as("dist"))
+    bfsLoop(eAll, warm, IncrRounds).filter(col("dist").isNotNull)
+  }
+
+  /** Personalized PageRank over the symmetrized trade graph: teleport
+    * mass lands ONLY on the seed cohort (custkey ≡ 0 mod 100), so the
+    * stationary mass measures proximity TO the seeds — the classic
+    * related-entity recommender (and fraud-neighborhood scorer),
+    * distinct from q153/q160's uniform teleport. Exact integer
+    * arithmetic end to end: r₀ = Scale at seeds else 0; per round
+    * r' = (seed ? Scale·15/100 : 0) + 85·Σ(r DIV degree) DIV 100. The
+    * symmetrized graph has no dangling nodes, so no mass convention is
+    * needed. Same static-edges/moving-vector shape as q153: per round
+    * one shuffle join of the rank vector + one map-side-combined sum. */
+  val PprRounds = 3
+
+  def pprTrade(s: SparkSession, dir: String): DataFrame = {
+    val e = tradeEdges(s, dir).localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val ed = e.join(deg, "src").localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct()
+    val seed = pmod(col("node"), lit(200L)) === 0L
+    val r0 = nodes.select(col("node"),
+      when(seed, lit(Scale)).otherwise(lit(0L)).as("r"))
+    (1 to PprRounds).foldLeft(r0) { (r, _) =>
+      val inc = ed.join(r.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("r DIV od")).as("inc"))
+      nodes.join(inc, nodes("node") === inc("dst"), "left")
+        .select(nodes("node"),
+          (when(seed, lit(Scale * 15 / 100)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) DIV 100")).as("r"))
+    }
+  }
+
+  /** Generated PPR rounds — seed-conditional teleport, BIGINT casts
+    * everywhere (the r13 HUGEINT lesson). */
+  private def pprSql(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s""",
+        pi$i AS (
+          SELECT ed.dst AS dst, CAST(sum(r.r // ed.od) AS BIGINT) AS inc
+          FROM ed JOIN p${i - 1} r ON ed.src = r.node GROUP BY 1
+        ),
+        p$i AS (
+          SELECT nodes.node,
+                 CAST(CASE WHEN nodes.node % 200 = 0
+                           THEN ${Scale * 15 / 100} ELSE 0 END
+                      + (85 * coalesce(inc, 0)) // 100 AS BIGINT) AS r
+          FROM nodes LEFT JOIN pi$i ON nodes.node = pi$i.dst
+        )"""
+    }.mkString
+
   def queries: Map[String, Q] = Map(
+    // BFS depth over the symmetrized customer–supplier trade graph:
+    // fixed synchronous relaxations, explicit-CASE NULL bookkeeping in
+    // both engines, reached (node, dist) vector oracled bit-for-bit.
+    "q166_bfs_reach" -> Q(
+      bfsReach,
+      Some(s"""
+        WITH cs AS (
+          SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS sn
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_quantity <= $BfsQtyMax
+        ),
+        e AS (SELECT c AS src, sn AS dst FROM cs
+              UNION ALL SELECT sn AS src, c AS dst FROM cs),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        d0 AS (SELECT node,
+                      CASE WHEN node % 200 = 0
+                           THEN CAST(0 AS BIGINT) END AS dist
+               FROM nodes)${bfsSql("e", "d0", "d", BfsRounds)}
+        SELECT node, dist FROM d$BfsRounds WHERE dist IS NOT NULL
+      """.stripMargin),
+      doc = "BFS reachability depth: exact-integer unit-weight " +
+        "relaxations from the seed customers over the symmetrized " +
+        "customer-supplier trade graph (real alternating multi-hop " +
+        "depth); static edges, distance-vector-only shuffle per round; " +
+        "reached set oracled bit-for-bit"),
+
+    // Warm-started BFS after an order-batch append: stored base-graph
+    // distances + IncrRounds relaxations over the full edges; batch-new
+    // nodes enter at the seed rule. Reached vector oracled bit-for-bit.
+    "q171_bfs_incremental" -> Q(
+      bfsReachIncremental,
+      Some(s"""
+        WITH csf AS (
+          SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS sn
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_quantity <= $BfsQtyMax
+        ),
+        ef AS (SELECT c AS src, sn AS dst FROM csf
+               UNION ALL SELECT sn AS src, c AS dst FROM csf),
+        csb AS (
+          SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS sn
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_quantity <= $BfsQtyMax AND o.o_orderkey % $BatchMod <> 0
+        ),
+        eb AS (SELECT c AS src, sn AS dst FROM csb
+               UNION ALL SELECT sn AS src, c AS dst FROM csb),
+        b0 AS (SELECT DISTINCT src AS node,
+                      CASE WHEN src % 200 = 0
+                           THEN CAST(0 AS BIGINT) END AS dist
+               FROM eb)${bfsSql("eb", "b0", "b", BfsRounds)},
+        w0 AS (
+          SELECT n.node,
+                 CAST(CASE WHEN b.dist IS NOT NULL THEN b.dist
+                           WHEN n.node % 200 = 0 THEN 0 END AS BIGINT)
+                   AS dist
+          FROM (SELECT DISTINCT src AS node FROM ef) n
+          LEFT JOIN b$BfsRounds b ON n.node = b.node
+        )${bfsSql("ef", "w0", "f", IncrRounds)}
+        SELECT node, dist FROM f$IncrRounds WHERE dist IS NOT NULL
+      """.stripMargin),
+      doc = "Incremental BFS: base-graph distances stored as the " +
+        "registry, an order-batch append adds edges, and IncrRounds " +
+        "warm-started relaxations (additions only shorten unit-weight " +
+        "distances, so the stored vector is a valid upper bound) " +
+        "maintain the reached set; oracled bit-for-bit"),
+
+    // Personalized PageRank: teleport restricted to the seed cohort —
+    // proximity-to-seeds mass in exact integers, full vector oracled.
+    "q172_ppr_trade" -> Q(
+      pprTrade,
+      Some(s"""
+        WITH cs AS (
+          SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS sn
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_quantity <= $BfsQtyMax
+        ),
+        e AS (SELECT c AS src, sn AS dst FROM cs
+              UNION ALL SELECT sn AS src, c AS dst FROM cs),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+        ed AS (SELECT e.src, e.dst, deg.od FROM e JOIN deg USING (src)),
+        p0 AS (SELECT node,
+                      CAST(CASE WHEN node % 200 = 0 THEN $Scale
+                                ELSE 0 END AS BIGINT) AS r
+               FROM nodes)${pprSql(PprRounds)}
+        SELECT node, r FROM p$PprRounds
+      """.stripMargin),
+      doc = "Personalized PageRank over the symmetrized trade graph: " +
+        "seed-restricted teleport (related-entity recommendation), " +
+        "exact-integer damped rounds, no dangling mass (symmetric " +
+        "graph); full proximity vector oracled bit-for-bit"),
+
     // Full rank vector after the unrolled rounds: every node exercises
     // the join + partial-agg + teleport-floor path, and the hash compare
     // covers all n ranks bit-for-bit.

@@ -153,6 +153,53 @@ object LinkGraph extends QueryPack {
       .foldLeft(rBase)((r, _) => stepVarDeg(nodes, eAll, r))
   }
 
+  /** Synchronous label-propagation rounds for q167; fixed so the
+    * oracle unrolls. */
+  val LpaRounds = 3
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007) over the UNDIRECTED host graph — the site-clustering
+    * signal (mirror families, link farms, topical hubs). Every node
+    * starts as its own label; per round each node adopts the MOST
+    * FREQUENT label among its neighbors, ties broken by the smaller
+    * label — the deterministic variant, expressed as min(struct(-count,
+    * label)) so the pick is one map-side-combined aggregate, never a
+    * per-node sort. Synchronous + deterministic tie-break makes the
+    * fixed-round result exactly replayable (async LPA is run-order
+    * dependent — useless under a hash oracle). Per round: one shuffle
+    * join of the label vector into the static symmetrized edges, one
+    * (node,label) count, one per-node argmin, one left join back —
+    * all label-vector-sized. Min-LABEL propagation (q79's connected
+    * components) is the degenerate all-ties case; mode propagation
+    * keeps dense communities from being absorbed through a single
+    * bridge edge. */
+  def lpaCommunities(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val e = hostEdges(docs)
+    val sym = e.unionByName(e.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = hostNodes(sym)
+    lpaLoop(sym, nodes.select(col("node"), col("node").as("label")),
+      LpaRounds)
+  }
+
+  /** The voting loop of [[lpaCommunities]], factored over an arbitrary
+    * SYMMETRIZED (src, dst) edge table and an initial (node, label)
+    * frame. Exposed for hand-graph property tests. */
+  def lpaLoop(sym: DataFrame, l0: DataFrame, rounds: Int): DataFrame =
+    (1 to rounds).foldLeft(l0) { (lab, _) =>
+      val votes = sym
+        .join(lab.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      val pick = votes.groupBy(col("dst"))
+        .agg(min(struct((col("c") * lit(-1L)).as("nc"),
+          col("label").as("l"))).as("m"))
+        .select(col("dst"), col("m.l").as("vote"))
+      lab.join(pick, lab("node") === pick("dst"), "left")
+        .select(lab("node"),
+          coalesce(col("vote"), lab("label")).as("label"))
+    }
+
   /** Canonicalize one URL column — the crawl-frontier normalizer that
     * decides whether two discovered URLs are the SAME page (the dedup
     * key of the frontier, run once per discovered link, so it must be
@@ -298,6 +345,41 @@ object LinkGraph extends QueryPack {
         )"""
     }.mkString
 
+  /** Shared oracle fragment: the distinct host edge list + node set
+    * derived from token positions (independent of the markup). */
+  private val hostGraphSql: String = s"""$linksSql,
+        edges AS (
+          SELECT DISTINCT d.source || '.example.com' AS src, l.dst_host AS dst
+          FROM links l JOIN documents d ON d.doc_id = l.src_doc
+          WHERE d.source || '.example.com' <> l.dst_host
+        ),
+        nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        )"""
+
+  /** Generated synchronous-LPA rounds — mode with (count desc, label
+    * asc) tie-break, the SQL twin of [[lpaCommunities]]'s min(struct). */
+  private def lpaSql(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s""",
+        v$i AS (
+          SELECT s.dst AS node, l.label AS cand, count(*) AS c
+          FROM sym s JOIN l${i - 1} l ON s.src = l.node GROUP BY 1, 2
+        ),
+        w$i AS (
+          SELECT node, cand,
+                 row_number() OVER (PARTITION BY node
+                                    ORDER BY c DESC, cand) AS rk
+          FROM v$i
+        ),
+        l$i AS (
+          SELECT p.node, coalesce(w.cand, p.label) AS label
+          FROM l${i - 1} p
+          LEFT JOIN (SELECT node, cand FROM w$i WHERE rk = 1) w
+            ON p.node = w.node
+        )"""
+    }.mkString
+
   def queries: Map[String, Q] = Map(
     // Full extracted edge list, one row per link occurrence. The oracle
     // never sees the markup: a hash match proves the regexp + host
@@ -401,6 +483,27 @@ object LinkGraph extends QueryPack {
         "www/default port/tracking params, lowercase scheme+host, sort " +
         "query params, preserve path case; map-only string expressions, " +
         "oracle constructs the expected form independently"),
+
+    // Synchronous deterministic label propagation over the undirected
+    // host graph: mode-of-neighbors with (count desc, label asc)
+    // tie-break, full (node, label) vector oracled bit-for-bit.
+    "q167_lpa_communities" -> Q(
+      (s, d) => lpaCommunities(s, T.documents(s, d)),
+      Some(s"""
+        WITH $hostGraphSql,
+        sym AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst AS src, src AS dst FROM edges
+          )
+        ),
+        l0 AS (SELECT node, node AS label FROM nodes)${lpaSql(LpaRounds)}
+        SELECT node, label FROM l$LpaRounds
+      """.stripMargin),
+      doc = "LPA communities (Raghavan et al.): synchronous mode-of-" +
+        "neighbors label propagation with deterministic min tie-break " +
+        "over the symmetrized host graph; label-vector-sized shuffles " +
+        "per round, final labeling oracled bit-for-bit"),
 
     // HITS over the extracted host graph: exact-integer unnormalized
     // rounds, full (node, hub, auth) vector oracled bit-for-bit.

@@ -45,6 +45,16 @@ import org.apache.spark.sql.functions._
   * double literals 0.4 / 0.16 (identical doubles in both engines,
   * correctly-rounded ops), and the per-doc mean log2 is rounded at 3 dp
   * (the q90 rule), so the driver hash is plan- and engine-stable.
+  *
+  * On top of held-out evaluation (q162), the trained model drives the
+  * two classic CORPUS uses of a web-scale LM:
+  *  - q168: CCNet-style perplexity FILTERING (Wenzek et al. 2020) —
+  *    score every document and keep the above-mean half, with the mean
+  *    gate evaluated in exact integer arithmetic (milli-log2 scores) so
+  *    the kept set is bit-stable under partitioning;
+  *  - q169: crawl prioritization — roll per-page quality up the
+  *    extracted link graph ([[LinkGraph]]) to rank HOSTS by the quality
+  *    mass of the pages that link to them.
   */
 object NgramLm extends QueryPack {
 
@@ -66,11 +76,10 @@ object NgramLm extends QueryPack {
       col("w").as("w3"))
   }
 
-  /** Score the held-out batch under the base-trained model: per doc,
-    * token count, per-backoff-level counts, and the mean log2 score. */
-  def stupidBackoffScore(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val train = docs.filter(pmod(col("doc_id"), lit(Graph.BatchMod.toLong)) =!= 0L)
-    val test = docs.filter(pmod(col("doc_id"), lit(Graph.BatchMod.toLong)) === 0L)
+  /** Per-token backoff scores for `target` under count tables trained
+    * on `train`: (doc_id, lvl ∈ {tri,bi,uni}, s). The shared core of
+    * q162 (held-out eval), q168 (corpus filter), q169 (host rollup). */
+  def scoredTokens(train: DataFrame, target: DataFrame): DataFrame = {
     val trw = toks(train)
     val trc = withCtx(trw)
     val uni = trw.groupBy(col("w")).agg(count(lit(1)).as("c1"))
@@ -80,8 +89,8 @@ object NgramLm extends QueryPack {
       .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
     val nv = trw.agg(count(lit(1)).as("n"),
       count_distinct(col("w")).as("v"))
-    val te = withCtx(toks(test)).filter(col("w1").isNotNull)
-    val scored = te
+    val te = withCtx(toks(target)).filter(col("w1").isNotNull)
+    te
       .join(tri, Seq("w1", "w2", "w3"), "left")
       .join(bi.select(col("w2").as("w1"), col("w3").as("w2"),
         col("c2").as("cctx")), Seq("w1", "w2"), "left")
@@ -102,7 +111,17 @@ object NgramLm extends QueryPack {
           .otherwise(lit(0.16) *
             (coalesce(col("c1w3"), lit(0L)) + lit(1L)).cast("double") /
             (col("n") + col("v"))).as("s"))
-    scored.groupBy(col("doc_id"))
+  }
+
+  private def baseDocs(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(Graph.BatchMod.toLong)) =!= 0L)
+
+  /** Score the held-out batch under the base-trained model: per doc,
+    * token count, per-backoff-level counts, and the mean log2 score. */
+  def stupidBackoffScore(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val test = docs.filter(pmod(col("doc_id"), lit(Graph.BatchMod.toLong)) === 0L)
+    scoredTokens(baseDocs(docs), test)
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_scored"),
         sum(when(col("lvl") === "tri", 1L).otherwise(0L)).as("n_tri"),
         sum(when(col("lvl") === "bi", 1L).otherwise(0L)).as("n_bi"),
@@ -110,20 +129,65 @@ object NgramLm extends QueryPack {
         round(avg(log2(col("s"))), 3).as("avg_log2s"))
   }
 
-  def queries: Map[String, Q] = Map(
-    // Held-out scoring under the base-trained trigram model with the
-    // real backoff chain live (tri + bi levels both fire on this
-    // corpus). Per-level integer counts oracle the CONTROL FLOW of the
-    // backoff, not just the blended float.
-    "q162_stupid_backoff" -> Q(
-      (s, d) => stupidBackoffScore(s, T.documents(s, d)),
-      Some(s"""
-        WITH base AS (
+  /** Per-doc LM quality over the WHOLE corpus under the base-trained
+    * model, as an exact-integer milli-log2 score: round(avg,3) is the
+    * engine-stable double of q162, ×1000 and round lands on (within
+    * 1e-10 of) an integer, so the BIGINT s_milli is bit-stable in both
+    * engines. Docs with < 3 tokens score no trigram context and drop
+    * out — they carry no LM evidence either way. */
+  def docScoresMilli(docs: DataFrame): DataFrame =
+    scoredTokens(baseDocs(docs), docs)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        round(avg(log2(col("s"))), 3).as("avg_log2s"))
+      .select(col("doc_id"), col("n_scored"),
+        round(col("avg_log2s") * lit(1000), 0).cast("long").as("s_milli"))
+
+  /** CCNet-style perplexity gate (Wenzek et al. 2020 run corpora
+    * through a KenLM and keep the low-perplexity slice): keep documents
+    * whose mean log2 score is at or above the CORPUS mean. The gate is
+    * evaluated in exact integer arithmetic — s_milli·n_docs ≥ Σs_milli —
+    * so membership never hinges on a float sum's add order: one scalar
+    * aggregate broadcast against the scored set, no second shuffle. At
+    * 100 TB the scored set streams map-only past the broadcast row;
+    * the LM lookup joins upstream are the only shuffles. */
+  def lmQualityGate(docs: DataFrame): DataFrame = {
+    val scored = docScoresMilli(docs)
+    val tot = scored.agg(sum(col("s_milli")).as("tot"),
+      count(lit(1)).as("nd"))
+    scored.crossJoin(broadcast(tot))
+      .filter(col("s_milli") * col("nd") >= col("tot"))
+      .select(col("doc_id"), col("n_scored"), col("s_milli"))
+  }
+
+  /** Crawl prioritization: the quality mass flowing INTO each host from
+    * the pages that link to it — join the extracted link occurrences
+    * ([[LinkGraph.extractLinks]]) to the per-page milli-log2 scores and
+    * aggregate per target host. A frontier scheduler fetches
+    * high-s_sum hosts first (links from high-quality pages are the
+    * classic seed-quality signal). Inner join: only LM-scored pages
+    * vote (a 1–2-token page carries no evidence). One shuffle each for
+    * the score join (doc_id) and the host rollup (dst_host); the
+    * distinct-doc count is exact per host. */
+  def hostQualityRollup(docs: DataFrame): DataFrame =
+    LinkGraph.extractLinks(LinkGraph.pages(docs))
+      .join(docScoresMilli(docs).select(col("doc_id").as("src_doc"),
+        col("s_milli")), "src_doc")
+      .groupBy(col("dst_host"))
+      .agg(count(lit(1)).as("n_links"),
+        count_distinct(col("src_doc")).as("n_docs"),
+        sum(col("s_milli")).as("s_sum"))
+
+  /** Shared oracle CTE chain: count tables over `trainPred` docs,
+    * per-token backoff scores for `targetPred` docs, ending in
+    * `sc(doc_id, lvl, s)` — the SQL twin of [[scoredTokens]]. */
+  private def backoffCtes(trainPred: String, targetPred: String): String = s"""
+        base AS (
           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         ),
         trtok AS (
           SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
-          FROM base WHERE doc_id % ${Graph.BatchMod} <> 0
+          FROM base WHERE $trainPred
         ),
         trw AS (SELECT doc_id, i, ws[i] AS w FROM trtok),
         trc AS (
@@ -142,7 +206,7 @@ object NgramLm extends QueryPack {
                       (SELECT count(DISTINCT w) FROM trw) AS v),
         tetok AS (
           SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
-          FROM base WHERE doc_id % ${Graph.BatchMod} = 0
+          FROM base WHERE $targetPred
         ),
         tew AS (SELECT doc_id, i, ws[i] AS w FROM tetok),
         tec AS (
@@ -170,7 +234,29 @@ object NgramLm extends QueryPack {
           LEFT JOIN uni u2 ON u2.w = t.w2
           LEFT JOIN uni u3 ON u3.w = t.w3
           CROSS JOIN nv
-        )
+        )"""
+
+  private val trainPred = s"doc_id % ${Graph.BatchMod} <> 0"
+
+  /** Oracle CTE for the per-doc milli-log2 score of the whole corpus:
+    * appends the q168/q169 quantization to the shared chain. */
+  private def scoredMilliCtes: String = s"""${backoffCtes(trainPred, "TRUE")},
+        scored AS (
+          SELECT doc_id, count(*) AS n_scored,
+                 CAST(round(round(avg(log2(s)), 3) * 1000, 0) AS BIGINT)
+                   AS s_milli
+          FROM sc GROUP BY 1
+        )"""
+
+  def queries: Map[String, Q] = Map(
+    // Held-out scoring under the base-trained model with the real
+    // backoff chain live (tri + bi levels both fire on this corpus).
+    // Per-level integer counts oracle the CONTROL FLOW of the backoff,
+    // not just the blended float.
+    "q162_stupid_backoff" -> Q(
+      (s, d) => stupidBackoffScore(s, T.documents(s, d)),
+      Some(s"""
+        WITH ${backoffCtes(trainPred, s"doc_id % ${Graph.BatchMod} = 0")}
         SELECT doc_id, count(*) AS n_scored,
                CAST(sum(CASE WHEN lvl = 'tri' THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_tri,
@@ -184,6 +270,54 @@ object NgramLm extends QueryPack {
       doc = "Stupid-backoff trigram LM (Brants et al.): count tables " +
         "trained on the base docs, held-out batch scored through the " +
         "live tri→bi→add-1-unigram backoff chain; per-level counts + " +
-        "3dp mean log2 oracled")
+        "3dp mean log2 oracled"),
+
+    // CCNet-style corpus filter: every doc scored under the base-trained
+    // LM, kept iff its milli-log2 score is at/above the corpus mean —
+    // the mean gate in exact integer arithmetic (s_milli·n_docs ≥ Σ),
+    // so the kept SET is bit-stable and hash-oracled.
+    "q168_lm_quality_gate" -> Q(
+      (s, d) => lmQualityGate(T.documents(s, d)),
+      Some(s"""
+        WITH $scoredMilliCtes,
+        tot AS (SELECT CAST(sum(s_milli) AS BIGINT) AS tot,
+                       CAST(count(*) AS BIGINT) AS nd FROM scored)
+        SELECT doc_id, n_scored, s_milli
+        FROM scored CROSS JOIN tot
+        WHERE s_milli * nd >= tot
+      """.stripMargin),
+      doc = "LM perplexity gate (CCNet): whole corpus scored under the " +
+        "base-trained trigram LM, above-integer-mean docs kept; the " +
+        "gate is exact milli-log2 arithmetic so membership is " +
+        "partition-stable and hash-oracled"),
+
+    // Crawl prioritization: per-page LM quality rolled up the extracted
+    // link graph — per target host, link count, distinct scored linking
+    // docs, and the integer quality mass.
+    "q169_host_quality_rollup" -> Q(
+      (s, d) => hostQualityRollup(T.documents(s, d)),
+      Some(s"""
+        WITH $scoredMilliCtes,
+        doc_words AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        toks2 AS (
+          SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+          FROM doc_words
+        ),
+        links AS (
+          SELECT doc_id AS src_doc, ws[i] || '.example.com' AS dst_host
+          FROM toks2 WHERE (i - 1) % ${LinkGraph.LinkEvery} = 0
+        )
+        SELECT l.dst_host, count(*) AS n_links,
+               count(DISTINCT l.src_doc) AS n_docs,
+               CAST(sum(s.s_milli) AS BIGINT) AS s_sum
+        FROM links l JOIN scored s ON s.doc_id = l.src_doc
+        GROUP BY 1
+      """.stripMargin),
+      doc = "Host quality rollup: LM milli-log2 page scores joined onto " +
+        "the extracted link occurrences and aggregated per target host " +
+        "— the frontier-scheduler seed-quality signal; counts + integer " +
+        "quality mass oracled")
   )
 }

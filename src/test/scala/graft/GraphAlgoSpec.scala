@@ -1,0 +1,254 @@
+package graft
+
+import graft.operators.{Graph, LinkGraph, NgramLm}
+import org.apache.spark.sql.functions._
+
+/** q166 BFS, q167 LPA, q168 LM gate, q169 host rollup: hand-graph
+  * properties the sf corpus can't isolate (shorter-path-wins,
+  * unreachable stay out, bridge edges don't merge communities,
+  * deterministic tie-breaks), driver-side replays of the loops, and
+  * the integer-gate membership law. */
+class GraphAlgoSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- q166 BFS ----
+
+  private def runBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+                     nodes: Seq[Long], rounds: Int): Map[Long, Long] = {
+    val e = edges.toDF("src", "dst")
+    val d0 = nodes.toDF("node").select(col("node"),
+      when(col("node").isin(seeds.toSeq: _*), 0L).as("dist"))
+    Graph.bfsLoop(e, d0, rounds).filter(col("dist").isNotNull)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  /** Driver-side BFS replay (plain Scala) for cross-checking. */
+  private def replayBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+                        rounds: Int): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val relax = dist.toSeq.flatMap { case (n, d) =>
+        adj.getOrElse(n, Nil).map(_ -> (d + 1)) }
+      val best = relax.groupBy(_._1).map { case (n, ds) => n -> ds.map(_._2).min }
+      dist = (dist.keySet ++ best.keySet).map { n =>
+        n -> math.min(dist.getOrElse(n, Long.MaxValue),
+          best.getOrElse(n, Long.MaxValue))
+      }.toMap
+    }
+    dist
+  }
+
+  test("bfs: shorter path wins, unreachable stay out, directedness holds") {
+    // 1→2→3→4→5→6 chain with a 1→4 shortcut; 7 isolated; 8→1 points
+    // AT the seed (must not make 8 reachable — edges are directed).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 4L), (8L, 1L))
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+    val got = runBfs(edges, Set(1L), nodes, Graph.BfsRounds)
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L,
+      6L -> 3L), "shortcut must win over the long chain")
+    assert(!got.contains(7L) && !got.contains(8L))
+  }
+
+  test("bfs: round budget truncates the frontier; two seeds take the min") {
+    val chain = (1L to 7L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val one = runBfs(chain, Set(1L), (1L to 7L).toSeq, 2)
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 2L),
+      "2 rounds must reach exactly depth 2")
+    val two = runBfs(chain, Set(1L, 6L), (1L to 7L).toSeq, 2)
+    assert(two == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 0L, 7L -> 1L),
+      "the 6-seed wave reaches only 7 (directed chain)")
+  }
+
+  test("bfs: Spark loop == driver-side replay on a dense hand graph") {
+    val edges = for {
+      s <- 0L to 19L; d <- 0L to 19L
+      if s != d && (s * 7 + d * 3) % 11 == 0
+    } yield (s, d)
+    val seeds = Set(0L, 13L)
+    val got = runBfs(edges, seeds, (0L to 19L).toSeq, Graph.BfsRounds)
+    assert(got == replayBfs(edges, seeds, Graph.BfsRounds))
+  }
+
+  test("q166 on the sf trade graph: multi-hop depth is real") {
+    val hist = Graph.bfsReach(spark, sf).groupBy(col("dist"))
+      .agg(count(lit(1)).as("c")).as[(Long, Long)].collect().toMap
+    assert(hist.keySet.max >= 2,
+      s"trade graph must exercise ≥2 hops, got $hist")
+    assert(hist(0L) > 0, "seed customers exist at sf0.001")
+  }
+
+  test("incremental bfs: warm-start over added edges == fresh full BFS") {
+    // base chain s(0)→2→4; batch adds 4→6→8 plus a new disconnected
+    // seed-node 200→10. Warm-start law: stored base distances + enough
+    // relaxations over the full edges must equal a fresh full-graph
+    // BFS, because edge additions only shorten unit-weight distances.
+    val base = Seq((0L, 2L), (2L, 4L))
+    val added = Seq((4L, 6L), (6L, 8L), (200L, 10L))
+    val full = base ++ added
+    val baseNodes = Seq(0L, 2L, 4L)
+    val allNodes = Seq(0L, 2L, 4L, 6L, 8L, 200L, 10L)
+    def seeded(ns: Seq[Long]) = ns.toDF("node").select(col("node"),
+      when(col("node") % 200 === 0, 0L).as("dist"))
+    val stored = Graph.bfsLoop(base.toDF("src", "dst"),
+      seeded(baseNodes), Graph.BfsRounds)
+    // warm frame: stored dist where known, else the seed rule
+    val warm = allNodes.toDF("node")
+      .join(stored.withColumnRenamed("dist", "bdist"), Seq("node"), "left")
+      .select(col("node"),
+        when(col("bdist").isNotNull, col("bdist"))
+          .when(col("node") % 200 === 0, 0L).as("dist"))
+    val incr = Graph.bfsLoop(full.toDF("src", "dst"), warm, 3)
+      .filter(col("dist").isNotNull).as[(Long, Long)].collect().toMap
+    val fresh = Graph.bfsLoop(full.toDF("src", "dst"), seeded(allNodes), 8)
+      .filter(col("dist").isNotNull).as[(Long, Long)].collect().toMap
+    assert(incr == fresh)
+    assert(incr(10L) == 1L, "batch-new seed 200 must reach 10")
+  }
+
+  test("q171 on sf: append only improves — incremental ⊇ base, never worse") {
+    val incr = Graph.bfsReachIncremental(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val eBase = Graph.tradeEdges(spark, sf,
+      pmod(col("o_orderkey"), lit(Graph.BatchMod.toLong)) =!= 0L)
+    val b0 = eBase.select(col("src").as("node")).distinct()
+      .select(col("node"), when(pmod(col("node"), lit(200L)) === 0L, 0L)
+        .as("dist"))
+    val stored = Graph.bfsLoop(eBase, b0, Graph.BfsRounds)
+      .filter(col("dist").isNotNull).as[(Long, Long)].collect().toMap
+    stored.foreach { case (n, d) =>
+      assert(incr.contains(n) && incr(n) <= d,
+        s"node $n regressed: base $d vs incr ${incr.get(n)}")
+    }
+  }
+
+  // ---- q172 personalized PageRank ----
+
+  test("q172 == exact-integer driver replay on the sf trade graph") {
+    val e = Graph.tradeEdges(spark, sf).as[(Long, Long)].collect()
+    val od = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = e.map(_._1).distinct
+    def seed(n: Long) = n % 200 == 0
+    var r = nodes.map(n => n -> (if (seed(n)) Graph.Scale else 0L)).toMap
+    for (_ <- 1 to Graph.PprRounds) {
+      val inc = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) =>
+          java.lang.Math.floorDiv(r(s), od(s)) }.sum }
+      r = nodes.map { n =>
+        n -> ((if (seed(n)) Graph.Scale * 15 / 100 else 0L) +
+          java.lang.Math.floorDiv(85 * inc.getOrElse(n, 0L), 100))
+      }.toMap
+    }
+    val got = Graph.pprTrade(spark, sf).as[(Long, Long)].collect().toMap
+    assert(got == r)
+    assert(got.exists { case (n, v) => !seed(n) && v > 0 },
+      "mass must flow beyond the seeds")
+  }
+
+  // ---- q167 LPA ----
+
+  private def runLpa(und: Seq[(String, String)], rounds: Int)
+      : Map[String, String] = {
+    val sym = (und ++ und.map(_.swap)).distinct.toDF("src", "dst")
+    val nodes = (und.map(_._1) ++ und.map(_._2)).distinct
+    val l0 = nodes.toDF("node").select(col("node"), col("node").as("label"))
+    LinkGraph.lpaLoop(sym, l0, rounds).as[(String, String)].collect().toMap
+  }
+
+  /** Driver-side synchronous LPA replay: mode of neighbor labels,
+    * ties to the smaller label. */
+  private def replayLpa(und: Seq[(String, String)], rounds: Int)
+      : Map[String, String] = {
+    val sym = (und ++ und.map(_.swap)).distinct
+    val adj = sym.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val nodes = adj.keySet
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lab = nodes.map { n =>
+        val votes = adj(n).map(lab).groupBy(identity)
+          .map { case (l, o) => l -> o.size }
+        val best = votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+        n -> best
+      }.toMap
+    }
+    lab
+  }
+
+  test("lpa: a single bridge edge does not merge two cliques") {
+    val cliqueA = Seq(("a1", "a2"), ("a1", "a3"), ("a2", "a3"))
+    val cliqueB = Seq(("b1", "b2"), ("b1", "b3"), ("b2", "b3"))
+    val und = cliqueA ++ cliqueB ++ Seq(("a3", "b1"))
+    val got = runLpa(und, LinkGraph.LpaRounds)
+    assert(got == replayLpa(und, LinkGraph.LpaRounds))
+    val comms = got.groupBy(_._2).view.mapValues(_.keySet).toMap
+    assert(comms.size == 2, s"bridge must not merge the cliques: $got")
+    assert(comms.values.toSet ==
+      Set(Set("a1", "a2", "a3"), Set("b1", "b2", "b3")))
+  }
+
+  test("lpa: all-tie votes break to the smaller label, synchronously") {
+    // star center m with leaves x,y: every vote ties at count 1 →
+    // round 1 takes the min label; leaves both adopt m.
+    val got = runLpa(Seq(("m", "x"), ("m", "y")), 1)
+    assert(got == Map("m" -> "x", "x" -> "m", "y" -> "m"))
+  }
+
+  test("lpa: Spark loop == driver replay on a mixed hand graph") {
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("d", "e"), ("e", "f"), ("f", "d"), ("g", "a"), ("g", "b"))
+    for (r <- 1 to 3)
+      assert(runLpa(und, r) == replayLpa(und, r), s"round $r")
+  }
+
+  test("q167 on the sf host graph: labels converge to ≥2 communities") {
+    val labs = LinkGraph.lpaCommunities(spark,
+      Tables.documents(spark, sf))
+    val n = labs.select(col("label")).distinct().count()
+    assert(n >= 2, s"host graph must keep ≥2 communities, got $n")
+  }
+
+  // ---- q168 LM gate ----
+
+  test("q168 gate: membership is exactly the integer above-mean law") {
+    val docs = Tables.documents(spark, sf)
+    val scored = NgramLm.docScoresMilli(docs)
+      .as[(Long, Long, Long)].collect()
+    val tot = scored.map(_._3).sum
+    val nd = scored.length.toLong
+    val expect = scored.filter(t => t._3 * nd >= tot).map(_._1).toSet
+    val got = NgramLm.lmQualityGate(docs)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < nd,
+      s"gate must split the corpus, kept ${got.size} of $nd")
+  }
+
+  test("docScoresMilli: docs with <3 tokens carry no score row") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(Seq((900001L, "just two")).toDF("doc_id", "text"))
+    val ids = NgramLm.docScoresMilli(docs).select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(!ids.contains(900001L))
+  }
+
+  // ---- q169 host rollup ----
+
+  test("q169 rollup == driver-side join of links × scores") {
+    val docs = Tables.documents(spark, sf)
+    val scores = NgramLm.docScoresMilli(docs)
+      .select(col("doc_id"), col("s_milli")).as[(Long, Long)]
+      .collect().toMap
+    val links = LinkGraph.extractLinks(LinkGraph.pages(docs))
+      .as[(Long, String)].collect()
+    val expect = links.filter(l => scores.contains(l._1))
+      .groupBy(_._2).map { case (h, ls) =>
+        h -> ((ls.length.toLong, ls.map(_._1).distinct.length.toLong,
+          ls.map(l => scores(l._1)).sum))
+      }
+    val got = NgramLm.hostQualityRollup(docs)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got == expect)
+  }
+}
