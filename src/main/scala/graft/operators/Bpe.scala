@@ -259,6 +259,223 @@ object Bpe extends QueryPack {
       FROM tsyms_$rounds GROUP BY w"""
   }
 
+  // ---------------------------------------------------------------
+  // Batched non-conflicting merges (q170) — mitigation (a) of the
+  // serial-round wall documented in SCALE.md §layout: a production
+  // 32k-merge vocabulary is 32k sequential driver-loop jobs under
+  // strict Sennrich order; batching the top-K pairwise-DISJOINT pairs
+  // per round cuts the expensive step (the run-parity apply + state
+  // checkpoint) K×. Disjointness is the full 3-symbol rule — two
+  // batched pairs share nothing among {lhs, rhs, lhs||rhs} — which
+  // guarantees (1) their matches can never overlap or abut in a symbol
+  // run, so ONE simultaneous run-parity pass applies the whole batch,
+  // and (2) applying one cannot change the other's pair count, so
+  // selecting them all from the same pre-batch statistics stays
+  // count-consistent. This intentionally diverges from single-merge
+  // order whenever interactions exist (the classic trade-off), so it
+  // is its own catalog entry with its own generated oracle, not a
+  // replacement for q149.
+  // ---------------------------------------------------------------
+
+  /** Rounds / batch width for the q170 catalog entry. */
+  val BatchedRounds = 3
+  val BatchedK = 4
+
+  /** Greedy top-k pairwise-disjoint selection from a pair-stats frame
+    * (sym, nxt, cnt), scanning in (cnt DESC, lhs, rhs) rank order.
+    * Greedy over a rank-ordered list is PREFIX-STABLE — the accepted
+    * set among the first M candidates depends on those M alone — so
+    * collecting a bounded top-M and doubling M only when the scan ran
+    * off the truncated end is EXACT vs. the full-list greedy the SQL
+    * oracle replays, while keeping the driver collect candidate-sized
+    * (the pair table itself never leaves the cluster). */
+  def selectBatch(stats: DataFrame, k: Int): Seq[(String, String, Long)] = {
+    var m = 64
+    while (true) {
+      val cand = stats
+        .orderBy(col("cnt").desc, col("sym").asc, col("nxt").asc)
+        .limit(m).collect()
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      val used = scala.collection.mutable.Set.empty[String]
+      val it = cand.iterator
+      while (it.hasNext && acc.size < k) {
+        val row = it.next()
+        val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+        val symbols = Set(l, r, l + r)
+        if (!symbols.exists(used.contains)) {
+          acc += ((l, r, c)); used ++= symbols
+        }
+      }
+      if (acc.size.toLong == k.toLong || cand.length < m) return acc.toSeq
+      m *= 4
+    }
+    Nil // unreachable
+  }
+
+  /** Apply a DISJOINT merge batch in one simultaneous run-parity pass:
+    * at most one batch pair can match any position (pairs share no
+    * symbols), and matches of different pairs can never abut (that
+    * would need a shared symbol), so runs of consecutive matches are
+    * single-pair runs and the q149 island/parity logic applies to the
+    * combined match column unchanged. */
+  def applyMergeBatch(syms: DataFrame,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val withNxt = syms.select(col("w"), col("wcnt"), col("pos"), col("sym"),
+      lead(col("sym"), 1).over(byW).as("nxt"))
+    val repl = coalesce(
+      merges.map { case (l, r) =>
+        when(col("sym") === l && col("nxt") === r, lit(l + r))
+      } :+ lit(null).cast("string"): _*)
+    val m = withNxt
+      .withColumn("repl", repl)
+      .select(col("w"), col("wcnt"), col("pos"), col("sym"), col("repl"),
+        col("repl").isNotNull.as("m"))
+    val isl = m.withColumn("island",
+      when(col("m"), col("pos") - sum(when(col("m"), 1L).otherwise(0L))
+        .over(byW.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val sel = isl.withColumn("sel",
+      col("m") && (col("pos") -
+        min(col("pos")).over(Window.partitionBy(col("w"), col("island"))))
+        % 2 === 0)
+    sel
+      .withColumn("absorbed", coalesce(lag(col("sel"), 1).over(byW), lit(false)))
+      .where(!col("absorbed"))
+      .select(col("w"), col("wcnt"),
+        (row_number().over(byW) - 1).as("pos"),
+        when(col("sel"), col("repl")).otherwise(col("sym")).as("sym"))
+  }
+
+  /** Batched training loop: per round ONE pair-stats aggregate, one
+    * candidate-sized greedy selection, one combined apply+checkpoint.
+    * Stops early when no pair remains. */
+  def trainMergesBatchedSeq(docs: DataFrame, rounds: Int, k: Int,
+                            checkpointDir: Option[String] = None)
+      : Seq[(Int, String, String, Long)] = {
+    val rc = Rounds(checkpointDir)
+    rc.init(docs)
+    var syms = rc.mark(charSymbols(wordCounts(docs)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val stats = syms
+        .select(col("sym"), lead(col("sym"), 1).over(byW).as("nxt"), col("wcnt"))
+        .where(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt")).agg(sum(col("wcnt")).as("cnt"))
+      val batch = selectBatch(stats, k)
+      if (batch.isEmpty) exhausted = true
+      else {
+        out ++= batch.map { case (l, rr, c) => (r, l, rr, c) }
+        syms = rc.mark(applyMergeBatch(syms, batch.map(b => (b._1, b._2))))
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Batched merge table as a DataFrame: (rnd, lhs, rhs, merged, cnt). */
+  def trainMergesBatched(docs: DataFrame, rounds: Int, k: Int,
+                         checkpointDir: Option[String] = None): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    trainMergesBatchedSeq(docs, rounds, k, checkpointDir)
+      .toDF("rnd", "lhs", "rhs", "cnt")
+      .select(col("rnd"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
+  }
+
+  /** SQL twin of the 3-symbol disjointness test between a candidate
+    * row aliased `c` and an accepted row aliased `a`. */
+  private def conflictSql(c: String, a: String): String =
+    s"""$c.lhs IN ($a.lhs, $a.rhs, $a.lhs || $a.rhs)
+             OR $c.rhs IN ($a.lhs, $a.rhs, $a.lhs || $a.rhs)
+             OR $c.lhs || $c.rhs IN ($a.lhs, $a.rhs, $a.lhs || $a.rhs)"""
+
+  /** DuckDB replay of the batched trainer: per round, rank the pair
+    * stats, unroll k greedy first-non-conflicting picks (NOT EXISTS
+    * against the accepted prefix — empty stages stay empty, matching
+    * the engine's early stop), then ONE simultaneous run-parity apply
+    * via LEFT JOIN on (sym, nxt) — disjointness guarantees at most one
+    * batch row matches, so the join cannot duplicate. */
+  def oracleBatched(rounds: Int, k: Int): String = {
+    val base = s"""
+      WITH wrd AS (
+        SELECT w, count(*) AS wcnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY w
+      ),
+      syms_0 AS MATERIALIZED (
+        SELECT w, wcnt, i - 1 AS pos, substr(w, CAST(i AS INT), 1) AS sym
+        FROM (SELECT w, wcnt, unnest(range(1, len(w) + 1)) AS i FROM wrd)
+      )"""
+    val roundCtes = (1 to rounds).map { r =>
+      val p = r - 1
+      val picks = (2 to k).map { j =>
+        s""",
+      s${j}_$r AS (
+        SELECT c.lhs, c.rhs, c.cnt, c.rk FROM cand_$r c
+        WHERE NOT EXISTS (SELECT 1 FROM acc${j - 1}_$r a
+                          WHERE ${conflictSql("c", "a")})
+        ORDER BY c.rk LIMIT 1
+      ),
+      acc${j}_$r AS MATERIALIZED (
+        SELECT * FROM acc${j - 1}_$r UNION ALL SELECT * FROM s${j}_$r
+      )"""
+      }.mkString
+      s""",
+      pair_$r AS MATERIALIZED (
+        SELECT sym AS lhs, nxt AS rhs, CAST(sum(wcnt) AS BIGINT) AS cnt
+        FROM (SELECT sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+                     wcnt
+              FROM syms_$p)
+        WHERE nxt IS NOT NULL GROUP BY 1, 2
+      ),
+      cand_$r AS MATERIALIZED (
+        SELECT lhs, rhs, cnt,
+               row_number() OVER (ORDER BY cnt DESC, lhs ASC, rhs ASC) AS rk
+        FROM pair_$r
+      ),
+      acc1_$r AS MATERIALIZED (SELECT lhs, rhs, cnt, rk FROM cand_$r WHERE rk = 1)$picks,
+      batch_$r AS MATERIALIZED (SELECT lhs, rhs, cnt FROM acc${k}_$r),
+      nx_$r AS MATERIALIZED (
+        SELECT w, wcnt, pos, sym,
+               lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        FROM syms_$p
+      ),
+      mm_$r AS (
+        SELECT n.w, n.wcnt, n.pos, n.sym,
+               b.lhs || b.rhs AS repl, b.lhs IS NOT NULL AS m
+        FROM nx_$r n LEFT JOIN batch_$r b
+          ON n.sym = b.lhs AND n.nxt = b.rhs
+      ),
+      ii_$r AS (
+        SELECT *, CASE WHEN m THEN pos - sum(CASE WHEN m THEN 1 ELSE 0 END)
+          OVER (PARTITION BY w ORDER BY pos ROWS UNBOUNDED PRECEDING) END
+          AS island
+        FROM mm_$r
+      ),
+      ss_$r AS (
+        SELECT *, m AND (pos - min(pos) OVER (PARTITION BY w, island)) % 2 = 0
+          AS sel
+        FROM ii_$r
+      ),
+      syms_$r AS MATERIALIZED (
+        SELECT w, wcnt, row_number() OVER (PARTITION BY w ORDER BY pos) - 1
+                 AS pos,
+               CASE WHEN sel THEN repl ELSE sym END AS sym
+        FROM (SELECT *, COALESCE(lag(sel) OVER (PARTITION BY w ORDER BY pos),
+                                 FALSE) AS absorbed
+              FROM ss_$r)
+        WHERE NOT absorbed
+      )"""
+    }.mkString
+    val unioned = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS INT) AS rnd, lhs, rhs, lhs || rhs AS merged, cnt FROM batch_$r"
+    }.mkString("\n      UNION ALL\n      ")
+    s"$base$roundCtes\n      $unioned"
+  }
+
   def queries: Map[String, Q] = Map(
     "q149_bpe_train" -> Q(
       (s, d) => trainMerges(T.documents(s, d), TrainRounds),
@@ -275,6 +492,21 @@ object Bpe extends QueryPack {
       Some(oracleEncode(TrainRounds)),
       doc = "BPE encode with the TRAINED merge table: base-doc training " +
         "+ in-order run-parity application to the held-out vocabulary; " +
-        "word piece sequences oracled bit-for-bit")
+        "word piece sequences oracled bit-for-bit"),
+
+    // Batched non-conflicting merge training — the serial-wall
+    // mitigation SCALE.md names: top-K pairwise-disjoint pairs per
+    // round (3-symbol disjointness ⇒ non-overlapping matches AND
+    // count-invariance), applied in ONE simultaneous run-parity pass.
+    // Greedy selection replayed in SQL via unrolled NOT-EXISTS picks.
+    "q170_bpe_train_batched" -> Q(
+      (s, d) => trainMergesBatched(T.documents(s, d),
+        BatchedRounds, BatchedK),
+      Some(oracleBatched(BatchedRounds, BatchedK)),
+      doc = "batched BPE training: top-K pairwise-disjoint merges per " +
+        "round selected greedily from one pair-stats pass and applied " +
+        "in one combined run-parity window pass — K× fewer of the " +
+        "expensive apply+checkpoint steps; merge table oracled " +
+        "bit-for-bit")
   )
 }

@@ -79,4 +79,69 @@ class BpeSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(got == Map("abab" -> "ab ab", "cd" -> "cd", "zz" -> "z z"))
   }
+
+  // ---- q170 batched non-conflicting merges ----
+
+  private def collectSyms(df: org.apache.spark.sql.DataFrame) =
+    df.select("w", "pos", "sym").as[(String, Long, String)]
+      .collect().toSet
+
+  test("applyMergeBatch == sequential applyMerge, in either order") {
+    val syms = Bpe.charSymbols(
+      Seq(("abcd", 2L), ("xyab", 1L), ("cdxy", 3L))
+        .toDF("w", "wcnt"))
+    val batch = Seq(("a", "b"), ("c", "d"), ("x", "y"))
+    val batched = collectSyms(Bpe.applyMergeBatch(syms, batch))
+    val seq1 = collectSyms(batch.foldLeft(syms) { case (s, (l, r)) =>
+      Bpe.applyMerge(s, l, r) })
+    val seq2 = collectSyms(batch.reverse.foldLeft(syms) { case (s, (l, r)) =>
+      Bpe.applyMerge(s, l, r) })
+    assert(batched == seq1 && batched == seq2,
+      "disjoint merges must commute and equal the one-pass batch")
+    // same-pair runs keep the greedy parity in the batch path too
+    val run = Bpe.applyMergeBatch(symsOf("aaaa"), Seq(("a", "a")))
+      .orderBy("pos").select("sym").as[String].collect().toList
+    assert(run == List("aa", "aa"))
+  }
+
+  test("selectBatch skips pairs sharing a symbol or a merged product") {
+    val stats = Seq(("a", "b", 10L), ("ab", "c", 9L), ("b", "x", 8L),
+      ("x", "y", 7L), ("y", "z", 6L))
+      .toDF("sym", "nxt", "cnt")
+    // (a,b) accepted → blocks (ab,c) via the PRODUCT "ab" and (b,x)
+    // via the shared "b"; (x,y) accepted → blocks (y,z) via "y".
+    assert(Bpe.selectBatch(stats, 4) ==
+      Seq(("a", "b", 10L), ("x", "y", 7L)))
+  }
+
+  test("selectBatch survives a conflict tail longer than the first collect") {
+    // 70 candidate pairs all sharing the symbol 'a': greedy accepts
+    // exactly one, and must page past the first 64-row collect to
+    // prove no later candidate is disjoint.
+    val chars = (33 to 122).map(_.toChar).filter(_ != 'a').take(70)
+    val stats = chars.map(c => ("a", c.toString, 1L))
+      .toDF("sym", "nxt", "cnt")
+    val got = Bpe.selectBatch(stats, 4)
+    assert(got == Seq(("a", chars.map(_.toString).min, 1L)))
+  }
+
+  test("trainMergesBatched learns the hand-computed batches") {
+    // "low"x3 + "lower": r1 pairs (l,o)=4,(o,w)=4,(e,r)=1,(w,e)=1.
+    // Greedy: (l,o) in; (o,w) shares o; (e,r) in; (w,e) shares e.
+    // r2: (lo,w)=4 in; (w,er)=1 shares w. r3: (low,er)=1 in.
+    val docs = corpus("low low low lower")
+    val got = Bpe.trainMergesBatched(docs, 3, 4)
+      .orderBy("rnd", "lhs")
+      .select("rnd", "lhs", "rhs", "merged", "cnt")
+      .as[(Int, String, String, String, Long)].collect().toList
+    assert(got == List(
+      (1, "e", "r", "er", 1L),
+      (1, "l", "o", "lo", 4L),
+      (2, "lo", "w", "low", 4L),
+      (3, "low", "er", "lower", 1L)))
+  }
+
+  test("trainMergesBatched stops early on an exhausted vocabulary") {
+    assert(Bpe.trainMergesBatched(corpus("a b c a"), 5, 4).count() == 0)
+  }
 }
