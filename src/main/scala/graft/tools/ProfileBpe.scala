@@ -68,5 +68,30 @@ object ProfileBpe {
 
     run("base_1x", docsX(1))
     run("corpus_10x", docsX(10))
+
+    // serial vs batched at an equal merge budget: 12 merges as 12
+    // serial rounds vs 3 rounds of batch width 4 — the q170 claim is
+    // that wall scales with ROUNDS (apply+checkpoint steps), not with
+    // merges, so batched should land near serial/4 + selection noise.
+    def runEqualBudget(label: String,
+                       train: DataFrame => Long): Unit = {
+      spark.catalog.clearCache(); System.gc()
+      val walls = (1 to 2).map { _ =>
+        acc.reset()
+        val t0 = System.nanoTime()
+        val n = train(docsX(1))
+        require(n > 0, s"$label produced no merges")
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (w, n) = walls.minBy(_._1)
+      println(f"""{"tool":"bpe","point":"$label","merges":$n,""" +
+        f""""wall_sec":$w%.2f,""" +
+        f""""shuffle_read_mb":${acc.read / 1048576.0}%.1f,""" +
+        f""""spill_mb":${acc.spilled / 1048576.0}%.1f}""")
+    }
+    runEqualBudget("serial_12",
+      d => graft.operators.Bpe.trainMerges(d, 12).count())
+    runEqualBudget("batched_3x4",
+      d => graft.operators.Bpe.trainMergesBatched(d, 3, 4).count())
   }
 }
