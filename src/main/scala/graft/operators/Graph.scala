@@ -312,6 +312,83 @@ object Graph extends QueryPack {
         )"""
   }
 
+  /** Negatives per (center, context) pair for q173. */
+  val NegK = 3
+
+  /** Word2vec-style NEGATIVE SAMPLING over the q156 skip-gram corpus —
+    * the missing half of the training input: each (center, context)
+    * pair gets [[NegK]] negatives drawn by a pure integer hash of
+    * (center, context, i) modulo the node count, with accidental hits
+    * on either pair member dropped (both engines replay the same
+    * skip). Deterministic-by-construction stands in for word2vec's
+    * unigram^0.75 draw — the same replayability requirement that fixed
+    * the walk's edge choice (a reproducible training corpus cannot
+    * sample from an RNG). Map-only on top of the pair aggregate: the
+    * node count rides along as one broadcast row; the explode is
+    * NegK-bounded. */
+  def negativeSamples(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val pairs = skipgramPairs(spark, docs)
+    val n = docs.agg(count(lit(1)).as("nn"))
+    pairs.crossJoin(broadcast(n))
+      .select(col("center"), col("context"), col("n"),
+        explode(sequence(lit(0L), lit(NegK - 1L))).as("i"), col("nn"))
+      .select(col("center"), col("context"), col("n"), col("i"),
+        pmod(col("center") * lit(B1) + col("context") * lit(B2) +
+          (col("i") + 1) * lit(A), col("nn")).as("neg"))
+      .filter(col("neg") =!= col("center") && col("neg") =!= col("context"))
+  }
+
+  /** Peel rounds and core threshold for q174. At sf0.01 the trade
+    * graph peels 1253 → 222 → 209 → 194 → 188 under k=4 — every round
+    * still removes nodes, so the degree CASCADE (removals lowering
+    * neighbors below k) is genuinely exercised, not just the first
+    * filter. */
+  val CoreK = 4
+  val CoreRounds = 4
+
+  /** k-core peeling over the symmetrized trade graph — the classic
+    * web-graph quality/spam primitive (dense cores = link farms or
+    * genuine hubs; shells = periphery): repeatedly drop nodes whose
+    * degree within the SURVIVING subgraph is < k. Fixed [[CoreRounds]]
+    * synchronous peels (production iterates to fixpoint; fixed rounds
+    * keep the oracle unrollable), returning survivors with their final
+    * in-subgraph degree. Per round: the static checkpointed edge table
+    * is semi-joined by the alive set on BOTH endpoints, then one
+    * map-side-combined degree count — shuffle is alive-set-sized on
+    * the join side and shrinks monotonically; the edge table never
+    * re-shuffles (pre-bucketed by src at production scale, the q153
+    * layout). */
+  def kcoreSurvivors(s: SparkSession, dir: String): DataFrame =
+    kcorePeel(tradeEdges(s, dir).localCheckpoint(), CoreRounds, CoreK)
+
+  /** The peel loop of [[kcoreSurvivors]], factored over an arbitrary
+    * SYMMETRIZED (src, dst) edge table. Exposed for hand-graph
+    * property tests. */
+  def kcorePeel(e: DataFrame, rounds: Int, k: Int): DataFrame = {
+    def degrees(alive: DataFrame): DataFrame = e
+      .join(alive.withColumnRenamed("node", "src"), "src")
+      .join(alive.withColumnRenamed("node", "dst"), "dst")
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+    var alive = e.select(col("src").as("node")).distinct()
+    for (_ <- 1 to rounds)
+      alive = degrees(alive).filter(col("d") >= k)
+        .select(col("src").as("node")).localCheckpoint()
+    degrees(alive).select(col("src").as("node"), col("d"))
+  }
+
+  /** Generated peel rounds — the SQL twin of [[kcoreSurvivors]]. */
+  private def kcoreSql(rounds: Int, k: Int): String =
+    (1 to rounds).map { i =>
+      s""",
+        kd$i AS (
+          SELECT e.src AS node, count(*) AS d
+          FROM e JOIN a${i - 1} x ON e.src = x.node
+                 JOIN a${i - 1} y ON e.dst = y.node
+          GROUP BY 1
+        ),
+        a$i AS (SELECT node FROM kd$i WHERE d >= $k)"""
+    }.mkString
+
   /** BFS relaxation rounds for q166; fixed so the oracle unrolls. At
     * sf0.01 the reached histogram is (9, 15, 330, 85, 814) over dist
     * 0..4 — every round still grows the frontier, so multi-hop
@@ -709,6 +786,67 @@ object Graph extends QueryPack {
       """.stripMargin),
       doc = "DeepWalk-style corpus: per-step frontier joins against the " +
         "static edge table, deterministic integer edge choice, " +
-        "skip-gram (center, context) counts oracled bit-for-bit")
+        "skip-gram (center, context) counts oracled bit-for-bit"),
+
+    // The q156 corpus completed into word2vec training input: NegK
+    // deterministic hash-drawn negatives per pair, accidental hits on
+    // either pair member dropped identically in both engines.
+    "q173_negative_sampling" -> Q(
+      (s, d) => negativeSamples(s, T.documents(s, d)),
+      Some(s"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        nodes AS (
+          SELECT DISTINCT doc_id % n AS node, n
+          FROM documents CROSS JOIN nn
+        ),
+        edges AS (
+          SELECT node AS src, j, (node * $A + j) % n AS dst
+          FROM nodes CROSS JOIN
+            (VALUES ${(0 until OutDegree).map(j => s"($j)").mkString(", ")})
+            AS js(j)
+        ),
+        w0 AS (SELECT node AS start, node FROM nodes)$walksSql,
+        pcnt AS (
+          SELECT center, context, count(*) AS n FROM pairs GROUP BY 1, 2
+        )
+        SELECT p.center, p.context, p.n, i.i,
+               (p.center * $B1 + p.context * $B2 + (i.i + 1) * $A)
+                 % nn.n AS neg
+        FROM pcnt p
+        CROSS JOIN (SELECT unnest(range(0, $NegK)) AS i) i
+        CROSS JOIN nn
+        WHERE (p.center * $B1 + p.context * $B2 + (i.i + 1) * $A) % nn.n
+                <> p.center
+          AND (p.center * $B1 + p.context * $B2 + (i.i + 1) * $A) % nn.n
+                <> p.context
+      """.stripMargin),
+      doc = "Word2vec negative sampling over the skip-gram corpus: NegK " +
+        "deterministic integer-hash negatives per (center, context) " +
+        "pair, collision-skipped; map-only over the pair aggregate with " +
+        "the node count broadcast; oracled bit-for-bit"),
+
+    // k-core peeling: survivors + final in-subgraph degree after
+    // CoreRounds synchronous peels at CoreK, oracled bit-for-bit.
+    "q174_kcore_peel" -> Q(
+      kcoreSurvivors,
+      Some(s"""
+        WITH cs AS (
+          SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS sn
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_quantity <= $BfsQtyMax
+        ),
+        e AS (SELECT c AS src, sn AS dst FROM cs
+              UNION ALL SELECT sn AS src, c AS dst FROM cs),
+        a0 AS (SELECT DISTINCT src AS node FROM e)${
+          kcoreSql(CoreRounds, CoreK)}
+        SELECT e.src AS node, count(*) AS d
+        FROM e JOIN a$CoreRounds x ON e.src = x.node
+               JOIN a$CoreRounds y ON e.dst = y.node
+        GROUP BY 1
+      """.stripMargin),
+      doc = "k-core peeling over the symmetrized trade graph: fixed " +
+        "synchronous peel rounds (degree cascade live at k=4), static " +
+        "checkpointed edges semi-joined by the shrinking alive set; " +
+        "survivor degrees oracled bit-for-bit")
   )
 }

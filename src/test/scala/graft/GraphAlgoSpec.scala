@@ -146,6 +146,69 @@ class GraphAlgoSpec extends SparkSpec {
       "mass must flow beyond the seeds")
   }
 
+  // ---- q174 k-core ----
+
+  private def runKcore(und: Seq[(Long, Long)], rounds: Int, k: Int)
+      : Map[Long, Long] = {
+    val sym = (und ++ und.map(_.swap)).distinct.toDF("src", "dst")
+    Graph.kcorePeel(sym, rounds, k).as[(Long, Long)].collect().toMap
+  }
+
+  test("kcore: a triangle survives k=2, its tail is peeled") {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(runKcore(und, 4, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kcore: the peel CASCADES — a chain unravels one round per end") {
+    val chain = (1L to 5L).sliding(2).map(p => (p(0), p(1))).toSeq
+    // k=2: r1 drops 1,5; r2 drops 2,4 (their degree FELL to 1); r3
+    // drops 3. A single-filter implementation would keep 2,3,4.
+    assert(runKcore(chain, 4, 2).isEmpty)
+    assert(runKcore(chain, 1, 2) == Map(2L -> 1L, 3L -> 2L, 4L -> 1L),
+      "after one peel the inner chain remains, mid-cascade")
+  }
+
+  test("kcore: Spark peel == driver replay on a hash hand graph") {
+    val und = (for {
+      a <- 0L to 24L; b <- 0L to 24L
+      if a < b && (a * 5 + b * 11) % 7 == 0
+    } yield (a, b)).toSeq
+    // driver replay
+    val sym = (und ++ und.map(_.swap)).distinct
+    val adj = sym.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    var alive = adj.keySet
+    for (_ <- 1 to Graph.CoreRounds)
+      alive = alive.filter(n => (adj(n) & alive).size >= Graph.CoreK)
+    val expect = alive.map(n => n -> (adj(n) & alive).size.toLong).toMap
+    assert(runKcore(und, Graph.CoreRounds, Graph.CoreK) == expect)
+  }
+
+  // ---- q173 negative sampling ----
+
+  test("q173 == driver replay; negatives never hit the pair members") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Graph.skipgramPairs(spark, docs)
+      .as[(Long, Long, Long)].collect()
+    val nn = docs.count()
+    val expect = pairs.flatMap { case (c, x, n) =>
+      (0L until Graph.NegK.toLong).map { i =>
+        val neg = java.lang.Math.floorMod(
+          c * Graph.B1 + x * Graph.B2 + (i + 1) * Graph.A, nn)
+        (c, x, n, i, neg)
+      }.filter(t => t._5 != c && t._5 != x)
+    }.toSet
+    val got = Graph.negativeSamples(spark, docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    assert(got.forall(t => t._5 != t._1 && t._5 != t._2))
+    assert(got.size < pairs.length.toLong * Graph.NegK ||
+      pairs.forall { case (c, x, _) => (0L until Graph.NegK.toLong)
+        .forall { i => val neg = java.lang.Math.floorMod(
+          c * Graph.B1 + x * Graph.B2 + (i + 1) * Graph.A, nn)
+          neg != c && neg != x } },
+      "collision skip must actually drop rows when collisions occur")
+  }
+
   // ---- q167 LPA ----
 
   private def runLpa(und: Seq[(String, String)], rounds: Int)
