@@ -239,7 +239,14 @@ object Bpe extends QueryPack {
   /** DuckDB replay of train-on-base + encode-held-out (q165): the
     * training chain filtered to base docs, then the SAME apply CTEs
     * chained over the held-out vocabulary's character symbols. */
-  def oracleEncode(rounds: Int): String = {
+  def oracleEncode(rounds: Int): String =
+    s"""${encodeCtes(rounds)}
+      SELECT w, string_agg(sym, ' ' ORDER BY pos) AS bpe
+      FROM tsyms_$rounds GROUP BY w"""
+
+  /** The full train-on-base + encode-held-out CTE chain, shared by the
+    * q165 and q175 oracles so they cannot drift from each other. */
+  private def encodeCtes(rounds: Int): String = {
     val base = trainSql(rounds, s"WHERE doc_id % ${Graph.BatchMod} <> 0")
     val testCtes = s""",
       twrd AS (
@@ -254,9 +261,52 @@ object Bpe extends QueryPack {
     val applyCtes = (1 to rounds).map { r =>
       applySql(s"tsyms_${r - 1}", s"tsyms_$r", s"best_$r", s"t$r")
     }.mkString
-    s"""$base$testCtes$applyCtes
-      SELECT w, string_agg(sym, ' ' ORDER BY pos) AS bpe
-      FROM tsyms_$rounds GROUP BY w"""
+    s"$base$testCtes$applyCtes"
+  }
+
+  /** Tokenizer FERTILITY report — the standard tokenizer eval table
+    * (pieces per word / chars per piece, per corpus slice): encode the
+    * held-out vocabulary with the base-trained merges ([[encodeHeldOut]]
+    * exactly), then weight each word's piece count by its OCCURRENCES
+    * in the held-out docs and aggregate per source. High fertility on a
+    * slice = the vocabulary underserves it (the multilingual-tokenizer
+    * failure mode). Exact integers end to end: per source, occurrence
+    * count, summed pieces, summed chars. The word→pieces map is
+    * vocab-sized and joins back to the corpus occurrences on `w` — the
+    * production shape (tokenize the vocabulary once, never re-encode
+    * per occurrence). */
+  def fertilityBySource(docs: DataFrame, rounds: Int,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    val test = docs.filter(pmod(col("doc_id"), lit(Graph.BatchMod.toLong)) === 0L)
+    val pieces = encodeHeldOut(docs, rounds, checkpointDir)
+      .select(col("w"), size(split(col("bpe"), " ")).cast("long").as("np"))
+    test.select(col("source"),
+        explode(TextOps.words(col("text"))).as("w"))
+      .join(pieces, "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("np")).as("n_pieces"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+  }
+
+  /** DuckDB replay of q175: the q165 encode chain (same generated
+    * CTEs), pieces counted as rows of the final symbol table per word,
+    * weighted by held-out occurrences per source. */
+  def oracleFertility(rounds: Int): String = {
+    s"""${encodeCtes(rounds)},
+      pieces AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS np
+        FROM tsyms_$rounds GROUP BY w
+      ),
+      occ AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id % ${Graph.BatchMod} = 0
+      )
+      SELECT o.source, count(*) AS n_words,
+             CAST(sum(p.np) AS BIGINT) AS n_pieces,
+             CAST(sum(len(o.w)) AS BIGINT) AS n_chars
+      FROM occ o JOIN pieces p ON o.w = p.w
+      GROUP BY 1"""
   }
 
   // ---------------------------------------------------------------
@@ -507,6 +557,17 @@ object Bpe extends QueryPack {
         "round selected greedily from one pair-stats pass and applied " +
         "in one combined run-parity window pass — K× fewer of the " +
         "expensive apply+checkpoint steps; merge table oracled " +
-        "bit-for-bit")
+        "bit-for-bit"),
+
+    // Tokenizer fertility per source: held-out vocabulary encoded once
+    // with the trained merges, piece counts weighted by occurrences —
+    // the standard tokenizer eval table, exact integers.
+    "q175_bpe_fertility" -> Q(
+      (s, d) => fertilityBySource(T.documents(s, d), TrainRounds),
+      Some(oracleFertility(TrainRounds)),
+      doc = "tokenizer fertility report: per source, held-out word " +
+        "occurrences, total BPE pieces, total chars under the trained " +
+        "merge table (vocab encoded once, joined back to occurrences); " +
+        "exact-integer aggregate oracled bit-for-bit")
   )
 }

@@ -144,4 +144,20 @@ class BpeSpec extends SparkSpec {
   test("trainMergesBatched stops early on an exhausted vocabulary") {
     assert(Bpe.trainMergesBatched(corpus("a b c a"), 5, 4).count() == 0)
   }
+
+  test("fertility weights piece counts by held-out OCCURRENCES per source") {
+    // merges learned on docs 1-2: (a,b) then (c,d). Held-out doc 10
+    // (source sA): abab→2 pieces, cd→1, zz→2; doc 20 (source sB)
+    // repeats cd twice — occurrence-weighted, not vocab-weighted.
+    val docs = Seq(
+      (1L, "ab ab", "sA"), (2L, "ab cd", "sA"),
+      (10L, "abab cd zz", "sA"), (20L, "cd cd", "sB"))
+      .toDF("doc_id", "text", "source")
+    val got = Bpe.fertilityBySource(docs, 2)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (s, a, b, c) => s -> ((a, b, c)) }.toMap
+    assert(got == Map(
+      "sA" -> ((3L, 5L, 8L)),   // abab(2p,4c) cd(1p,2c) zz(2p,2c)
+      "sB" -> ((2L, 2L, 4L)))) // cd twice: 2 words, 2 pieces, 4 chars
+  }
 }
