@@ -376,6 +376,95 @@ object Graph extends QueryPack {
     degrees(alive).select(col("src").as("node"), col("d"))
   }
 
+  /** Weighted trade edges for q176: per (customer, supplier) pair the
+    * MINIMUM qualifying lineitem quantity is the traversal cost —
+    * integer weights in {1..BfsQtyMax}, symmetrized with the same w. */
+  def tradeEdgesWeighted(s: SparkSession, dir: String): DataFrame = {
+    val li = T.lineitem(s, dir)
+      .filter(col("l_quantity") <= BfsQtyMax)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("w"))
+    val cs = li.join(
+        T.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("sn"))
+      .agg(min(col("w")).as("w"))
+    cs.select(col("c").as("src"), col("sn").as("dst"), col("w"))
+      .unionByName(cs.select(col("sn").as("src"), col("c").as("dst"),
+        col("w")))
+  }
+
+  /** Cheapest-cost-to-reach from the seed customers: synchronous
+    * Bellman-Ford over INTEGER edge weights — q166's relaxation with
+    * `min(cost + w)` instead of `min(dist) + 1`, the weighted-frontier
+    * generalization (fetch-cost budgeting, toll-aware routing). Same
+    * static-edges / moving-vector shape; Bellman-Ford's fixed-round
+    * contract (cheapest path using ≤ R edges) is exactly what an
+    * unrollable oracle needs. */
+  def weightedReach(s: SparkSession, dir: String): DataFrame = {
+    val e = tradeEdgesWeighted(s, dir).localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct()
+    val d0 = nodes.select(col("node"),
+      when(pmod(col("node"), lit(200L)) === 0L, lit(0L)).as("cost"))
+    val dN = (1 to BfsRounds).foldLeft(d0) { (d, _) =>
+      val nb = e.join(
+          d.filter(col("cost").isNotNull).withColumnRenamed("node", "src"),
+          "src")
+        .groupBy(col("dst")).agg(min(col("cost") + col("w")).as("nc"))
+      d.join(nb, d("node") === nb("dst"), "left")
+        .select(d("node"),
+          when(col("cost").isNull, col("nc"))
+            .when(col("nc").isNull, col("cost"))
+            .when(col("nc") < col("cost"), col("nc"))
+            .otherwise(col("cost")).as("cost"))
+    }
+    dN.filter(col("cost").isNotNull)
+  }
+
+  /** Generated weighted relaxation rounds — q176's SQL twin. */
+  private def wreachSql(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s""",
+        wn$i AS (
+          SELECT e.dst AS dst, CAST(min(d.cost + e.w) AS BIGINT) AS nc
+          FROM e JOIN c${i - 1} d ON e.src = d.node
+          WHERE d.cost IS NOT NULL GROUP BY 1
+        ),
+        c$i AS (
+          SELECT d.node,
+                 CAST(CASE WHEN d.cost IS NULL THEN nc.nc
+                           WHEN nc.nc IS NULL THEN d.cost
+                           WHEN nc.nc < d.cost THEN nc.nc
+                           ELSE d.cost END AS BIGINT) AS cost
+          FROM c${i - 1} d LEFT JOIN wn$i nc ON d.node = nc.dst
+        )"""
+    }.mkString
+
+  /** Common-neighbors threshold for q178. */
+  val CnMin = 2
+
+  /** Common-neighbors LINK PREDICTION over the bipartite trade graph —
+    * the standard baseline feature for graph-ML training data: for
+    * every unordered pair of customers sharing ≥ [[CnMin]] suppliers,
+    * the shared-supplier count. The wedge join pivots on the supplier
+    * side with the a < b orientation (each pair counted once — the
+    * q158 discipline); supplier-degree skew bounds fan-out at d²/2 per
+    * hot supplier, and the production hardening is the same as q158's
+    * (cap or degree-orient the pivot side). One self-join shuffle on
+    * the supplier key + one pair aggregate. */
+  def commonNeighborPairs(s: SparkSession, dir: String): DataFrame = {
+    val cs = tradeEdges(s, dir)
+      .filter(pmod(col("src"), lit(2L)) === 0L) // customer→supplier rows
+      .select(col("src").as("cust"), col("dst").as("supp"))
+      .localCheckpoint()
+    cs.alias("x").join(cs.alias("y"),
+        col("x.supp") === col("y.supp") && col("x.cust") < col("y.cust"))
+      .groupBy(col("x.cust").as("a"), col("y.cust").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= CnMin)
+  }
+
   /** Generated peel rounds — the SQL twin of [[kcoreSurvivors]]. */
   private def kcoreSql(rounds: Int, k: Int): String =
     (1 to rounds).map { i =>
@@ -824,6 +913,53 @@ object Graph extends QueryPack {
         "deterministic integer-hash negatives per (center, context) " +
         "pair, collision-skipped; map-only over the pair aggregate with " +
         "the node count broadcast; oracled bit-for-bit"),
+
+    // Weighted Bellman-Ford cost-to-reach from the seed customers:
+    // min-quantity edge weights, fixed relaxations, reached (node,
+    // cost) vector oracled bit-for-bit.
+    "q176_weighted_reach" -> Q(
+      weightedReach,
+      Some(s"""
+        WITH cs AS (
+          SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS sn,
+                 CAST(min(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS w
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_quantity <= $BfsQtyMax
+          GROUP BY 1, 2
+        ),
+        e AS (SELECT c AS src, sn AS dst, w FROM cs
+              UNION ALL SELECT sn AS src, c AS dst, w FROM cs),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        c0 AS (SELECT node,
+                      CASE WHEN node % 200 = 0
+                           THEN CAST(0 AS BIGINT) END AS cost
+               FROM nodes)${wreachSql(BfsRounds)}
+        SELECT node, cost FROM c$BfsRounds WHERE cost IS NOT NULL
+      """.stripMargin),
+      doc = "Weighted cost-to-reach: synchronous Bellman-Ford over " +
+        "integer min-quantity edge weights from the seed customers — " +
+        "q166's relaxation generalized to min(cost+w); cheapest path " +
+        "using ≤R edges, oracled bit-for-bit"),
+
+    // Common-neighbors link prediction: customer pairs sharing >= CnMin
+    // suppliers with the shared count, each pair once (a < b).
+    "q178_link_prediction_cn" -> Q(
+      commonNeighborPairs,
+      Some(s"""
+        WITH cs AS (
+          SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_quantity <= $BfsQtyMax
+        )
+        SELECT x.cust AS a, y.cust AS b, count(*) AS common
+        FROM cs x JOIN cs y ON x.supp = y.supp AND x.cust < y.cust
+        GROUP BY 1, 2
+        HAVING count(*) >= $CnMin
+      """.stripMargin),
+      doc = "Common-neighbors link prediction over the bipartite trade " +
+        "graph: supplier-pivot wedge join with a<b orientation (each " +
+        "candidate pair once), shared-supplier counts thresholded; the " +
+        "standard graph-ML baseline feature, oracled bit-for-bit"),
 
     // k-core peeling: survivors + final in-subgraph degree after
     // CoreRounds synchronous peels at CoreK, oracled bit-for-bit.

@@ -358,27 +358,65 @@ object LinkGraph extends QueryPack {
         )"""
 
   /** Generated synchronous-LPA rounds — mode with (count desc, label
-    * asc) tie-break, the SQL twin of [[lpaCommunities]]'s min(struct). */
-  private def lpaSql(rounds: Int): String =
+    * asc) tie-break, the SQL twin of [[lpaCommunities]]'s min(struct).
+    * Steps from `<from>` over edge CTE `<edge>` (symmetrized),
+    * emitting `<prefix>1..<prefix>N`. */
+  private def lpaSql(edge: String, from: String, prefix: String,
+                     rounds: Int): String =
     (1 to rounds).map { i =>
+      val prev = if (i == 1) from else s"$prefix${i - 1}"
       s""",
-        v$i AS (
+        ${prefix}v$i AS (
           SELECT s.dst AS node, l.label AS cand, count(*) AS c
-          FROM sym s JOIN l${i - 1} l ON s.src = l.node GROUP BY 1, 2
+          FROM $edge s JOIN $prev l ON s.src = l.node GROUP BY 1, 2
         ),
-        w$i AS (
+        ${prefix}w$i AS (
           SELECT node, cand,
                  row_number() OVER (PARTITION BY node
                                     ORDER BY c DESC, cand) AS rk
-          FROM v$i
+          FROM ${prefix}v$i
         ),
-        l$i AS (
+        $prefix$i AS (
           SELECT p.node, coalesce(w.cand, p.label) AS label
-          FROM l${i - 1} p
-          LEFT JOIN (SELECT node, cand FROM w$i WHERE rk = 1) w
+          FROM $prev p
+          LEFT JOIN (SELECT node, cand FROM ${prefix}w$i WHERE rk = 1) w
             ON p.node = w.node
         )"""
     }.mkString
+
+  /** Warm-start rounds for q177. */
+  val LpaIncrRounds = 2
+
+  /** Incremental LPA maintenance — the registry-family member on
+    * labels: communities converged on the BASE docs' host graph are
+    * the stored registry; a doc-batch append adds edges (and possibly
+    * hosts), and [[LpaIncrRounds]] warm-started voting rounds over the
+    * FULL symmetrized graph maintain the labeling — batch-new hosts
+    * enter as their own label (the cold rule). Unlike BFS distances,
+    * label updates are NOT monotone under edge additions, so
+    * maintenance is a fixed-round re-vote from the stored state rather
+    * than a provable-upper-bound refinement — the honest contract, and
+    * the same one production LPA maintenance ships (labels stabilize
+    * in practice because most of the graph is unchanged). */
+  def lpaCommunitiesIncremental(spark: SparkSession,
+                                docs: DataFrame): DataFrame = {
+    def symOf(d: DataFrame): DataFrame = {
+      val e = hostEdges(d)
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+    }
+    val symAll = symOf(docs)
+    val symBase = symOf(
+      docs.filter(pmod(col("doc_id"), lit(Graph.BatchMod.toLong)) =!= 0L))
+    val baseNodes = hostNodes(symBase)
+    val stored = lpaLoop(symBase,
+      baseNodes.select(col("node"), col("node").as("label")), LpaRounds)
+    val warm = hostNodes(symAll)
+      .join(stored.withColumnRenamed("label", "blabel"), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("blabel"), col("node")).as("label"))
+    lpaLoop(symAll, warm, LpaIncrRounds)
+  }
 
   def queries: Map[String, Q] = Map(
     // Full extracted edge list, one row per link occurrence. The oracle
@@ -497,13 +535,56 @@ object LinkGraph extends QueryPack {
             UNION ALL SELECT dst AS src, src AS dst FROM edges
           )
         ),
-        l0 AS (SELECT node, node AS label FROM nodes)${lpaSql(LpaRounds)}
+        l0 AS (SELECT node, node AS label FROM nodes)${
+          lpaSql("sym", "l0", "l", LpaRounds)}
         SELECT node, label FROM l$LpaRounds
       """.stripMargin),
       doc = "LPA communities (Raghavan et al.): synchronous mode-of-" +
         "neighbors label propagation with deterministic min tie-break " +
         "over the symmetrized host graph; label-vector-sized shuffles " +
         "per round, final labeling oracled bit-for-bit"),
+
+    // Warm-started LPA after a doc-batch append: stored base-graph
+    // labels + LpaIncrRounds re-votes over the full symmetrized graph;
+    // batch-new hosts enter as their own label. Full labeling oracled.
+    "q177_lpa_incremental" -> Q(
+      (s, d) => lpaCommunitiesIncremental(s, T.documents(s, d)),
+      Some(s"""
+        WITH $hostGraphSql,
+        edgesb AS (
+          SELECT DISTINCT d.source || '.example.com' AS src, l.dst_host AS dst
+          FROM links l JOIN documents d ON d.doc_id = l.src_doc
+          WHERE d.doc_id % ${Graph.BatchMod} <> 0
+            AND d.source || '.example.com' <> l.dst_host
+        ),
+        nodesb AS (
+          SELECT src AS node FROM edgesb UNION SELECT dst FROM edgesb
+        ),
+        sym AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst AS src, src AS dst FROM edges
+          )
+        ),
+        symb AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edgesb
+            UNION ALL SELECT dst AS src, src AS dst FROM edgesb
+          )
+        ),
+        bl0 AS (SELECT node, node AS label FROM nodesb)${
+          lpaSql("symb", "bl0", "bl", LpaRounds)},
+        w0 AS (
+          SELECT n.node, coalesce(b.label, n.node) AS label
+          FROM nodes n LEFT JOIN bl$LpaRounds b ON n.node = b.node
+        )${lpaSql("sym", "w0", "f", LpaIncrRounds)}
+        SELECT node, label FROM f$LpaIncrRounds
+      """.stripMargin),
+      doc = "Incremental LPA: base-graph community labels stored as " +
+        "the registry, a doc-batch append adds edges/hosts, and " +
+        "fixed warm-started re-votes over the full graph maintain the " +
+        "labeling (label updates are not monotone — the honest " +
+        "fixed-round contract); oracled bit-for-bit"),
 
     // HITS over the extracted host graph: exact-integer unnormalized
     // rounds, full (node, hub, auth) vector oracled bit-for-bit.

@@ -123,6 +123,60 @@ class GraphAlgoSpec extends SparkSpec {
     }
   }
 
+  test("q176 weighted reach == driver Bellman-Ford; agrees with BFS reachability") {
+    val e = Graph.tradeEdgesWeighted(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    def seed(n: Long) = n % 200 == 0
+    val nodes = e.map(_._1).distinct
+    var cost = nodes.filter(seed).map(_ -> 0L).toMap
+    for (_ <- 1 to Graph.BfsRounds) {
+      val relax = e.flatMap { case (s, d, w) =>
+        cost.get(s).map(c => d -> (c + w)) }
+      val best = relax.groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).min }
+      cost = (cost.keySet ++ best.keySet).map { n =>
+        n -> math.min(cost.getOrElse(n, Long.MaxValue),
+          best.getOrElse(n, Long.MaxValue)) }.toMap
+    }
+    val got = Graph.weightedReach(spark, sf).as[(Long, Long)].collect().toMap
+    assert(got == cost)
+    // same edge set ⇒ same reachability as BFS; weights ≥ 1 ⇒ cost ≥ dist
+    val dist = Graph.bfsReach(spark, sf).as[(Long, Long)].collect().toMap
+    assert(got.keySet == dist.keySet)
+    assert(got.forall { case (n, c) => c >= dist(n) })
+  }
+
+  test("q177 incremental LPA: full host universe, batch-new hosts labeled") {
+    val docs = Tables.documents(spark, sf)
+    val incr = LinkGraph.lpaCommunities(spark, docs) // full-graph label set
+      .select(col("node")).as[String].collect().toSet
+    val got = LinkGraph.lpaCommunitiesIncremental(spark, docs)
+      .as[(String, String)].collect().toMap
+    assert(got.keySet == incr, "incremental must label the FULL host universe")
+    // batch-new hosts (absent from the base graph) still get labels
+    val baseHosts = LinkGraph.lpaCommunities(spark,
+        docs.filter(pmod(col("doc_id"), lit(Graph.BatchMod.toLong)) =!= 0L))
+      .select(col("node")).as[String].collect().toSet
+    val newcomers = got.keySet -- baseHosts
+    newcomers.foreach(n => assert(got(n).nonEmpty))
+  }
+
+  test("q178 link prediction == driver replay; each pair once, thresholded") {
+    val cs = Graph.tradeEdges(spark, sf)
+      .filter(pmod(col("src"), lit(2L)) === 0L)
+      .as[(Long, Long)].collect()
+    val bySupp = cs.groupBy(_._2).view.mapValues(_.map(_._1).distinct.sorted)
+    val expect = bySupp.values.flatMap { custs =>
+      for (i <- custs.indices; j <- i + 1 until custs.length)
+        yield (custs(i), custs(j))
+    }.groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+      .filter(_._2 >= Graph.CnMin)
+    val got = Graph.commonNeighborPairs(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got == expect)
+    assert(got.keys.forall { case (a, b) => a < b })
+  }
+
   // ---- q172 personalized PageRank ----
 
   test("q172 == exact-integer driver replay on the sf trade graph") {
