@@ -2,9 +2,10 @@ package graft.operators
 
 import graft.functions.TextOps
 import graft.{Q, QueryPack, Tables => T}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Distributed BPE (byte-pair-encoding) merge-table TRAINING — the step
   * q117's vocabulary encode consumes but nothing in the catalog learned.
@@ -129,6 +130,59 @@ object Bpe extends QueryPack {
         concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
   }
 
+  /** Encode each DISTINCT word of `words(w)` with a trained merge list
+    * applied IN LEARNED ORDER — ONE executor-side pass (the
+    * `Binary.scala` batch seam), so the encode job count is independent
+    * of the merge count. This is the production encode shape: the
+    * trained merge table is driver-sized BY CONSTRUCTION (one row per
+    * round — a 32k-merge vocabulary is <1 MB) and travels to executors
+    * as a broadcast closure value; the alternative — one run-parity
+    * DataFrame pass per merge ([[encodeByFold]]) — is 32k serial
+    * vocab-sized jobs on EVERY ingest batch (the r14 encode wall).
+    *
+    * Bit-identical to the sequential fold: a word's pieces depend only
+    * on its own symbols, and within one word the greedy left-to-right
+    * non-overlapping scan below IS the run-parity rule (inside a
+    * maximal run of consecutive matches, exactly the even offsets from
+    * the run head merge). BpeSpec property-tests the equivalence
+    * against [[applyMerge]] on adversarial words; the q165/q175
+    * oracles still replay the merge-at-a-time CTE chain, so the
+    * DuckDB hash gate re-proves it at corpus scale every round.
+    * Symbols are CODE POINTS (what `substr(w, i, 1)` and the oracle's
+    * `substr` both count), not UTF-16 units. Output (w, bpe):
+    * space-joined piece sequence per word. */
+  def encodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("w", StringType, nullable = true),
+      StructField("bpe", StringType, nullable = true)))
+    val ms = merges.toArray
+    val rdd = words.select("w").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val w = r.getString(0)
+        var syms: Array[String] =
+          w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+        var k = 0
+        while (k < ms.length) {
+          val (l, rr) = ms(k)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+              out += l + rr; i += 2
+            } else {
+              out += syms(i); i += 1
+            }
+          }
+          syms = out.toArray
+          k += 1
+        }
+        Row(w, syms.mkString(" "))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Tokenize with a TRAINED model — the q117-shaped consumer of
     * [[trainMergesSeq]]'s artifact, completing the tokenizer family
     * (learn the merges, then encode unseen text with them). Trains on
@@ -136,10 +190,10 @@ object Bpe extends QueryPack {
     * LEARNED ORDER to the DISTINCT words of the held-out batch — the
     * production shape: a corpus is tokenized by encoding its
     * vocabulary once and joining the word→pieces map back, never by
-    * re-running merges per occurrence. Output (w, bpe): each held-out
-    * word's piece sequence, space-joined. Per merge: the same
-    * run-parity window passes as training, all partitioned by `w`,
-    * state checkpointed per round so the plan stays flat. */
+    * re-running merges per occurrence. Encode = [[encodeWords]]'s one
+    * broadcast-merges pass (job count independent of merge count);
+    * training remains the per-round loop (it runs ONCE, and q170's
+    * batching is its serial-wall mitigation). */
   def encodeHeldOut(docs: DataFrame, rounds: Int,
                     checkpointDir: Option[String] = None): DataFrame = {
     val base = docs.filter(pmod(col("doc_id"), lit(Graph.BatchMod.toLong)) =!= 0L)
@@ -148,10 +202,20 @@ object Bpe extends QueryPack {
     val testWords = test
       .select(explode(TextOps.words(col("text"))).as("w"))
       .distinct()
-      .select(col("w"), lit(1L).as("wcnt"))
+    encodeWords(testWords, merges.map(m => (m._2, m._3)))
+  }
+
+  /** The r14 encode path, kept as the equivalence REFERENCE for
+    * [[encodeWords]] (BpeSpec asserts bit-identity): apply `merges` as
+    * one run-parity DataFrame pass per merge over `words(w)`'s symbol
+    * table. N serial vocab-sized jobs — correct, but the wrong shape at
+    * production merge counts; never called by catalog entries. */
+  def encodeByFold(words: DataFrame, merges: Seq[(String, String)],
+                   checkpointDir: Option[String] = None): DataFrame = {
     val rc = Rounds(checkpointDir)
-    var syms = rc.mark(charSymbols(testWords))
-    merges.foreach { case (_, lhs, rhs, _) =>
+    rc.init(words)
+    var syms = rc.mark(charSymbols(words.select(col("w"), lit(1L).as("wcnt"))))
+    merges.foreach { case (lhs, rhs) =>
       syms = rc.mark(applyMerge(syms, lhs, rhs))
     }
     syms.groupBy(col("w"))
@@ -331,17 +395,30 @@ object Bpe extends QueryPack {
   val BatchedRounds = 3
   val BatchedK = 4
 
+  /** Hard ceiling on the greedy scan's candidate window: the driver
+    * never collects more than this many (rank-ordered) pair rows per
+    * round, even when fewer than k pairwise-disjoint pairs exist among
+    * them (the all-pairs-share-a-symbol worst case, where an uncapped
+    * doubling scan would page the WHOLE pair table to the driver). A
+    * scan that exhausts the cap accepts a possibly-short batch — the
+    * SQL oracle applies the same `rk <= cap` window, so both engines
+    * truncate identically. */
+  val SelectCap = 4096
+
   /** Greedy top-k pairwise-disjoint selection from a pair-stats frame
     * (sym, nxt, cnt), scanning in (cnt DESC, lhs, rhs) rank order.
     * Greedy over a rank-ordered list is PREFIX-STABLE — the accepted
     * set among the first M candidates depends on those M alone — so
     * collecting a bounded top-M and doubling M only when the scan ran
     * off the truncated end is EXACT vs. the full-list greedy the SQL
-    * oracle replays, while keeping the driver collect candidate-sized
-    * (the pair table itself never leaves the cluster). */
+    * oracle replays, while keeping the driver collect candidate-sized.
+    * The window is bounded by [[SelectCap]] (mirrored in the oracle),
+    * so the pair table itself never pages to the driver even in the
+    * few-disjoint-pairs worst case. */
   def selectBatch(stats: DataFrame, k: Int): Seq[(String, String, Long)] = {
     var m = 64
-    while (true) {
+    var result: Option[Seq[(String, String, Long)]] = None
+    while (result.isEmpty) {
       val cand = stats
         .orderBy(col("cnt").desc, col("sym").asc, col("nxt").asc)
         .limit(m).collect()
@@ -356,10 +433,11 @@ object Bpe extends QueryPack {
           acc += ((l, r, c)); used ++= symbols
         }
       }
-      if (acc.size.toLong == k.toLong || cand.length < m) return acc.toSeq
-      m *= 4
+      if (acc.size == k || cand.length < m || m >= SelectCap)
+        result = Some(acc.toSeq)
+      else m = math.min(m * 4, SelectCap)
     }
-    Nil // unreachable
+    result.get
   }
 
   /** Apply a DISJOINT merge batch in one simultaneous run-parity pass:
@@ -482,9 +560,13 @@ object Bpe extends QueryPack {
         WHERE nxt IS NOT NULL GROUP BY 1, 2
       ),
       cand_$r AS MATERIALIZED (
-        SELECT lhs, rhs, cnt,
-               row_number() OVER (ORDER BY cnt DESC, lhs ASC, rhs ASC) AS rk
-        FROM pair_$r
+        -- rk <= SelectCap mirrors the engine's bounded candidate window:
+        -- beyond the cap both engines accept a possibly-short batch
+        SELECT * FROM (
+          SELECT lhs, rhs, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, lhs ASC, rhs ASC) AS rk
+          FROM pair_$r
+        ) WHERE rk <= $SelectCap
       ),
       acc1_$r AS MATERIALIZED (SELECT lhs, rhs, cnt, rk FROM cand_$r WHERE rk = 1)$picks,
       batch_$r AS MATERIALIZED (SELECT lhs, rhs, cnt FROM acc${k}_$r),

@@ -93,5 +93,45 @@ object ProfileBpe {
       d => graft.operators.Bpe.trainMerges(d, 12).count())
     runEqualBudget("batched_3x4",
       d => graft.operators.Bpe.trainMergesBatched(d, 3, 4).count())
+
+    // ---- encode job-count independence (r14 verdict directive #1):
+    // with the merge list broadcast and the per-word greedy pass
+    // (Bpe.encodeWords), encoding the vocabulary is a CONSTANT number
+    // of Spark jobs regardless of merge count; the r14 fold path ran
+    // one vocab-sized job PER MERGE. Train once outside the measured
+    // window, then count jobs + wall for the encode action alone at
+    // 3 vs 12 merges, plus the fold reference at 12. ----
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
+    val docs1 = docsX(1)
+    val trained = graft.operators.Bpe.trainMergesSeq(docs1, 12)
+      .map(m => (m._2, m._3))
+    val vocab = docs1
+      .select(explode(graft.functions.TextOps.words(col("text"))).as("w"))
+      .distinct().localCheckpoint()
+    def runEncode(label: String, body: => Long): Unit = {
+      spark.catalog.clearCache(); System.gc()
+      val samples = (1 to 2).map { _ =>
+        jobs.set(0L)
+        val t0 = System.nanoTime()
+        val n = body
+        require(n > 0, s"$label encoded nothing")
+        ((System.nanoTime() - t0) / 1e9, jobs.get())
+      }
+      val (w, j) = samples.minBy(_._1)
+      println(f"""{"tool":"bpe","point":"$label","wall_sec":$w%.2f,""" +
+        s""""jobs":$j}""")
+    }
+    runEncode("encode_bcast_3m",
+      graft.operators.Bpe.encodeWords(vocab, trained.take(3)).count())
+    runEncode("encode_bcast_12m",
+      graft.operators.Bpe.encodeWords(vocab, trained).count())
+    runEncode("encode_fold_12m",
+      graft.operators.Bpe.encodeByFold(vocab, trained).count())
   }
 }

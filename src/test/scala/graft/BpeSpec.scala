@@ -68,6 +68,34 @@ class BpeSpec extends SparkSpec {
     assert(got == ("a", "b", 3L))
   }
 
+  test("encodeWords == encodeByFold bit-for-bit on adversarial words") {
+    // the broadcast one-pass encoder must equal the merge-at-a-time
+    // run-parity fold on every hazard: overlapping runs ("aaaa"),
+    // odd-length runs, cross-round cascades ((a,a) then (aa,aa)),
+    // merged-product re-matches ((a,b) then (ab,ab)), conflicting
+    // orders ((a,b) vs (b,a)), words with no match, non-BMP code
+    // points (substr counts code points, not UTF-16 units)
+    val words = Seq("aaaa", "aaa", "aaaaaa", "abab", "aba", "xyz", "xab",
+      "abcabc", "banana", "aabbaabb", "ababab", "zz", "a😀b")
+      .toDF("w")
+    val merges = Seq(("a", "a"), ("aa", "aa"), ("a", "b"), ("ab", "ab"),
+      ("b", "a"), ("a", "😀"))
+    val fast = Bpe.encodeWords(words, merges)
+      .as[(String, String)].collect().toMap
+    val fold = Bpe.encodeByFold(words, merges)
+      .as[(String, String)].collect().toMap
+    assert(fast == fold)
+  }
+
+  test("selectBatch stays exact when the conflict tail exceeds the cap window") {
+    // 5000 candidates all sharing 'a': greedy accepts exactly one; the
+    // capped scan stops at SelectCap rows but the accepted set is the
+    // same (later candidates all conflict), and nothing crashes
+    val stats = (0 until 5000)
+      .map(i => ("a", f"t$i%05d", 1L)).toDF("sym", "nxt", "cnt")
+    assert(Bpe.selectBatch(stats, 4) == Seq(("a", "t00000", 1L)))
+  }
+
   test("encodeHeldOut applies the trained merges in order to the held-out vocabulary") {
     // train on docs 1-2: round 1 learns (a,b)→"ab" (count 3), round 2
     // learns (c,d)→"cd". Held-out doc 10's vocabulary encodes with
