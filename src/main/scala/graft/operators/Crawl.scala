@@ -6,7 +6,7 @@ import graft.{Q, QueryPack, Tables => T}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType,
-  LongType, StructField, StructType}
+  LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The continuous-crawl ingest loop COMPOSED (VERDICT r10 §next-3): the
@@ -346,11 +346,21 @@ object Crawl extends QueryPack {
     StructField("coverage", DoubleType, nullable = false),
     StructField("kept", BooleanType, nullable = false)))
 
+  /** Schema of the crawl-frontier store: one row per canonical URL ever
+    * SCHEDULED, with the batch that first discovered it and its fetch
+    * priority (the host-quality feed's mass for its target host). */
+  val frontierSchema: StructType = StructType(Seq(
+    StructField("canon_url", StringType),
+    StructField("dst_host", StringType),
+    StructField("sched_batch", LongType),
+    StructField("priority", LongType)))
+
   final class Loop(spark: SparkSession, codebook: DataFrame,
                    embeddings: DataFrame, root: String, tag: String,
                    verifyThreshold: Double = 0.8, compactEvery: Int = 2,
                    buckets: Int = 32, template: StructType,
-                   mediaDropAt: Double = 0.5) {
+                   mediaDropAt: Double = 0.5,
+                   hostPriority: Option[DataFrame] = None) {
     private def emptyDocs = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], template)
     private val seenS = new Store(spark, root, "seen", docHashes(emptyDocs).schema)
@@ -390,6 +400,16 @@ object Crawl extends QueryPack {
     private val printsS = new Store(spark, root, "prints", printSchema)
     private val mediaKeptS = new Store(spark, root, "media_kept",
       mediaKeptSchema)
+    // crawl frontier (r15 verdict #3): the canonical-URL registry — one
+    // row per URL ever SCHEDULED, carried with the same append/compact/
+    // manifest lifecycle as the other stores. Knockout semantics are
+    // q100's: a batch's discovered URLs anti-join the registry, and
+    // only first discoveries are scheduled (seen ≡ scheduled — the
+    // frontier never re-fetches here; a recrawl policy would add a
+    // fetched-at column, not change the shape). Priority is the q169
+    // host-quality feed: links from high-LM-quality pages fetch first.
+    private val frontierS = new Store(spark, root, "frontier",
+      frontierSchema)
     private var summary = Summary.summarize(emptyDocs, col("lang"), col("n_chars"))
     private var summaryVersion = -1L
     private var lastCommitted = -1L
@@ -406,8 +426,14 @@ object Crawl extends QueryPack {
       case "sets" => setsS.meta.base
       case "clusters" => clustersS.meta.base
       case "prints" => printsS.meta.base
+      case "frontier" => frontierS.meta.base
       case other => sys.error(s"no such registry store: $other")
     }
+
+    /** Current frontier: every scheduled canonical URL with its
+      * discovery batch and fetch priority (order by priority DESC for
+      * the scheduler's view). */
+    def frontier(): DataFrame = frontierS.read()
 
     /** Current media frame-fingerprint registry (all SEEN prints). */
     def mediaPrints(): DataFrame = printsS.read()
@@ -444,7 +470,8 @@ object Crawl extends QueryPack {
         storeLines("assigned", assignedS.meta) ++
         storeLines("clusters", clustersS.meta) ++
         storeLines("prints", printsS.meta) ++
-        storeLines("media_kept", mediaKeptS.meta)
+        storeLines("media_kept", mediaKeptS.meta) ++
+        storeLines("frontier", frontierS.meta)
       Fs.writeString(spark, s"$manifestDir/m$batchId", lines.mkString("\n"))
     }
 
@@ -485,6 +512,7 @@ object Crawl extends QueryPack {
         printsS.restore(storeMeta("prints"), buckets,
           Seq("sum_r", "sum_g", "sum_b"))
         mediaKeptS.restore(storeMeta("media_kept"), buckets, Seq("asset_id"))
+        frontierS.restore(storeMeta("frontier"), buckets, Seq("canon_url"))
         lastCommitted = kv("lastCommitted").toLong
         summaryVersion = kv("summaryVersion").toLong
         if (summaryVersion >= 0)
@@ -520,7 +548,7 @@ object Crawl extends QueryPack {
           s"$manifestDir/m$id").split('\n')
         .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap)
       val storeNames = Seq("seen", "bands", "sets", "kept", "assigned",
-        "clusters", "prints", "media_kept")
+        "clusters", "prints", "media_kept", "frontier")
       // referenced data dirs, relative to root
       val keep = scala.collection.mutable.Set.empty[String]
       kvs.foreach { kv =>
@@ -575,7 +603,8 @@ object Crawl extends QueryPack {
         }
       }
       deleteUnder("summary")(c => keep.contains(s"summary/$c"))
-      Seq("batch_pairs", "batch_kept", "batch_prints").foreach { d =>
+      Seq("batch_pairs", "batch_kept", "batch_prints",
+          "batch_frontier").foreach { d =>
         deleteUnder(d) { c =>
           val id = c.stripPrefix("v").takeWhile(_.isDigit) match {
             case "" => Long.MaxValue; case s => s.toLong
@@ -589,14 +618,16 @@ object Crawl extends QueryPack {
     def ingest(batch: DataFrame): Unit = ingest(batch, nextBatchId, None)
 
     /** Ingest micro-batch `batchId` (pass `foreachBatch`'s id), with the
-      * batch's media assets when the crawl carries them. A batch at or
-      * below the last COMMITTED id is a replay — skipped whole, so
+      * batch's media assets when the crawl carries them and the batch's
+      * fetched PAGE MARKUP when the loop maintains a frontier. A batch
+      * at or below the last COMMITTED id is a replay — skipped whole, so
       * Structured Streaming's at-least-once delivery is exactly-once
       * here (the manifest is the commit marker; an uncommitted crashed
       * attempt is re-run and overwrites its own dirs in place). */
     def ingest(batch: DataFrame, batchId: Long,
-               media: Option[DataFrame] = None): Unit =
-      doIngest(batch, batchId, media, commit = true)
+               media: Option[DataFrame] = None,
+               pages: Option[DataFrame] = None): Unit =
+      doIngest(batch, batchId, media, pages, commit = true)
 
     /** TEST SEAM for the crash-replay property (VERDICT r12 §next-4):
       * runs a full ingest — every store append, compaction if due — and
@@ -607,12 +638,14 @@ object Crawl extends QueryPack {
       * uninterrupted drive reaches. */
     private[graft] def ingestCrashBeforeCommit(batch: DataFrame,
                                                batchId: Long,
-                                               media: Option[DataFrame] = None)
+                                               media: Option[DataFrame] = None,
+                                               pages: Option[DataFrame] = None)
         : Unit =
-      doIngest(batch, batchId, media, commit = false)
+      doIngest(batch, batchId, media, pages, commit = false)
 
     private def doIngest(batch: DataFrame, batchId: Long,
-                         media: Option[DataFrame], commit: Boolean): Unit = {
+                         media: Option[DataFrame], pages: Option[DataFrame],
+                         commit: Boolean): Unit = {
       if (batchId <= lastCommitted) return // replayed, already committed
       // ids need only ascend — a streaming driver that skips empty
       // micro-batches hands us gaps, which are fine (ids version dirs)
@@ -694,6 +727,40 @@ object Crawl extends QueryPack {
           batchId)
         printsS.append(bp.select(pkeys.map(col): _*).distinct(), batchId)
       }
+      // ---- frontier member (r15): canonicalize every href the batch's
+      // fetched pages carry (q163's normalizer — the frontier dedup
+      // key; non-canonicalizable refs drop), knock the batch's distinct
+      // keys out against everything scheduled before (q100's left-anti
+      // registry shape — after compaction the anti-join probes the
+      // canon_url-bucketed table with no registry-side exchange), score
+      // the survivors by the host-quality feed (q169's rollup: links
+      // from high-quality pages fetch first; unknown hosts at 0), and
+      // land the batch's scheduled slice batchId-keyed — the same
+      // idempotent-replay contract as every store. Per-batch cost is
+      // batch-proportional: extraction is map-only, the knockout moves
+      // only the batch's keys, the priority join is host-table-sized.
+      pages.foreach { pg =>
+        val prio = hostPriority.getOrElse(sys.error(
+          "frontier ingestion needs a hostPriority feed (dst_host, s_sum)"))
+        val disc = LinkGraph.extractUrls(pg)
+          .select(LinkGraph.canonicalizeUrl(col("url")).as("canon_url"))
+          .filter(col("canon_url").isNotNull)
+          .distinct()
+        disc
+          .join(frontierS.read().select(col("canon_url")),
+            Seq("canon_url"), "left_anti")
+          .select(col("canon_url"),
+            regexp_extract(col("canon_url"),
+              "^[a-z][a-z0-9+.-]*://([^/:]+)", 1).as("dst_host"))
+          .join(prio.select(col("dst_host"), col("s_sum")),
+            Seq("dst_host"), "left")
+          .select(col("canon_url"), col("dst_host"),
+            lit(batchId).as("sched_batch"),
+            coalesce(col("s_sum"), lit(0L)).as("priority"))
+          .write.mode("overwrite").parquet(s"$root/batch_frontier/v$batchId")
+        frontierS.append(
+          spark.read.parquet(s"$root/batch_frontier/v$batchId"), batchId)
+      }
       // cadence counts INGESTED batches since the last compaction (not
       // batch-id arithmetic — ids may have gaps), and restores with the
       // manifest since the batch list is part of each store's meta
@@ -715,6 +782,11 @@ object Crawl extends QueryPack {
             Seq("sum_r", "sum_g", "sum_b"), squash = _.distinct())
           mediaKeptS.compact(s"${tag}_media_kept", buckets, Seq("asset_id"))
         }
+        // frontier rides the same cadence; a loop never fed pages skips
+        // it (no empty-table churn). Rows are append-once (the knockout
+        // guarantees a URL schedules at most once), so no squash.
+        if (frontierS.meta.batches.nonEmpty || frontierS.meta.base.nonEmpty)
+          frontierS.compact(s"${tag}_frontier", buckets, Seq("canon_url"))
       }
       // COMMIT: batch data + any compaction become visible atomically;
       // everything above re-runs idempotently if we die before this line
@@ -735,9 +807,11 @@ object Crawl extends QueryPack {
                verifyThreshold: Double = 0.8, compactEvery: Int = 2,
                buckets: Int = 32, template: StructType,
                mediaDropAt: Double = 0.5,
-               asOf: Option[Long] = None): Loop = {
+               asOf: Option[Long] = None,
+               hostPriority: Option[DataFrame] = None): Loop = {
       val loop = new Loop(spark, codebook, embeddings, root, tag,
-        verifyThreshold, compactEvery, buckets, template, mediaDropAt)
+        verifyThreshold, compactEvery, buckets, template, mediaDropAt,
+        hostPriority)
       loop.restoreFromManifest(asOf)
       loop
     }
@@ -756,21 +830,31 @@ object Crawl extends QueryPack {
     codebook, embeddings, root, tag, verifyThreshold, compactEvery,
     buckets, media).state()
 
-  /** [[drive]], returning the loop itself (media store accessors). */
+  /** [[drive]], returning the loop itself (media store accessors).
+    * `pagesBatches`, when given, aligns with `batches` one-to-one —
+    * each text batch ingests with its fetched page markup so the
+    * frontier member runs (requires `hostPriority`). */
   def driveLoop(spark: SparkSession, batches: Seq[DataFrame],
                 codebook: DataFrame, embeddings: DataFrame, root: String,
                 tag: String, verifyThreshold: Double = 0.8,
                 compactEvery: Int = 2, buckets: Int = 32,
-                media: Seq[DataFrame] = Nil): Loop = {
+                media: Seq[DataFrame] = Nil,
+                pagesBatches: Seq[DataFrame] = Nil,
+                hostPriority: Option[DataFrame] = None): Loop = {
     require(batches.nonEmpty, "crawl drive needs at least one batch")
     require(media.isEmpty || media.size == batches.size,
       s"media batches (${media.size}) must align with text batches " +
         s"(${batches.size})")
+    require(pagesBatches.isEmpty || pagesBatches.size == batches.size,
+      s"page batches (${pagesBatches.size}) must align with text batches " +
+        s"(${batches.size})")
     val loop = new Loop(spark, codebook, embeddings, root, tag,
-      verifyThreshold, compactEvery, buckets, batches.head.schema)
+      verifyThreshold, compactEvery, buckets, batches.head.schema,
+      hostPriority = hostPriority)
     batches.zipWithIndex.foreach { case (b, i) =>
       loop.ingest(b, i.toLong,
-        if (media.isEmpty) None else Some(media(i)))
+        if (media.isEmpty) None else Some(media(i)),
+        if (pagesBatches.isEmpty) None else Some(pagesBatches(i)))
     }
     loop
   }
@@ -977,6 +1061,86 @@ object Crawl extends QueryPack {
         FROM np LEFT JOIN sn ON np.asset_id = sn.asset_id
       """.stripMargin),
       doc = "crawl loop with media composed in: per-batch frame-print knockout vs the loop-carried registry + text kept set, both oracled"),
+
+    // ---- the crawl FRONTIER composed into the loop (r15 verdict #3):
+    // the same 4-batch drive, each batch ingesting its documents' page
+    // markup. Per batch: extract every href, canonicalize (q163's
+    // normalizer), knock out against the canonical-URL registry (q100's
+    // left-anti shape), score survivors by q169's host-quality rollup,
+    // append batch-keyed; the store rides the loop's append/compact/
+    // manifest lifecycle (kill-and-resume covered in StreamingSpec).
+    // Output = the final frontier: every scheduled URL with the batch
+    // that first discovered it and its priority. The oracle is closed-
+    // form: canonical URLs derived from token positions + the
+    // pagination rule, first-discovery batch = the quartile of the
+    // minimum discovering doc (quartiles are monotone in doc_id),
+    // priority replayed through the q169 CTE chain. ----
+    "q179_crawl_frontier" -> Q(
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val emb = T.embeddings(s, d)
+        val codebook = emb.filter(col("vec_id") < Similarity.IvfCentroids)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        val hi = docs.select(max(col("doc_id"))).head.getLong(0) + 1
+        def quartiles(df: DataFrame): Seq[DataFrame] = (0 until 4).map { k =>
+          val lo = hi * k / 4
+          val up = if (k == 3) hi else hi * (k + 1) / 4
+          df.filter(col("doc_id") >= lo && col("doc_id") < up)
+        }
+        // pages synthesized over the FULL corpus, sliced per batch: a
+        // page's content (incl. its pagination anchor) is a fact about
+        // the page, not about the batch slice — the hostEdges rule
+        val pg = graft.operators.LinkGraph.pages(docs).localCheckpoint()
+        val prio = NgramLm.hostQualityRollup(docs)
+          .select(col("dst_host"), col("s_sum")).localCheckpoint()
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q179").toString
+        val loop = driveLoop(s, quartiles(docs), codebook, emb, root,
+          tag = "q179_" + d.replaceAll("[^A-Za-z0-9]", "_"),
+          pagesBatches = quartiles(pg), hostPriority = Some(prio))
+        loop.frontier()
+      },
+      Some(s"""
+        WITH ${NgramLm.scoredMilliCtes},${graft.operators.LinkGraph.linksSql},
+        roll AS (
+          SELECT l.dst_host, CAST(sum(s.s_milli) AS BIGINT) AS s_sum
+          FROM links l JOIN scored s ON s.doc_id = l.src_doc
+          GROUP BY 1
+        ),
+        urls AS (
+          SELECT doc_id AS src_doc,
+                 CASE WHEN (i - 1) % ${graft.operators.LinkGraph.WwwEvery} = 0
+                      THEN concat('http://', ws[i],
+                                  '.example.com:8080/p', i - 1)
+                      ELSE concat('http://', ws[i], '.example.com/p', i - 1)
+                 END AS url,
+                 ws[i] || '.example.com' AS dst_host
+          FROM toks
+          WHERE (i - 1) % ${graft.operators.LinkGraph.LinkEvery} = 0
+          UNION ALL
+          SELECT d.doc_id, concat('http://', d2.source, '.example.com/next'),
+                 d2.source || '.example.com'
+          FROM documents d CROSS JOIN lg_n
+          JOIN documents d2 ON d2.doc_id = (d.doc_id + 1) % lg_n.n
+        ),
+        hibnd AS (SELECT max(doc_id) + 1 AS hi FROM documents),
+        firsts AS (
+          SELECT url AS canon_url, any_value(dst_host) AS dst_host,
+                 min(src_doc) AS fd
+          FROM urls GROUP BY 1
+        )
+        SELECT f.canon_url, f.dst_host,
+               CAST(CAST(f.fd >= (SELECT hi FROM hibnd) * 1 // 4 AS INT)
+                  + CAST(f.fd >= (SELECT hi FROM hibnd) * 2 // 4 AS INT)
+                  + CAST(f.fd >= (SELECT hi FROM hibnd) * 3 // 4 AS INT)
+                    AS BIGINT) AS sched_batch,
+               CAST(coalesce(r.s_sum, 0) AS BIGINT) AS priority
+        FROM firsts f LEFT JOIN roll r ON f.dst_host = r.dst_host
+      """.stripMargin),
+      doc = "crawl frontier composed into the loop: per-batch href " +
+        "extraction + canonicalization + registry knockout + host-" +
+        "quality priority, store-carried with the loop lifecycle; final " +
+        "scheduled set oracled closed-form"),
 
     // ---- TIME-TRAVEL state read (r13): reproducible corpus snapshots.
     // Drive all 4 batches, then reconstruct the state AS OF batch 2

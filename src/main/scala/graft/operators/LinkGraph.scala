@@ -45,8 +45,21 @@ object LinkGraph extends QueryPack {
   val WwwEvery = 14
 
   /** Deterministic page markup per document: tokens joined back with
-    * single spaces, link positions wrapped in `<a href=...>` anchors.
-    * Pure per-row expressions — map-only, no shuffle. */
+    * single spaces, link positions wrapped in `<a href=...>` anchors,
+    * plus ONE cross-host "next page" anchor to the NEXT document's
+    * host (doc d links to the source-host of doc (d+1) mod n — the
+    * pagination chain every real site carries). The pagination anchors
+    * give the source-host subgraph a RING over the sources, so the
+    * extracted graph has skew (word-host in-degree = content-term
+    * frequency) AND multi-hop depth in one graph — the two real-web
+    * hazards the r13/r14 graphs split across host/trade graphs.
+    * Token anchors are pure per-row expressions; the pagination anchor
+    * needs the next doc's source, one (doc_id+1)-keyed self-join —
+    * CORPUS SYNTHESIS cost, not operator cost (the extraction operator
+    * under test, [[extractLinks]], stays map-only). A doc whose
+    * successor id is absent (non-contiguous ids) simply emits no
+    * pagination anchor — the left join + conditional concat below, and
+    * the oracle's inner-join `links_deep` CTE, agree on that rule. */
   def pages(docs: DataFrame): DataFrame = {
     def anchor(w: Column, i: Column): Column = {
       val plain = concat(lit("<a href=\"http://"), w,
@@ -58,11 +71,20 @@ object LinkGraph extends QueryPack {
         .when(i % LinkEvery === 0, plain)
         .otherwise(w)
     }
-    docs.select(col("doc_id"), col("source"),
-      concat(lit("<html><body>"),
-        array_join(transform(split(col("text"), " "),
-          (w, i) => anchor(w, i)), " "),
-        lit("</body></html>")).as("html"))
+    val n = docs.agg(count(lit(1)).as("lg_n"))
+    val nextSrc = docs.select(col("doc_id").as("nxt_id"),
+      col("source").as("nxt_src"))
+    docs.crossJoin(broadcast(n))
+      .withColumn("nxt_id", pmod(col("doc_id") + 1, col("lg_n")))
+      .join(nextSrc, Seq("nxt_id"), "left")
+      .select(col("doc_id"), col("source"),
+        concat(lit("<html><body>"),
+          array_join(transform(split(col("text"), " "),
+            (w, i) => anchor(w, i)), " "),
+          when(col("nxt_src").isNotNull,
+            concat(lit(" <a href=\"http://"), col("nxt_src"),
+              lit(".example.com/next\">next</a>"))).otherwise(lit("")),
+          lit("</body></html>")).as("html"))
   }
 
   /** The extraction operator under test: pull every href host out of
@@ -79,11 +101,28 @@ object LinkGraph extends QueryPack {
         regexp_replace(regexp_replace(lower(col("raw")),
           "^www\\.", ""), ":[0-9]+$", "").as("dst_host"))
 
+  /** Full-URL extraction: every href value as discovered, un-normalized
+    * — the frontier's raw input ([[extractLinks]] reduces to hosts for
+    * the graph tier; the frontier needs the whole URL as its dedup
+    * key after [[canonicalizeUrl]]). Map-only: regexp + explode. */
+  def extractUrls(pages: DataFrame): DataFrame =
+    pages.select(col("doc_id").as("src_doc"),
+      explode(expr("""regexp_extract_all(html, '(?i)href="([^"]+)"', 1)"""))
+        .as("url"))
+
   /** Distinct (src_host, dst_host) edges of the host graph: a document's
     * own host is `<source>.example.com`, its targets are the extracted
-    * hosts; self-loops dropped. */
-  def hostEdges(docs: DataFrame): DataFrame =
+    * hosts; self-loops dropped. `srcDocPred` (over `src_doc`) restricts
+    * WHICH documents' links count — applied AFTER full-corpus page
+    * synthesis, because a page's content (including its pagination
+    * anchor) is a fact about that page, not about which other docs the
+    * current slice happens to contain; the incremental entries' base
+    * graphs and their oracles (global `links` CTE filtered by src_doc)
+    * both follow this rule. */
+  def hostEdges(docs: DataFrame,
+                srcDocPred: Column = lit(true)): DataFrame =
     extractLinks(pages(docs))
+      .filter(srcDocPred)
       .join(docs.select(col("doc_id").as("src_doc"),
         concat(col("source"), lit(".example.com")).as("src")), "src_doc")
       .select(col("src"), col("dst_host").as("dst"))
@@ -143,14 +182,54 @@ object LinkGraph extends QueryPack {
   def pagerankHostsIncremental(spark: SparkSession,
                                docs: DataFrame): DataFrame = {
     val eAll = withOutDeg(hostEdges(docs))
-    val eBase = withOutDeg(hostEdges(
-      docs.filter(pmod(col("doc_id"), lit(Graph.BatchMod.toLong)) =!= 0L)))
     val nodes = hostNodes(eAll)
-    val r0 = nodes.select(col("node"), lit(Graph.Scale).as("r"))
-    val rBase = (1 to Graph.Iterations)
-      .foldLeft(r0)((r, _) => stepVarDeg(nodes, eBase, r))
+    val rBase = baseHostRanks(docs, nodes)
     (1 to Graph.IncrRounds)
       .foldLeft(rBase)((r, _) => stepVarDeg(nodes, eAll, r))
+  }
+
+  /** The base phase of [[pagerankHostsIncremental]]: ranks converged on
+    * the base docs' links over the FULL host universe (pre-append hosts
+    * only the batch links to sit at the teleport floor — the empty-
+    * registry-row rule). */
+  private def baseHostRanks(docs: DataFrame, nodes: DataFrame): DataFrame = {
+    val eBase = withOutDeg(hostEdges(docs,
+      pmod(col("src_doc"), lit(Graph.BatchMod.toLong)) =!= 0L))
+    val r0 = nodes.select(col("node"), lit(Graph.Scale).as("r"))
+    (1 to Graph.Iterations)
+      .foldLeft(r0)((r, _) => stepVarDeg(nodes, eBase, r))
+  }
+
+  /** One-time landing of the q161 stored registry — the base-graph host
+    * rank vector — node-bucketed, memoized per (JVM, sf dir): the
+    * q126/q157 store discipline (r14 verdict #2). */
+  private val q161Built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q161Store(s: SparkSession, d: String): String =
+    q161Built.computeIfAbsent(d, _ => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val t = s"q161_ranks_$tag"
+      val root = java.nio.file.Files.createTempDirectory("graft_q161").toString
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val docs = T.documents(s, d)
+      val nodes = hostNodes(withOutDeg(hostEdges(docs)))
+      graft.sources.TableSink.writeBucketed(baseHostRanks(docs, nodes),
+        t, 32, Seq("node"), path = Some(s"$root/$t"))
+      t
+    })
+
+  /** The q161 catalog entry's steady-state form: [[Graph.IncrRounds]]
+    * warm rounds over the full extracted edges from the STORED base
+    * ranks — result ≡ [[pagerankHostsIncremental]], benched cost = the
+    * incremental step (re-extract the batch + warm rounds), not base
+    * convergence. */
+  def pagerankHostsIncrementalStep(s: SparkSession, dir: String): DataFrame = {
+    val docs = T.documents(s, dir)
+    val eAll = withOutDeg(hostEdges(docs))
+    val nodes = hostNodes(eAll)
+    (1 to Graph.IncrRounds)
+      .foldLeft(s.table(q161Store(s, dir)): DataFrame)(
+        (r, _) => stepVarDeg(nodes, eAll, r))
   }
 
   /** Synchronous label-propagation rounds for q167; fixed so the
@@ -200,18 +279,45 @@ object LinkGraph extends QueryPack {
           coalesce(col("vote"), lab("label")).as("label"))
     }
 
+  /** RFC 3986 §6.2.2 percent-encoding normalization, pure expressions:
+    * uppercase the two hex digits of every `%`-escape (split on `%` —
+    * every later piece's first two chars are that escape's digits; a
+    * piece NOT starting with two hex digits was a malformed bare `%`
+    * and passes through), then decode the UNRESERVED punctuation
+    * escapes (`%7E`→`~`, `%2D`→`-`, `%2E`→`.`, `%5F`→`_`) — encoded
+    * and bare forms of an unreserved char name the same resource, so
+    * `a%7Eb` and `a~b` must canonicalize to one frontier key. Reserved
+    * chars are never decoded (only case-normalized): `%2F` is NOT the
+    * path separator. */
+  private def pctNormalize(u: Column): Column = {
+    val upperHex = array_join(
+      transform(split(u, "%", -1), (p, i) =>
+        when(i === 0, p)
+          .when(p.rlike("^[0-9a-fA-F]{2}"),
+            concat(upper(substring(p, 1, 2)), substring(p, 3, 1 << 30)))
+          .otherwise(p)), "%")
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(upperHex,
+      "%7E", "~"), "%2D", "-"), "%2E", "."), "%5F", "_")
+  }
+
   /** Canonicalize one URL column — the crawl-frontier normalizer that
     * decides whether two discovered URLs are the SAME page (the dedup
     * key of the frontier, run once per discovered link, so it must be
-    * map-only): strip the fragment, lowercase scheme+host, strip a
-    * leading `www.`, strip the scheme's DEFAULT port only (`:80` for
-    * http, `:443` for https — `https://x:80` keeps its odd port), drop
+    * map-only): strip the fragment, normalize percent-encoding
+    * ([[pctNormalize]]), lowercase scheme+host, strip a leading
+    * `www.`, strip the scheme's DEFAULT port only (`:80` for http,
+    * `:443` for https — `https://x:80` keeps its odd port), drop
     * tracking params (`utm_*`, `gclid`, `fbclid`), and sort the
     * surviving query params for order-independence. Path case is
-    * preserved (paths are case-sensitive). Pure string expressions —
-    * no shuffle, codegen-friendly. */
+    * preserved (paths are case-sensitive). An input WITHOUT an
+    * absolute `scheme://` head — protocol-relative `//host/x`,
+    * relative paths, junk — returns NULL (non-canonicalizable): a
+    * real-markup frontier must resolve those against the page URL
+    * first ([[canonicalizeUrlFrom]]) or drop them; the r14 behavior
+    * (a path-only key) collided frontier keys ACROSS hosts. Pure
+    * string expressions — no shuffle, codegen-friendly. */
   def canonicalizeUrl(u: Column): Column = {
-    val noFrag = regexp_replace(u, "#.*$", "")
+    val noFrag = pctNormalize(regexp_replace(u, "#.*$", ""))
     val qstr = regexp_extract(noFrag, "\\?(.*)$", 1)
     val base = regexp_replace(noFrag, "\\?.*$", "")
     val headRaw = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
@@ -226,12 +332,31 @@ object LinkGraph extends QueryPack {
         p.startsWith("fbclid=") || (p === "")))
     val q = when(size(kept) > 0,
       concat(lit("?"), array_join(array_sort(kept), "&"))).otherwise(lit(""))
-    concat(head, path, q)
+    when(u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), concat(head, path, q))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** [[canonicalizeUrl]] with the discovering PAGE's URL as resolution
+    * context: a protocol-RELATIVE reference (`//host/x` — common in
+    * real markup) inherits the page's scheme per RFC 3986 §4.2, then
+    * canonicalizes normally; anything else non-absolute still returns
+    * NULL (full relative-reference resolution needs the page's path —
+    * out of the frontier normalizer's scope, and a frontier that
+    * schedules it unresolved would corrupt its key space). */
+  def canonicalizeUrlFrom(u: Column, pageUrl: Column): Column = {
+    val pageScheme = lower(
+      regexp_extract(pageUrl, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val resolved = when(
+      u.rlike("^//[^/]") && pageScheme =!= "",
+      concat(pageScheme, lit(":"), u)).otherwise(u)
+    canonicalizeUrl(resolved)
   }
 
   /** Deterministically messy URLs per document — every hazard the
     * canonicalizer must undo: uppercase scheme, mixed-case www host,
-    * the scheme's default port, tracking params around real ones in
+    * the scheme's default port, a lowercase-hex unreserved escape
+    * (`%7e` → decodes to `~`) next to a reserved one (`%3a` → only
+    * case-normalizes, to `%3A`), tracking params around real ones in
     * scrambled order, a fragment. Docs ≡ 0 (mod 3) carry ONLY tracking
     * params (canonical form has no query at all). */
   def messyUrls(docs: DataFrame): DataFrame = {
@@ -240,7 +365,7 @@ object LinkGraph extends QueryPack {
       when(even, lit("HTTP://WWW.")).otherwise(lit("HTTPS://www.")),
       initcap(col("source")), lit(".Example.COM"),
       when(even, lit(":80")).otherwise(lit(":443")),
-      lit("/Docs/"), col("doc_id"),
+      lit("/Docs%7e%3a/"), col("doc_id"),
       when(pmod(col("doc_id"), lit(3L)) === 0L,
         lit("?utm_source=feed&gclid=xyz"))
         .otherwise(concat(lit("?utm_source=feed&b="), col("lang"),
@@ -249,8 +374,11 @@ object LinkGraph extends QueryPack {
   }
 
   /** Oracle: expected links derived DIRECTLY from token positions —
-    * independent of the markup round-trip the Spark side performs. */
-  private val linksSql: String = s"""
+    * independent of the markup round-trip the Spark side performs.
+    * Package-private so q169's oracle (NgramLm) reuses the SAME link
+    * derivation instead of restating it — a change to the link rule
+    * here cannot silently drift the rollup's oracle. */
+  private[operators] val linksSql: String = s"""
         doc_words AS (
           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         ),
@@ -259,9 +387,14 @@ object LinkGraph extends QueryPack {
                  unnest(generate_series(1, len(ws))) AS i
           FROM doc_words
         ),
+        lg_n AS (SELECT count(*) AS n FROM documents),
         links AS (
           SELECT doc_id AS src_doc, ws[i] || '.example.com' AS dst_host
           FROM toks WHERE (i - 1) % $LinkEvery = 0
+          UNION ALL
+          SELECT d.doc_id AS src_doc, d2.source || '.example.com' AS dst_host
+          FROM documents d CROSS JOIN lg_n
+          JOIN documents d2 ON d2.doc_id = (d.doc_id + 1) % lg_n.n
         )"""
 
   /** Generated damped rounds over the host graph, per-source out-degree
@@ -287,28 +420,46 @@ object LinkGraph extends QueryPack {
     }.mkString
 
   /** Full HITS iterations over the extracted host graph. */
-  val HitsRounds = 2
+  val HitsRounds = 4
+
+  /** Per-round right-shift exponent: each round ends by shifting the
+    * hub vector right [[HitsShift]] bits (integer floor-div by 2^9 —
+    * exact, oracle-replayable). Unnormalized HITS multiplies scores by
+    * ~(d_in·d_out) per round; choosing 2^shift ≈ that growth pins the
+    * score magnitude to a fixed band (here d_in·d_out ≈ 620 ≈ 2^9.3,
+    * so magnitudes drift by ~1.2×/round), making ANY round count
+    * overflow-safe — the r14 "stated, not implemented" mitigation now
+    * code. A production run picks shift = ⌈log2(d̄_in·d̄_out)⌉ the same
+    * way. Shifting is monotone (x ≥ y ⇒ x>>s ≥ y>>s), so a round's
+    * shift can never invert that round's ranking; LinkGraphSpec pins
+    * the end-to-end ranking against the unshifted run. */
+  val HitsShift = 9
+
+  /** Initial hub mass 2^20: resolution headroom so the per-round shift
+    * truncates noise bits, not signal. */
+  val HitsH0: Long = 1L << 20
 
   /** Kleinberg's HITS (hubs & authorities) — the OTHER classic link
     * signal: source-hosts that link to many strong word-hosts are hubs,
-    * word-hosts linked from many strong hubs are authorities. Run
-    * UNNORMALIZED in exact integer arithmetic for a FIXED [[HitsRounds]]
-    * rounds (hash-oracle-able; the ranking is what matters and scaling
-    * is monotone). Each half-round is one shuffle join of the score
-    * vector into the static edge table + a map-side-combined group-by —
-    * the q153 static-edges/moving-vector split. Unnormalized growth is
-    * the honest limit: scores multiply by ~(d_in·d_out) per round, so at
-    * web degrees (~10^6) BIGINT overflows after ~3 rounds — a production
-    * run renormalizes per round (float, losing the exact oracle) or
-    * right-shifts by a fixed per-round exponent (integer, keeping it);
-    * at this catalog's degrees the 2-round values stay far inside the
-    * headroom, and the bound is stated rather than silently wrapped. */
-  def hitsHosts(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val e = hostEdges(docs).localCheckpoint()
+    * word-hosts linked from many strong hubs are authorities. Run in
+    * exact integer arithmetic for a FIXED [[HitsRounds]] rounds
+    * (hash-oracle-able), with the per-round [[HitsShift]] right-shift
+    * renormalization bounding the growth that would otherwise overflow
+    * BIGINT after ~3 rounds at web degrees. Each half-round is one
+    * shuffle join of the score vector into the static edge table + a
+    * map-side-combined group-by — the q153 static-edges/moving-vector
+    * split. */
+  def hitsHosts(spark: SparkSession, docs: DataFrame): DataFrame =
+    hitsLoop(hostEdges(docs).localCheckpoint(), HitsRounds, HitsShift)
+
+  /** The shifted HITS loop of [[hitsHosts]], factored over an arbitrary
+    * (src, dst) edge table — exposed for the spec's shift-invariance
+    * property (shift = 0 replays the r14 unnormalized form). */
+  def hitsLoop(e: DataFrame, rounds: Int, shift: Int): DataFrame = {
     val nodes = hostNodes(e)
-    var h = nodes.select(col("node"), lit(1L).as("h"))
+    var h = nodes.select(col("node"), lit(HitsH0).as("h"))
     var a = nodes.select(col("node"), lit(0L).as("a"))
-    for (_ <- 1 to HitsRounds) {
+    for (_ <- 1 to rounds) {
       val ain = e.join(h.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst")).agg(sum(col("h")).as("s"))
       a = nodes.join(ain, nodes("node") === ain("dst"), "left")
@@ -316,15 +467,18 @@ object LinkGraph extends QueryPack {
       val hout = e.join(a.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src")).agg(sum(col("a")).as("s"))
       h = nodes.join(hout, nodes("node") === hout("src"), "left")
-        .select(nodes("node"), coalesce(col("s"), lit(0L)).as("h"))
+        .select(nodes("node"),
+          shiftright(coalesce(col("s"), lit(0L)), shift).as("h"))
     }
     h.select(col("node"), col("h").as("hub"))
       .join(a.select(col("node"), col("a").as("auth")), "node")
   }
 
   /** Generated HITS CTE rounds: a<i> from h<i-1> over in-edges, h<i>
-    * from a<i> over out-edges — the same loop as [[hitsHosts]]. */
-  private def hitsSql(rounds: Int): String =
+    * from a<i> over out-edges with the per-round right-shift (floor
+    * division — scores are non-negative, so `// 2^shift` ≡ `>> shift`)
+    * — the same loop as [[hitsHosts]]. */
+  private def hitsSql(rounds: Int, shift: Int): String =
     (1 to rounds).map { i =>
       s""",
         ai$i AS (
@@ -340,7 +494,8 @@ object LinkGraph extends QueryPack {
           FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1
         ),
         h$i AS (
-          SELECT nodes.node, CAST(coalesce(s, 0) AS BIGINT) AS h
+          SELECT nodes.node,
+                 CAST(coalesce(s, 0) // ${1L << shift} AS BIGINT) AS h
           FROM nodes LEFT JOIN hi$i ON nodes.node = hi$i.src
         )"""
     }.mkString
@@ -384,6 +539,30 @@ object LinkGraph extends QueryPack {
         )"""
     }.mkString
 
+  /** BFS relaxation rounds over the extracted host graph (q180). */
+  val HostBfsRounds = 6
+
+  /** BFS depth over the CONTENT-DERIVED host graph from its smallest
+    * linking host — the traversal that needed both real-graph hazards
+    * in ONE graph (r14 verdict #4): word-host in-degree skew from
+    * content-term frequency AND multi-hop depth from the pagination
+    * ring [[pages]] plants (seed → its words + next host → that host's
+    * words + the next → …), where the r14 host graph was diameter-1
+    * and depth lived only on the synthetic trade graph. Seed rule is
+    * data-derived in both engines (min src over the edge list — the
+    * lexicographically smallest host with out-links). Same loop as
+    * q166 ([[Graph.bfsLoop]] — string node keys, same static-edges/
+    * moving-vector shape); reached (node, dist) vector oracled. */
+  def bfsHosts(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val e = hostEdges(docs).localCheckpoint()
+    val nodes = hostNodes(e)
+    val seed = e.agg(min(col("src")).as("seed"))
+    val d0 = nodes.crossJoin(broadcast(seed))
+      .select(col("node"),
+        when(col("node") === col("seed"), lit(0L)).as("dist"))
+    Graph.bfsLoop(e, d0, HostBfsRounds).filter(col("dist").isNotNull)
+  }
+
   /** Warm-start rounds for q177. */
   val LpaIncrRounds = 2
 
@@ -398,25 +577,62 @@ object LinkGraph extends QueryPack {
     * than a provable-upper-bound refinement — the honest contract, and
     * the same one production LPA maintenance ships (labels stabilize
     * in practice because most of the graph is unchanged). */
-  def lpaCommunitiesIncremental(spark: SparkSession,
-                                docs: DataFrame): DataFrame = {
-    def symOf(d: DataFrame): DataFrame = {
-      val e = hostEdges(d)
-      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().localCheckpoint()
-    }
+  private def symOf(docs: DataFrame,
+                    srcDocPred: Column = lit(true)): DataFrame = {
+    val e = hostEdges(docs, srcDocPred)
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+  }
+
+  /** The base phase of [[lpaCommunitiesIncremental]]: labels converged
+    * on the base docs' symmetrized host graph (base = the full-corpus
+    * link derivation restricted by src_doc — the [[hostEdges]] rule). */
+  private def baseLabels(docs: DataFrame): DataFrame = {
+    val symBase = symOf(docs,
+      pmod(col("src_doc"), lit(Graph.BatchMod.toLong)) =!= 0L)
+    lpaLoop(symBase,
+      hostNodes(symBase).select(col("node"), col("node").as("label")),
+      LpaRounds)
+  }
+
+  /** The warm phase, factored so the stored registry can come from a
+    * landed table: batch-new hosts enter as their own label (the cold
+    * rule), then [[LpaIncrRounds]] re-votes over the full graph. */
+  private def lpaIncrementalFrom(docs: DataFrame,
+                                 stored: DataFrame): DataFrame = {
     val symAll = symOf(docs)
-    val symBase = symOf(
-      docs.filter(pmod(col("doc_id"), lit(Graph.BatchMod.toLong)) =!= 0L))
-    val baseNodes = hostNodes(symBase)
-    val stored = lpaLoop(symBase,
-      baseNodes.select(col("node"), col("node").as("label")), LpaRounds)
     val warm = hostNodes(symAll)
       .join(stored.withColumnRenamed("label", "blabel"), Seq("node"), "left")
       .select(col("node"),
         coalesce(col("blabel"), col("node")).as("label"))
     lpaLoop(symAll, warm, LpaIncrRounds)
   }
+
+  def lpaCommunitiesIncremental(spark: SparkSession,
+                                docs: DataFrame): DataFrame =
+    lpaIncrementalFrom(docs, baseLabels(docs))
+
+  /** One-time landing of the q177 stored registry — the base-graph
+    * community labeling — node-bucketed, memoized per (JVM, sf dir). */
+  private val q177Built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q177Store(s: SparkSession, d: String): String =
+    q177Built.computeIfAbsent(d, _ => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val t = s"q177_labels_$tag"
+      val root = java.nio.file.Files.createTempDirectory("graft_q177").toString
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.TableSink.writeBucketed(baseLabels(T.documents(s, d)),
+        t, 32, Seq("node"), path = Some(s"$root/$t"))
+      t
+    })
+
+  /** The q177 catalog entry's steady-state form: warm re-votes from
+    * the STORED base labels — result ≡ [[lpaCommunitiesIncremental]],
+    * benched cost = the maintenance step alone. */
+  def lpaCommunitiesIncrementalStep(s: SparkSession,
+                                    dir: String): DataFrame =
+    lpaIncrementalFrom(T.documents(s, dir), s.table(q177Store(s, dir)))
 
   def queries: Map[String, Q] = Map(
     // Full extracted edge list, one row per link occurrence. The oracle
@@ -465,7 +681,7 @@ object LinkGraph extends QueryPack {
     // over the full edges with the full graph's out-degrees. Two-phase
     // integer drive oracled bit-for-bit.
     "q161_linkrank_incremental" -> Q(
-      (s, d) => pagerankHostsIncremental(s, T.documents(s, d)),
+      (s, d) => pagerankHostsIncrementalStep(s, d),
       Some(s"""
         WITH $linksSql,
         edges AS (
@@ -511,16 +727,18 @@ object LinkGraph extends QueryPack {
       Some("""
         SELECT doc_id,
                concat(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END,
-                      '://', source, '.example.com/Docs/', doc_id,
+                      '://', source, '.example.com/Docs~%3A/', doc_id,
                       CASE WHEN doc_id % 3 = 0 THEN ''
                            ELSE concat('?a=', n_chars, '&b=', lang) END)
                  AS url
         FROM documents
       """.stripMargin),
       doc = "URL canonicalization (frontier dedup key): strip fragment/" +
-        "www/default port/tracking params, lowercase scheme+host, sort " +
-        "query params, preserve path case; map-only string expressions, " +
-        "oracle constructs the expected form independently"),
+        "www/default port/tracking params, normalize percent-encoding " +
+        "(unreserved escapes decoded, reserved case-normalized), " +
+        "lowercase scheme+host, sort query params, preserve path case; " +
+        "map-only string expressions, oracle constructs the expected " +
+        "form independently"),
 
     // Synchronous deterministic label propagation over the undirected
     // host graph: mode-of-neighbors with (count desc, label asc)
@@ -548,7 +766,7 @@ object LinkGraph extends QueryPack {
     // labels + LpaIncrRounds re-votes over the full symmetrized graph;
     // batch-new hosts enter as their own label. Full labeling oracled.
     "q177_lpa_incremental" -> Q(
-      (s, d) => lpaCommunitiesIncremental(s, T.documents(s, d)),
+      (s, d) => lpaCommunitiesIncrementalStep(s, d),
       Some(s"""
         WITH $hostGraphSql,
         edgesb AS (
@@ -586,8 +804,29 @@ object LinkGraph extends QueryPack {
         "labeling (label updates are not monotone — the honest " +
         "fixed-round contract); oracled bit-for-bit"),
 
-    // HITS over the extracted host graph: exact-integer unnormalized
-    // rounds, full (node, hub, auth) vector oracled bit-for-bit.
+    // BFS over the content-derived host graph: skew AND depth in one
+    // graph (pagination ring gives multi-hop structure), seed = the
+    // smallest linking host, reached vector oracled bit-for-bit.
+    "q180_bfs_hosts" -> Q(
+      (s, d) => bfsHosts(s, T.documents(s, d)),
+      Some(s"""
+        WITH $hostGraphSql,
+        seedv AS (SELECT min(src) AS s FROM edges),
+        hd0 AS (SELECT node,
+                       CASE WHEN node = (SELECT s FROM seedv)
+                            THEN CAST(0 AS BIGINT) END AS dist
+                FROM nodes)${
+          Graph.bfsSql("edges", "hd0", "hd", HostBfsRounds)}
+        SELECT node, dist FROM hd$HostBfsRounds WHERE dist IS NOT NULL
+      """.stripMargin),
+      doc = "BFS over the content-extracted host graph: multi-hop depth " +
+        "from the planted pagination ring plus content-frequency skew " +
+        "in one graph; exact-integer relaxations from the data-derived " +
+        "seed host, reached set oracled bit-for-bit"),
+
+    // HITS over the extracted host graph: exact-integer rounds with
+    // per-round right-shift renormalization, full (node, hub, auth)
+    // vector oracled bit-for-bit.
     "q164_hits_hosts" -> Q(
       (s, d) => hitsHosts(s, T.documents(s, d)),
       Some(s"""
@@ -601,15 +840,16 @@ object LinkGraph extends QueryPack {
         nodes AS (
           SELECT src AS node FROM edges UNION SELECT dst FROM edges
         ),
-        h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes)${
-          hitsSql(HitsRounds)}
+        h0 AS (SELECT node, CAST($HitsH0 AS BIGINT) AS h FROM nodes)${
+          hitsSql(HitsRounds, HitsShift)}
         SELECT h$HitsRounds.node, h$HitsRounds.h AS hub,
                a$HitsRounds.a AS auth
         FROM h$HitsRounds JOIN a$HitsRounds USING (node)
       """.stripMargin),
       doc = "Kleinberg HITS over the content-extracted host graph: " +
-        "exact-integer unnormalized hub/authority rounds (static edges, " +
-        "score-vector-only shuffle per half-round); full vector oracled " +
-        "bit-for-bit")
+        "exact-integer hub/authority rounds with per-round right-shift " +
+        "renormalization (growth bounded, any round count overflow-" +
+        "safe); static edges, score-vector-only shuffle per half-round; " +
+        "full vector oracled bit-for-bit")
   )
 }

@@ -239,8 +239,11 @@ object NgramLm extends QueryPack {
   private val trainPred = s"doc_id % ${Graph.BatchMod} <> 0"
 
   /** Oracle CTE for the per-doc milli-log2 score of the whole corpus:
-    * appends the q168/q169 quantization to the shared chain. */
-  private def scoredMilliCtes: String = s"""${backoffCtes(trainPred, "TRUE")},
+    * appends the q168/q169 quantization to the shared chain. Package-
+    * private: q179's frontier oracle (Crawl) reuses it for the priority
+    * feed, so the feed's oracle cannot drift from q169's. */
+  private[operators] def scoredMilliCtes: String =
+    s"""${backoffCtes(trainPred, "TRUE")},
         scored AS (
           SELECT doc_id, count(*) AS n_scored,
                  CAST(round(round(avg(log2(s)), 3) * 1000, 0) AS BIGINT)
@@ -297,18 +300,7 @@ object NgramLm extends QueryPack {
     "q169_host_quality_rollup" -> Q(
       (s, d) => hostQualityRollup(T.documents(s, d)),
       Some(s"""
-        WITH $scoredMilliCtes,
-        doc_words AS (
-          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        ),
-        toks2 AS (
-          SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
-          FROM doc_words
-        ),
-        links AS (
-          SELECT doc_id AS src_doc, ws[i] || '.example.com' AS dst_host
-          FROM toks2 WHERE (i - 1) % ${LinkGraph.LinkEvery} = 0
-        )
+        WITH $scoredMilliCtes,${LinkGraph.linksSql}
         SELECT l.dst_host, count(*) AS n_links,
                count(DISTINCT l.src_doc) AS n_docs,
                CAST(sum(s.s_milli) AS BIGINT) AS s_sum

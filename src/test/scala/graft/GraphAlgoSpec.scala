@@ -152,10 +152,13 @@ class GraphAlgoSpec extends SparkSpec {
     val got = LinkGraph.lpaCommunitiesIncremental(spark, docs)
       .as[(String, String)].collect().toMap
     assert(got.keySet == incr, "incremental must label the FULL host universe")
-    // batch-new hosts (absent from the base graph) still get labels
-    val baseHosts = LinkGraph.lpaCommunities(spark,
-        docs.filter(pmod(col("doc_id"), lit(Graph.BatchMod.toLong)) =!= 0L))
-      .select(col("node")).as[String].collect().toSet
+    // batch-new hosts (absent from the base graph) still get labels;
+    // base = full-corpus link derivation restricted by src_doc
+    val eb = LinkGraph.hostEdges(docs,
+      pmod(col("src_doc"), lit(Graph.BatchMod.toLong)) =!= 0L)
+    val baseHosts = eb.select(col("src").as("node"))
+      .unionByName(eb.select(col("dst").as("node")))
+      .distinct().as[String].collect().toSet
     val newcomers = got.keySet -- baseHosts
     newcomers.foreach(n => assert(got(n).nonEmpty))
   }

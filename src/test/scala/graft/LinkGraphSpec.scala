@@ -29,13 +29,16 @@ class LinkGraphSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf)
     val got = LinkGraph.extractLinks(LinkGraph.pages(docs))
       .as[(Long, String)].collect().sorted
-    val want = docs.select($"doc_id", $"text").as[(Long, String)].collect()
-      .flatMap { case (id, text) =>
-        text.split(" ").zipWithIndex.collect {
-          case (w, i) if i % LinkGraph.LinkEvery == 0 =>
-            (id, s"$w.example.com")
-        }
-      }.sorted
+    val rows = docs.select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)].collect()
+    val srcOf = rows.map(r => r._1 -> r._3).toMap
+    val n = rows.length.toLong
+    val want = rows.flatMap { case (id, text, _) =>
+      text.split(" ").zipWithIndex.collect {
+        case (w, i) if i % LinkGraph.LinkEvery == 0 =>
+          (id, s"$w.example.com")
+      } :+ ((id, s"${srcOf((id + 1) % n)}.example.com")) // pagination link
+    }.sorted
     assert(got.sameElements(want))
   }
 
@@ -50,24 +53,54 @@ class LinkGraphSpec extends SparkSpec {
     val srcs = edges.map(_._1).toSet
     val dangling = edges.map(_._2).filterNot(srcs).toSet
     assert(dangling.nonEmpty, "expected dangling word-hosts")
-    // ...and every dangling host must sit exactly at the teleport floor
-    // plus its damped incoming mass — never below the floor
+    // ...and every host must sit at/above the teleport floor
     val ranks = LinkGraph.pagerankHosts(spark, docs)
       .as[(String, Long)].collect().toMap
     assert(ranks.values.min >= Graph.Scale * 15 / 100)
-    // source-hosts have out-links only (nobody links to a source host),
-    // so after round 1 they are AT the floor exactly
-    val srcOnly = srcs -- edges.map(_._2).toSet
-    assert(srcOnly.nonEmpty)
-    srcOnly.foreach(h => assert(ranks(h) == Graph.Scale * 15 / 100, h))
+    // the pagination ring (r15): every source-host is also LINKED-TO
+    // (by its predecessor's pages), so the graph has depth — no
+    // source-host sits at the bare floor the r14 diameter-1 graph
+    // pinned, and the ring makes every source reachable from any other
+    val dsts = edges.map(_._2).toSet
+    srcs.foreach(h => assert(dsts.contains(h),
+      s"source host $h has no in-link — pagination ring broken"))
+    srcs.foreach(h => assert(ranks(h) > Graph.Scale * 15 / 100, h))
+  }
+
+  test("the host graph has multi-hop depth: q180 BFS reaches new nodes over many rounds") {
+    val docs = Tables.documents(spark, sf)
+    val got = LinkGraph.bfsHosts(spark, docs)
+      .as[(String, Long)].collect()
+    val hist = got.groupBy(_._2).view.mapValues(_.size).toMap
+    // every round must have grown the frontier — genuine multi-hop
+    // traversal, not the r14 one-hop saturation
+    (0L to LinkGraph.HostBfsRounds.toLong).foreach { d =>
+      assert(hist.getOrElse(d, 0) > 0, s"no node at dist $d: $hist")
+    }
+    // and the BFS equals a driver-side replay
+    val edges = LinkGraph.hostEdges(docs).as[(String, String)].collect()
+    val seed = edges.map(_._1).min
+    var dist = Map(seed -> 0L)
+    for (r <- 1 to LinkGraph.HostBfsRounds) {
+      val nd = edges.filter(e => dist.contains(e._1))
+        .groupBy(_._2).map { case (d, es) =>
+          d -> (es.map(e => dist(e._1)).min + 1L) }
+      dist = (dist.keySet ++ nd.keySet).map { k =>
+        k -> math.min(dist.getOrElse(k, Long.MaxValue),
+          nd.getOrElse(k, Long.MaxValue))
+      }.toMap
+    }
+    assert(got.toMap == dist)
   }
 
   test("incremental link-rank: warm rounds contract the stored registry toward the full fixpoint, bit-exact") {
     val docs = Tables.documents(spark, sf)
     val eAll = LinkGraph.hostEdges(docs)
       .as[(String, String)].collect().toSet
-    val eBase = LinkGraph.hostEdges(
-      docs.filter(pmod($"doc_id", lit(Graph.BatchMod.toLong)) =!= 0L))
+    // base = the full-corpus link derivation restricted by src_doc (a
+    // page's content is a fact about the page, not about the slice)
+    val eBase = LinkGraph.hostEdges(docs,
+      pmod($"src_doc", lit(Graph.BatchMod.toLong)) =!= 0L)
       .as[(String, String)].collect().toSet
     assert(eBase.subsetOf(eAll) && eBase != eAll,
       "the doc batch must contribute new distinct edges")
@@ -143,7 +176,12 @@ class LinkGraphSpec extends SparkSpec {
       // path case preserved; no query, no fragment
       ("http://Ex.com/CaseSensitive/Path", "http://ex.com/CaseSensitive/Path"),
       // already canonical → unchanged (idempotence on the fixed point)
-      ("http://ex.com/p?a=1&b=2", "http://ex.com/p?a=1&b=2")
+      ("http://ex.com/p?a=1&b=2", "http://ex.com/p?a=1&b=2"),
+      // percent-encoding: unreserved escapes decode (%7e → ~, %2d → -,
+      // %2e → ., %5f → _, any hex case); reserved ones only uppercase
+      ("http://ex.com/a%7eb%2dc%2e%5f?k=%3a1", "http://ex.com/a~b-c._?k=%3A1"),
+      // a malformed bare % (no two hex digits) passes through untouched
+      ("http://ex.com/100%z", "http://ex.com/100%z")
     )
     val got = cases.map(_._1).toDF("url")
       .select(LinkGraph.canonicalizeUrl($"url").as("c"))
@@ -156,11 +194,39 @@ class LinkGraphSpec extends SparkSpec {
     assert(twice == cases.map(_._2))
   }
 
-  test("HITS equals a driver-side integer replay; hubs are sources, authorities are words") {
+  test("scheme-less inputs are non-canonicalizable (NULL), never a path-only key") {
+    // the r14 hazard: '//cdn.ex.com/lib.js' canonicalized to a PATH-ONLY
+    // key that collided across hosts; now every non-absolute input
+    // surfaces as NULL from the context-free form
+    val hazards = Seq("//cdn.ex.com/lib.js", "/relative/path",
+      "page.html", "mailto:x@ex.com/no-slashes", "", "ex.com/p")
+    val got = hazards.toDF("url")
+      .select(LinkGraph.canonicalizeUrl($"url").as("c"))
+      .as[Option[String]].collect().toSeq
+    assert(got.forall(_.isEmpty), s"expected all NULL, got $got")
+    // with the discovering page as context, protocol-relative refs
+    // resolve against the page's scheme (RFC 3986 §4.2)...
+    val ctx = Seq(
+      (("//cdn.Ex.com:443/lib.js", "HTTPS://www.page.com/a"),
+        Some("https://cdn.ex.com/lib.js")),
+      (("//cdn.ex.com/x", "http://page.com/b"),
+        Some("http://cdn.ex.com/x")),
+      // ...absolute URLs ignore the context entirely...
+      (("HTTP://WWW.Ex.COM:80/A", "https://page.com"),
+        Some("http://ex.com/A")),
+      // ...and other relative forms stay non-canonicalizable
+      (("/relative/path", "http://page.com/b"), None))
+    val gotCtx = ctx.map(_._1).toDF("url", "page")
+      .select(LinkGraph.canonicalizeUrlFrom($"url", $"page").as("c"))
+      .as[Option[String]].collect().toSeq
+    assert(gotCtx == ctx.map(_._2))
+  }
+
+  test("HITS equals a driver-side integer replay; the shift bounds growth without reordering") {
     val docs = Tables.documents(spark, sf)
     val edges = LinkGraph.hostEdges(docs).as[(String, String)].collect().toSet
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq
-    var h = nodes.map(_ -> 1L).toMap
+    var h = nodes.map(_ -> LinkGraph.HitsH0).toMap
     var a = nodes.map(_ -> 0L).toMap
     for (_ <- 1 to LinkGraph.HitsRounds) {
       val ain = edges.toSeq.groupBy(_._2)
@@ -168,18 +234,37 @@ class LinkGraphSpec extends SparkSpec {
       a = nodes.map(n => n -> ain.getOrElse(n, 0L)).toMap
       val hout = edges.toSeq.groupBy(_._1)
         .map { case (s, es) => s -> es.map(e => a(e._2)).sum }
-      h = nodes.map(n => n -> hout.getOrElse(n, 0L)).toMap
+      h = nodes.map(n =>
+        n -> (hout.getOrElse(n, 0L) >> LinkGraph.HitsShift)).toMap
     }
     val got = LinkGraph.hitsHosts(spark, docs)
       .as[(String, Long, Long)].collect()
       .map(t => t._1 -> ((t._2, t._3))).toMap
     assert(got == nodes.map(n => n -> ((h(n), a(n)))).toMap)
-    // structure: source-hosts never receive links (auth 0, hub > 0);
-    // word-hosts never emit them (hub 0, auth > 0)
+    // structure: word-hosts never emit links (hub 0, auth > 0);
+    // source-hosts emit AND — via the pagination ring — receive
+    // (hub > 0, auth > 0)
     val srcs = edges.map(_._1)
-    srcs.foreach { s => assert(got(s)._2 == 0L && got(s)._1 > 0L, s) }
+    srcs.foreach { s => assert(got(s)._1 > 0L && got(s)._2 > 0L, s) }
     (nodes.toSet -- srcs).foreach { w =>
       assert(got(w)._1 == 0L && got(w)._2 > 0L, w)
+    }
+    // the shift keeps scores in a fixed band: after 4 rounds the hub
+    // mass is within ~2 doublings of h0 instead of ×(d_in·d_out)^4
+    assert(got.values.map(_._1).max < LinkGraph.HitsH0 * 32,
+      "shift failed to bound hub growth")
+    // shift-invariance of the RANKING: the unshifted (r14) run at the
+    // same round count must order every strictly-ordered pair the same
+    // way (the shift is monotone; truncation may only introduce ties)
+    val e = LinkGraph.hostEdges(docs).localCheckpoint()
+    val raw = LinkGraph.hitsLoop(e, LinkGraph.HitsRounds, 0)
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    for (x <- nodes; y <- nodes) {
+      if (got(x)._1 > got(y)._1)
+        assert(raw(x)._1 > raw(y)._1, s"hub inversion: $x vs $y")
+      if (got(x)._2 > got(y)._2)
+        assert(raw(x)._2 > raw(y)._2, s"auth inversion: $x vs $y")
     }
   }
 

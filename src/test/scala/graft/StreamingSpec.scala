@@ -533,6 +533,16 @@ class StreamingSpec extends SparkSpec {
     // ingests its documents' video clips, so the kill/resume property
     // covers the frame-print registry and verdict stores too
     val media = batches.map(b => graft.multimodal.Binary.syntheticAviClips(b))
+    // the frontier rides it too (r15): each batch ingests its pages
+    // (synthesized over the FULL corpus, sliced per batch — the
+    // hostEdges rule) against a small synthetic host-priority feed
+    val pg = operators.LinkGraph.pages(docs).localCheckpoint()
+    val pages = batches.map(b =>
+      pg.join(b.select($"doc_id"), Seq("doc_id")))
+    val prio = operators.LinkGraph.hostEdges(docs)
+      .select($"dst".as("dst_host")).distinct()
+      .select($"dst_host", length($"dst_host").cast("long").as("s_sum"))
+      .localCheckpoint()
     def snap(loop: Crawl.Loop): Seq[Set[Seq[Any]]] = {
       val st = loop.state()
       Seq(
@@ -544,21 +554,25 @@ class StreamingSpec extends SparkSpec {
         st.bands.select($"doc_id").distinct().collect().map(_.toSeq).toSet,
         st.clusters.collect().map(_.toSeq).toSet,
         loop.mediaKept().collect().map(_.toSeq).toSet,
-        loop.mediaPrints().distinct().collect().map(_.toSeq).toSet)
+        loop.mediaPrints().distinct().collect().map(_.toSeq).toSet,
+        loop.frontier().collect().map(_.toSeq).toSet)
     }
 
     val rootRef = java.nio.file.Files.createTempDirectory("graft_res_ref").toString
     val ref = snap(Crawl.driveLoop(spark, batches, codebook, emb, rootRef,
-      tag = "t_res_ref", media = media))
+      tag = "t_res_ref", media = media, pagesBatches = pages,
+      hostPriority = Some(prio)))
 
     val root = java.nio.file.Files.createTempDirectory("graft_res").toString
     val loop1 = new Crawl.Loop(spark, codebook, emb, root,
-      tag = "t_res", template = docs.schema)
-    loop1.ingest(batches(0), 0, Some(media(0)))
-    loop1.ingest(batches(1), 1, Some(media(1))) // compactEvery=2 → compaction landed here
+      tag = "t_res", template = docs.schema, hostPriority = Some(prio))
+    loop1.ingest(batches(0), 0, Some(media(0)), Some(pages(0)))
+    loop1.ingest(batches(1), 1, Some(media(1)), Some(pages(1))) // compactEvery=2 → compaction landed here
     assert(loop1.registryTable("seen").nonEmpty, "expected a compaction")
     assert(loop1.registryTable("prints").nonEmpty,
       "expected the media registry to compact on the same cadence")
+    assert(loop1.registryTable("frontier").nonEmpty,
+      "expected the frontier registry to compact on the same cadence")
     // crash remnants: batch 2 started landing data but never committed a
     // manifest — the resumed loop must overwrite these dirs in place
     Crawl.docHashes(batches(0))
@@ -568,23 +582,27 @@ class StreamingSpec extends SparkSpec {
     graft.multimodal.Binary.decodeFrameSums(media(0))
       .select($"asset_id", $"width", $"height", $"sum_r", $"sum_g", $"sum_b")
       .write.mode("overwrite").parquet(s"$root/batch_prints/v2")
+    Seq(("http://stale.example.com/x", "stale.example.com", 2L, 0L))
+      .toDF("canon_url", "dst_host", "sched_batch", "priority")
+      .write.mode("overwrite").parquet(s"$root/batch_frontier/v2")
     // fresh-metastore simulation: external tables dropped from the
     // catalog (data stays under root); resume must re-register them
-    Seq("seen", "bands", "sets", "prints", "media_kept").foreach { s =>
+    Seq("seen", "bands", "sets", "prints", "media_kept",
+        "frontier").foreach { s =>
       spark.sql(s"DROP TABLE IF EXISTS t_res_${s}_e1")
     }
     // loop1 is gone; rebuild from root ALONE
     val loop2 = Crawl.Loop.resume(spark, codebook, emb, root,
-      tag = "t_res", template = docs.schema)
+      tag = "t_res", template = docs.schema, hostPriority = Some(prio))
     assert(loop2.nextBatchId == 2L,
       s"resume must continue at batch 2, got ${loop2.nextBatchId}")
-    loop2.ingest(batches(2), 2, Some(media(2)))
-    loop2.ingest(batches(3), 3, Some(media(3)))
+    loop2.ingest(batches(2), 2, Some(media(2)), Some(pages(2)))
+    loop2.ingest(batches(3), 3, Some(media(3)), Some(pages(3)))
     val fin = snap(loop2)
     assert(fin == ref, "resumed drive diverged from the uninterrupted drive")
     // at-least-once replay of a COMMITTED batch: skipped whole
-    loop2.ingest(batches(3), 3, Some(media(3)))
-    loop2.ingest(batches(1), 1, Some(media(1)))
+    loop2.ingest(batches(3), 3, Some(media(3)), Some(pages(3)))
+    loop2.ingest(batches(1), 1, Some(media(1)), Some(pages(1)))
     assert(snap(loop2) == ref, "replayed committed batch mutated state")
     // and the re-registered bucketed registry still serves the knockout
     // anti-join with no registry-side exchange (the resume must not cost
