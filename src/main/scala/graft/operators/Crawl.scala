@@ -859,6 +859,54 @@ object Crawl extends QueryPack {
     loop
   }
 
+  /** Per-host politeness schedule over the discovered URL set — the
+    * Mercator frontier discipline (Heydon & Najork 1999, "Mercator: a
+    * scalable, extensible web crawler"): a crawler may have at most one
+    * outstanding fetch per host, so each host's URLs form a FIFO queue
+    * and the scheduler interleaves across hosts by priority. `slot` is
+    * the URL's position in its host queue (wave w fetches every host's
+    * slot-w URL); `host_rank` orders hosts by the q169 quality mass
+    * (unknown hosts at 0), ties broken by host name — together they are
+    * the deterministic fetch order.
+    *
+    * Scale shape: the per-host queue is a window partitioned BY HOST —
+    * inherently sequential per host (that is the politeness constraint
+    * itself), parallel across hosts, with per-partition work bounded by
+    * the largest host's URL count. The cross-host ranking sorts only
+    * the HOST dimension (distinct hosts — dictionary-sized, like q149's
+    * vocab), never the URL set; the URL table itself is touched by one
+    * hash aggregate (distinct) and one host-keyed join. */
+  def politenessSchedule(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = LinkGraph.extractUrls(LinkGraph.pages(docs))
+      .select(LinkGraph.canonicalizeUrl(col("url")).as("canon_url"))
+      .filter(col("canon_url").isNotNull)
+      .select(col("canon_url"),
+        regexp_replace(regexp_extract(col("canon_url"),
+          "^[a-z0-9+.-]+://([^/?#]+)", 1), ":[0-9]+$", "").as("dst_host"))
+      .distinct()
+    val hosts = canon.select(col("dst_host")).distinct()
+      .join(NgramLm.hostQualityRollup(docs)
+        .select(col("dst_host"), col("s_sum")), Seq("dst_host"), "left")
+      .select(col("dst_host"),
+        coalesce(col("s_sum"), lit(0L)).as("priority"))
+    // (priority, host) is unique per host row, so dense_rank ≡
+    // row_number; ranked on ONE intentional task over the dictionary-
+    // sized host dim with the q20 constant-valued non-foldable
+    // partition key (SurrogateKeys' fast path) — never an unpartitioned
+    // window, never a sort of the URL set.
+    val ranked = hosts.repartitionByRange(1, col("priority").desc,
+        col("dst_host"))
+      .withColumn("host_rank", row_number().over(
+        Window.partitionBy(pmod(spark_partition_id(), lit(1)))
+          .orderBy(col("priority").desc, col("dst_host"))).cast("long"))
+    canon.join(ranked, "dst_host")
+      .select(col("canon_url"), col("dst_host"), col("priority"),
+        col("host_rank"),
+        row_number().over(Window.partitionBy(col("dst_host"))
+          .orderBy(col("canon_url"))).cast("long").as("slot"))
+  }
+
   def queries: Map[String, Q] = Map(
     // ---- the composed loop, end-to-end, final state oracled ----
     // 4 ascending crawl batches over the documents table; codebook =
@@ -1107,22 +1155,7 @@ object Crawl extends QueryPack {
           FROM links l JOIN scored s ON s.doc_id = l.src_doc
           GROUP BY 1
         ),
-        urls AS (
-          SELECT doc_id AS src_doc,
-                 CASE WHEN (i - 1) % ${graft.operators.LinkGraph.WwwEvery} = 0
-                      THEN concat('http://', ws[i],
-                                  '.example.com:8080/p', i - 1)
-                      ELSE concat('http://', ws[i], '.example.com/p', i - 1)
-                 END AS url,
-                 ws[i] || '.example.com' AS dst_host
-          FROM toks
-          WHERE (i - 1) % ${graft.operators.LinkGraph.LinkEvery} = 0
-          UNION ALL
-          SELECT d.doc_id, concat('http://', d2.source, '.example.com/next'),
-                 d2.source || '.example.com'
-          FROM documents d CROSS JOIN lg_n
-          JOIN documents d2 ON d2.doc_id = (d.doc_id + 1) % lg_n.n
-        ),
+        ${graft.operators.LinkGraph.urlsSql},
         hibnd AS (SELECT max(doc_id) + 1 AS hi FROM documents),
         firsts AS (
           SELECT url AS canon_url, any_value(dst_host) AS dst_host,
@@ -1141,6 +1174,45 @@ object Crawl extends QueryPack {
         "extraction + canonicalization + registry knockout + host-" +
         "quality priority, store-carried with the loop lifecycle; final " +
         "scheduled set oracled closed-form"),
+
+    // ---- Mercator politeness scheduling over the discovered URL set:
+    // per-host FIFO queue position (slot) + quality-ranked host order
+    // (host_rank) — the deterministic fetch plan a frontier executes
+    // one slot-wave at a time. Both windows are oracle-replayed; the
+    // URL/priority derivations are the SHARED q179 CTEs, so the
+    // schedule cannot drift from the frontier that feeds it. ----
+    "q182_politeness_schedule" -> Q(
+      (s, d) => politenessSchedule(T.documents(s, d)),
+      Some(s"""
+        WITH ${NgramLm.scoredMilliCtes},${graft.operators.LinkGraph.linksSql},
+        roll AS (
+          SELECT l.dst_host, CAST(sum(s.s_milli) AS BIGINT) AS s_sum
+          FROM links l JOIN scored s ON s.doc_id = l.src_doc
+          GROUP BY 1
+        ),
+        ${graft.operators.LinkGraph.urlsSql},
+        canon AS (SELECT DISTINCT url AS canon_url, dst_host FROM urls),
+        hosts AS (
+          SELECT h.dst_host, CAST(coalesce(r.s_sum, 0) AS BIGINT) AS priority
+          FROM (SELECT DISTINCT dst_host FROM canon) h
+          LEFT JOIN roll r ON h.dst_host = r.dst_host
+        ),
+        ranked AS (
+          SELECT dst_host, priority,
+                 CAST(dense_rank() OVER (ORDER BY priority DESC, dst_host)
+                   AS BIGINT) AS host_rank
+          FROM hosts
+        )
+        SELECT c.canon_url, c.dst_host, r.priority, r.host_rank,
+               CAST(row_number() OVER (PARTITION BY c.dst_host
+                                       ORDER BY c.canon_url) AS BIGINT)
+                 AS slot
+        FROM canon c JOIN ranked r ON c.dst_host = r.dst_host
+      """.stripMargin),
+      doc = "Mercator politeness schedule: per-host FIFO slot + " +
+        "quality-ranked host order over the canonicalized URL set; " +
+        "host queues window-partitioned by host, cross-host ranking " +
+        "sorts only the host dimension; both windows oracled"),
 
     // ---- TIME-TRAVEL state read (r13): reproducible corpus snapshots.
     // Drive all 4 batches, then reconstruct the state AS OF batch 2

@@ -110,6 +110,35 @@ object LinkGraph extends QueryPack {
       explode(expr("""regexp_extract_all(html, '(?i)href="([^"]+)"', 1)"""))
         .as("url"))
 
+  /** Anchor-CONTEXT index: the token immediately preceding each anchor,
+    * aggregated per normalized target host — the classic link-context
+    * signal of Craswell/Hawking/Robertson 2001 ("Effective site finding
+    * using link anchor information"): what the web SAYS about a host,
+    * harvested from the pages that link to it, is a stronger retrieval
+    * signal for the target than the target's own text, and the standard
+    * raw material for query–document training pairs. Map-only like
+    * [[extractLinks]] (one regexp pass over the markup, no shuffle
+    * until the (host, term) aggregate); the index is bounded by
+    * |hosts|·|vocab| — dictionary-sized, like q149's vocab table.
+    *
+    * The context term is the PLAIN word before the `<a`: an anchor at
+    * token 0 has none (no space before it), and a pagination anchor
+    * preceded by another anchor's `</a>` tail has none either — the
+    * `[a-z0-9]+` term class (the corpus token charset, asserted in
+    * LinkGraphSpec) rejects both, and the oracle encodes the same two
+    * exclusions from token positions alone. */
+  def anchorContext(pages: DataFrame): DataFrame =
+    pages.select(explode(expr(
+      """regexp_extract_all(html, '([a-z0-9]+) <a href="(?i)https?://([^/"]+)', 0)"""))
+      .as("m"))
+      .select(
+        regexp_extract(col("m"), "^([a-z0-9]+) ", 1).as("term"),
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(col("m"), "://([^/\"]+)$", 1)),
+          "^www\\.", ""), ":[0-9]+$", "").as("dst_host"))
+      .groupBy(col("dst_host"), col("term"))
+      .agg(count(lit(1)).as("n_links"))
+
   /** Distinct (src_host, dst_host) edges of the host graph: a document's
     * own host is `<source>.example.com`, its targets are the extracted
     * hosts; self-loops dropped. `srcDocPred` (over `src_doc`) restricts
@@ -397,6 +426,32 @@ object LinkGraph extends QueryPack {
           JOIN documents d2 ON d2.doc_id = (d.doc_id + 1) % lg_n.n
         )"""
 
+  /** Oracle: every href of the synthesized markup in CANONICAL form
+    * (plus its normalized host), derived from token positions + the
+    * pagination rule — the closed form of extractUrls∘canonicalizeUrl
+    * over [[pages]]. Requires [[linksSql]]'s `toks`/`lg_n` CTEs in
+    * scope. Package-private so the frontier (q179) and the politeness
+    * scheduler (q182) share ONE URL derivation — a change to the
+    * decoration or canonicalization rule cannot drift one oracle and
+    * not the other. */
+  private[operators] val urlsSql: String = s"""
+        urls AS (
+          SELECT doc_id AS src_doc,
+                 CASE WHEN (i - 1) % $WwwEvery = 0
+                      THEN concat('http://', ws[i],
+                                  '.example.com:8080/p', i - 1)
+                      ELSE concat('http://', ws[i], '.example.com/p', i - 1)
+                 END AS url,
+                 ws[i] || '.example.com' AS dst_host
+          FROM toks
+          WHERE (i - 1) % $LinkEvery = 0
+          UNION ALL
+          SELECT d.doc_id, concat('http://', d2.source, '.example.com/next'),
+                 d2.source || '.example.com'
+          FROM documents d CROSS JOIN lg_n
+          JOIN documents d2 ON d2.doc_id = (d.doc_id + 1) % lg_n.n
+        )"""
+
   /** Generated damped rounds over the host graph, per-source out-degree
     * (`r // od`), every integer expression CAST to BIGINT (DuckDB types
     * sum(BIGINT) as HUGEINT — the q153 r13 lesson). Steps from `<from>`
@@ -648,6 +703,35 @@ object LinkGraph extends QueryPack {
       doc = "Link extraction: regexp href harvest + host normalization " +
         "(case/www/port) over deterministic markup; oracle derives the " +
         "edge list independently of the round-trip"),
+
+    // Anchor-context index (Craswell et al. 2001): the plain token
+    // before each anchor, counted per normalized target host. The
+    // oracle derives every (host, term) pair from token positions —
+    // including the two no-context exclusions (anchor at token 0; a
+    // pagination anchor preceded by another anchor's </a> tail) — so a
+    // hash match proves the markup-side harvest extracts exactly the
+    // link-context set and nothing else.
+    "q181_anchor_context" -> Q(
+      (s, d) => anchorContext(pages(T.documents(s, d))),
+      Some(s"""
+        WITH $linksSql,
+        actx AS (
+          SELECT ws[i] || '.example.com' AS dst_host, ws[i - 1] AS term
+          FROM toks WHERE (i - 1) % $LinkEvery = 0 AND i >= 2
+          UNION ALL
+          SELECT d2.source || '.example.com' AS dst_host,
+                 dw.ws[len(dw.ws)] AS term
+          FROM doc_words dw CROSS JOIN lg_n
+          JOIN documents d2 ON d2.doc_id = (dw.doc_id + 1) % lg_n.n
+          WHERE (len(dw.ws) - 1) % $LinkEvery <> 0
+        )
+        SELECT dst_host, term, count(*) AS n_links
+        FROM actx GROUP BY 1, 2
+      """.stripMargin),
+      doc = "Anchor-context index: the word before each anchor " +
+        "aggregated per target host (the Craswell 2001 site-finding " +
+        "signal / query-doc training-pair source); map-only harvest, " +
+        "dictionary-bounded index, exclusions oracled from positions"),
 
     // Exact-integer PageRank over the extracted HOST graph — stringly
     // nodes, variable out-degree, content-frequency skew. Full rank

@@ -136,12 +136,136 @@ object NgramLm extends QueryPack {
     * engines. Docs with < 3 tokens score no trigram context and drop
     * out — they carry no LM evidence either way. */
   def docScoresMilli(docs: DataFrame): DataFrame =
-    scoredTokens(baseDocs(docs), docs)
+    docScoresMilliUnder(baseDocs(docs), docs)
+
+  /** [[docScoresMilli]] under an arbitrary training slice — the shared
+    * form q184 uses to score the same target under TWO models. */
+  def docScoresMilliUnder(train: DataFrame, target: DataFrame): DataFrame =
+    scoredTokens(train, target)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_scored"),
         round(avg(log2(col("s"))), 3).as("avg_log2s"))
       .select(col("doc_id"), col("n_scored"),
         round(col("avg_log2s") * lit(1000), 0).cast("long").as("s_milli"))
+
+  /** Fixed-point scale for the Kneser–Ney chain: probabilities ride as
+    * integers p ≈ P·2³⁰, every stage ends in a floor division, so both
+    * engines replay the arithmetic bit-for-bit (the q153 rule applied
+    * to smoothing). Overflow bound (documented like the PageRank
+    * header's): the largest products are 4·c₃·2³⁰ and 3·N1+·p₂ with
+    * p₂ < 2³¹, so signed-64 holds while no single trigram count or
+    * per-context continuation fan-out exceeds ~2³⁰ (≈10⁹) — far above
+    * any real corpus' single-n-gram ceiling; a production run picks the
+    * scale per corpus the way q164 picks its HITS shift. */
+  val KnScale: Long = 1L << 30
+
+  /** Interpolated Kneser–Ney trigram scores (Kneser & Ney 1995, the
+    * Chen & Goodman 1999 interpolated form with fixed discount d =
+    * 3/4) — the smoothing the CCNet/KenLM perplexity filters actually
+    * ship, next to q162's stupid backoff:
+    *
+    *   P(w₃|w₁w₂) = max(c₃−d,0)/c₂ + d·N1+(w₁w₂·)/c₂ · P(w₃|w₂)
+    *   P(w₃|w₂)  = max(N1+(·w₂w₃)−d,0)/N1+(·w₂·)
+    *               + d·N1+(w₂·)/N1+(·w₂·) · Pcont(w₃)
+    *   Pcont(w₃) = N1+(·w₃) / |distinct bigrams|
+    *
+    * computed entirely in [[KnScale]] fixed point with d = 3/4 carried
+    * as ×4 integer arithmetic (max(4c−3,0) etc.), each stage floor-
+    * divided — deterministic, hash-oracle-able, no float smoothing
+    * drift. An unseen context falls through to the next level (lvl =
+    * full/mid/cont records which fired); the final score floors at 1
+    * scaled unit so log₂ is always defined (the add-1 analogue of
+    * q162's unigram floor). Scale shape = q162's exactly: count/
+    * continuation tables are map-side-combined aggregates, scoring is
+    * per-doc window lags + SEVEN hash joins against count-sharded
+    * tables (Brants' architecture — count sharding ≡ hash join), one
+    * broadcast scalar row (|bigrams|). */
+  def knScoredTokens(train: DataFrame, target: DataFrame): DataFrame = {
+    val trc = withCtx(toks(train))
+    val bi = trc.filter(col("w2").isNotNull)
+      .groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("c2"))
+    val tri = trc.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    // tri rows are distinct trigram TYPES, so row counts per key are
+    // the N1+ continuation counts — no extra distinct pass needed
+    val ctx3 = tri.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n1p3"))
+    val kn23 = tri.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("ckn"))
+    val kn2 = tri.groupBy(col("w2")).agg(count(lit(1)).as("cknsum"))
+    val knmid = kn23.groupBy(col("w2")).agg(count(lit(1)).as("n1pmid"))
+    val pcj = bi.groupBy(col("w3")).agg(count(lit(1)).as("n1pc"))
+    val nb = bi.agg(count(lit(1)).as("nbig"))
+    withCtx(toks(target)).filter(col("w1").isNotNull)
+      .join(bi.select(col("w2").as("w1"), col("w3").as("w2"),
+        col("c2").as("c2ctx")), Seq("w1", "w2"), "left")
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(ctx3, Seq("w1", "w2"), "left")
+      .join(kn23, Seq("w2", "w3"), "left")
+      .join(kn2, Seq("w2"), "left")
+      .join(knmid, Seq("w2"), "left")
+      .join(pcj, Seq("w3"), "left")
+      .crossJoin(broadcast(nb))
+      .withColumn("pc",
+        expr(s"greatest((coalesce(n1pc, 0L) * ${KnScale}L) div nbig, 1L)"))
+      .withColumn("p2", expr(
+        s"""CASE WHEN cknsum IS NOT NULL THEN
+              (greatest(4L * coalesce(ckn, 0L) - 3L, 0L) * ${KnScale}L)
+                div (4L * cknsum)
+              + (3L * coalesce(n1pmid, 0L) * pc) div (4L * cknsum)
+            ELSE pc END"""))
+      .select(col("doc_id"),
+        when(col("c2ctx").isNotNull, lit("full"))
+          .when(col("cknsum").isNotNull, lit("mid"))
+          .otherwise(lit("cont")).as("lvl"),
+        expr(
+          s"""greatest(CASE WHEN c2ctx IS NOT NULL THEN
+                (greatest(4L * coalesce(c3, 0L) - 3L, 0L) * ${KnScale}L)
+                  div (4L * c2ctx)
+                + (3L * coalesce(n1p3, 0L) * p2) div (4L * c2ctx)
+              ELSE p2 END, 1L)""").as("p"))
+  }
+
+  /** Held-out evaluation under the KN-smoothed model: per doc, token
+    * count, per-level counts (which smoothing level fired), the exact
+    * integer score sum, and the 3 dp mean log2 — the q162 report shape
+    * with the scores KN-smoothed. */
+  def knDocScores(docs: DataFrame): DataFrame = {
+    val test = docs.filter(pmod(col("doc_id"),
+      lit(Graph.BatchMod.toLong)) === 0L)
+    knScoredTokens(baseDocs(docs), test)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("lvl") === "full", 1L).otherwise(0L)).as("n_full"),
+        sum(when(col("lvl") === "mid", 1L).otherwise(0L)).as("n_mid"),
+        sum(when(col("lvl") === "cont", 1L).otherwise(0L)).as("n_cont"),
+        sum(col("p")).as("p_sum"),
+        round(avg(log2(col("p").cast("double") / lit(KnScale.toDouble))), 3)
+          .as("avg_log2p"))
+  }
+
+  /** The q184 in-domain slice: `lang = 'en'` is the corpus' majority
+    * language — a real, content-defined domain, not a hash split. */
+  val InDomainLang = "en"
+
+  /** Moore–Lewis intelligent selection (Moore & Lewis 2010, "Intelligent
+    * selection of language model training data"): score every document
+    * under an IN-DOMAIN LM and a GENERAL LM, keep those the in-domain
+    * model finds strictly more probable — the cross-entropy-difference
+    * filter every domain-adaptation pipeline runs before training. Both
+    * scores are the exact milli-log2 integers of q168, so the kept SET
+    * is bit-stable (margin > 0 is an integer comparison, never a float
+    * sum race). Cost = two q168 scoring passes sharing one target
+    * tokenization; the doc_id join is the only extra shuffle. */
+  def mooreLewisSelect(docs: DataFrame): DataFrame = {
+    val gen = docScoresMilli(docs)
+      .select(col("doc_id"), col("s_milli").as("s_gen"))
+    val ind = docScoresMilliUnder(
+      baseDocs(docs).filter(col("lang") === InDomainLang), docs)
+      .select(col("doc_id"), col("s_milli").as("s_ind"))
+    ind.join(gen, "doc_id")
+      .filter(col("s_ind") > col("s_gen"))
+      .select(col("doc_id"), col("s_ind"), col("s_gen"),
+        (col("s_ind") - col("s_gen")).as("margin"))
+  }
 
   /** CCNet-style perplexity gate (Wenzek et al. 2020 run corpora
     * through a KenLM and keep the low-perplexity slice): keep documents
@@ -178,45 +302,55 @@ object NgramLm extends QueryPack {
         count_distinct(col("src_doc")).as("n_docs"),
         sum(col("s_milli")).as("s_sum"))
 
+  /** Shared tokenization + count-table CTEs: training tables
+    * uni/bi/tri/nv over `trainPred` docs and the target token stream
+    * `tec` over `targetPred` docs. Every CTE name carries prefix `p`
+    * so two differently-trained models can coexist in one oracle
+    * (q184 contrasts an in-domain and a general LM). */
+  private def countCtes(trainPred: String, targetPred: String,
+                        p: String): String = s"""
+        ${p}base AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+        ),
+        ${p}trtok AS (
+          SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+          FROM ${p}base WHERE $trainPred
+        ),
+        ${p}trw AS (SELECT doc_id, i, ws[i] AS w FROM ${p}trtok),
+        ${p}trc AS (
+          SELECT doc_id, i,
+                 lag(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w1,
+                 lag(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2,
+                 w AS w3
+          FROM ${p}trw
+        ),
+        ${p}uni AS (SELECT w, count(*) AS c1 FROM ${p}trw GROUP BY 1),
+        ${p}bi AS (SELECT w2, w3, count(*) AS c2 FROM ${p}trc
+               WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        ${p}tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM ${p}trc
+                WHERE w1 IS NOT NULL GROUP BY 1, 2, 3),
+        ${p}nv AS (SELECT (SELECT count(*) FROM ${p}trw) AS n,
+                      (SELECT count(DISTINCT w) FROM ${p}trw) AS v),
+        ${p}tetok AS (
+          SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+          FROM ${p}base WHERE $targetPred
+        ),
+        ${p}tew AS (SELECT doc_id, i, ws[i] AS w FROM ${p}tetok),
+        ${p}tec AS (
+          SELECT doc_id, i,
+                 lag(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w1,
+                 lag(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2,
+                 w AS w3
+          FROM ${p}tew
+        )"""
+
   /** Shared oracle CTE chain: count tables over `trainPred` docs,
     * per-token backoff scores for `targetPred` docs, ending in
-    * `sc(doc_id, lvl, s)` — the SQL twin of [[scoredTokens]]. */
-  private def backoffCtes(trainPred: String, targetPred: String): String = s"""
-        base AS (
-          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        ),
-        trtok AS (
-          SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
-          FROM base WHERE $trainPred
-        ),
-        trw AS (SELECT doc_id, i, ws[i] AS w FROM trtok),
-        trc AS (
-          SELECT doc_id, i,
-                 lag(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w1,
-                 lag(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2,
-                 w AS w3
-          FROM trw
-        ),
-        uni AS (SELECT w, count(*) AS c1 FROM trw GROUP BY 1),
-        bi AS (SELECT w2, w3, count(*) AS c2 FROM trc
-               WHERE w2 IS NOT NULL GROUP BY 1, 2),
-        tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM trc
-                WHERE w1 IS NOT NULL GROUP BY 1, 2, 3),
-        nv AS (SELECT (SELECT count(*) FROM trw) AS n,
-                      (SELECT count(DISTINCT w) FROM trw) AS v),
-        tetok AS (
-          SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
-          FROM base WHERE $targetPred
-        ),
-        tew AS (SELECT doc_id, i, ws[i] AS w FROM tetok),
-        tec AS (
-          SELECT doc_id, i,
-                 lag(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w1,
-                 lag(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2,
-                 w AS w3
-          FROM tew
-        ),
-        sc AS (
+    * `<p>sc(doc_id, lvl, s)` — the SQL twin of [[scoredTokens]]. */
+  private def backoffCtes(trainPred: String, targetPred: String,
+                          p: String = ""): String =
+    s"""${countCtes(trainPred, targetPred, p)},
+        ${p}sc AS (
           SELECT t.doc_id,
                  CASE WHEN tri.c3 IS NOT NULL THEN 'tri'
                       WHEN bi2.c2 IS NOT NULL THEN 'bi'
@@ -227,28 +361,86 @@ object NgramLm extends QueryPack {
                         THEN $Alpha * CAST(bi2.c2 AS DOUBLE) / u2.c1
                       ELSE 0.16 * (COALESCE(u3.c1, 0) + 1)
                            / CAST(nv.n + nv.v AS DOUBLE) END AS s
-          FROM (SELECT * FROM tec WHERE w1 IS NOT NULL) t
-          LEFT JOIN tri ON tri.w1 = t.w1 AND tri.w2 = t.w2 AND tri.w3 = t.w3
-          LEFT JOIN bi ctx ON ctx.w2 = t.w1 AND ctx.w3 = t.w2
-          LEFT JOIN bi bi2 ON bi2.w2 = t.w2 AND bi2.w3 = t.w3
-          LEFT JOIN uni u2 ON u2.w = t.w2
-          LEFT JOIN uni u3 ON u3.w = t.w3
-          CROSS JOIN nv
+          FROM (SELECT * FROM ${p}tec WHERE w1 IS NOT NULL) t
+          LEFT JOIN ${p}tri tri
+            ON tri.w1 = t.w1 AND tri.w2 = t.w2 AND tri.w3 = t.w3
+          LEFT JOIN ${p}bi ctx ON ctx.w2 = t.w1 AND ctx.w3 = t.w2
+          LEFT JOIN ${p}bi bi2 ON bi2.w2 = t.w2 AND bi2.w3 = t.w3
+          LEFT JOIN ${p}uni u2 ON u2.w = t.w2
+          LEFT JOIN ${p}uni u3 ON u3.w = t.w3
+          CROSS JOIN ${p}nv nv
         )"""
 
   private val trainPred = s"doc_id % ${Graph.BatchMod} <> 0"
+
+  /** Oracle CTE for the per-doc milli-log2 score of the whole corpus
+    * under a model trained on `train` docs, CTE names prefixed `p` —
+    * ends in `<p>scored(doc_id, n_scored, s_milli)`. */
+  private def scoredMilliCtesUnder(p: String, train: String): String =
+    s"""${backoffCtes(train, "TRUE", p)},
+        ${p}scored AS (
+          SELECT doc_id, count(*) AS n_scored,
+                 CAST(round(round(avg(log2(s)), 3) * 1000, 0) AS BIGINT)
+                   AS s_milli
+          FROM ${p}sc GROUP BY 1
+        )"""
 
   /** Oracle CTE for the per-doc milli-log2 score of the whole corpus:
     * appends the q168/q169 quantization to the shared chain. Package-
     * private: q179's frontier oracle (Crawl) reuses it for the priority
     * feed, so the feed's oracle cannot drift from q169's. */
   private[operators] def scoredMilliCtes: String =
-    s"""${backoffCtes(trainPred, "TRUE")},
-        scored AS (
-          SELECT doc_id, count(*) AS n_scored,
-                 CAST(round(round(avg(log2(s)), 3) * 1000, 0) AS BIGINT)
-                   AS s_milli
-          FROM sc GROUP BY 1
+    scoredMilliCtesUnder("", trainPred)
+
+  /** Oracle CTE chain for the Kneser–Ney scores, ending in
+    * `knsc(doc_id, lvl, p)` — the SQL twin of [[knScoredTokens]],
+    * staged exactly like the Spark side (pc → p2 → p) so every floor
+    * division replays in the same order. */
+  private def knCtes(trainP: String, targetP: String): String =
+    s"""${countCtes(trainP, targetP, "")},
+        ctx3 AS (SELECT w1, w2, count(*) AS n1p3 FROM tri GROUP BY 1, 2),
+        kn23 AS (SELECT w2, w3, count(*) AS ckn FROM tri GROUP BY 1, 2),
+        kn2 AS (SELECT w2, count(*) AS cknsum FROM tri GROUP BY 1),
+        knmid AS (SELECT w2, count(*) AS n1pmid FROM kn23 GROUP BY 1),
+        pcj AS (SELECT w3, count(*) AS n1pc FROM bi GROUP BY 1),
+        nb AS (SELECT count(*) AS nbig FROM bi),
+        knj AS (
+          SELECT t.doc_id, ctx.c2 AS c2ctx, tri.c3, c3t.n1p3,
+                 k23.ckn, k2.cknsum, km.n1pmid, pj.n1pc, nb.nbig
+          FROM (SELECT * FROM tec WHERE w1 IS NOT NULL) t
+          LEFT JOIN bi ctx ON ctx.w2 = t.w1 AND ctx.w3 = t.w2
+          LEFT JOIN tri ON tri.w1 = t.w1 AND tri.w2 = t.w2 AND tri.w3 = t.w3
+          LEFT JOIN ctx3 c3t ON c3t.w1 = t.w1 AND c3t.w2 = t.w2
+          LEFT JOIN kn23 k23 ON k23.w2 = t.w2 AND k23.w3 = t.w3
+          LEFT JOIN kn2 k2 ON k2.w2 = t.w2
+          LEFT JOIN knmid km ON km.w2 = t.w2
+          LEFT JOIN pcj pj ON pj.w3 = t.w3
+          CROSS JOIN nb
+        ),
+        knpc AS (
+          SELECT *, greatest((coalesce(n1pc, 0) * $KnScale) // nbig, 1) AS pc
+          FROM knj
+        ),
+        knp2 AS (
+          SELECT *,
+                 CASE WHEN cknsum IS NOT NULL THEN
+                   (greatest(4 * coalesce(ckn, 0) - 3, 0) * $KnScale)
+                     // (4 * cknsum)
+                   + (3 * coalesce(n1pmid, 0) * pc) // (4 * cknsum)
+                 ELSE pc END AS p2
+          FROM knpc
+        ),
+        knsc AS (
+          SELECT doc_id,
+                 CASE WHEN c2ctx IS NOT NULL THEN 'full'
+                      WHEN cknsum IS NOT NULL THEN 'mid'
+                      ELSE 'cont' END AS lvl,
+                 CAST(greatest(CASE WHEN c2ctx IS NOT NULL THEN
+                   (greatest(4 * coalesce(c3, 0) - 3, 0) * $KnScale)
+                     // (4 * c2ctx)
+                   + (3 * coalesce(n1p3, 0) * p2) // (4 * c2ctx)
+                 ELSE p2 END, 1) AS BIGINT) AS p
+          FROM knp2
         )"""
 
   def queries: Map[String, Q] = Map(
@@ -310,6 +502,52 @@ object NgramLm extends QueryPack {
       doc = "Host quality rollup: LM milli-log2 page scores joined onto " +
         "the extracted link occurrences and aggregated per target host " +
         "— the frontier-scheduler seed-quality signal; counts + integer " +
-        "quality mass oracled")
+        "quality mass oracled"),
+
+    // Interpolated Kneser–Ney in 2^30 fixed point: the CCNet/KenLM
+    // smoothing next to q162's stupid backoff, every discount and
+    // interpolation stage an exact floor division — per-level counts
+    // oracle the smoothing's CONTROL FLOW, the integer score sum and
+    // 3dp mean log2 oracle its arithmetic, bit-for-bit.
+    "q183_kneser_ney" -> Q(
+      (s, d) => knDocScores(T.documents(s, d)),
+      Some(s"""
+        WITH ${knCtes(trainPred, s"doc_id % ${Graph.BatchMod} = 0")}
+        SELECT doc_id, count(*) AS n_scored,
+               CAST(sum(CASE WHEN lvl = 'full' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_full,
+               CAST(sum(CASE WHEN lvl = 'mid' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_mid,
+               CAST(sum(CASE WHEN lvl = 'cont' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_cont,
+               CAST(sum(p) AS BIGINT) AS p_sum,
+               round(avg(log2(CAST(p AS DOUBLE) / $KnScale)), 3) AS avg_log2p
+        FROM knsc GROUP BY 1
+      """.stripMargin),
+      doc = "Interpolated Kneser-Ney trigram LM (Kneser & Ney 1995; " +
+        "Chen & Goodman 1999) in exact 2^30 fixed point, d=3/4 as x4 " +
+        "integer arithmetic: held-out docs scored through the full/mid/" +
+        "cont interpolation chain; level counts + integer score sum + " +
+        "3dp mean log2 all oracled"),
+
+    // Moore-Lewis intelligent selection: in-domain (lang='en') vs
+    // general LM, integer milli-log2 margin, kept set = strictly
+    // positive margin — the cross-entropy-difference data-selection
+    // filter, bit-stable because both scores are q168's exact integers.
+    "q184_moore_lewis" -> Q(
+      (s, d) => mooreLewisSelect(T.documents(s, d)),
+      Some(s"""
+        WITH $scoredMilliCtes,
+        ${scoredMilliCtesUnder("ind",
+          s"$trainPred AND lang = '$InDomainLang'")}
+        SELECT g.doc_id, i.s_milli AS s_ind, g.s_milli AS s_gen,
+               CAST(i.s_milli - g.s_milli AS BIGINT) AS margin
+        FROM scored g JOIN indscored i ON i.doc_id = g.doc_id
+        WHERE i.s_milli > g.s_milli
+      """.stripMargin),
+      doc = "Moore-Lewis data selection (Moore & Lewis 2010): every doc " +
+        "scored under an in-domain (lang=en) and a general trigram LM, " +
+        "kept iff the integer milli-log2 margin is strictly positive — " +
+        "the cross-entropy-difference filter with a bit-stable kept set")
   )
 }

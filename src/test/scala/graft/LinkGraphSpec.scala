@@ -284,4 +284,53 @@ class LinkGraphSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(got == r)
   }
+
+  test("corpus tokens are [a-z0-9]+ — the anchor-context term charset assumption") {
+    // q181's context regex classes the preceding token as [a-z0-9]+ so
+    // an anchor's </a> tail can never masquerade as a term; that is
+    // sound only while corpus tokens stay in that charset.
+    val bad = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(!$"w".rlike("^[a-z0-9]+$")).count()
+    assert(bad == 0L)
+  }
+
+  test("anchor context: token-0 and anchor-preceded pagination anchors have no context; others harvest the preceding word") {
+    // doc 0: 8 tokens → anchors at 0 (no context) and 7 (context eta);
+    //   last token IS the anchor at 7, so doc 0's pagination anchor is
+    //   preceded by '</a>' and harvests NO context.
+    // doc 1: 9 tokens → anchors at 0 (no context) and 7 (context
+    //   seven); last token 'nine' is plain, so the pagination anchor
+    //   (→ successor doc 0's host) harvests 'nine'.
+    val docs = Seq(
+      (0L, "s0", "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "s1", "one two three four five six seven eight nine")
+    ).toDF("doc_id", "source", "text")
+    val got = LinkGraph.anchorContext(LinkGraph.pages(docs))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("theta.example.com", "eta", 1L),
+      ("eight.example.com", "seven", 1L),
+      ("s0.example.com", "nine", 1L)))
+  }
+
+  test("politeness schedule: per-host slots are a contiguous 1..k queue, host ranks are the (priority desc, host) order") {
+    val docs = Tables.documents(spark, sf)
+    val rows = graft.operators.Crawl.politenessSchedule(docs)
+      .as[(String, String, Long, Long, Long)].collect()
+    // (canon_url, dst_host, priority, host_rank, slot)
+    val byHost = rows.groupBy(_._2)
+    byHost.foreach { case (h, rs) =>
+      assert(rs.map(_._5).sorted.sameElements(1L to rs.size.toLong),
+        s"host $h slots not a contiguous FIFO queue")
+      assert(rs.map(_._4).distinct.length == 1, s"host $h rank not constant")
+      // slot order follows the canonical URL order (FIFO determinism)
+      assert(rs.sortBy(_._5).map(_._1).sameElements(rs.map(_._1).sorted),
+        s"host $h queue order is not the canon_url order")
+    }
+    val hosts = byHost.map { case (h, rs) => (rs.head._3, h, rs.head._4) }
+    val wantOrder = hosts.toSeq.sortBy { case (p, h, _) => (-p, h) }
+    assert(wantOrder.map(_._3).sameElements(1L to hosts.size.toLong),
+      "host_rank is not the (priority desc, host asc) dense order")
+  }
 }

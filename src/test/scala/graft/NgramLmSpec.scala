@@ -87,4 +87,121 @@ class NgramLmSpec extends SparkSpec {
     assert(got.values.map(_._2).sum > 0, "no trigram hits")
     assert(got.values.map(_._3).sum > 0, "backoff never fired")
   }
+
+  /** The q183 fixed-point Kneser–Ney chain in plain Scala — every floor
+    * division in the same order as the Spark/DuckDB twins, so integer
+    * fields must match EXACTLY. Returns per doc (n, nFull, nMid, nCont,
+    * pSum, mean log2(p/S) unrounded). */
+  private def knReplay(train: Seq[Seq[String]], test: Seq[(Long, Seq[String])])
+      : Map[Long, (Long, Long, Long, Long, Long, Double)] = {
+    val S = NgramLm.KnScale
+    def grams(ws: Seq[String], n: Int): Seq[Seq[String]] =
+      if (ws.length < n) Nil else ws.sliding(n).toSeq
+    val bi = train.flatMap(grams(_, 2)).groupBy(identity)
+      .map { case (g, o) => (g(0), g(1)) -> o.size.toLong }
+    val tri = train.flatMap(grams(_, 3)).groupBy(identity)
+      .map { case (g, o) => (g(0), g(1), g(2)) -> o.size.toLong }
+    val ctx3 = tri.keys.groupBy(t => (t._1, t._2)).map { case (k, g) => k -> g.size.toLong }
+    val kn23 = tri.keys.groupBy(t => (t._2, t._3)).map { case (k, g) => k -> g.size.toLong }
+    val kn2 = tri.keys.groupBy(_._2).map { case (k, g) => k -> g.size.toLong }
+    val knmid = kn23.keys.groupBy(_._1).map { case (k, g) => k -> g.size.toLong }
+    val pcj = bi.keys.groupBy(_._2).map { case (k, g) => k -> g.size.toLong }
+    val nbig = bi.size.toLong
+    test.map { case (id, ws) =>
+      val scored = grams(ws, 3).map { g =>
+        val (w1, w2, w3) = (g(0), g(1), g(2))
+        val pc = math.max(pcj.getOrElse(w3, 0L) * S / nbig, 1L)
+        val p2 = kn2.get(w2) match {
+          case Some(cknsum) =>
+            math.max(4L * kn23.getOrElse((w2, w3), 0L) - 3L, 0L) * S / (4L * cknsum) +
+              3L * knmid.getOrElse(w2, 0L) * pc / (4L * cknsum)
+          case None => pc
+        }
+        val (lvl, p3) = bi.get((w1, w2)) match {
+          case Some(c2) =>
+            ("full",
+              math.max(4L * tri.getOrElse((w1, w2, w3), 0L) - 3L, 0L) * S / (4L * c2) +
+                3L * ctx3.getOrElse((w1, w2), 0L) * p2 / (4L * c2))
+          case None => (if (kn2.contains(w2)) "mid" else "cont", p2)
+        }
+        (lvl, math.max(p3, 1L))
+      }
+      val lg = scored.map(s => math.log(s._2.toDouble / S) / math.log(2.0))
+      id -> (scored.size.toLong,
+        scored.count(_._1 == "full").toLong,
+        scored.count(_._1 == "mid").toLong,
+        scored.count(_._1 == "cont").toLong,
+        scored.map(_._2).sum,
+        lg.sum / lg.size)
+    }.toMap
+  }
+
+  private def knCollect(df: DataFrame): Map[Long, (Long, Long, Long, Long, Long, Double)] =
+    df.as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6, t._7))).toMap
+
+  test("Kneser-Ney hand corpus reaches full, mid, and cont levels with exact integer scores") {
+    val docs = Seq(
+      (1L, "a b c a b c a b d"),
+      (2L, "b c a"),
+      (10L, "a b c x q q a b") // (a,b,·)=full, (q,a,b)=mid via middle-a
+                               // trigrams, (c,x,·)/(x,q,·)/(q,q,·)=cont
+    ).toDF("doc_id", "text")
+    val got = knCollect(NgramLm.knDocScores(docs))
+    val want = knReplay(
+      Seq("a b c a b c a b d".split(" ").toSeq, "b c a".split(" ").toSeq),
+      Seq((10L, "a b c x q q a b".split(" ").toSeq)))
+    assert(got.keySet == want.keySet)
+    val (gn, gf, gm, gc, gp, ga) = got(10L)
+    val (wn, wf, wm, wc, wp, wa) = want(10L)
+    assert((gn, gf, gm, gc, gp) == ((wn, wf, wm, wc, wp)))
+    assert(gf > 0 && gm > 0 && gc > 0,
+      "hand corpus must light every interpolation level")
+    assert(math.abs(ga - wa) < 6e-4)
+  }
+
+  test("sf corpus: KN integer fields equal the driver-side replay exactly") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val want = knReplay(
+      docs.filter(_._1 % 10 != 0).map(_._2.split(" ").toSeq).toSeq,
+      docs.filter(_._1 % 10 == 0)
+        .map { case (id, t) => (id, t.split(" ").toSeq) }.toSeq)
+    val got = knCollect(NgramLm.knDocScores(Tables.documents(spark, sf)))
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (n, f, m, c, p, a)) =>
+      val (wn, wf, wm, wc, wp, wa) = want(id)
+      assert((n, f, m, c, p) == ((wn, wf, wm, wc, wp)), s"doc $id KN fields")
+      assert(math.abs(a - wa) < 6e-4, s"doc $id avg_log2p $a vs $wa")
+    }
+    assert(got.values.map(_._2).sum > 0, "no full-level hits")
+  }
+
+  test("Moore-Lewis selects exactly the positive-margin set and favors the in-domain language") {
+    val docs = Tables.documents(spark, sf)
+    val gen = NgramLm.docScoresMilli(docs)
+      .select($"doc_id", $"s_milli").as[(Long, Long)].collect().toMap
+    val ind = NgramLm.docScoresMilliUnder(
+      docs.filter($"doc_id" % 10 =!= 0 && $"lang" === NgramLm.InDomainLang),
+      docs).select($"doc_id", $"s_milli").as[(Long, Long)].collect().toMap
+    val got = NgramLm.mooreLewisSelect(docs)
+      .as[(Long, Long, Long, Long)].collect()
+    val wantKept = gen.keySet.filter(id => ind(id) > gen(id))
+    assert(got.map(_._1).toSet == wantKept)
+    got.foreach { case (id, si, sg, m) =>
+      assert(si == ind(id) && sg == gen(id) && m == si - sg && m > 0)
+    }
+    // the semantic point: in-domain docs must carry a higher mean
+    // margin than out-of-domain docs (else the contrast is vacuous)
+    val langOf = docs.select($"doc_id", $"lang").as[(Long, String)]
+      .collect().toMap
+    def meanMargin(p: Long => Boolean): Double = {
+      val ms = gen.keys.toSeq.filter(p).map(id => (ind(id) - gen(id)).toDouble)
+      ms.sum / ms.size
+    }
+    val inM = meanMargin(id => langOf(id) == NgramLm.InDomainLang)
+    val outM = meanMargin(id => langOf(id) != NgramLm.InDomainLang)
+    assert(inM > outM,
+      s"in-domain mean margin $inM not above out-of-domain $outM")
+  }
 }
