@@ -453,17 +453,21 @@ object Graph extends QueryPack {
     val nodes = e.select(col("src").as("node")).distinct()
     val d0 = nodes.select(col("node"),
       when(pmod(col("node"), lit(200L)) === 0L, lit(0L)).as("cost"))
-    val dN = (1 to BfsRounds).foldLeft(d0) { (d, _) =>
+    val dN = (1 to BfsRounds).foldLeft(d0) { (d, i) =>
       val nb = e.join(
           d.filter(col("cost").isNotNull).withColumnRenamed("node", "src"),
           "src")
         .groupBy(col("dst")).agg(min(col("cost") + col("w")).as("nc"))
-      d.join(nb, d("node") === nb("dst"), "left")
+      // stride-2 node-sized vector checkpoint — the bfsLoop rule: two
+      // differing consumers of `d` per round defeat exchange reuse and
+      // double the lazy plan per round
+      val next = d.join(nb, d("node") === nb("dst"), "left")
         .select(d("node"),
           when(col("cost").isNull, col("nc"))
             .when(col("nc").isNull, col("cost"))
             .when(col("nc") < col("cost"), col("nc"))
             .otherwise(col("cost")).as("cost"))
+      if (i % 2 == 0 && i < BfsRounds) next.localCheckpoint() else next
     }
     dN.filter(col("cost").isNotNull)
   }
@@ -589,17 +593,27 @@ object Graph extends QueryPack {
     * (src, dst) edge table and a seeded (node, dist) frame — dist 0 at
     * seeds, NULL elsewhere. Exposed for hand-graph property tests. */
   def bfsLoop(e: DataFrame, d0: DataFrame, rounds: Int): DataFrame =
-    (1 to rounds).foldLeft(d0) { (d, _) =>
+    (1 to rounds).foldLeft(d0) { (d, i) =>
       val nb = e.join(
           d.filter(col("dist").isNotNull).withColumnRenamed("node", "src"),
           "src")
         .groupBy(col("dst")).agg((min(col("dist")) + lit(1L)).as("nd"))
-      d.join(nb, d("node") === nb("dst"), "left")
+      // checkpoint the NODE-SIZED vector every SECOND round: `d` has
+      // two consumers per round (the filtered frontier side and the
+      // outer merge side) whose subplans differ, so exchange reuse
+      // cannot dedupe them — left fully lazy, the plan DOUBLES per
+      // round (measured min-of-4: q180 3.87 s → 1.75 s at 6 rounds). A
+      // stride-2 checkpoint bounds each lazy segment at 4× of a
+      // materialized base (linear overall) at half the job overhead —
+      // the overhead matters on dictionary-sized graphs (q167's replay
+      // showed per-round jobs costing more than they saved).
+      val next = d.join(nb, d("node") === nb("dst"), "left")
         .select(d("node"),
           when(col("dist").isNull, col("nd"))
             .when(col("nd").isNull, col("dist"))
             .when(col("nd") < col("dist"), col("nd"))
             .otherwise(col("dist")).as("dist"))
+      if (i % 2 == 0 && i < rounds) next.localCheckpoint() else next
     }
 
   /** Generated BFS relaxation rounds — the SQL twin of [[bfsReach]]'s

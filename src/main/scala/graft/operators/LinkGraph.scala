@@ -295,7 +295,7 @@ object LinkGraph extends QueryPack {
     * SYMMETRIZED (src, dst) edge table and an initial (node, label)
     * frame. Exposed for hand-graph property tests. */
   def lpaLoop(sym: DataFrame, l0: DataFrame, rounds: Int): DataFrame =
-    (1 to rounds).foldLeft(l0) { (lab, _) =>
+    (1 to rounds).foldLeft(l0) { (lab, i) =>
       val votes = sym
         .join(lab.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
@@ -303,9 +303,17 @@ object LinkGraph extends QueryPack {
         .agg(min(struct((col("c") * lit(-1L)).as("nc"),
           col("label").as("l"))).as("m"))
         .select(col("dst"), col("m.l").as("vote"))
-      lab.join(pick, lab("node") === pick("dst"), "left")
+      // node-sized label-vector checkpoint every SECOND round — the
+      // bfsLoop rule (Graph.scala): `lab` has two differing consumers
+      // per round (vote side, merge side), so lazy the plan doubles per
+      // round; a stride-2 checkpoint bounds each lazy segment at 4× of
+      // a materialized base (still linear) at half the job overhead,
+      // which matters on dictionary-sized graphs where the per-round
+      // job launch outweighs the re-execution it saves.
+      val next = lab.join(pick, lab("node") === pick("dst"), "left")
         .select(lab("node"),
           coalesce(col("vote"), lab("label")).as("label"))
+      if (i % 2 == 0 && i < rounds) next.localCheckpoint() else next
     }
 
   /** RFC 3986 §6.2.2 percent-encoding normalization, pure expressions:
