@@ -139,6 +139,43 @@ object LinkGraph extends QueryPack {
       .groupBy(col("dst_host"), col("term"))
       .agg(count(lit(1)).as("n_links"))
 
+  /** Site finding via anchor text — the Craswell/Hawking/Robertson
+    * 2001 result operationalized: anchor-only BM25 beats content
+    * ranking for site finding, so each host's aggregated anchor-context
+    * terms ([[anchorContext]]) become its "anchor document" and hosts
+    * are ranked by Okapi BM25 for the fixed q105 query — scored with
+    * the SAME blend expression as q105/q133
+    * ([[TextAnalysis.bm25ScoreExpr]]), not a restated formula. Scale
+    * shape: the per-host tf pivot is one map-side-combined aggregate
+    * over the (already dictionary-bounded) anchor index; stats are one
+    * broadcast row; ranking is TakeOrderedAndProject over the HOST
+    * dimension — the corpus token stream is touched exactly once, by
+    * the q181 harvest. */
+  def anchorBm25(pages: DataFrame): DataFrame = {
+    val terms = TextAnalysis.Bm25Query
+    val perHost = anchorContext(pages)
+      .groupBy(col("dst_host"))
+      .agg(sum(col("n_links")).as("dl"),
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(col("term") === t, col("n_links")).otherwise(0L))
+            .as(s"tf${i + 1}")
+        }: _*)
+    val stats = perHost.agg(count(lit(1)).as("n"),
+      (avg(col("dl")).as("avgdl") +:
+        terms.indices.map { i =>
+          count(when(col(s"tf${i + 1}") > 0, 1)).as(s"df${i + 1}")
+        }): _*)
+    perHost.crossJoin(broadcast(stats))
+      .select(col("dst_host"),
+        TextAnalysis.bm25ScoreExpr(terms).as("bm25"))
+      .orderBy(col("bm25").desc, col("dst_host").asc)
+      .limit(TextAnalysis.Bm25TopK)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(spark_partition_id(), lit(1)))
+          .orderBy(col("bm25").desc, col("dst_host").asc)).cast("int"))
+  }
+
   /** Distinct (src_host, dst_host) edges of the host graph: a document's
     * own host is `<source>.example.com`, its targets are the extracted
     * hosts; self-loops dropped. `srcDocPred` (over `src_doc`) restricts
@@ -434,6 +471,25 @@ object LinkGraph extends QueryPack {
           JOIN documents d2 ON d2.doc_id = (d.doc_id + 1) % lg_n.n
         )"""
 
+  /** Oracle: one row per harvested anchor CONTEXT (the plain token
+    * before an anchor), derived from token positions — including the
+    * two no-context exclusions (anchor at token 0; pagination anchor
+    * preceded by another anchor's `</a>` tail). Requires [[linksSql]]'s
+    * `toks`/`doc_words`/`lg_n` CTEs in scope. Shared by q181 (the
+    * index) and q185 (BM25 site finding over it) so the two cannot
+    * drift. */
+  private val anchorCtxSql: String = s"""
+        actx AS (
+          SELECT ws[i] || '.example.com' AS dst_host, ws[i - 1] AS term
+          FROM toks WHERE (i - 1) % $LinkEvery = 0 AND i >= 2
+          UNION ALL
+          SELECT d2.source || '.example.com' AS dst_host,
+                 dw.ws[len(dw.ws)] AS term
+          FROM doc_words dw CROSS JOIN lg_n
+          JOIN documents d2 ON d2.doc_id = (dw.doc_id + 1) % lg_n.n
+          WHERE (len(dw.ws) - 1) % $LinkEvery <> 0
+        )"""
+
   /** Oracle: every href of the synthesized markup in CANONICAL form
     * (plus its normalized host), derived from token positions + the
     * pagination rule — the closed form of extractUrls∘canonicalizeUrl
@@ -722,17 +778,7 @@ object LinkGraph extends QueryPack {
     "q181_anchor_context" -> Q(
       (s, d) => anchorContext(pages(T.documents(s, d))),
       Some(s"""
-        WITH $linksSql,
-        actx AS (
-          SELECT ws[i] || '.example.com' AS dst_host, ws[i - 1] AS term
-          FROM toks WHERE (i - 1) % $LinkEvery = 0 AND i >= 2
-          UNION ALL
-          SELECT d2.source || '.example.com' AS dst_host,
-                 dw.ws[len(dw.ws)] AS term
-          FROM doc_words dw CROSS JOIN lg_n
-          JOIN documents d2 ON d2.doc_id = (dw.doc_id + 1) % lg_n.n
-          WHERE (len(dw.ws) - 1) % $LinkEvery <> 0
-        )
+        WITH $linksSql,$anchorCtxSql
         SELECT dst_host, term, count(*) AS n_links
         FROM actx GROUP BY 1, 2
       """.stripMargin),
@@ -740,6 +786,57 @@ object LinkGraph extends QueryPack {
         "aggregated per target host (the Craswell 2001 site-finding " +
         "signal / query-doc training-pair source); map-only harvest, " +
         "dictionary-bounded index, exclusions oracled from positions"),
+
+    // BM25 site finding over the anchor index: hosts ranked by what the
+    // WEB says about them (their in-link anchor contexts), not their
+    // own content — scored with the exact q105 blend expression and the
+    // shared actx derivation, so neither formula nor corpus can drift.
+    "q185_anchor_bm25" -> Q(
+      (s, d) => anchorBm25(pages(T.documents(s, d))),
+      Some {
+        val terms = TextAnalysis.Bm25Query
+        val k1 = TextAnalysis.Bm25K1
+        val b = TextAnalysis.Bm25B
+        val tfs = terms.zipWithIndex.map { case (t, i) =>
+          s"count(*) FILTER (term = '$t') AS tf${i + 1}" }.mkString(",\n                 ")
+        val dfs = terms.indices.map { i =>
+          s"count(*) FILTER (tf${i + 1} > 0) AS df${i + 1}" }.mkString(",\n                 ")
+        val arms = terms.indices.map { i =>
+          s"""round(CASE WHEN tf${i + 1} = 0 THEN 0.0 ELSE
+              ln(1.0 + (n - df${i + 1} + 0.5) / (df${i + 1} + 0.5))
+                * (CAST(tf${i + 1} AS DOUBLE) * ${k1 + 1.0})
+                / (CAST(tf${i + 1} AS DOUBLE) + $k1 * (${1.0 - b} + $b * dl / avgdl)) END, 6)"""
+        }.mkString("\n          + ")
+        s"""
+        WITH $linksSql,$anchorCtxSql,
+        d AS (
+          SELECT dst_host, count(*) AS dl,
+                 $tfs
+          FROM actx GROUP BY 1
+        ),
+        g AS (
+          SELECT count(*) AS n, avg(dl) AS avgdl,
+                 $dfs
+          FROM d
+        ),
+        s AS (
+          SELECT dst_host,
+          $arms
+            AS bm25
+          FROM d CROSS JOIN g
+        )
+        SELECT dst_host, bm25,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, dst_host ASC)
+                 AS INT) AS rk
+        FROM s
+        ORDER BY bm25 DESC, dst_host ASC
+        LIMIT ${TextAnalysis.Bm25TopK}
+      """.stripMargin
+      },
+      doc = "BM25 site finding over the anchor-context index (Craswell " +
+        "2001: anchor-only ranking beats content for site finding) — " +
+        "hosts as anchor documents, the q105 blend expression shared, " +
+        "top-k + ranks oracled"),
 
     // Exact-integer PageRank over the extracted HOST graph — stringly
     // nodes, variable out-degree, content-frequency skew. Full rank

@@ -242,6 +242,30 @@ object NgramLm extends QueryPack {
           .as("avg_log2p"))
   }
 
+  /** Whole-corpus per-doc KN quality as exact integer milli-log2 —
+    * [[docScoresMilli]] with the scores Kneser–Ney-smoothed. */
+  def knDocScoresMilli(docs: DataFrame): DataFrame =
+    knScoredTokens(baseDocs(docs), docs)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        round(avg(log2(col("p").cast("double") / lit(KnScale.toDouble))), 3)
+          .as("a"))
+      .select(col("doc_id"), col("n_scored"),
+        round(col("a") * lit(1000), 0).cast("long").as("s_milli"))
+
+  /** q168's CCNet perplexity gate under the KN-SMOOTHED model — CCNet's
+    * actual configuration (Wenzek et al. run KenLM, which is interpolated
+    * modified KN): same exact-integer mean gate (s_milli·n_docs ≥ Σ), so
+    * the kept set stays bit-stable; only the smoothing changed. */
+  def knQualityGate(docs: DataFrame): DataFrame = {
+    val scored = knDocScoresMilli(docs)
+    val tot = scored.agg(sum(col("s_milli")).as("tot"),
+      count(lit(1)).as("nd"))
+    scored.crossJoin(broadcast(tot))
+      .filter(col("s_milli") * col("nd") >= col("tot"))
+      .select(col("doc_id"), col("n_scored"), col("s_milli"))
+  }
+
   /** The q184 in-domain slice: `lang = 'en'` is the corpus' majority
     * language — a real, content-defined domain, not a hash split. */
   val InDomainLang = "en"
@@ -548,6 +572,31 @@ object NgramLm extends QueryPack {
       doc = "Moore-Lewis data selection (Moore & Lewis 2010): every doc " +
         "scored under an in-domain (lang=en) and a general trigram LM, " +
         "kept iff the integer milli-log2 margin is strictly positive — " +
-        "the cross-entropy-difference filter with a bit-stable kept set")
+        "the cross-entropy-difference filter with a bit-stable kept set"),
+
+    // The CCNet gate in its ACTUAL configuration: Wenzek et al. filter
+    // through KenLM, which is interpolated Kneser-Ney — q168 proved the
+    // gate with stupid backoff; this entry swaps in the q183 smoothing
+    // and keeps the exact-integer mean-gate membership.
+    "q186_kn_quality_gate" -> Q(
+      (s, d) => knQualityGate(T.documents(s, d)),
+      Some(s"""
+        WITH ${knCtes(trainPred, "TRUE")},
+        knscored AS (
+          SELECT doc_id, count(*) AS n_scored,
+                 CAST(round(round(avg(log2(CAST(p AS DOUBLE) / $KnScale)), 3)
+                   * 1000, 0) AS BIGINT) AS s_milli
+          FROM knsc GROUP BY 1
+        ),
+        kntot AS (SELECT CAST(sum(s_milli) AS BIGINT) AS tot,
+                         CAST(count(*) AS BIGINT) AS nd FROM knscored)
+        SELECT doc_id, n_scored, s_milli
+        FROM knscored CROSS JOIN kntot
+        WHERE s_milli * nd >= tot
+      """.stripMargin),
+      doc = "CCNet perplexity gate under Kneser-Ney smoothing (KenLM's " +
+        "actual family): whole corpus scored through the q183 fixed-" +
+        "point KN chain, above-integer-mean docs kept — same bit-stable " +
+        "membership as q168, production smoothing")
   )
 }

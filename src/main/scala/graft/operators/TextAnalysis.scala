@@ -754,9 +754,14 @@ object TextAnalysis extends QueryPack {
     * TakeOrderedAndProject — the steady-state query path never touches
     * the token stream. Per-term contributions round(·,6) before the
     * fixed-order sum (bit-stable cross-engine; the q90/dsum rule). */
-  def bm25TopKFromIndex(perDoc: org.apache.spark.sql.DataFrame,
-                        stats: org.apache.spark.sql.DataFrame,
-                        terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+  /** The Okapi BM25 blend as ONE reusable expression over columns
+    * (dl, tf1..tfk) × (n, avgdl, df1..dfk): per-term contributions
+    * round(·,6) before the fixed-order sum (bit-stable cross-engine;
+    * the q90/dsum rule). Package-private so the anchor-text site
+    * finder (LinkGraph q185) scores with the SAME formula — not a
+    * restated one that could drift. */
+  private[operators] def bm25ScoreExpr(terms: Seq[String])
+      : org.apache.spark.sql.Column = {
     val w: Seq[org.apache.spark.sql.Column] = terms.indices.map { i =>
       val tf = col(s"tf${i + 1}").cast("double")
       val df = col(s"df${i + 1}")
@@ -766,8 +771,14 @@ object TextAnalysis extends QueryPack {
       round(when(tf === 0, 0.0)
         .otherwise(idf * (tf * lit(Bm25K1 + 1.0)) / denom), 6)
     }
+    w.reduceLeft(_ + _)
+  }
+
+  def bm25TopKFromIndex(perDoc: org.apache.spark.sql.DataFrame,
+                        stats: org.apache.spark.sql.DataFrame,
+                        terms: Seq[String]): org.apache.spark.sql.DataFrame = {
     perDoc.crossJoin(broadcast(stats))
-      .select(col("doc_id"), w.reduceLeft(_ + _).as("bm25"))
+      .select(col("doc_id"), bm25ScoreExpr(terms).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(Bm25TopK)
       // rank the ≤k survivors; pmod(doc_id,1) keeps the partition spec

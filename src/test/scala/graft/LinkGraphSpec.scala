@@ -314,6 +314,26 @@ class LinkGraphSpec extends SparkSpec {
       ("s0.example.com", "nine", 1L)))
   }
 
+  test("anchor BM25: ranks are dense and ordered, positive scores only for hosts whose anchor contexts carry a query term") {
+    val docs = Tables.documents(spark, sf)
+    val pg = LinkGraph.pages(docs)
+    val top = LinkGraph.anchorBm25(pg)
+      .as[(String, Double, Int)].collect()
+    assert(top.nonEmpty && top.length <= graft.operators.TextAnalysis.Bm25TopK)
+    assert(top.map(_._3).sorted.sameElements(1 to top.length), "ranks not dense")
+    assert(top.sortBy(_._3).map(_._2).sliding(2).forall(p =>
+      p.length < 2 || p(0) >= p(1)), "scores not descending with rank")
+    val ctx = LinkGraph.anchorContext(pg)
+      .as[(String, String, Long)].collect()
+    val qt = graft.operators.TextAnalysis.Bm25Query.toSet
+    val hostsWithTerm = ctx.filter(r => qt.contains(r._2)).map(_._1).toSet
+    top.filter(_._2 > 0).foreach { case (h, s, _) =>
+      assert(hostsWithTerm.contains(h),
+        s"host $h scored $s without any query term in its anchor contexts")
+    }
+    assert(top.exists(_._2 > 0), "no host scored — query terms absent from corpus")
+  }
+
   test("politeness schedule: per-host slots are a contiguous 1..k queue, host ranks are the (priority desc, host) order") {
     val docs = Tables.documents(spark, sf)
     val rows = graft.operators.Crawl.politenessSchedule(docs)

@@ -177,6 +177,20 @@ class NgramLmSpec extends SparkSpec {
     assert(got.values.map(_._2).sum > 0, "no full-level hits")
   }
 
+  test("KN quality gate keeps exactly the at-or-above-integer-mean set, non-trivially") {
+    val docs = Tables.documents(spark, sf)
+    val scored = NgramLm.knDocScoresMilli(docs)
+      .as[(Long, Long, Long)].collect()
+    val tot = scored.map(_._3).sum
+    val nd = scored.length.toLong
+    val want = scored.filter(r => r._3 * nd >= tot).map(_._1).toSet
+    val got = NgramLm.knQualityGate(docs)
+      .as[(Long, Long, Long)].collect().map(_._1).toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < scored.length,
+      "gate is vacuous — kept everything or nothing")
+  }
+
   test("Moore-Lewis selects exactly the positive-margin set and favors the in-domain language") {
     val docs = Tables.documents(spark, sf)
     val gen = NgramLm.docScoresMilli(docs)
