@@ -128,16 +128,22 @@ object LinkGraph extends QueryPack {
     * LinkGraphSpec) rejects both, and the oracle encodes the same two
     * exclusions from token positions alone. */
   def anchorContext(pages: DataFrame): DataFrame =
-    pages.select(explode(expr(
+    anchorContextRaw(pages)
+      .groupBy(col("dst_host"), col("term"))
+      .agg(count(lit(1)).as("n_links"))
+
+  /** One row per harvested context OCCURRENCE, with the harvesting
+    * page's doc id — the un-aggregated form [[anchorContext]] sums and
+    * the incremental maintenance (q187) folds per batch. */
+  def anchorContextRaw(pages: DataFrame): DataFrame =
+    pages.select(col("doc_id").as("src_doc"), explode(expr(
       """regexp_extract_all(html, '([a-z0-9]+) <a href="(?i)https?://([^/"]+)', 0)"""))
       .as("m"))
-      .select(
+      .select(col("src_doc"),
         regexp_extract(col("m"), "^([a-z0-9]+) ", 1).as("term"),
         regexp_replace(regexp_replace(
           lower(regexp_extract(col("m"), "://([^/\"]+)$", 1)),
           "^www\\.", ""), ":[0-9]+$", "").as("dst_host"))
-      .groupBy(col("dst_host"), col("term"))
-      .agg(count(lit(1)).as("n_links"))
 
   /** Site finding via anchor text — the Craswell/Hawking/Robertson
     * 2001 result operationalized: anchor-only BM25 beats content
@@ -265,6 +271,29 @@ object LinkGraph extends QueryPack {
     (1 to Graph.Iterations)
       .foldLeft(r0)((r, _) => stepVarDeg(nodes, eBase, r))
   }
+
+  /** One-time landing of q187's stored base — the anchor-context
+    * counts of the base docs (src_doc % BatchMod ≠ 0), host-bucketed,
+    * memoized per (JVM, sf dir): the q126/q157 store discipline.
+    * Harvest runs over FULL-corpus page synthesis restricted by
+    * src_doc — a page's content is a fact about the page (the
+    * hostEdges rule). */
+  private val q187Built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q187Store(s: SparkSession, d: String): String =
+    q187Built.computeIfAbsent(d, _ => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val t = s"q187_actx_$tag"
+      val root = java.nio.file.Files.createTempDirectory("graft_q187").toString
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.TableSink.writeBucketed(
+        anchorContextRaw(pages(T.documents(s, d)))
+          .filter(pmod(col("src_doc"), lit(Graph.BatchMod.toLong)) =!= 0L)
+          .groupBy(col("dst_host"), col("term"))
+          .agg(count(lit(1)).as("n_links")),
+        t, 32, Seq("dst_host"), path = Some(s"$root/$t"))
+      t
+    })
 
   /** One-time landing of the q161 stored registry — the base-graph host
     * rank vector — node-bucketed, memoized per (JVM, sf dir): the
@@ -837,6 +866,33 @@ object LinkGraph extends QueryPack {
         "2001: anchor-only ranking beats content for site finding) — " +
         "hosts as anchor documents, the q105 blend expression shared, " +
         "top-k + ranks oracled"),
+
+    // Incrementally MAINTAINED anchor index — the crawl form of q181:
+    // stored base counts + a batch-only harvest fold. Counts are
+    // purely additive (the q127/q133 distributive-maintenance shape),
+    // so maintained ≡ full rebuild EXACTLY, and the oracle is q181's
+    // full-corpus SQL VERBATIM — the hash gate enforces the identity,
+    // not just a test. Per batch: one map-only harvest of the batch's
+    // pages + one (host, term)-keyed fold against the host-bucketed
+    // store; the corpus markup is never re-scanned.
+    "q187_anchor_incremental" -> Q(
+      (s, d) => {
+        val batch = anchorContextRaw(pages(T.documents(s, d)))
+          .filter(pmod(col("src_doc"), lit(Graph.BatchMod.toLong)) === 0L)
+          .groupBy(col("dst_host"), col("term"))
+          .agg(count(lit(1)).as("n_links"))
+        s.table(q187Store(s, d)).unionByName(batch)
+          .groupBy(col("dst_host"), col("term"))
+          .agg(sum(col("n_links")).as("n_links"))
+      },
+      Some(s"""
+        WITH $linksSql,$anchorCtxSql
+        SELECT dst_host, term, count(*) AS n_links
+        FROM actx GROUP BY 1, 2
+      """.stripMargin),
+      doc = "incrementally maintained anchor-context index: stored " +
+        "base counts + batch-only harvest fold == full rebuild exactly " +
+        "(additive counts; oracle is q181's full-corpus SQL verbatim)"),
 
     // Exact-integer PageRank over the extracted HOST graph — stringly
     // nodes, variable out-degree, content-frequency skew. Full rank

@@ -334,6 +334,25 @@ class LinkGraphSpec extends SparkSpec {
     assert(top.exists(_._2 > 0), "no host scored — query terms absent from corpus")
   }
 
+  test("maintained anchor index (base counts + batch fold) equals the full rebuild exactly") {
+    val docs = Tables.documents(spark, sf)
+    val pg = LinkGraph.pages(docs)
+    val full = LinkGraph.anchorContext(pg)
+      .as[(String, String, Long)].collect().toSet
+    val base = LinkGraph.anchorContextRaw(pg)
+      .filter($"src_doc" % 10 =!= 0)
+      .groupBy($"dst_host", $"term").agg(count(lit(1)).as("n_links"))
+    val batch = LinkGraph.anchorContextRaw(pg)
+      .filter($"src_doc" % 10 === 0)
+      .groupBy($"dst_host", $"term").agg(count(lit(1)).as("n_links"))
+    val maintained = base.unionByName(batch)
+      .groupBy($"dst_host", $"term").agg(sum($"n_links").as("n_links"))
+      .as[(String, String, Long)].collect().toSet
+    assert(maintained == full)
+    // the fold is live: both sides contribute rows
+    assert(base.count() > 0 && batch.count() > 0)
+  }
+
   test("politeness schedule: per-host slots are a contiguous 1..k queue, host ranks are the (priority desc, host) order") {
     val docs = Tables.documents(spark, sf)
     val rows = graft.operators.Crawl.politenessSchedule(docs)
