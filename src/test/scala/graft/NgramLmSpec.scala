@@ -191,6 +191,40 @@ class NgramLmSpec extends SparkSpec {
       "gate is vacuous — kept everything or nothing")
   }
 
+  test("per-lang gate: each bucket keeps its own at-or-above-mean set, and the bucketing bites vs the global gate") {
+    val docs = Tables.documents(spark, sf)
+    val langOf = docs.select($"doc_id", $"lang").as[(Long, String)]
+      .collect().toMap
+    val scored = NgramLm.docScoresMilli(docs)
+      .as[(Long, Long, Long)].collect()
+    // driver-side replay of the per-lang integer mean gate
+    val byLang = scored.groupBy(r => langOf(r._1))
+    val want = byLang.flatMap { case (_, rs) =>
+      val tot = rs.map(_._3).sum
+      val nd = rs.length.toLong
+      rs.filter(r => r._3 * nd >= tot).map(_._1)
+    }.toSet
+    val got = NgramLm.langQualityGate(docs)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.map(_._1).toSet == want)
+    got.foreach { case (id, l, _, _) => assert(l == langOf(id)) }
+    // every language keeps SOMETHING (the starvation fix — under the
+    // global gate a low-scoring language can keep zero docs) and no
+    // bucket keeps everything
+    byLang.keys.foreach { l =>
+      val kept = got.count(_._2 == l)
+      assert(kept > 0, s"lang $l starved by its own gate")
+      assert(kept < byLang(l).length, s"lang $l gate vacuous")
+    }
+    // the bucketing BITES: the per-lang kept set differs from the
+    // global gate's kept set (else the entry is a restatement of q168)
+    val gtot = scored.map(_._3).sum
+    val gnd = scored.length.toLong
+    val globalKept = scored.filter(r => r._3 * gnd >= gtot).map(_._1).toSet
+    assert(want != globalKept,
+      "per-lang gate degenerated to the global gate on this corpus")
+  }
+
   test("Moore-Lewis selects exactly the positive-margin set and favors the in-domain language") {
     val docs = Tables.documents(spark, sf)
     val gen = NgramLm.docScoresMilli(docs)

@@ -366,4 +366,35 @@ class ScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("q182 politeness at a 10^6-host frontier: the cross-host rank is range-bucketed, never a single-task sort") {
+    // VERDICT r15 watch item #3: the catalog's host dims are
+    // dictionary-sized, but the full web is 10^8-10^9 hosts — one fat
+    // task sorting all of them would be the scheduler's scale wall.
+    // The rank now rides SurrogateKeys.assign's range-partitioned path
+    // (driver-pinned bucket bounds, per-bucket offsets); assert on a
+    // synthetic million-host frontier that the plan carries NO range
+    // exchange into one partition (the old repartitionByRange(1, ...)
+    // shape) and that the rank's sort runs partitioned by the pinned
+    // bucket id. Semantics unchanged: the (priority desc, host) total
+    // order still holds at the extremes.
+    val canon = spark.range(1000000L)
+      .select(concat(lit("http://h"), $"id", lit(".com/p")).as("canon_url"),
+        concat(lit("h"), $"id", lit(".com")).as("dst_host"))
+    val prio = spark.range(100000L)
+      .select(concat(lit("h"), $"id" * 10, lit(".com")).as("dst_host"),
+        (-$"id" - 1L).as("s_sum"))
+    val sched = graft.operators.Crawl.politenessSchedule(canon, prio)
+    val plan = sched.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      "host rank must not range-exchange the host dim into one task")
+    assert(plan.contains("__sk_pid"),
+      "host rank should ride SurrogateKeys' driver-pinned bucket path")
+    assert(sched.count() == 1000000L)
+    // unknown hosts sit at priority 0 — above every negative quality
+    // mass — and rank 1 is the lexicographically-first such host
+    val top = sched.filter($"host_rank" === 1L)
+      .select($"dst_host", $"priority").head
+    assert(top.getLong(1) == 0L, s"rank-1 priority: ${top.getLong(1)}")
+  }
 }
