@@ -654,6 +654,123 @@ object NgramLm extends QueryPack {
           FROM knp2
         )"""
 
+  /** Oracle CTE chain for MODIFIED KN, ending in `mknsc(doc_id, lvl,
+    * p)` — the SQL twin of [[mknScoredTokens]], staged exactly like the
+    * Spark side (count-of-counts → Y → discounts → pc → p2 → p) so
+    * every floor division replays in the same order. */
+  private def mknCtes(trainP: String, targetP: String): String =
+    s"""${countCtes(trainP, targetP, "")},
+        tctx AS (
+          SELECT w1, w2,
+                 sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS t1,
+                 sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS t2,
+                 sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS t3p
+          FROM tri GROUP BY 1, 2),
+        kn23 AS (SELECT w2, w3, count(*) AS ckn FROM tri GROUP BY 1, 2),
+        kn2 AS (SELECT w2, count(*) AS cknsum FROM tri GROUP BY 1),
+        mctx AS (
+          SELECT w2,
+                 sum(CASE WHEN ckn = 1 THEN 1 ELSE 0 END) AS m1,
+                 sum(CASE WHEN ckn = 2 THEN 1 ELSE 0 END) AS m2,
+                 sum(CASE WHEN ckn >= 3 THEN 1 ELSE 0 END) AS m3p
+          FROM kn23 GROUP BY 1),
+        pcj AS (SELECT w3, count(*) AS n1pc FROM bi GROUP BY 1),
+        nb AS (SELECT count(*) AS nbig FROM bi),
+        cc3 AS (
+          SELECT sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS n1,
+                 sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS n2,
+                 sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS n3,
+                 sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS n4
+          FROM tri),
+        y3 AS (
+          SELECT *, CASE WHEN n1 > 0
+                         THEN (n1 * ${KnScale}::BIGINT) // (n1 + 2 * n2)
+                         ELSE 0 END AS y
+          FROM cc3),
+        dd3 AS (
+          SELECT CASE WHEN n1 > 0
+                      THEN greatest(${KnScale}::BIGINT - (2 * n2 * y) // n1, 0)
+                      ELSE (3 * ${KnScale}::BIGINT) // 4 END AS d1_3,
+                 CASE WHEN n1 > 0 AND n2 > 0
+                      THEN greatest(2 * ${KnScale}::BIGINT - (3 * n3 * y) // n2, 0)
+                      ELSE (3 * ${KnScale}::BIGINT) // 4 END AS d2_3,
+                 CASE WHEN n1 > 0 AND n3 > 0
+                      THEN greatest(3 * ${KnScale}::BIGINT - (4 * n4 * y) // n3, 0)
+                      ELSE (3 * ${KnScale}::BIGINT) // 4 END AS d3_3
+          FROM y3),
+        cc2 AS (
+          SELECT sum(CASE WHEN ckn = 1 THEN 1 ELSE 0 END) AS n1,
+                 sum(CASE WHEN ckn = 2 THEN 1 ELSE 0 END) AS n2,
+                 sum(CASE WHEN ckn = 3 THEN 1 ELSE 0 END) AS n3,
+                 sum(CASE WHEN ckn = 4 THEN 1 ELSE 0 END) AS n4
+          FROM kn23),
+        y2 AS (
+          SELECT *, CASE WHEN n1 > 0
+                         THEN (n1 * ${KnScale}::BIGINT) // (n1 + 2 * n2)
+                         ELSE 0 END AS y
+          FROM cc2),
+        dd2 AS (
+          SELECT CASE WHEN n1 > 0
+                      THEN greatest(${KnScale}::BIGINT - (2 * n2 * y) // n1, 0)
+                      ELSE (3 * ${KnScale}::BIGINT) // 4 END AS d1_2,
+                 CASE WHEN n1 > 0 AND n2 > 0
+                      THEN greatest(2 * ${KnScale}::BIGINT - (3 * n3 * y) // n2, 0)
+                      ELSE (3 * ${KnScale}::BIGINT) // 4 END AS d2_2,
+                 CASE WHEN n1 > 0 AND n3 > 0
+                      THEN greatest(3 * ${KnScale}::BIGINT - (4 * n4 * y) // n3, 0)
+                      ELSE (3 * ${KnScale}::BIGINT) // 4 END AS d3_2
+          FROM y2),
+        mknj AS (
+          SELECT t.doc_id, ctx.c2 AS c2ctx, tri.c3,
+                 tc.t1, tc.t2, tc.t3p,
+                 k23.ckn, k2.cknsum, mc.m1, mc.m2, mc.m3p,
+                 pj.n1pc, nb.nbig,
+                 dd3.d1_3, dd3.d2_3, dd3.d3_3,
+                 dd2.d1_2, dd2.d2_2, dd2.d3_2
+          FROM (SELECT * FROM tec WHERE w1 IS NOT NULL) t
+          LEFT JOIN bi ctx ON ctx.w2 = t.w1 AND ctx.w3 = t.w2
+          LEFT JOIN tri ON tri.w1 = t.w1 AND tri.w2 = t.w2 AND tri.w3 = t.w3
+          LEFT JOIN tctx tc ON tc.w1 = t.w1 AND tc.w2 = t.w2
+          LEFT JOIN kn23 k23 ON k23.w2 = t.w2 AND k23.w3 = t.w3
+          LEFT JOIN kn2 k2 ON k2.w2 = t.w2
+          LEFT JOIN mctx mc ON mc.w2 = t.w2
+          LEFT JOIN pcj pj ON pj.w3 = t.w3
+          CROSS JOIN nb CROSS JOIN dd3 CROSS JOIN dd2
+        ),
+        mknpc AS (
+          SELECT *, greatest((coalesce(n1pc, 0) * $KnScale) // nbig, 1) AS pc
+          FROM mknj
+        ),
+        mknp2 AS (
+          SELECT *,
+                 CASE WHEN cknsum IS NOT NULL THEN
+                   greatest(coalesce(ckn, 0) * $KnScale
+                     - CASE coalesce(ckn, 0) WHEN 0 THEN 0
+                            WHEN 1 THEN d1_2 WHEN 2 THEN d2_2
+                            ELSE d3_2 END, 0) // cknsum
+                   + (((d1_2 * coalesce(m1, 0) + d2_2 * coalesce(m2, 0)
+                        + d3_2 * coalesce(m3p, 0)) // cknsum) * pc)
+                     // $KnScale
+                 ELSE pc END AS p2
+          FROM mknpc
+        ),
+        mknsc AS (
+          SELECT doc_id,
+                 CASE WHEN c2ctx IS NOT NULL THEN 'full'
+                      WHEN cknsum IS NOT NULL THEN 'mid'
+                      ELSE 'cont' END AS lvl,
+                 CAST(greatest(CASE WHEN c2ctx IS NOT NULL THEN
+                   greatest(coalesce(c3, 0) * $KnScale
+                     - CASE coalesce(c3, 0) WHEN 0 THEN 0
+                            WHEN 1 THEN d1_3 WHEN 2 THEN d2_3
+                            ELSE d3_3 END, 0) // c2ctx
+                   + (((d1_3 * coalesce(t1, 0) + d2_3 * coalesce(t2, 0)
+                        + d3_3 * coalesce(t3p, 0)) // c2ctx) * p2)
+                     // $KnScale
+                 ELSE p2 END, 1) AS BIGINT) AS p
+          FROM mknp2
+        )"""
+
   def queries: Map[String, Q] = Map(
     // Held-out scoring under the base-trained model with the real
     // backoff chain live (tri + bi levels both fire on this corpus).
@@ -761,6 +878,33 @@ object NgramLm extends QueryPack {
         "scored under an in-domain (lang=en) and a general trigram LM, " +
         "kept iff the integer milli-log2 margin is strictly positive — " +
         "the cross-entropy-difference filter with a bit-stable kept set"),
+
+    // MODIFIED Kneser-Ney: q183's chain with the fixed d = 3/4 replaced
+    // by per-order D1/D2/D3+ estimated from count-of-counts (Chen &
+    // Goodman 1999 §3 — KenLM's default). Every stage stays exact
+    // fixed-point integer arithmetic, so the discounts' effect on every
+    // score is hash-oracled; NgramLmSpec proves the estimated discounts
+    // differ from 3/4 and shift scores vs q183 (the discounts BITE).
+    "q191_modified_kn" -> Q(
+      (s, d) => mknDocScores(T.documents(s, d)),
+      Some(s"""
+        WITH ${mknCtes(trainPred, s"doc_id % ${Graph.BatchMod} = 0")}
+        SELECT doc_id, count(*) AS n_scored,
+               CAST(sum(CASE WHEN lvl = 'full' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_full,
+               CAST(sum(CASE WHEN lvl = 'mid' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_mid,
+               CAST(sum(CASE WHEN lvl = 'cont' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_cont,
+               CAST(sum(p) AS BIGINT) AS p_sum,
+               round(avg(log2(CAST(p AS DOUBLE) / $KnScale)), 3) AS avg_log2p
+        FROM mknsc GROUP BY 1
+      """.stripMargin),
+      doc = "MODIFIED interpolated Kneser-Ney (Chen & Goodman 1999 §3, " +
+        "KenLM's default): per-order D1/D2/D3+ from count-of-counts, " +
+        "per-context type-count interpolation weights, all in exact " +
+        "2^30 fixed point — held-out scores with level counts, integer " +
+        "score sum and 3dp mean log2 oracled"),
 
     // The CCNet gate bucketed per language (Wenzek et al. gate within
     // language buckets — a global mean starves low-resource languages):

@@ -191,6 +191,48 @@ class NgramLmSpec extends SparkSpec {
       "gate is vacuous — kept everything or nothing")
   }
 
+  test("modified KN discounts: hand count-of-counts replay exactly; degenerate input falls back to 3/4") {
+    val S = NgramLm.KnScale
+    // n1..n4 = (4,2,1,1): Y = 4S/8 = S/2, D1 = S - (2·2·Y)//4,
+    // D2 = 2S - (3·1·Y)//2, D3 = 3S - (4·1·Y)//1 — all positive
+    val y = (4L * S) / (4L + 2L * 2L)
+    val got = NgramLm.mknDiscounts(
+      Seq((4L, 2L, 1L, 1L)).toDF("n1", "n2", "n3", "n4"))
+      .as[(Long, Long, Long)].head()
+    assert(got == ((S - (2L * 2L * y) / 4L,
+      2L * S - (3L * 1L * y) / 2L,
+      3L * S - (4L * 1L * y) / 1L)))
+    // a degenerate count-of-counts (all zero) falls back to the fixed
+    // d = 3/4 of q183 instead of dividing by zero (KenLM aborts here)
+    val fb = NgramLm.mknDiscounts(
+      Seq((0L, 0L, 0L, 0L)).toDF("n1", "n2", "n3", "n4"))
+      .as[(Long, Long, Long)].head()
+    assert(fb == ((3L * S / 4L, 3L * S / 4L, 3L * S / 4L)))
+  }
+
+  test("modified KN: identical backoff structure to q183 but the estimated discounts shift the scores") {
+    val docs = Tables.documents(spark, sf)
+    val fixed = NgramLm.knDocScores(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val mod = NgramLm.mknDocScores(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(mod.keySet == fixed.keySet)
+    // which level fires per token depends only on context EXISTENCE —
+    // structural fields must match q183 exactly
+    mod.keySet.foreach { id =>
+      assert((mod(id)._2, mod(id)._3, mod(id)._4, mod(id)._5) ==
+        (fixed(id)._2, fixed(id)._3, fixed(id)._4, fixed(id)._5),
+        s"doc $id structure diverged")
+    }
+    // ... and the discounts BITE: the integer score mass differs from
+    // the fixed-d chain for most documents (else q191 restates q183)
+    val shifted = mod.keySet.count(id => mod(id)._6 != fixed(id)._6)
+    assert(shifted * 2 > mod.size,
+      s"only $shifted of ${mod.size} docs shifted under estimated discounts")
+  }
+
   test("per-lang gate: each bucket keeps its own at-or-above-mean set, and the bucketing bites vs the global gate") {
     val docs = Tables.documents(spark, sf)
     val langOf = docs.select($"doc_id", $"lang").as[(Long, String)]
@@ -199,7 +241,7 @@ class NgramLmSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     // driver-side replay of the per-lang integer mean gate
     val byLang = scored.groupBy(r => langOf(r._1))
-    val want = byLang.flatMap { case (_, rs) =>
+    val want = byLang.values.flatMap { rs =>
       val tot = rs.map(_._3).sum
       val nd = rs.length.toLong
       rs.filter(r => r._3 * nd >= tot).map(_._1)
