@@ -182,6 +182,57 @@ object LinkGraph extends QueryPack {
           .orderBy(col("bm25").desc, col("dst_host").asc)).cast("int"))
   }
 
+  /** Anchor → query–document TRAINING PAIRS — the payoff the anchor
+    * index exists for (Craswell/Hawking/Robertson 2001: anchor text is
+    * "the standard raw material for query–document training pairs"):
+    * each harvested (term, host) index entry is a POSITIVE pair (the
+    * web labeled the host with that term), completed with
+    * [[Graph.NegK]] deterministic hash-drawn negative hosts per pair —
+    * the q173 word2vec negative-sampling discipline applied to
+    * retrieval training. The negative for draw i is the host whose
+    * rank-id is `(tid·B1 + hid·B2 + (i+1)·A) mod |hosts|`; a draw that
+    * lands on ANY true (term, host') index entry is dropped (a false
+    * negative would teach the ranker to demote a genuinely-labeled
+    * host — stricter than word2vec's pair-member skip, and both
+    * engines replay the same anti-join). Ids are total-order ranks
+    * over the index's own host/term dictionaries, assigned through
+    * [[graft.warehouse.SurrogateKeys.assign]]'s range-partitioned path
+    * — deterministic, no single-task sort.
+    *
+    * Output: one row per (positive pair, draw) — (term, dst_host,
+    * n_links, i, neg_host); the training consumer reads (term,
+    * dst_host, 1) and (term, neg_host, 0). Exactly-once by key (term,
+    * dst_host, i). Scale: everything downstream of the one harvest
+    * pass is dictionary-bounded (|hosts|·|vocab| index rows ×NegK);
+    * the dictionaries broadcast-join back; the anti-join is a hash
+    * join of two dictionary-sized sides. */
+  def anchorPairs(pages: DataFrame): DataFrame = {
+    // the index is consumed three times (positives, the negative
+    // draw's id join, the false-negative anti-join) — land it once
+    // rather than re-running the corpus-sized harvest per consumer
+    val ai = anchorContext(pages).localCheckpoint()
+    val hosts = graft.warehouse.SurrogateKeys.assign(
+      ai.select(col("dst_host")).distinct(), Seq("dst_host"), "hid",
+      offset = -1L)
+    val terms = graft.warehouse.SurrogateKeys.assign(
+      ai.select(col("term")).distinct(), Seq("term"), "tid", offset = -1L)
+    val nh = hosts.agg(count(lit(1)).as("nhost"))
+    ai.join(hosts, "dst_host").join(terms, "term")
+      .crossJoin(broadcast(nh))
+      .select(col("term"), col("dst_host"), col("n_links"), col("tid"),
+        col("hid"), col("nhost"),
+        explode(sequence(lit(0L), lit(Graph.NegK - 1L))).as("i"))
+      .withColumn("neghid",
+        pmod(col("tid") * lit(Graph.B1) + col("hid") * lit(Graph.B2) +
+          (col("i") + 1) * lit(Graph.A), col("nhost")))
+      .join(hosts.select(col("hid").as("neghid"),
+        col("dst_host").as("neg_host")), Seq("neghid"))
+      .join(ai.select(col("term"), col("dst_host").as("neg_host")),
+        Seq("term", "neg_host"), "left_anti")
+      .select(col("term"), col("dst_host"), col("n_links"), col("i"),
+        col("neg_host"))
+  }
+
   /** Distinct (src_host, dst_host) edges of the host graph: a document's
     * own host is `<source>.example.com`, its targets are the extracted
     * hosts; self-loops dropped. `srcDocPred` (over `src_doc`) restricts
@@ -827,6 +878,51 @@ object LinkGraph extends QueryPack {
         "aggregated per target host (the Craswell 2001 site-finding " +
         "signal / query-doc training-pair source); map-only harvest, " +
         "dictionary-bounded index, exclusions oracled from positions"),
+
+    // Anchor -> query-document training pairs: every (term, host)
+    // index entry as a positive, NegK hash-drawn negative hosts per
+    // positive (q173's deterministic draw over the host dictionary),
+    // false negatives (draws landing on true index entries) dropped by
+    // both engines identically. The Craswell payoff q181's scaladoc
+    // promises, as an exactly-once oracled artifact.
+    "q190_anchor_pairs" -> Q(
+      (s, d) => anchorPairs(pages(T.documents(s, d))),
+      Some(s"""
+        WITH $linksSql,$anchorCtxSql,
+        ai AS (
+          SELECT dst_host, term, count(*) AS n_links FROM actx GROUP BY 1, 2
+        ),
+        hostd AS (
+          SELECT dst_host, row_number() OVER (ORDER BY dst_host) - 1 AS hid
+          FROM (SELECT DISTINCT dst_host FROM ai)
+        ),
+        termd AS (
+          SELECT term, row_number() OVER (ORDER BY term) - 1 AS tid
+          FROM (SELECT DISTINCT term FROM ai)
+        ),
+        nh AS (SELECT count(*) AS nhost FROM hostd),
+        cand AS (
+          SELECT ai.term, ai.dst_host, ai.n_links, gs.i,
+                 ((t.tid * ${Graph.B1} + h.hid * ${Graph.B2}
+                   + (gs.i + 1) * ${Graph.A}) % nh.nhost) AS neghid
+          FROM ai
+          JOIN hostd h ON h.dst_host = ai.dst_host
+          JOIN termd t ON t.term = ai.term
+          CROSS JOIN nh
+          CROSS JOIN (SELECT unnest(generate_series(0, ${Graph.NegK - 1}))
+                        AS i) gs
+        )
+        SELECT c.term, c.dst_host, CAST(c.n_links AS BIGINT) AS n_links,
+               CAST(c.i AS BIGINT) AS i, h2.dst_host AS neg_host
+        FROM cand c JOIN hostd h2 ON h2.hid = c.neghid
+        WHERE NOT EXISTS (SELECT 1 FROM ai p
+                          WHERE p.term = c.term AND p.dst_host = h2.dst_host)
+      """.stripMargin),
+      doc = "Anchor-text query-document training pairs (Craswell 2001 " +
+        "signal + word2vec-style deterministic negative sampling): each " +
+        "(term, host) anchor-index entry positive, NegK hash-drawn " +
+        "negative hosts with false-negative draws dropped; exactly-once " +
+        "keyed rows, fully hash-oracled"),
 
     // BM25 site finding over the anchor index: hosts ranked by what the
     // WEB says about them (their in-link anchor contexts), not their

@@ -274,6 +274,35 @@ class LinkGraphSpec extends SparkSpec {
     }
   }
 
+  test("anchor pairs: positives are index entries, negatives never collide with a true pair, <= NegK draws each") {
+    val docs = Tables.documents(spark, sf)
+    val pg = LinkGraph.pages(docs).localCheckpoint()
+    val idx = LinkGraph.anchorContext(pg)
+      .as[(String, String, Long)].collect() // (dst_host, term, n_links)
+      .map(r => (r._2, r._1) -> r._3).toMap
+    val got = LinkGraph.anchorPairs(pg)
+      .as[(String, String, Long, Long, String)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (t, h, n, i, nh) =>
+      assert(idx((t, h)) == n, s"positive ($t, $h) not an index entry")
+      assert(!idx.contains((t, nh)),
+        s"false negative survived: ($t, $nh) is a true index pair")
+      assert(i >= 0 && i < Graph.NegK)
+    }
+    // exactly-once by (term, host, i); each positive keeps at most NegK
+    // draws, and the accidental-hit drop is not degenerate (most draws
+    // survive on a dictionary-sized host universe)
+    assert(got.map(r => (r._1, r._2, r._4)).distinct.length == got.length)
+    val perPos = got.groupBy(r => (r._1, r._2)).view.mapValues(_.length)
+    assert(perPos.values.forall(_ <= Graph.NegK))
+    // the catalog corpus' index is DENSE (dictionary-sized host
+    // universe, most terms label many hosts), so most draws land on
+    // true pairs and drop — at web scale density is tiny and survival
+    // near-total. Only guard against a fully-degenerate hash here.
+    assert(got.length * 10 > idx.size * Graph.NegK,
+      "under 10% of negative draws survived — hash degenerate")
+  }
+
   test("host rank equals a driver-side integer replay, bit for bit") {
     val docs = Tables.documents(spark, sf)
     val edges = LinkGraph.hostEdges(docs).as[(String, String)].collect().toSet
