@@ -66,17 +66,21 @@ object SparkEntry {
     * (oracled final state + StreamingSpec) instead. q145 is the same
     * integration drive with media composed in (its steady-state media
     * step is benched as q144), excluded for the same reason, as is
-    * q148 (the same 4-batch drive plus a manifest snapshot read) and
-    * q179 (the same drive with the frontier member composed in — its
+    * q148 (the same 4-batch drive plus a manifest snapshot read), q179
+    * (the same drive with the frontier member composed in — its
     * steady-state pieces are benched as q159 extraction, q163
-    * canonicalization, q100's knockout shape, and q169's rollup). */
+    * canonicalization, q100's knockout shape, and q169's rollup) and
+    * q188 (the same drive again, reading the fetch log it carried — its
+    * steady-state pieces are the frontier member's plus the q182
+    * scheduling step; the wave derivation itself is two map-side
+    * filters). */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries.removedAll(Seq("q70_ibrd_e2e_loans_by_status",
       "q71_ibrd_measures_card", "q72_ibrd_staged", "q73_ibrd_trend_by_year",
       "q74_ibrd_dim_country", "q75_ibrd_incremental_dim",
       "q76_ibrd_incremental_fact", "q130_crawl_pipeline",
       "q145_crawl_media_pipeline", "q148_crawl_time_travel",
-      "q179_crawl_frontier"))
+      "q179_crawl_frontier", "q188_frontier_recrawl"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted entries get a rows-only check. */

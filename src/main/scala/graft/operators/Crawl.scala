@@ -276,6 +276,15 @@ object Crawl extends QueryPack {
             .emptyRDD[org.apache.spark.sql.Row], template)
       }
     }
+    /** Base table and append-epoch rows SEPARATELY — for current-view
+      * folds that must not reshuffle the bucketed base (the fetch log's
+      * last-fetch view supersedes base rows with an anti-join against
+      * the batch-sized delta instead of re-aggregating the union — see
+      * [[Loop.fetches]]). */
+    def readParts(): (Option[DataFrame], Option[DataFrame]) = (
+      baseTable.map(spark.table),
+      if (batches.isEmpty) None
+      else Some(spark.read.parquet(batches.map(dir): _*)))
     /** `squash` folds history at consolidation time (identity for the
       * monotone registries; the cluster store collapses each doc's
       * relabel history to its current minimum) — the once-per-cycle
@@ -355,6 +364,52 @@ object Crawl extends QueryPack {
     StructField("sched_batch", LongType),
     StructField("priority", LongType)))
 
+  /** Schema of the fetch LOG store (the q188 recrawl member): one row
+    * per FETCH EVENT — a URL's first fetch (the batch after its
+    * discovery) and every tiered refresh after it. `gap` is the URL's
+    * refresh interval in batches, frozen at first fetch (see
+    * [[recrawlGaps]]); the current last-fetch view is the max-fold over
+    * a URL's rows ([[Loop.fetches]]). */
+  val fetchSchema: StructType = StructType(Seq(
+    StructField("canon_url", StringType),
+    StructField("dst_host", StringType),
+    StructField("priority", LongType),
+    StructField("gap", LongType),
+    StructField("fetch_batch", LongType)))
+
+  /** Number of refresh tiers in the recrawl policy: a host's tier (its
+    * quality-rank quartile within the priority feed) IS its refresh gap
+    * in batches — tier-1 hosts refetch every wave, tier-[[RecrawlTiers]]
+    * hosts every [[RecrawlTiers]]th. */
+  val RecrawlTiers: Int = 4
+
+  /** Per-host refresh gap for the recrawl policy — the tiered-refresh
+    * discipline of production crawlers (Cho & Garcia-Molina 2003,
+    * "Effective page refresh policies for web crawlers": revisit
+    * frequency allocated by page importance, here the q169 host-quality
+    * mass). The feed's absolute s_sum magnitudes scale with corpus size
+    * (≈−0.7M at sf0.01, ≈−7M at sf0.1 — ProfileRecrawl), so an absolute
+    * threshold cannot travel across scales; the gap is therefore
+    * RANK-relative: hosts ranked by (s_sum DESC, host) — q182's exact
+    * fetch-order convention — and gap = 1 + ((rank−1)·[[RecrawlTiers]])
+    * div |feed|, i.e. the host's quality quartile, ∈ [1, RecrawlTiers].
+    * Exact integer arithmetic throughout (replayable bit-for-bit in the
+    * oracle); the rank comes from [[graft.warehouse.SurrogateKeys]]'s
+    * range-partitioned path, so no single task ever sorts the host
+    * dimension (the q182 scale rule). A host absent from the feed gets
+    * gap 1 at join time — the least-evidence-first convention q182 uses
+    * when it ranks unknown hosts (priority 0) ahead of scored ones. */
+  def recrawlGaps(priorityFeed: DataFrame): DataFrame = {
+    val h = priorityFeed.count() // host-dim cardinality: one driver scalar
+    graft.warehouse.SurrogateKeys.assign(
+        priorityFeed.select(col("dst_host"), col("s_sum"))
+          .withColumn("__negp", -col("s_sum")),
+        Seq("__negp", "dst_host"), "__rank")
+      .select(col("dst_host"),
+        expr(s"CAST(1 + ((__rank - 1) * $RecrawlTiers) div $h AS BIGINT)")
+          .as("gap"))
+  }
+
   final class Loop(spark: SparkSession, codebook: DataFrame,
                    embeddings: DataFrame, root: String, tag: String,
                    verifyThreshold: Double = 0.8, compactEvery: Int = 2,
@@ -404,12 +459,27 @@ object Crawl extends QueryPack {
     // row per URL ever SCHEDULED, carried with the same append/compact/
     // manifest lifecycle as the other stores. Knockout semantics are
     // q100's: a batch's discovered URLs anti-join the registry, and
-    // only first discoveries are scheduled (seen ≡ scheduled — the
-    // frontier never re-fetches here; a recrawl policy would add a
-    // fetched-at column, not change the shape). Priority is the q169
+    // only first discoveries are scheduled (seen ≡ scheduled; actual
+    // fetch events — first fetch and tiered refreshes — live in the
+    // fetch LOG below, the r16 recrawl member). Priority is the q169
     // host-quality feed: links from high-LM-quality pages fetch first.
     private val frontierS = new Store(spark, root, "frontier",
       frontierSchema)
+    // fetch log (r16, the recrawl member): one row per fetch EVENT. A
+    // URL's first fetch happens the batch AFTER its discovery (wave
+    // semantics — batch B fetches what batch B−1 scheduled), then
+    // refreshes every `gap` batches, where gap is the host's quality
+    // tier in the priority feed ([[recrawlGaps]]) frozen at first
+    // fetch. The current last-fetch view is the max-fold over a URL's
+    // rows; compaction squashes to it. Store rows carry dst_host/
+    // priority/gap so the per-batch due-scan is a MAP-SIDE filter over
+    // the view — no host-dim join on the registry-sized path.
+    private val fetchesS = new Store(spark, root, "fetches", fetchSchema)
+    // the per-host refresh gaps, computed ONCE per loop from the feed
+    // (host-dim sized, pinned so every batch sees the same tiers)
+    private lazy val gapsDF: DataFrame = recrawlGaps(hostPriority.getOrElse(
+      sys.error("recrawl gaps need a hostPriority feed (dst_host, s_sum)")))
+      .localCheckpoint()
     private var summary = Summary.summarize(emptyDocs, col("lang"), col("n_chars"))
     private var summaryVersion = -1L
     private var lastCommitted = -1L
@@ -427,6 +497,7 @@ object Crawl extends QueryPack {
       case "clusters" => clustersS.meta.base
       case "prints" => printsS.meta.base
       case "frontier" => frontierS.meta.base
+      case "fetches" => fetchesS.meta.base
       case other => sys.error(s"no such registry store: $other")
     }
 
@@ -434,6 +505,59 @@ object Crawl extends QueryPack {
       * discovery batch and fetch priority (order by priority DESC for
       * the scheduler's view). */
     def frontier(): DataFrame = frontierS.read()
+
+    /** Current last-fetch view over the fetch log: one row per ever-
+      * fetched URL with its most recent fetch batch. Scale shape: the
+      * compacted base already holds one row per URL (the squash) and is
+      * canon_url-bucketed; the append-epoch delta (≤ compactEvery fetch
+      * waves) folds among itself at batch scale, then SUPERSEDES base
+      * rows via a left-anti probe on the bucket key — the base is
+      * scanned, never re-aggregated or reshuffled (the q100 knockout
+      * discipline applied to a max-fold). */
+    def fetches(): DataFrame = {
+      val (base, deltas) = fetchesS.readParts()
+      def fold(d: DataFrame) = d.groupBy(col("canon_url"))
+        .agg(max(col("dst_host")).as("dst_host"),
+          max(col("priority")).as("priority"),
+          max(col("gap")).as("gap"),
+          max(col("fetch_batch")).as("fetch_batch"))
+      (base, deltas) match {
+        case (Some(b), Some(d)) =>
+          val df = fold(d)
+          b.join(df.select(col("canon_url")), Seq("canon_url"), "left_anti")
+            .unionByName(df)
+        case (Some(b), None) => b
+        case (None, Some(d)) => fold(d)
+        case (None, None) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fetchSchema)
+      }
+    }
+
+    /** The fetch wave batch `batchId` executes — the recrawl policy's
+      * output, and exactly what [[ingest]] appends to the fetch log
+      * (minus the provenance columns): first fetches of every URL the
+      * PREVIOUS batch scheduled (`kind = 'new'`, a map-side filter on
+      * the frontier registry's sched_batch column plus a batch-sized
+      * gap join) unioned with due refreshes (`kind = 'refresh'`: URLs
+      * whose age since last fetch has reached their frozen tier gap —
+      * a map-side filter over [[fetches]], no join on the registry-
+      * sized path). Cost per wave = one frontier scan + one fetch-view
+      * scan, both filters pushed to the scan; neither registry is
+      * reshuffled. */
+    def nextFetchWave(batchId: Long): DataFrame = {
+      val firsts = frontierS.read()
+        .filter(col("sched_batch") === (batchId - 1))
+        .join(gapsDF, Seq("dst_host"), "left")
+        .select(col("canon_url"), col("dst_host"), col("priority"),
+          coalesce(col("gap"), lit(1L)).as("gap"),
+          lit(-1L).as("last_fetch"), lit("new").as("kind"))
+      val due = fetches()
+        .filter(lit(batchId) - col("fetch_batch") >= col("gap"))
+        .select(col("canon_url"), col("dst_host"), col("priority"),
+          col("gap"), col("fetch_batch").as("last_fetch"),
+          lit("refresh").as("kind"))
+      firsts.unionByName(due)
+    }
 
     /** Current media frame-fingerprint registry (all SEEN prints). */
     def mediaPrints(): DataFrame = printsS.read()
@@ -471,7 +595,8 @@ object Crawl extends QueryPack {
         storeLines("clusters", clustersS.meta) ++
         storeLines("prints", printsS.meta) ++
         storeLines("media_kept", mediaKeptS.meta) ++
-        storeLines("frontier", frontierS.meta)
+        storeLines("frontier", frontierS.meta) ++
+        storeLines("fetches", fetchesS.meta)
       Fs.writeString(spark, s"$manifestDir/m$batchId", lines.mkString("\n"))
     }
 
@@ -513,6 +638,7 @@ object Crawl extends QueryPack {
           Seq("sum_r", "sum_g", "sum_b"))
         mediaKeptS.restore(storeMeta("media_kept"), buckets, Seq("asset_id"))
         frontierS.restore(storeMeta("frontier"), buckets, Seq("canon_url"))
+        fetchesS.restore(storeMeta("fetches"), buckets, Seq("canon_url"))
         lastCommitted = kv("lastCommitted").toLong
         summaryVersion = kv("summaryVersion").toLong
         if (summaryVersion >= 0)
@@ -548,7 +674,7 @@ object Crawl extends QueryPack {
           s"$manifestDir/m$id").split('\n')
         .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap)
       val storeNames = Seq("seen", "bands", "sets", "kept", "assigned",
-        "clusters", "prints", "media_kept", "frontier")
+        "clusters", "prints", "media_kept", "frontier", "fetches")
       // referenced data dirs, relative to root
       val keep = scala.collection.mutable.Set.empty[String]
       kvs.foreach { kv =>
@@ -604,7 +730,7 @@ object Crawl extends QueryPack {
       }
       deleteUnder("summary")(c => keep.contains(s"summary/$c"))
       Seq("batch_pairs", "batch_kept", "batch_prints",
-          "batch_frontier").foreach { d =>
+          "batch_frontier", "batch_fetches").foreach { d =>
         deleteUnder(d) { c =>
           val id = c.stripPrefix("v").takeWhile(_.isDigit) match {
             case "" => Long.MaxValue; case s => s.toLong
@@ -759,6 +885,18 @@ object Crawl extends QueryPack {
           .write.mode("overwrite").parquet(s"$root/batch_frontier/v$batchId")
         frontierS.append(
           spark.read.parquet(s"$root/batch_frontier/v$batchId"), batchId)
+        // ---- recrawl member (r16): execute this batch's fetch wave —
+        // first fetches of last batch's discoveries + tier-due
+        // refreshes ([[nextFetchWave]]) — and log it. The wave slice
+        // lands batchId-keyed (idempotent replay) and the append rides
+        // the store lifecycle. Per-batch cost: one map-side filter per
+        // registry + a batch-sized gap join; see the wave scaladoc.
+        nextFetchWave(batchId)
+          .select(col("canon_url"), col("dst_host"), col("priority"),
+            col("gap"), lit(batchId).as("fetch_batch"))
+          .write.mode("overwrite").parquet(s"$root/batch_fetches/v$batchId")
+        fetchesS.append(
+          spark.read.parquet(s"$root/batch_fetches/v$batchId"), batchId)
       }
       // cadence counts INGESTED batches since the last compaction (not
       // batch-id arithmetic — ids may have gaps), and restores with the
@@ -786,6 +924,16 @@ object Crawl extends QueryPack {
         // guarantees a URL schedules at most once), so no squash.
         if (frontierS.meta.batches.nonEmpty || frontierS.meta.base.nonEmpty)
           frontierS.compact(s"${tag}_frontier", buckets, Seq("canon_url"))
+        // fetch log rides the same cadence; squash = the last-fetch
+        // max-fold (dst_host/priority/gap are frozen per URL, so max is
+        // the identity on them — it just picks the one value)
+        if (fetchesS.meta.batches.nonEmpty || fetchesS.meta.base.nonEmpty)
+          fetchesS.compact(s"${tag}_fetches", buckets, Seq("canon_url"),
+            squash = _.groupBy(col("canon_url"))
+              .agg(max(col("dst_host")).as("dst_host"),
+                max(col("priority")).as("priority"),
+                max(col("gap")).as("gap"),
+                max(col("fetch_batch")).as("fetch_batch")))
       }
       // COMMIT: batch data + any compaction become visible atomically;
       // everything above re-runs idempotently if we die before this line
@@ -925,6 +1073,54 @@ object Crawl extends QueryPack {
         col("host_rank"),
         row_number().over(Window.partitionBy(col("dst_host"))
           .orderBy(col("canon_url"))).cast("long").as("slot"))
+  }
+
+  /** Deterministic robots.txt rule set per host — the crawl-trace
+    * synthesis discipline ([[LinkGraph.pages]]'s): each host publishes
+    * one `Disallow: /p<d1>` (d1 = |host| mod 10) and one longer
+    * `Allow: /p<d1><d2>` override (d2 = ascii of the host's first char
+    * mod 10), so the corpus exercises both polarities AND the
+    * longest-match precedence that decides between them. Rows
+    * (dst_host, rule, allow); host-dimension sized. */
+  def robotsRules(hosts: DataFrame): DataFrame = {
+    val dis = concat(lit("/p"),
+      pmod(length(col("dst_host")), lit(10)).cast("string"))
+    hosts.select(col("dst_host"), dis.as("rule"), lit(false).as("allow"))
+      .unionByName(hosts.select(col("dst_host"),
+        concat(dis, pmod(ascii(substring(col("dst_host"), 1, 1)), lit(10))
+          .cast("string")).as("rule"),
+        lit(true).as("allow")))
+  }
+
+  /** Robots-exclusion verdict per frontier URL (RFC 9309 §2.2.2: the
+    * most specific — longest — matching rule wins; on a length tie the
+    * ALLOW rule wins; no match ⇒ crawlable). `canon` carries
+    * (canon_url, dst_host) — q179's registry columns. One row per URL:
+    * (canon_url, dst_host, fetchable, rule, rule_allow), rule NULL when
+    * nothing matched.
+    *
+    * Scale shape: the rule table is host-dimension sized and joins
+    * host-keyed (the q182 rule — never broadcast at web scale, where
+    * hosts are 10⁸⁺); each URL meets ≤ rules-per-host candidate rows,
+    * so the longest-match window partitions by canon_url over
+    * constant-size groups — batch-proportional end to end, the
+    * frontier is scanned once. */
+  def robotsVerdicts(canon: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rules = robotsRules(canon.select(col("dst_host")).distinct())
+    val path = regexp_replace(col("canon_url"), "^[a-z]+://[^/]+", "")
+    val hits = canon.join(rules, Seq("dst_host"), "left")
+      .withColumn("hit",
+        col("rule").isNotNull && path.startsWith(col("rule")))
+    val ranked = hits.withColumn("rn",
+      row_number().over(Window.partitionBy(col("canon_url"))
+        .orderBy(when(col("hit"), length(col("rule"))).otherwise(-1).desc,
+          col("allow").desc, col("rule").desc)))
+      .filter(col("rn") === 1)
+    ranked.select(col("canon_url"), col("dst_host"),
+      (!col("hit") || col("allow")).as("fetchable"),
+      when(col("hit"), col("rule")).as("rule"),
+      when(col("hit"), col("allow")).as("rule_allow"))
   }
 
   /** One-time landing of q182's two feeds — the canonical frontier
@@ -1261,6 +1457,177 @@ object Crawl extends QueryPack {
         "quality-ranked host order over the canonicalized URL set; " +
         "host queues window-partitioned by host, cross-host ranking " +
         "sorts only the host dimension; both windows oracled"),
+
+    // ---- frontier RECRAWL policy (r16, VERDICT r15 missing #1): the
+    // q179 drive maintains a fetch LOG next to the discovery registry —
+    // batch B fetches what batch B−1 scheduled (first fetch), then
+    // refreshes each URL every `gap` batches, gap = the host's quality-
+    // rank quartile in the q169 feed (tiered refresh, Cho &
+    // Garcia-Molina 2003; rank-relative because absolute s_sum
+    // magnitudes scale with the corpus — see [[recrawlGaps]]). Output =
+    // the wave the NEXT batch (4) would execute — batch-3 discoveries
+    // (kind 'new') + tier-due refreshes (kind 'refresh') — fed through
+    // q182's politeness scheduler: the recrawl feed and the first-fetch
+    // feed land in one deterministic fetch plan. Closed form: a URL
+    // discovered at quartile b0 with gap g is fetched at b0+1, b0+1+g,
+    // … ≤ 3, so last_fetch = b0+1 + g·((3−(b0+1)) div g) and wave-4 due
+    // ⇔ 4 − last_fetch ≥ g — all exact integers, replayed verbatim in
+    // the oracle. Durability rides StreamingSpec's kill-and-resume. ----
+    "q188_frontier_recrawl" -> Q(
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val emb = T.embeddings(s, d)
+        val codebook = emb.filter(col("vec_id") < Similarity.IvfCentroids)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        val hi = docs.select(max(col("doc_id"))).head.getLong(0) + 1
+        def quartiles(df: DataFrame): Seq[DataFrame] = (0 until 4).map { k =>
+          val lo = hi * k / 4
+          val up = if (k == 3) hi else hi * (k + 1) / 4
+          df.filter(col("doc_id") >= lo && col("doc_id") < up)
+        }
+        val pg = graft.operators.LinkGraph.pages(docs).localCheckpoint()
+        val prio = NgramLm.hostQualityRollup(docs)
+          .select(col("dst_host"), col("s_sum")).localCheckpoint()
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q188").toString
+        val loop = driveLoop(s, quartiles(docs), codebook, emb, root,
+          tag = "q188_" + d.replaceAll("[^A-Za-z0-9]", "_"),
+          pagesBatches = quartiles(pg), hostPriority = Some(prio))
+        val wave = loop.nextFetchWave(4L).localCheckpoint()
+        politenessSchedule(wave.select(col("canon_url"), col("dst_host")),
+            prio)
+          .join(wave.select(col("canon_url"), col("gap"),
+            col("last_fetch"), col("kind")), Seq("canon_url"))
+          .select(col("canon_url"), col("dst_host"), col("priority"),
+            col("gap"), col("last_fetch"), col("kind"), col("host_rank"),
+            col("slot"))
+      },
+      Some(s"""
+        WITH ${NgramLm.scoredMilliCtes},${graft.operators.LinkGraph.linksSql},
+        roll AS (
+          SELECT l.dst_host, CAST(sum(s.s_milli) AS BIGINT) AS s_sum
+          FROM links l JOIN scored s ON s.doc_id = l.src_doc
+          GROUP BY 1
+        ),
+        feed AS (
+          SELECT dst_host, s_sum,
+                 row_number() OVER (ORDER BY s_sum DESC, dst_host) AS r,
+                 count(*) OVER () AS h
+          FROM roll
+        ),
+        gaps AS (
+          SELECT dst_host,
+                 CAST(1 + ((r - 1) * $RecrawlTiers) // h AS BIGINT) AS gap
+          FROM feed
+        ),
+        ${graft.operators.LinkGraph.urlsSql},
+        hibnd AS (SELECT max(doc_id) + 1 AS hi FROM documents),
+        firsts AS (
+          SELECT url AS canon_url, any_value(dst_host) AS dst_host,
+                 min(src_doc) AS fd
+          FROM urls GROUP BY 1
+        ),
+        disc AS (
+          SELECT f.canon_url, f.dst_host,
+                 CAST(CAST(f.fd >= (SELECT hi FROM hibnd) * 1 // 4 AS INT)
+                    + CAST(f.fd >= (SELECT hi FROM hibnd) * 2 // 4 AS INT)
+                    + CAST(f.fd >= (SELECT hi FROM hibnd) * 3 // 4 AS INT)
+                      AS BIGINT) AS b0,
+                 CAST(coalesce(r.s_sum, 0) AS BIGINT) AS priority,
+                 coalesce(g.gap, 1) AS gap
+          FROM firsts f
+          LEFT JOIN roll r ON f.dst_host = r.dst_host
+          LEFT JOIN gaps g ON f.dst_host = g.dst_host
+        ),
+        wave AS (
+          SELECT canon_url, dst_host, priority, gap,
+                 CAST(-1 AS BIGINT) AS last_fetch, 'new' AS kind
+          FROM disc WHERE b0 = 3
+          UNION ALL
+          SELECT canon_url, dst_host, priority, gap,
+                 b0 + 1 + gap * ((3 - (b0 + 1)) // gap) AS last_fetch,
+                 'refresh' AS kind
+          FROM disc
+          WHERE b0 <= 2
+            AND 4 - (b0 + 1 + gap * ((3 - (b0 + 1)) // gap)) >= gap
+        ),
+        whosts AS (
+          SELECT h.dst_host, CAST(coalesce(r.s_sum, 0) AS BIGINT) AS priority
+          FROM (SELECT DISTINCT dst_host FROM wave) h
+          LEFT JOIN roll r ON h.dst_host = r.dst_host
+        ),
+        wranked AS (
+          SELECT dst_host,
+                 CAST(dense_rank() OVER (ORDER BY priority DESC, dst_host)
+                   AS BIGINT) AS host_rank
+          FROM whosts
+        )
+        SELECT w.canon_url, w.dst_host, w.priority, w.gap, w.last_fetch,
+               w.kind, rk.host_rank,
+               CAST(row_number() OVER (PARTITION BY w.dst_host
+                                       ORDER BY w.canon_url) AS BIGINT)
+                 AS slot
+        FROM wave w JOIN wranked rk ON w.dst_host = rk.dst_host
+      """.stripMargin),
+      doc = "frontier recrawl policy: tiered refresh (gap = host-quality " +
+        "rank quartile in the q169 feed) over the loop-carried fetch " +
+        "log; next wave = new first-fetches + due refreshes, composed " +
+        "through the politeness scheduler; fully closed-form oracled"),
+
+    // ---- robots exclusion over the frontier (RFC 9309): per-host
+    // synthesized Disallow + longer Allow override, longest-match
+    // precedence (tie → allow, no match → crawlable). Rules are
+    // host-dim sized and join host-keyed; per-URL candidates are
+    // constant-size, so the precedence window is batch-proportional.
+    // The /next pagination URLs never match a /p rule — the default-
+    // allow branch is exercised naturally. Consumes the stored q182
+    // canon feed; every branch of the verdict is oracle-replayed. ----
+    "q194_robots_exclusion" -> Q(
+      (s, d) => {
+        val (tc, _) = q182Store(s, d)
+        robotsVerdicts(s.table(tc))
+      },
+      Some(s"""
+        WITH ${graft.operators.LinkGraph.linksSql},
+        ${graft.operators.LinkGraph.urlsSql},
+        canon AS (SELECT DISTINCT url AS canon_url, dst_host FROM urls),
+        hosts AS (SELECT DISTINCT dst_host FROM canon),
+        rules AS (
+          SELECT dst_host,
+                 '/p' || CAST(length(dst_host) % 10 AS VARCHAR) AS rule,
+                 FALSE AS allow
+          FROM hosts
+          UNION ALL
+          SELECT dst_host,
+                 concat('/p', CAST(length(dst_host) % 10 AS VARCHAR),
+                        CAST(ascii(substring(dst_host, 1, 1)) % 10
+                             AS VARCHAR)),
+                 TRUE
+          FROM hosts
+        ),
+        hits AS (
+          SELECT c.canon_url, c.dst_host, r.rule, r.allow,
+                 starts_with(regexp_replace(c.canon_url,
+                               '^[a-z]+://[^/]+', ''), r.rule) AS hit
+          FROM canon c JOIN rules r USING (dst_host)
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY canon_url
+                      ORDER BY CASE WHEN hit THEN length(rule)
+                               ELSE -1 END DESC,
+                               allow DESC, rule DESC) AS rn
+          FROM hits
+        )
+        SELECT canon_url, dst_host,
+               (NOT hit) OR allow AS fetchable,
+               CASE WHEN hit THEN rule END AS rule,
+               CASE WHEN hit THEN allow END AS rule_allow
+        FROM ranked WHERE rn = 1
+      """.stripMargin),
+      doc = "robots exclusion (RFC 9309): longest-match rule precedence " +
+        "with allow-override on ties over the stored canonical " +
+        "frontier; host-dim rule join, constant-size per-URL window; " +
+        "all three verdict branches oracled"),
 
     // ---- TIME-TRAVEL state read (r13): reproducible corpus snapshots.
     // Drive all 4 batches, then reconstruct the state AS OF batch 2

@@ -555,7 +555,11 @@ class StreamingSpec extends SparkSpec {
         st.clusters.collect().map(_.toSeq).toSet,
         loop.mediaKept().collect().map(_.toSeq).toSet,
         loop.mediaPrints().distinct().collect().map(_.toSeq).toSet,
-        loop.frontier().collect().map(_.toSeq).toSet)
+        loop.frontier().collect().map(_.toSeq).toSet,
+        // the recrawl member (r16): both the last-fetch VIEW and the
+        // wave the next batch would execute must survive kill/resume
+        loop.fetches().collect().map(_.toSeq).toSet,
+        loop.nextFetchWave(4L).collect().map(_.toSeq).toSet)
     }
 
     val rootRef = java.nio.file.Files.createTempDirectory("graft_res_ref").toString
@@ -573,6 +577,8 @@ class StreamingSpec extends SparkSpec {
       "expected the media registry to compact on the same cadence")
     assert(loop1.registryTable("frontier").nonEmpty,
       "expected the frontier registry to compact on the same cadence")
+    assert(loop1.registryTable("fetches").nonEmpty,
+      "expected the fetch log to compact on the same cadence")
     // crash remnants: batch 2 started landing data but never committed a
     // manifest — the resumed loop must overwrite these dirs in place
     Crawl.docHashes(batches(0))
@@ -585,10 +591,13 @@ class StreamingSpec extends SparkSpec {
     Seq(("http://stale.example.com/x", "stale.example.com", 2L, 0L))
       .toDF("canon_url", "dst_host", "sched_batch", "priority")
       .write.mode("overwrite").parquet(s"$root/batch_frontier/v2")
+    Seq(("http://stale.example.com/x", "stale.example.com", 0L, 1L, 2L))
+      .toDF("canon_url", "dst_host", "priority", "gap", "fetch_batch")
+      .write.mode("overwrite").parquet(s"$root/batch_fetches/v2")
     // fresh-metastore simulation: external tables dropped from the
     // catalog (data stays under root); resume must re-register them
     Seq("seen", "bands", "sets", "prints", "media_kept",
-        "frontier").foreach { s =>
+        "frontier", "fetches").foreach { s =>
       spark.sql(s"DROP TABLE IF EXISTS t_res_${s}_e1")
     }
     // loop1 is gone; rebuild from root ALONE
