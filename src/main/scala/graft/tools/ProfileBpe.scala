@@ -133,5 +133,25 @@ object ProfileBpe {
       graft.operators.Bpe.encodeWords(vocab, trained).count())
     runEncode("encode_fold_12m",
       graft.operators.Bpe.encodeByFold(vocab, trained).count())
+
+    // ---- production merge count (r15 verdict directive #7): pin the
+    // "<1 MB, O(1) jobs" claim at a 32k-entry merge table. Training 32k
+    // real rounds is out of budget here, so the table is synthetic but
+    // MATCH-HEAVY by construction: the 12 trained merges, then every
+    // 1-char×1-char pair over the corpus alphabet (these all fire —
+    // words collapse to 2-char symbols), then 2-char×1-char chains —
+    // i.e. the expression's presence-guard cannot just skip everything;
+    // it has to survive a realistic match density. Expect: jobs equal
+    // to the 3/12-merge points (the broadcast-plan invariant), wall
+    // bounded by the per-word scan, table well under 1 MB. ----
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789".map(_.toString)
+    val p2 = for (a <- alphabet; b <- alphabet) yield (a, b)
+    val p3 = for (a <- alphabet; b <- alphabet; c <- alphabet) yield (a + b, c)
+    val synth32k = (trained ++ p2 ++ p3).take(32768)
+    val approxKb = synth32k.map { case (l, r) => l.length + r.length + 16 }
+      .sum / 1024
+    println(s"""{"tool":"bpe","point":"merge_table_32k","entries":${synth32k.size},"approx_kb":$approxKb}""")
+    runEncode("encode_32k",
+      graft.operators.Bpe.encodeWords(vocab, synth32k).count())
   }
 }

@@ -89,6 +89,47 @@ class BpeSpec extends SparkSpec {
     assert(fast == fold)
   }
 
+  test("WordPiece greedy longest-match: longest wins, [UNK] on any unmatched char, code-point candidates") {
+    import graft.functions.WordPieceEncode.wordpieceEncode
+    val vocab = Seq("a", "b", "c", "ab", "abc", "bc", "😀")
+    val words = Seq(
+      "abcabc", // longest-first: "abc abc", never "ab c ab c"
+      "abab",   // "ab ab"
+      "acb",    // "a c b" — singles when no longer piece prefixes
+      "abca",   // "abc a"
+      "aزb",    // 'ز' not in vocab → whole word [UNK] (BERT rule)
+      "a😀b",   // non-BMP piece matches as ONE code point
+      "bca"     // "bc a" — longest at pos 0 is bc, not b
+    ).toDF("w")
+    val got = words.select(col("w"), wordpieceEncode(col("w"), vocab).as("p"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map(
+      "abcabc" -> "abc abc", "abab" -> "ab ab", "acb" -> "a c b",
+      "abca" -> "abc a", "aزb" -> "[UNK]", "a😀b" -> "a 😀 b",
+      "bca" -> "bc a"))
+  }
+
+  test("wordpieceHeldOut: every piece is a vocab member, concatenation restores the word, no [UNK] on the covered corpus") {
+    val docs = Tables.documents(spark, sf)
+    val vocab = Bpe.wordpieceVocab(docs, 3).toSet
+    val rows = Bpe.wordpieceHeldOut(docs, 3)
+      .as[(String, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, wp) =>
+      assert(wp != "[UNK]", s"$w degraded to UNK under a covering vocab")
+      val pieces = wp.split(" ")
+      pieces.foreach(p => assert(vocab.contains(p), s"$w emitted non-vocab piece $p"))
+      assert(pieces.mkString == w, s"$w pieces do not tile the word: $wp")
+      // greedy longest-match property at position 0: no longer vocab
+      // piece can prefix the word than the one taken
+      val first = pieces.head
+      (first.length + 1 to w.length).foreach { l =>
+        assert(!vocab.contains(w.substring(0, l)),
+          s"$w: greedy took $first but ${w.substring(0, l)} is in vocab")
+      }
+    }
+  }
+
   test("selectBatch stays exact when the conflict tail exceeds the cap window") {
     // 5000 candidates all sharing 'a': greedy accepts exactly one; the
     // capped scan stops at SelectCap rows but the accepted set is the
