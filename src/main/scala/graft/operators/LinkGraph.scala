@@ -378,6 +378,134 @@ object LinkGraph extends QueryPack {
         (r, _) => stepVarDeg(nodes, eAll, r))
   }
 
+  // ---- TrustRank (q192): seed-biased trust propagation ----
+
+  /** Trusted seed hosts: the q169 host-quality rollup gated at the
+    * corpus mean in EXACT integer arithmetic (s_sum · |hosts| ≥
+    * Σ s_sum — the q168 gate rule applied to the host dimension; both
+    * sides negative-safe because |hosts| > 0). TrustRank's seed set is
+    * "a small set of pages vetted as reputable" (Gyöngyi et al. 2004
+    * §4 use inverse PageRank + human review; an LM-quality gate is this
+    * pipeline's automated analogue — hosts whose inbound quality mass
+    * beats the mean). One broadcast scalar row; the rollup is the only
+    * shuffle. */
+  def trustSeeds(docs: DataFrame): DataFrame = {
+    val roll = NgramLm.hostQualityRollup(docs)
+      .select(col("dst_host"), col("s_sum"))
+    val tot = roll.agg(sum(col("s_sum")).as("tot"), count(lit(1)).as("nh"))
+    roll.crossJoin(broadcast(tot))
+      .filter(col("s_sum") * col("nh") >= col("tot"))
+      .select(col("dst_host"))
+  }
+
+  /** One damped integer TrustRank round — [[stepVarDeg]] with the
+    * teleport mass returning ONLY to the seed set (the biased teleport
+    * that distinguishes TrustRank from PageRank): t' = seed·(15%·Scale)
+    * + (85·incoming) DIV 100. `nodes` must carry (node, seed ∈ {0,1});
+    * `ranks` carries (node, seed, t). Overflow bound: trust mass is
+    * dominated pointwise by the q160 PageRank iterate from the same
+    * start (the teleport term is a subset of PageRank's), so the
+    * Graph.scala header's bound applies unchanged. */
+  def stepTrust(nodes: DataFrame, edges: DataFrame,
+                ranks: DataFrame): DataFrame = {
+    val inc = edges
+      .join(ranks.select(col("node").as("src"), col("t")), "src")
+      .groupBy(col("dst"))
+      .agg(sum(expr("t DIV od")).as("inc"))
+    nodes.join(inc, nodes("node") === inc("dst"), "left")
+      .select(nodes("node"), nodes("seed"),
+        (col("seed") * lit(Graph.Scale * 15 / 100) +
+          expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) DIV 100")).as("t"))
+  }
+
+  /** [[Graph.Iterations]] exact-integer TrustRank rounds over the
+    * extracted host graph (Gyöngyi, Garcia-Molina & Pedersen 2004,
+    * "Combating web spam with TrustRank"): trust starts ON THE SEEDS
+    * (mass Scale each, 0 elsewhere) and propagates along out-links with
+    * damping 0.85, teleporting back to seeds only — hosts reachable
+    * from the trusted core accumulate trust, unreferenced corners stay
+    * near 0 (where PageRank's uniform teleport would still feed them).
+    * Returns (node, seed, t) for every host. Scale shape = q160's
+    * exactly: the edge table with out-degrees lands once
+    * ([[withOutDeg]]), each round is one hash join + map-side-combined
+    * sum + teleport left join; the seed flag rides the pinned node
+    * table so no per-round re-derivation of the gate. */
+  def trustrankHosts(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val e = withOutDeg(hostEdges(docs))
+    val nodes = hostNodes(e)
+      .join(trustSeeds(docs).select(col("dst_host").as("node"),
+        lit(1L).as("seed")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("seed"), lit(0L)).as("seed"))
+      .localCheckpoint() // consumed by every round + the final output
+    val t0 = nodes.select(col("node"), col("seed"),
+      (col("seed") * lit(Graph.Scale)).as("t"))
+    (1 to Graph.Iterations).foldLeft(t0)((t, _) => stepTrust(nodes, e, t))
+  }
+
+  /** Spam mass per host (Gyöngyi, Berkhin, Garcia-Molina & Pedersen
+    * 2006, "Link spam detection based on mass estimation"): the
+    * fraction of a host's PageRank that does NOT come from the trusted
+    * core — m = (p − rt)/p, where rt is the TrustRank vector rescaled
+    * onto PageRank's total mass (the two chains start from different
+    * distributions, so raw t and p are not comparable). In thousandths,
+    * exact integer arithmetic end-to-end: rt = (t·Σp) DIV Σt, then
+    * spam_milli = max(0, 1000 − (1000·rt) DIV p), clamped because
+    * trust-concentrated seeds can carry rt > p. Both Σ are one
+    * broadcast scalar row; p ≥ the teleport floor > 0 always, and
+    * Σt > 0 because the mean gate always admits the max element.
+    * Overflow bound (the q153-header discipline): the largest product
+    * is t·Σp ≤ (|S|·Scale)·(N·Scale); signed-64 holds while
+    * N·|S|·Scale² < 9·10¹⁸ — at Scale 10⁶ a 10⁴-host graph with a
+    * 10²-host seed core uses < 10¹⁸; a production run drops Scale or
+    * right-shifts t first (q164's trick) as the graph grows.
+    *
+    * Scale shape: ONE shared out-degree edge table feeds both chains
+    * (the regexp extraction runs once), each round is q160's hash join
+    * + map-side-combined sum; the composition adds one node-keyed join
+    * and two 1-row aggregates. Returns (node, seed, r, t, spam_milli). */
+  def spamMassHosts(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val e = withOutDeg(hostEdges(docs))
+    val plain = hostNodes(e)
+    val r0 = plain.select(col("node"), lit(Graph.Scale).as("r"))
+    val pr = (1 to Graph.Iterations)
+      .foldLeft(r0)((r, _) => stepVarDeg(plain, e, r))
+    val sn = plain
+      .join(trustSeeds(docs).select(col("dst_host").as("node"),
+        lit(1L).as("seed")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("seed"), lit(0L)).as("seed"))
+      .localCheckpoint()
+    val t0 = sn.select(col("node"), col("seed"),
+      (col("seed") * lit(Graph.Scale)).as("t"))
+    val tr = (1 to Graph.Iterations).foldLeft(t0)((t, _) => stepTrust(sn, e, t))
+    val sums = pr.agg(sum(col("r")).as("sp"))
+      .crossJoin(tr.agg(sum(col("t")).as("st")))
+    pr.join(tr.select(col("node"), col("seed"), col("t")), "node")
+      .crossJoin(broadcast(sums))
+      .select(col("node"), col("seed"), col("r"), col("t"),
+        expr("greatest(CAST(0 AS BIGINT), " +
+          "1000 - (1000 * ((t * sp) DIV st)) DIV r)").as("spam_milli"))
+  }
+
+  /** Oracle-side TrustRank rounds (the [[vdStepsSql]] pattern with the
+    * seed-biased teleport); steps from `<from>` over `<edgeCte>`,
+    * reading the seed flag from CTE `sn(node, seed)`. */
+  private def trustStepsSql(edgeCte: String, from: String, prefix: String,
+                            rounds: Int): String =
+    (1 to rounds).map { i =>
+      val prev = if (i == 1) from else s"$prefix${i - 1}"
+      s""",
+        ${prefix}i$i AS (
+          SELECT e.dst AS dst, CAST(sum(r.t // e.od) AS BIGINT) AS inc
+          FROM $edgeCte e JOIN $prev r ON e.src = r.node GROUP BY 1
+        ),
+        $prefix$i AS (
+          SELECT sn.node, sn.seed,
+                 CAST(sn.seed * ${Graph.Scale * 15 / 100}
+                      + (85 * coalesce(inc, 0)) // 100 AS BIGINT) AS t
+          FROM sn LEFT JOIN ${prefix}i$i ON sn.node = ${prefix}i$i.dst
+        )"""
+    }.mkString
+
   /** Synchronous label-propagation rounds for q167; fixed so the
     * oracle unrolls. */
   val LpaRounds = 3
@@ -1065,6 +1193,109 @@ object LinkGraph extends QueryPack {
       doc = "Incremental link-rank: stored base-graph host ranks + " +
         "warm-started rounds after a doc-batch append changes both the " +
         "edge set and the per-source out-degrees; oracled bit-for-bit"),
+
+    // TrustRank over the host graph: trust seeded on the LM-quality-
+    // gated hosts, propagated with the seed-biased teleport — the
+    // spam-demotion companion to q160 (uniform-teleport PageRank). The
+    // full (node, seed, t) vector is oracled bit-for-bit through the
+    // generated integer step chain.
+    "q192_trustrank_hosts" -> Q(
+      (s, d) => trustrankHosts(s, T.documents(s, d)),
+      Some(s"""
+        WITH ${NgramLm.scoredMilliCtes},$linksSql,
+        edges AS (
+          SELECT DISTINCT d.source || '.example.com' AS src, l.dst_host AS dst
+          FROM links l JOIN documents d ON d.doc_id = l.src_doc
+          WHERE d.source || '.example.com' <> l.dst_host
+        ),
+        nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        od AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+        e AS (SELECT edges.src, edges.dst, od.od
+              FROM edges JOIN od USING (src)),
+        roll AS (
+          SELECT l.dst_host, CAST(sum(s.s_milli) AS BIGINT) AS s_sum
+          FROM links l JOIN scored s ON s.doc_id = l.src_doc
+          GROUP BY 1
+        ),
+        gate AS (
+          SELECT CAST(sum(s_sum) AS BIGINT) AS tot, count(*) AS nh FROM roll
+        ),
+        seeds AS (
+          SELECT dst_host FROM roll, gate WHERE s_sum * nh >= tot
+        ),
+        sn AS (
+          SELECT node,
+                 CAST(CASE WHEN node IN (SELECT dst_host FROM seeds)
+                      THEN 1 ELSE 0 END AS BIGINT) AS seed
+          FROM nodes
+        ),
+        t0 AS (SELECT node, seed,
+                      CAST(seed * ${Graph.Scale} AS BIGINT) AS t
+               FROM sn)${trustStepsSql("e", "t0", "t", Graph.Iterations)}
+        SELECT node, seed, t FROM t${Graph.Iterations}
+      """.stripMargin),
+      doc = "TrustRank (Gyongyi 2004): exact-integer trust propagation " +
+        "from LM-quality-gated seed hosts with seed-biased teleport; " +
+        "full trust vector + seed flags oracled bit-for-bit"),
+
+    // Spam mass per host: both rank chains over ONE shared out-degree
+    // edge table, trust rescaled onto PageRank's total, thousandths
+    // clamped at zero — the full composed vector oracled bit-for-bit.
+    "q193_spam_mass" -> Q(
+      (s, d) => spamMassHosts(s, T.documents(s, d)),
+      Some(s"""
+        WITH ${NgramLm.scoredMilliCtes},$linksSql,
+        edges AS (
+          SELECT DISTINCT d.source || '.example.com' AS src, l.dst_host AS dst
+          FROM links l JOIN documents d ON d.doc_id = l.src_doc
+          WHERE d.source || '.example.com' <> l.dst_host
+        ),
+        nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        od AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+        e AS (SELECT edges.src, edges.dst, od.od
+              FROM edges JOIN od USING (src)),
+        r0 AS (SELECT node, CAST(${Graph.Scale} AS BIGINT) AS r
+               FROM nodes)${vdStepsSql("e", "r0", "r", Graph.Iterations)},
+        roll AS (
+          SELECT l.dst_host, CAST(sum(s.s_milli) AS BIGINT) AS s_sum
+          FROM links l JOIN scored s ON s.doc_id = l.src_doc
+          GROUP BY 1
+        ),
+        gate AS (
+          SELECT CAST(sum(s_sum) AS BIGINT) AS tot, count(*) AS nh FROM roll
+        ),
+        seeds AS (
+          SELECT dst_host FROM roll, gate WHERE s_sum * nh >= tot
+        ),
+        sn AS (
+          SELECT node,
+                 CAST(CASE WHEN node IN (SELECT dst_host FROM seeds)
+                      THEN 1 ELSE 0 END AS BIGINT) AS seed
+          FROM nodes
+        ),
+        t0 AS (SELECT node, seed,
+                      CAST(seed * ${Graph.Scale} AS BIGINT) AS t
+               FROM sn)${trustStepsSql("e", "t0", "t", Graph.Iterations)},
+        sums AS (
+          SELECT (SELECT CAST(sum(r) AS BIGINT) FROM r${Graph.Iterations})
+                   AS sp,
+                 (SELECT CAST(sum(t) AS BIGINT) FROM t${Graph.Iterations})
+                   AS st
+        )
+        SELECT p.node, s.seed, p.r, s.t,
+               CAST(greatest(0, 1000 - (1000 * ((s.t * m.sp) // m.st))
+                                // p.r) AS BIGINT) AS spam_milli
+        FROM r${Graph.Iterations} p
+        JOIN t${Graph.Iterations} s USING (node), sums m
+      """.stripMargin),
+      doc = "spam mass (Gyongyi 2006): PageRank minus rescaled " +
+        "TrustRank as a per-host thousandths fraction, one shared edge " +
+        "table feeding both integer chains; composed vector oracled " +
+        "bit-for-bit"),
 
     // Frontier URL canonicalization: the oracle CONSTRUCTS the expected
     // canonical form directly from the row's columns — independent of

@@ -407,4 +407,92 @@ class LinkGraphSpec extends SparkSpec {
     assert(wantOrder.map(_._3).sameElements(1L to hosts.size.toLong),
       "host_rank is not the (priority desc, host asc) dense order")
   }
+
+  test("trustrank: seed-biased teleport — non-seed trust is pure propagation, seeds hold the floor, and the gate splits the hosts") {
+    val docs = Tables.documents(spark, sf)
+    val got = LinkGraph.trustrankHosts(spark, docs)
+      .as[(String, Long, Long)].collect() // (node, seed, t)
+    val (seeds, rest) = got.partition(_._2 == 1L)
+    // the LM-quality mean gate must produce a PROPER seed subset — a
+    // degenerate all-or-nothing gate would make this entry PageRank
+    // or the zero vector
+    assert(seeds.nonEmpty && rest.nonEmpty,
+      s"degenerate seed gate: ${seeds.length} seeds of ${got.length}")
+    // every seed keeps at least the biased teleport floor
+    val floor = Graph.Scale * 15 / 100
+    seeds.foreach { case (n, _, t) =>
+      assert(t >= floor, s"seed $n below the teleport floor: $t")
+    }
+    // driver-side integer replay (the q160 test's discipline, with the
+    // seed-biased update): same edges, same DIV arithmetic
+    val e = LinkGraph.hostEdges(docs).as[(String, String)].collect()
+    val od = e.groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+    val seedSet = seeds.map(_._1).toSet
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var t = nodes.map(n =>
+      n -> (if (seedSet(n)) Graph.Scale else 0L)).toMap
+    (1 to Graph.Iterations).foreach { _ =>
+      val inc = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      e.foreach { case (s, d) => inc(d) += t(s) / od(s) }
+      t = nodes.map { n =>
+        n -> ((if (seedSet(n)) floor else 0L) + 85L * inc(n) / 100L)
+      }.toMap
+    }
+    got.foreach { case (n, _, tv) =>
+      assert(tv == t(n), s"trust mismatch at $n: engine $tv vs replay ${t(n)}")
+    }
+  }
+
+  test("robots exclusion: all three verdict branches fire, longest match wins, pagination URLs default-allow") {
+    val docs = Tables.documents(spark, sf)
+    val canon = graft.operators.Crawl.canonFrontier(docs)
+    val rows = graft.operators.Crawl.robotsVerdicts(canon)
+      .as[(String, String, Boolean, Option[String], Option[Boolean])]
+      .collect()
+    assert(rows.length == canon.count(), "one verdict per URL")
+    val defaults = rows.filter(_._4.isEmpty)
+    val disallowed = rows.filter(r => r._4.nonEmpty && !r._3)
+    val allowOverrides = rows.filter(r => r._4.nonEmpty && r._3)
+    // the synthesized rule set must exercise every branch, or the
+    // oracle hash proves less than it claims
+    assert(defaults.nonEmpty && disallowed.nonEmpty && allowOverrides.nonEmpty,
+      s"degenerate branches: ${defaults.length}/${disallowed.length}/" +
+        s"${allowOverrides.length}")
+    defaults.foreach { r =>
+      assert(r._3, s"${r._1}: no rule matched but not fetchable")
+    }
+    // /next pagination URLs can never match a /p rule
+    rows.filter(_._1.endsWith("/next")).foreach { r =>
+      assert(r._4.isEmpty && r._3, s"${r._1} matched a /p rule")
+    }
+    // longest-match: a fetchable URL with a matched ALLOW rule must
+    // also prefix-match its host's shorter disallow rule
+    allowOverrides.foreach { r =>
+      val path = r._1.replaceFirst("^[a-z]+://[^/]+", "")
+      val dis = "/p" + (r._2.length % 10)
+      assert(path.startsWith(dis),
+        s"${r._1}: allow fired without the shorter disallow matching")
+      assert(r._4.get.startsWith(dis) && r._4.get.length > dis.length,
+        s"${r._1}: allow rule is not the longer override")
+    }
+  }
+
+  test("spam mass: thousandths in [0,1000], exact formula over the row's own vectors, untrusted hosts score full mass") {
+    val docs = Tables.documents(spark, sf)
+    val rows = LinkGraph.spamMassHosts(spark, docs)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // (node, seed, r, t, spam_milli)
+    val sp = rows.map(_._3).sum
+    val st = rows.map(_._4).sum
+    assert(st > 0, "mean gate must admit at least the max host")
+    rows.foreach { case (n, _, r, t, m) =>
+      assert(m >= 0L && m <= 1000L, s"$n spam_milli out of range: $m")
+      val rt = t * sp / st
+      val want = math.max(0L, 1000L - (1000L * rt) / r)
+      assert(m == want, s"$n spam formula drifted: engine $m vs $want")
+      if (t == 0L) assert(m == 1000L,
+        s"$n gets no trust but spam mass $m < 1000")
+    }
+  }
 }
