@@ -390,8 +390,14 @@ object LinkGraph extends QueryPack {
     * beats the mean). One broadcast scalar row; the rollup is the only
     * shuffle. */
   def trustSeeds(docs: DataFrame): DataFrame = {
+    // the host-dim rollup feeds both the gate scalar and the seed
+    // filter; their different column prunings make the subtrees
+    // non-identical, so without landing it the whole LM-scoring rollup
+    // (tokenize + five count-table joins + host agg) executes twice —
+    // landed once, it is a dictionary-sized (host, s_sum) vector
     val roll = NgramLm.hostQualityRollup(docs)
       .select(col("dst_host"), col("s_sum"))
+      .localCheckpoint()
     val tot = roll.agg(sum(col("s_sum")).as("tot"), count(lit(1)).as("nh"))
     roll.crossJoin(broadcast(tot))
       .filter(col("s_sum") * col("nh") >= col("tot"))

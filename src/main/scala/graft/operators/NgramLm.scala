@@ -395,7 +395,13 @@ object NgramLm extends QueryPack {
     * modified KN): same exact-integer mean gate (s_milli·n_docs ≥ Σ), so
     * the kept set stays bit-stable; only the smoothing changed. */
   def knQualityGate(docs: DataFrame): DataFrame = {
-    val scored = knDocScoresMilli(docs)
+    // land the doc-dim score vector ONCE: it feeds both the gate scalar
+    // and the kept-set filter, whose different column prunings make the
+    // two subtrees non-identical — without the landing the whole
+    // KN-scoring chain (tokenize + seven count-table joins) executes
+    // twice (the r15 moving-vector lesson; measured 3.75 s → the cost
+    // of one scoring pass + the gate)
+    val scored = knDocScoresMilli(docs).localCheckpoint()
     val tot = scored.agg(sum(col("s_milli")).as("tot"),
       count(lit(1)).as("nd"))
     scored.crossJoin(broadcast(tot))
@@ -418,8 +424,12 @@ object NgramLm extends QueryPack {
     * addition over q168 is the lang column ride-along and the groupBy
     * swap — the LM lookup joins upstream still dominate. */
   def langQualityGate(docs: DataFrame): DataFrame = {
+    // landed once: consumed by the per-lang totals AND the kept-set
+    // filter (see knQualityGate — differing column pruning defeats
+    // exchange reuse and would re-run the scoring chain)
     val scored = docScoresMilli(docs)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .localCheckpoint()
     val tot = scored.groupBy(col("lang"))
       .agg(sum(col("s_milli")).as("tot"), count(lit(1)).as("nd"))
     scored.join(broadcast(tot), "lang")
@@ -487,7 +497,9 @@ object NgramLm extends QueryPack {
     * 100 TB the scored set streams map-only past the broadcast row;
     * the LM lookup joins upstream are the only shuffles. */
   def lmQualityGate(docs: DataFrame): DataFrame = {
-    val scored = docScoresMilli(docs)
+    // landed once — same two-consumer shape as knQualityGate: without
+    // it the whole stupid-backoff scoring chain runs twice
+    val scored = docScoresMilli(docs).localCheckpoint()
     val tot = scored.agg(sum(col("s_milli")).as("tot"),
       count(lit(1)).as("nd"))
     scored.crossJoin(broadcast(tot))
