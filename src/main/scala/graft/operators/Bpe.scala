@@ -102,16 +102,24 @@ object Bpe extends QueryPack {
       : Seq[(Int, String, String, Long)] = {
     val rc = Rounds(checkpointDir)
     rc.init(docs)
-    var syms = rc.mark(charSymbols(wordCounts(docs)))
+    // The vocab lands ONCE; each round re-derives the current symbol
+    // table INSIDE codegen by replaying the merges learned so far
+    // ([[graft.functions.BpeEncode]] — bit-identical to the
+    // [[applyMerge]] fold, BpeSpec property + the q149/q165 oracles'
+    // merge-at-a-time CTE replay). A round is then ONE aggregate job
+    // over the landed vocab (pairs from array adjacency — no window,
+    // no per-round exchange beyond the map-side-combined stats agg, no
+    // per-round checkpoint write): at TrainRounds=10 this halves the
+    // serial job count of the old materialize-then-window loop, and
+    // the replay cost per round is O(learned merges) presence probes
+    // per word — flat to 32k merges (ProfileBpe's encode_32k point).
+    val words = rc.mark(wordCounts(docs))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
       // 1-row collect by construction (the argmax of the pair stats)
-      val best = syms
-        .select(col("sym"), lead(col("sym"), 1).over(byW).as("nxt"), col("wcnt"))
-        .where(col("nxt").isNotNull)
-        .groupBy(col("sym"), col("nxt")).agg(sum(col("wcnt")).as("cnt"))
+      val best = pairStats(words, merges.toSeq.map(m => (m._2, m._3)))
         .orderBy(col("cnt").desc, col("sym").asc, col("nxt").asc)
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
@@ -119,12 +127,30 @@ object Bpe extends QueryPack {
         val (lhs, rhs, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, lhs, rhs, cnt))
-        syms = rc.mark(applyMerge(syms, lhs, rhs))
         r += 1
       }
     }
     merges.toSeq
   }
+
+  /** Adjacent-pair statistics of the CURRENT symbol table — the table
+    * itself never materializes: each word's symbols are re-derived by
+    * the codegen'd merge replay and pairs come from array adjacency
+    * (`transform(sequence(...))` over the split pieces), so the only
+    * shuffle is the map-side-combined (sym, nxt) aggregate. */
+  private def pairStats(words: DataFrame,
+                        merges: Seq[(String, String)]): DataFrame =
+    words
+      .select(col("wcnt"),
+        split(graft.functions.BpeEncode.bpeEncode(col("w"), merges), " ")
+          .as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(col("wcnt"),
+        explode(transform(sequence(lit(0), size(col("ss")) - 2),
+          i => struct(element_at(col("ss"), i + 1).as("sym"),
+            element_at(col("ss"), i + 2).as("nxt")))).as("p"))
+      .groupBy(col("p.sym").as("sym"), col("p.nxt").as("nxt"))
+      .agg(sum(col("wcnt")).as("cnt"))
 
   /** Learned merge table as a DataFrame: (rnd, lhs, rhs, merged, cnt). */
   def trainMerges(docs: DataFrame, rounds: Int,
@@ -562,20 +588,23 @@ object Bpe extends QueryPack {
       : Seq[(Int, String, String, Long)] = {
     val rc = Rounds(checkpointDir)
     rc.init(docs)
-    var syms = rc.mark(charSymbols(wordCounts(docs)))
+    // same one-landed-vocab + codegen-replay shape as [[trainMergesSeq]]
+    // — a round's accumulated merges applied IN LEARNED ORDER are
+    // exactly the sequential fold, and within a round the 3-symbol
+    // disjointness makes sequential ≡ the simultaneous
+    // [[applyMergeBatch]] (matches of different batch pairs can never
+    // abut — that would need a shared symbol; the oracle's simultaneous
+    // LEFT-JOIN replay re-proves it at every scale)
+    val words = rc.mark(wordCounts(docs))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val stats = syms
-        .select(col("sym"), lead(col("sym"), 1).over(byW).as("nxt"), col("wcnt"))
-        .where(col("nxt").isNotNull)
-        .groupBy(col("sym"), col("nxt")).agg(sum(col("wcnt")).as("cnt"))
+      val stats = pairStats(words, out.toSeq.map(m => (m._2, m._3)))
       val batch = selectBatch(stats, k)
       if (batch.isEmpty) exhausted = true
       else {
         out ++= batch.map { case (l, rr, c) => (r, l, rr, c) }
-        syms = rc.mark(applyMergeBatch(syms, batch.map(b => (b._1, b._2))))
         r += 1
       }
     }
