@@ -36,10 +36,15 @@ object Multimodal extends QueryPack {
   def videoNearDup(assets: org.apache.spark.sql.DataFrame,
                    threshold: Double,
                    maxBucket: Int = 100000): org.apache.spark.sql.DataFrame = {
+    // landed once: the distinct print set feeds the per-asset counts
+    // AND the bucket-member pass, whose differing column prunings make
+    // the subtrees non-identical — without the landing the REAL decode
+    // of every frame executes once per consumer (the r16 gate lesson)
     val prints = Binary.decodeFrameSums(assets)
       .select(col("asset_id"), struct(col("width"), col("height"),
         col("sum_r"), col("sum_g"), col("sum_b")).as("print"))
       .distinct()
+      .localCheckpoint()
     val counts = prints.groupBy(col("asset_id")).agg(count(lit(1)).as("n"))
     // prints is one row per (asset, print), so the window count the cap
     // filters on IS the bucket's member count
@@ -80,7 +85,10 @@ object Multimodal extends QueryPack {
   def imageNearDup(assets: org.apache.spark.sql.DataFrame,
                    maxHamming: Int,
                    maxBucket: Int = 100000): org.apache.spark.sql.DataFrame = {
-    val hashes = Binary.imageAHash(assets)
+    // landed once: consumed by the banding pass and BOTH confirm-join
+    // sides — without the landing the real image decode runs three
+    // times (the r16 gate lesson)
+    val hashes = Binary.imageAHash(assets).localCheckpoint()
     val mask = lit(0xffffL)
     val bands = hashes.select(col("asset_id"), explode(array(
         struct(lit(0).as("bi"), shiftright(col("hash_hi"), 16).bitwiseAND(mask).as("bv")),
@@ -122,9 +130,11 @@ object Multimodal extends QueryPack {
   def audioNearDup(assets: org.apache.spark.sql.DataFrame,
                    threshold: Double,
                    maxBucket: Int = 100000): org.apache.spark.sql.DataFrame = {
+    // landed once — same three-consumer shape as videoNearDup's prints
     val prints = Binary.audioWindowPrints(assets)
       .select(col("asset_id"), struct(col("s1"), col("s2")).as("print"))
       .distinct()
+      .localCheckpoint()
     val counts = prints.groupBy(col("asset_id")).agg(count(lit(1)).as("n"))
     val sets = Dedup.cappedBucketMembers(prints, Seq("print"),
         col("asset_id"), maxBucket)
