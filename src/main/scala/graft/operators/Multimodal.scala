@@ -833,9 +833,14 @@ object Multimodal extends QueryPack {
             col("stop_hits") * 20 >= col("n_words") &&
             col("n_distinct") * 2 >= col("n_words") &&
             col("lang").isin("en", "de", "fr", "es"))
+        // materialize the dedup hash BELOW the window so the text
+        // column prunes out of the window's exchange (partitioning on
+        // md5(text) directly forces full text bytes through the
+        // shuffle; the output never carries text)
         val canon = caps
+          .withColumn("__h", md5(col("text"))).drop("text")
           .withColumn("rk", row_number().over(
-            Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+            Window.partitionBy(col("__h")).orderBy(col("doc_id"))))
           .filter(col("rk") === 1)
         val imgs = Binary.decodeImageStats(Binary.syntheticBmpAssets(docs))
           .select(col("asset_id"), col("width"), col("height"),
